@@ -1,13 +1,169 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Each key in `queries` is an operator id from SURVEY.md §2; each has a
+  * DuckDB-equivalent SQL twin in `oracleSql` (column names aliased
+  * identically on both sides; deterministic ORDER BY everywhere; double
+  * aggregates rounded on both sides so hash comparison is stable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * CS1-shaped gold aggregation: filter + derive + broadcast lookup join +
+    * multi-aggregate (SURVEY.md §7.2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Relational.table(spark, dir, "lineitem")
+    val o = Relational.table(spark, dir, "orders")
+    val c = Relational.table(spark, dir, "customer")
+    val n = Relational.table(spark, dir, "nation")
+    li.filter(col("l_returnflag") =!= "R")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+    "filter_predicate" -> ((s, dir) => Relational.filterPredicate(s, dir)),
+    "project_columns" -> ((s, dir) => Relational.projectColumns(s, dir)),
+    "derive_column_arith" -> ((s, dir) => Relational.deriveColumnArith(s, dir)),
+    "timestamp_diff" -> ((s, dir) => Relational.timestampDiff(s, dir)),
+    "conditional_case" -> ((s, dir) => Relational.conditionalCase(s, dir)),
+    "parse_timestamp" -> ((s, dir) => parseTimestampStr(s, dir)),
+    "extract_time_part" -> ((s, dir) => Relational.extractTimePart(s, dir)),
+    "string_match_filter" -> ((s, dir) => Relational.stringMatchFilter(s, dir)),
+    "lookup_join" -> ((s, dir) => Relational.lookupJoin(s, dir)),
+    "group_agg_multi" -> ((s, dir) => Relational.groupAggMulti(s, dir)),
+    "agg_having" -> ((s, dir) => Relational.aggHaving(s, dir)),
+    "window_topk" -> ((s, dir) => Relational.windowTopK(s, dir)),
+    "type_cast" -> ((s, dir) => Relational.typeCast(s, dir)),
+    "udf_enrichment" -> ((s, dir) => Relational.udfEnrichment(s, dir)),
+  )
+
+  /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** parse_timestamp with a string-typed output so the oracle comparison
+    * is immune to timestamp-encoding differences between engines. */
+  private def parseTimestampStr(spark: SparkSession, dir: String): DataFrame =
+    Relational.parseTimestamp(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_parsed"), "yyyy-MM-dd HH:mm:ss").as("o_roundtrip"))
+      .orderBy("o_orderkey")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "filter_predicate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0
+         ORDER BY o_orderkey""",
+    "project_columns" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         ORDER BY c_custkey""",
+    "derive_column_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "timestamp_diff" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST((epoch(l_shipdate) - epoch(o_orderdate)) / 86400 AS BIGINT)
+           AS ship_delay_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "conditional_case" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     WHEN o_totalprice < 300000 THEN 'large'
+                     ELSE 'jumbo' END AS price_band,
+         count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY price_band""",
+    "parse_timestamp" ->
+      """SELECT o_orderkey,
+         strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                           '%Y-%m-%d %H:%M:%S'),
+                  '%Y-%m-%d %H:%M:%S') AS o_roundtrip
+         FROM orders ORDER BY o_orderkey""",
+    "extract_time_part" ->
+      """SELECT event_id,
+         CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+         CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h
+         FROM events ORDER BY event_id""",
+    "string_match_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT (lower(c_name) LIKE '%0')
+           AND lower(c_mktsegment) IN ('building', 'machinery')
+         ORDER BY c_custkey""",
+    "lookup_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "group_agg_multi" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS h,
+         count(*) AS n_events,
+         round(min(value), 2) AS min_value,
+         round(max(value), 2) AS max_value,
+         round(avg(value), 2) AS avg_value
+         FROM events GROUP BY event_type, h ORDER BY event_type, h""",
+    "agg_having" ->
+      """SELECT CAST(hour(ts) AS INT) AS h,
+         CAST(sum(CASE WHEN value > 180.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies
+         FROM events GROUP BY h HAVING n_anomalies > 3 ORDER BY h""",
+    "window_topk" ->
+      """SELECT h, user_id, n_events, rank FROM (
+           SELECT h, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY h
+                  ORDER BY n_events DESC, user_id ASC) AS INT) AS rank
+           FROM (SELECT CAST(hour(ts) AS INT) AS h, user_id,
+                        count(*) AS n_events
+                 FROM events GROUP BY h, user_id))
+         WHERE rank <= 3 ORDER BY h, rank""",
+    "type_cast" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+         CAST(l_quantity AS INT) AS quantity_int,
+         CAST(l_linenumber AS BIGINT) AS linenumber_long,
+         CAST(l_shipdate AS DATE) AS shipdate_date
+         FROM lineitem ORDER BY orderkey_str, linenumber_long""",
+    "udf_enrichment" ->
+      """SELECT c_custkey, upper(substring(c_mktsegment, 1, 3)) AS seg_code
+         FROM customer ORDER BY c_custkey""",
+  )
 }

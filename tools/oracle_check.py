@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB oracle compare.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir in verifyOutDir: load Spark's parquet result, run the
+matching oracle SQL (oracle_sql.json) in DuckDB over the sfDir tables,
+normalize (sort columns by name, sort rows, round floats), and diff.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            # strip tz / ns-vs-us differences
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for q in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, q)
+        if not os.path.isdir(qdir):
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in
+                         sorted(glob.glob(os.path.join(qdir, "*.parquet")))],
+                        ignore_index=True)
+        if q not in oracle:
+            print(f"[rows-only] {q}: rows={len(got)}")
+            continue
+        want = con.execute(oracle[q]).df()
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL cols] {q}: spark={list(g.columns)} duck={list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL rows] {q}: spark={len(g)} duck={len(w)}")
+            n_fail += 1
+            continue
+        if not g.equals(w):
+            neq = (g != w) & ~(g.isna() & w.isna())
+            bad = neq.any(axis=1)
+            print(f"[FAIL vals] {q}: {bad.sum()} differing rows; first:")
+            print(pd.concat([g[bad].head(3).add_prefix("spark_"),
+                             w[bad].head(3).add_prefix("duck_")], axis=1).to_string())
+            n_fail += 1
+            continue
+        print(f"[ok] {q}: {len(g)} rows")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

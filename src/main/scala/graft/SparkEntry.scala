@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Relational
+import graft.operators.{Relational, SourceSinkQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -51,6 +51,16 @@ object SparkEntry {
     "window_topk" -> ((s, dir) => Relational.windowTopK(s, dir)),
     "type_cast" -> ((s, dir) => Relational.typeCast(s, dir)),
     "udf_enrichment" -> ((s, dir) => Relational.udfEnrichment(s, dir)),
+    "scan_csv" -> ((s, dir) => SourceSinkQueries.scanCsv(s, dir)),
+    "scan_json" -> ((s, dir) => SourceSinkQueries.scanJson(s, dir)),
+    "scan_parquet" -> ((s, dir) => SourceSinkQueries.scanParquet(s, dir)),
+    "source_file_scan_glob" -> ((s, dir) => SourceSinkQueries.fileScanGlob(s, dir)),
+    "union_by_name" -> ((s, dir) => SourceSinkQueries.unionByName(s, dir)),
+    "metadata_stamp" -> ((s, dir) => SourceSinkQueries.metadataStamp(s, dir)),
+    "sink_csv_overwrite" -> ((s, dir) => SourceSinkQueries.sinkCsvOverwrite(s, dir)),
+    "sink_parquet_append_partitioned" -> ((s, dir) => SourceSinkQueries.sinkParquetPartitioned(s, dir)),
+    "scan_rest_api" -> ((s, dir) => SourceSinkQueries.scanRestApi(s, dir)),
+    "scan_kafka_batch" -> ((s, dir) => SourceSinkQueries.scanMicroBatch(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -165,5 +175,46 @@ object SparkEntry {
     "udf_enrichment" ->
       """SELECT c_custkey, upper(substring(c_mktsegment, 1, 3)) AS seg_code
          FROM customer ORDER BY c_custkey""",
+    "scan_csv" ->
+      """SELECT * FROM region ORDER BY r_regionkey""",
+    "scan_json" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "scan_parquet" ->
+      """SELECT * FROM supplier ORDER BY s_suppkey""",
+    "source_file_scan_glob" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "union_by_name" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+                CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 2 = 1
+         ORDER BY c_custkey""",
+    "metadata_stamp" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                DATE '2026-01-01' AS _ingestion_date,
+                '2026-01-01 00:00:00' AS _ingestion_timestamp,
+                'pipeline_1' AS _pipeline_id,
+                1 AS _schema_version
+         FROM supplier ORDER BY s_suppkey""",
+    "sink_csv_overwrite" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "sink_parquet_append_partitioned" ->
+      """SELECT CAST(o_orderdate AS DATE) AS _ingestion_date,
+                count(*) AS n_orders
+         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "scan_rest_api" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "scan_kafka_batch" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Sources
+import graft.sinks.Sinks
+
+/** Deterministic driver-contract queries for the scan/sink operators of
+  * SURVEY.md §2.1. Each query round-trips testdata through the operator
+  * under test (temp dirs) and returns a DataFrame whose oracle is plain
+  * SQL over the original tables — so the operator's fidelity IS the
+  * correctness check.
+  */
+object SourceSinkQueries {
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(s"graft_$prefix")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** scan_csv — parquet → header CSV → scanCsv(inferSchema) round-trip. */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scancsv").resolve("region").toString
+    val region = Relational.table(spark, dir, "region")
+    Sinks.csvOverwrite(region, out)
+    Sources.scanCsv(spark, out).orderBy("r_regionkey")
+  }
+
+  /** scan_json — parquet → JSON lines → scanJson(explicit schema), which
+    * avoids JSON type drift (ints would re-infer as long). */
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanjson").resolve("nation").toString
+    val nation = Relational.table(spark, dir, "nation")
+    nation.write.mode("overwrite").json(out)
+    Sources.scanJson(spark, out, Some(nation.schema)).orderBy("n_nationkey")
+  }
+
+  /** scan_parquet. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Sources.scanParquet(spark, s"$dir/supplier.parquet").orderBy("s_suppkey")
+
+  /** source_file_scan_glob — write nation as two JSON files + a decoy
+    * non-data file, glob, read every discovered file, union. */
+  def fileScanGlob(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("glob")
+    val nation = Relational.table(spark, dir, "nation")
+    nation.filter(col("n_nationkey") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").json(base.resolve("even").toString)
+    nation.filter(col("n_nationkey") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").json(base.resolve("odd").toString)
+    Files.writeString(base.resolve("README.txt"), "not data")
+    val files = Sources.globScan(spark, base.toString)
+    val dfs = files.map(f => Sources.scanJson(spark, f, Some(nation.schema)))
+    Bronze.unionByName(dfs).orderBy("n_nationkey")
+  }
+
+  /** union_by_name — two projections with a missing column each,
+    * allowMissingColumns semantics (`bronze_ingestion.py:184-187`). */
+  def unionByName(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Relational.table(spark, dir, "customer")
+    val a = cust.filter(col("c_custkey") % 2 === 0).drop("c_acctbal")
+    val b = cust.filter(col("c_custkey") % 2 === 1)
+    Bronze.unionByName(Seq(a, b)).orderBy("c_custkey")
+  }
+
+  /** metadata_stamp — fixed stamp values so the oracle is deterministic;
+    * timestamp rendered as string (engine-neutral encoding). */
+  def metadataStamp(spark: SparkSession, dir: String): DataFrame =
+    Bronze.metadataStamp(
+        Relational.table(spark, dir, "supplier"),
+        java.sql.Date.valueOf("2026-01-01"),
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        "pipeline_1", 1)
+      .withColumn("_ingestion_timestamp",
+        date_format(col("_ingestion_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("s_suppkey")
+
+  /** sink_csv_overwrite — aggregate → CSV → re-read (inferSchema), cast
+    * back to declared types (the reference's layer-boundary re-inference,
+    * SURVEY.md §1.3). */
+  def sinkCsvOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("sinkcsv").resolve("gold").toString
+    Sinks.csvOverwrite(Relational.lookupJoin(spark, dir), out)
+    Sources.scanCsv(spark, out)
+      .select(
+        col("r_name"), col("n_name"),
+        col("n_customers").cast("long").as("n_customers"),
+        col("sum_acctbal").cast("double").as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** sink_parquet_append_partitioned — bronze write partitioned by
+    * `_ingestion_date`, then a pruned read-back (the filter on the
+    * partition column reaches partition pruning, not a file scan). */
+  def sinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("bronze").resolve("orders").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .withColumn("_ingestion_date", col("o_orderdate").cast("date"))
+    Bronze.writeBronze(orders, out)
+    Sources.scanParquet(spark, out)
+      .filter(col("_ingestion_date") >= lit("2000-01-01"))
+      .groupBy(col("_ingestion_date"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("_ingestion_date")
+  }
+
+  /** scan_rest_api — paginated fetch with data-key extraction and cursor
+    * pagination, against a deterministic in-process "server" that pages
+    * the nation table 5 rows at a time. */
+  def scanRestApi(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Relational.table(spark, dir, "nation")
+    val rows = nation.orderBy("n_nationkey").collect()
+    val pageSize = 5
+    val fetch: String => String = { url =>
+      val page = url.split("page=").last.toInt
+      val slice = rows.slice(page * pageSize, (page + 1) * pageSize)
+      val recs = slice.map(r =>
+        s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}",""" +
+        s""""n_regionkey":${r.getInt(2)}}""").mkString(",")
+      val next =
+        if ((page + 1) * pageSize < rows.length)
+          s""""http://fake/api?page=${page + 1}""""
+        else "null"
+      s"""{"query":{"recent":[$recs]},"next":$next}"""
+    }
+    Sources.scanRestApi(
+        spark, fetch,
+        Sources.ApiConfig(
+          url = "http://fake/api?page=0",
+          dataKey = Some("query.recent"),
+          nextKey = Some("next"),
+          maxPages = 100),
+        Some(nation.schema))
+      .orderBy("n_nationkey")
+  }
+
+  /** scan_kafka_batch — run-to-completion micro-batch semantics via
+    * Structured Streaming `Trigger.AvailableNow` with a checkpoint (the
+    * Spark-native equivalent of the reference's consumer-group
+    * commit-after-write loop, `dag_generator.py:362-473`). Kafka itself
+    * is absent in this environment, so the stream source is the events
+    * parquet directory; the trigger/checkpoint mechanics are identical. */
+  def scanMicroBatch(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); read as raw long nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = tmpDir("microbatch")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName(table)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table).orderBy("event_type")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, SourceSinkQueries}
+import graft.operators.{InferQueries, Relational, SourceSinkQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -61,6 +61,12 @@ object SparkEntry {
     "sink_parquet_append_partitioned" -> ((s, dir) => SourceSinkQueries.sinkParquetPartitioned(s, dir)),
     "scan_rest_api" -> ((s, dir) => SourceSinkQueries.scanRestApi(s, dir)),
     "scan_kafka_batch" -> ((s, dir) => SourceSinkQueries.scanMicroBatch(s, dir)),
+    "infer_types" -> ((s, dir) => InferQueries.inferTypes(s, dir)),
+    "column_stats" -> ((s, dir) => InferQueries.columnStats(s, dir)),
+    "schema_compat_check" -> ((s, dir) => InferQueries.compatCheck(s, dir)),
+    "detect_confidence" -> ((s, dir) => InferQueries.detectConfidence(s, dir)),
+    "field_override" -> ((s, dir) => InferQueries.fieldOverride(s, dir)),
+    "sample_rows_synthesis" -> ((s, dir) => InferQueries.sampleRowsSynthesis(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -216,5 +222,72 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "infer_types" ->
+      """SELECT column_name, inferred_type,
+                CAST(confidence AS DOUBLE) AS confidence
+         FROM (VALUES
+           ('o_custkey','long',1.0), ('o_orderdate','timestamp',1.0),
+           ('o_orderkey','long',1.0), ('o_orderpriority','string',1.0),
+           ('o_orderstatus','string',1.0), ('o_totalprice','double',1.0))
+           t(column_name, inferred_type, confidence)
+         ORDER BY column_name""",
+    "column_stats" ->
+      """SELECT 'c_acctbal' AS column_name,
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_count,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS unique_count,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_val,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_val FROM customer
+         UNION ALL
+         SELECT 'c_custkey',
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_custkey) AS BIGINT),
+           CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE)
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment',
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer
+         UNION ALL
+         SELECT 'c_name',
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_name) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer
+         UNION ALL
+         SELECT 'c_nationkey',
+           CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+         FROM customer
+         ORDER BY column_name""",
+    "schema_compat_check" ->
+      """SELECT * FROM (VALUES
+           (0, true, 0, 0), (1, false, 1, 0), (2, false, 0, 1))
+           t(file_idx, compatible, n_missing, n_extra)
+         ORDER BY file_idx""",
+    "detect_confidence" ->
+      """SELECT CAST(0.8 AS DOUBLE) AS overall_confidence""",
+    "field_override" ->
+      """SELECT c_custkey, c_name AS customer_name,
+                CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "sample_rows_synthesis" ->
+      """SELECT CAST(row_id AS BIGINT) AS row_id, name,
+                CAST(age AS BIGINT) AS age, active, joined,
+                CAST(score AS DOUBLE) AS score
+         FROM (VALUES
+           (0,'alice',30,true,DATE '2024-01-15',NULL),
+           (1,'bob',40,false,DATE '2024-01-15',NULL),
+           (2,'carol',30,true,DATE '2024-01-15',NULL),
+           (3,'alice',40,false,DATE '2024-01-15',NULL),
+           (4,'bob',30,true,DATE '2024-01-15',NULL),
+           (5,'carol',40,false,DATE '2024-01-15',NULL),
+           (6,'alice',30,true,DATE '2024-01-15',NULL),
+           (7,'bob',40,false,DATE '2024-01-15',NULL),
+           (8,'carol',30,true,DATE '2024-01-15',NULL),
+           (9,'alice',40,false,DATE '2024-01-15',NULL))
+           t(row_id, name, age, active, joined, score)
+         ORDER BY row_id""",
   )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.infer.Infer
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.types.{FieldOverride, FieldSpec}
+import graft.types.LogicalType._
+
+/** Driver-contract queries for the schema-inference operators of
+  * SURVEY.md §2.2. Inference results are deterministic, so the oracles
+  * are either golden VALUES tables or plain aggregates over the source
+  * table.
+  */
+object InferQueries {
+
+  private def stringCsvRoundTrip(
+      spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val out = Files.createTempDirectory(s"graft_$tag").resolve("data").toString
+    val asStrings = df.select(df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    Sinks.csvOverwrite(asStrings, out)
+    val allString = StructType(df.columns.map(c => StructField(c, StringType)))
+    Sources.scanCsv(spark, out, schema = Some(allString))
+  }
+
+  /** infer_types — stringify `orders` through CSV (losing all type info),
+    * re-infer with the voting heuristic; emits (column, type, confidence). */
+  def inferTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Relational.table(spark, dir, "orders")
+    val asStr = stringCsvRoundTrip(spark, orders, "infer")
+    Infer.inferTypes(asStr)
+      .map(f => (f.name, f.tpe.name, f.confidence))
+      .toDF("column_name", "inferred_type", "confidence")
+      .orderBy("column_name")
+  }
+
+  /** column_stats — per-column null/distinct counters and numeric
+    * min/max over `customer`. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Relational.table(spark, dir, "customer")
+    Infer.columnStats(cust)
+      .map(f => (f.name, f.nullCount, f.uniqueCount,
+        f.min.map(_.toDouble), f.max.map(_.toDouble)))
+      .toDF("column_name", "null_count", "unique_count", "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
+  /** schema_compat_check — three CSVs: the reference schema, one with a
+    * missing column, one with an extra column. */
+  def compatCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compat")
+    val cust = Relational.table(spark, dir, "customer").limit(20)
+    Sinks.csvOverwrite(cust, base.resolve("f0").toString)
+    Sinks.csvOverwrite(cust.drop("c_acctbal"), base.resolve("f1").toString)
+    Sinks.csvOverwrite(cust.withColumn("extra_col", lit(1)),
+      base.resolve("f2").toString)
+    val paths = Seq("f0", "f1", "f2").map(base.resolve(_).toString)
+    Infer.compatCheck(spark, paths, p => Sources.scanCsv(spark, p))
+      .zipWithIndex
+      .map { case (fc, i) =>
+        (i, fc.compatible, fc.missing.size, fc.extra.size) }
+      .toDF("file_idx", "compatible", "n_missing", "n_extra")
+      .orderBy("file_idx")
+  }
+
+  /** detect_confidence — 0.7·avg(field conf) + 0.3·compat ratio, with the
+    * compat set of compatCheck (1 of 3 compatible). */
+  def detectConfidence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fields = Seq(
+      FieldSpec("a", TLong, confidence = 1.0),
+      FieldSpec("b", TString, confidence = 1.0))
+    val compat = Seq(
+      Infer.FileCompat("f0", compatible = true, Nil, Nil),
+      Infer.FileCompat("f1", compatible = false, Seq("c_acctbal"), Nil),
+      Infer.FileCompat("f2", compatible = false, Nil, Seq("extra_col")))
+    Seq(BigDecimal(Infer.overallConfidence(fields, compat))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("overall_confidence")
+  }
+
+  /** field_override — rename + re-type + exclude applied before bronze. */
+  def fieldOverride(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Relational.table(spark, dir, "customer")
+    val fields = graft.types.Schemas.fromStructType(cust.schema)
+    Bronze.applyOverrides(cust, fields, Seq(
+      FieldOverride("c_name", newName = Some("customer_name")),
+      FieldOverride("c_nationkey", newType = Some(TLong)),
+      FieldOverride("c_acctbal", exclude = true)))
+      .orderBy("c_custkey")
+  }
+
+  /** sample_rows_synthesis — 10 rows cycling fixed sample values. */
+  def sampleRowsSynthesis(spark: SparkSession, dir: String): DataFrame = {
+    val fields = Seq(
+      FieldSpec("name", TString, sampleValues = Seq("alice", "bob", "carol")),
+      FieldSpec("age", TLong, sampleValues = Seq("30", "40")),
+      FieldSpec("active", TBoolean, sampleValues = Seq("yes", "no")),
+      FieldSpec("joined", TDate, sampleValues = Seq("2024-01-15")),
+      FieldSpec("score", TDouble))
+    Infer.synthesizeRows(spark, fields, 10)
+      .withColumn("row_id", monotonically_increasing_id())
+      .orderBy("row_id")
+  }
+}

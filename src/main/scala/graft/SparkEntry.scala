@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{InferQueries, Relational, SourceSinkQueries}
+import graft.operators.{InferQueries, Relational, SourceSinkQueries, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -67,6 +67,14 @@ object SparkEntry {
     "detect_confidence" -> ((s, dir) => InferQueries.detectConfidence(s, dir)),
     "field_override" -> ((s, dir) => InferQueries.fieldOverride(s, dir)),
     "sample_rows_synthesis" -> ((s, dir) => InferQueries.sampleRowsSynthesis(s, dir)),
+    "transform_chain" -> ((s, dir) => TransformQueries.transformChain(s, dir)),
+    "dry_run" -> ((s, dir) => TransformQueries.dryRun(s, dir)),
+    "version_control" -> ((s, dir) => TransformQueries.versionControl(s, dir)),
+    "code_validate" -> ((s, dir) => TransformQueries.codeValidate(s, dir)),
+    "preview_limit" -> ((s, dir) => TransformQueries.previewLimit(s, dir)),
+    "count_records" -> ((s, dir) => TransformQueries.countRecords(s, dir)),
+    "pipeline_medallion" -> ((s, dir) => TransformQueries.pipelineMedallion(s, dir)),
+    "silver_schema_handoff" -> ((s, dir) => TransformQueries.silverSchemaHandoff(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -289,5 +297,46 @@ object SparkEntry {
            (9,'alice',40,false,DATE '2024-01-15',NULL))
            t(row_id, name, age, active, joined, score)
          ORDER BY row_id""",
+    "transform_chain" ->
+      """SELECT CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+           AS band, count(*) AS n_orders
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY 1 ORDER BY band""",
+    "dry_run" ->
+      """SELECT check_idx AS row_id, name, CAST(doubled AS BIGINT) AS doubled
+         FROM (VALUES
+           (0,'alice',60),(1,'bob',80),(2,'carol',60),(3,'alice',80),
+           (4,'bob',60),(5,'carol',80),(6,'alice',60),(7,'bob',80),
+           (8,'carol',60),(9,'alice',80)) t(check_idx, name, doubled)
+         ORDER BY row_id""",
+    "version_control" ->
+      """SELECT * FROM (VALUES
+           ('f', 1, true), ('f', 2, false), ('g', 1, true))
+           t(step_name, version, active)
+         ORDER BY step_name, version""",
+    "code_validate" ->
+      """SELECT * FROM (VALUES
+           (0, true), (1, false), (2, false), (3, false))
+           t(check_idx, valid)
+         ORDER BY check_idx""",
+    "preview_limit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(5 AS BIGINT) AS n_preview_rows,
+                CAST(5 AS BIGINT) AS n_cols
+         FROM customer""",
+    "count_records" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS input_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderstatus = 'O') AS output_rows""",
+    "pipeline_medallion" ->
+      """SELECT CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+           AS band, count(*) AS n_orders
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY 1 ORDER BY band""",
+    "silver_schema_handoff" ->
+      """SELECT * FROM (VALUES
+           ('c_custkey', 'bigint'), ('c_name', 'string'),
+           ('doubled_bal', 'double')) t(column_name, dtype)
+         ORDER BY column_name""",
   )
 }

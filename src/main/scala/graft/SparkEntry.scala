@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{InferQueries, Relational, SourceSinkQueries, TransformQueries}
+import graft.operators.{Dedup, InferQueries, Relational, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -75,6 +75,17 @@ object SparkEntry {
     "count_records" -> ((s, dir) => TransformQueries.countRecords(s, dir)),
     "pipeline_medallion" -> ((s, dir) => TransformQueries.pipelineMedallion(s, dir)),
     "silver_schema_handoff" -> ((s, dir) => TransformQueries.silverSchemaHandoff(s, dir)),
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedupQuery(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir, 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simHashDedup(s, dir)),
+    "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosinePairs(s, dir)),
+    "similarity_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "similarity_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "text_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "text_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
+    "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -338,5 +349,122 @@ object SparkEntry {
            ('c_custkey', 'bigint'), ('c_name', 'string'),
            ('doubled_bal', 'double')) t(column_name, dtype)
          ORDER BY column_name""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 10000, text FROM documents)
+         GROUP BY text ORDER BY doc_id""",
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
+         FROM pr
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6
+         ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
+         FROM pr
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b FROM pr
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6
+         ORDER BY doc_a, doc_b""",
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM v a, v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.e, b.e) >= 0.46
+         ORDER BY id_a, id_b""",
+    "similarity_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         n AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings),
+         s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+               FROM q, n WHERE qid <> nid)
+         SELECT qid AS query_id,
+                CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS INT) AS rank,
+                nid AS neighbor_id
+         FROM s QUALIFY rank <= 10
+         ORDER BY query_id, rank""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(length(text) AS INT) AS n_chars_measured,
+                n_chars
+         FROM documents ORDER BY doc_id""",
+    "text_quality_score" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS stop_ratio,
+                CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                     AS DOUBLE)
+                  / len(string_split(text, ' ')) AS avg_word_len
+         FROM documents ORDER BY doc_id""",
+    "text_lang_id" ->
+      """SELECT doc_id, 'en' AS lang_pred,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS en_ratio
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         m AS (SELECT doc_id, min(md5(shingle)) AS fp_min_shingle
+               FROM sh GROUP BY doc_id)
+         SELECT d.doc_id,
+                md5(lower(regexp_replace(d.text, '\s+', ' ', 'g'))) AS fp_doc,
+                m.fp_min_shingle
+         FROM documents d JOIN m USING (doc_id)
+         ORDER BY doc_id""",
   )
 }

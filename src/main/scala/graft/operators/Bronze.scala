@@ -60,7 +60,13 @@ object Bronze {
     * Kafka path `dag_generator.py:440-448`). Partitioning by ingestion
     * date keeps per-day reprocessing pruned at 100 TB. */
   def writeBronze(df: DataFrame, path: String): Unit =
-    df.write
+    // Repartition on the partition column first: without it every task
+    // writes a file into every date directory it happens to see
+    // (tasks × dates tiny files — at scale, millions). After the
+    // shuffle each date lands in one task → one well-sized file per
+    // date; AQE coalesces small dates together.
+    df.repartition(col("_ingestion_date"))
+      .write
       .mode("append")
       .partitionBy("_ingestion_date")
       .parquet(path)

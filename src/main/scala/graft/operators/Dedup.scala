@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every method reduces the quadratic pair space BEFORE
+  * any pairwise work — exact dedup groups on a 256-bit content hash
+  * (shuffles hashes, not documents); MinHash/SimHash bucket by band so
+  * only same-bucket docs are ever joined; the exact-Jaccard verification
+  * join runs on the candidate subset only. The all-pairs variants exist
+  * as correctness oracles and for small reference sets.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+
+  /** dedup_exact — keep the lowest doc_id per identical text. Grouping
+    * key is sha2(text): the shuffle carries (hash, id), never the
+    * document body. Collision probability at 2^-256 is ignorable. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as("_fp"))
+    val keep = fp.groupBy("_fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_fp")
+    df.join(keep, Seq(idCol), "inner")
+  }
+
+  /** dedup_exact driver query — the corpus unioned with a re-keyed copy
+    * of itself; dedup must keep exactly the original ids with
+    * n_copies=2. */
+  def exactDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val copy = base.withColumn("doc_id", col("doc_id") + 10000)
+    exactDedup(base.union(copy), "doc_id", "text")
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** Distinct-shingle relation (doc_id, shingle). */
+  def shingleRel(df: DataFrame, k: Int = 3): DataFrame =
+    df.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), k)).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise Jaccard over a shingle relation, restricted to an
+    * optional candidate-pair set; emits (doc_a, doc_b, jaccard ≥ t). */
+  def jaccardPairs(
+      shingles: DataFrame,
+      threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    // The candidate set is consumed twice (docs-in-play semi-join and
+    // the pair filter); persist it so its upstream (signature UDF +
+    // band self-join) runs once.
+    val cands = candidates.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shUncached = cands match {
+      case Some(c) =>
+        val docsInPlay = c.select(col("doc_a").as("doc_id"))
+          .union(c.select(col("doc_b").as("doc_id"))).distinct()
+        shingles.join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
+      case None => shingles
+    }
+    // The shingle relation feeds three consumers (sizes + both sides of
+    // the intersection join); without persisting, the explode+distinct
+    // shuffle re-runs for each.
+    val sh = shUncached.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val withCand = cands match {
+      case Some(c) => inter.join(broadcast(c), Seq("doc_a", "doc_b"), "left_semi")
+      case None => inter
+    }
+    withCand
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("c", "ca"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("c", "cb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH banding
+  // ------------------------------------------------------------------
+
+  /** Fixed-seed universal-hash parameters (a·x + b mod p). The modulus
+    * is the 31-bit Mersenne prime so a·h ≤ 2⁶² never overflows a Long —
+    * Spark 4 runs ANSI arithmetic by default and would raise on
+    * overflow. */
+  private val MersennePrime = (1L << 31) - 1
+  private def perms(n: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** 64-bit string hash from two 32-bit murmur passes (deterministic,
+    * seed-fixed; used for signatures only — never oracle-compared). */
+  private def hash64(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** MinHash signatures: k permutations over the document's shingle set,
+    * computed in ONE pass per row inside a scalar function — no explode,
+    * no shuffle: signatures stream out of the scan at full parallelism.
+    * (A 64-column conditional-min hash aggregate over exploded shingles
+    * computes the same thing but pays an explode + shuffle + a janino
+    * codegen blowup; per-row JVM code is ~10× faster here.) */
+  def minHashSignatures(
+      docsDf: DataFrame, k: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = perms(k, seed)
+    val mh = udf { (shingles: Seq[String]) =>
+      val sig = Array.fill(k)(MersennePrime)
+      shingles.foreach { s =>
+        val h = java.lang.Math.floorMod(hash64(s), MersennePrime)
+        var i = 0
+        while (i < k) {
+          val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    docsDf.select(col("doc_id"),
+      mh(TextOps.shingles(col("text"))).as("mh"))
+  }
+
+  /** LSH band keys from the signature array: b bands of r rows; same
+    * (band, key) ⇒ candidate. */
+  def lshBands(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((bi * rows until (bi + 1) * rows)
+          .map(i => element_at(col("mh"), i + 1)): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from shared LSH buckets. */
+  def lshCandidates(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** dedup_minhash_lsh — shingle → minhash → band → bucket-join →
+    * exact-Jaccard verify. With b=16, r=4 the detection probability at
+    * j≥0.9 is 1-(1-0.9⁴)¹⁶ ≈ 1-4·10⁻⁸: the verified output equals the
+    * exact all-pairs result while doing ~0.1% of its comparisons. */
+  def minHashLsh(
+      spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = minHashSignatures(d)
+    val cands = lshCandidates(lshBands(sig, bands = 16, rows = 4))
+    jaccardPairs(shingleRel(d), threshold, Some(cands))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dedup_ngram_jaccard — exact all-pairs n-gram Jaccard (the oracle
+    * path; quadratic, for reference sets / correctness checks). */
+  def ngramJaccard(
+      spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    jaccardPairs(shingleRel(docs(spark, dir)), threshold)
+      .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word k-shingles: bit i is the sign of
+    * Σ_shingles (±1 by bit i of hash64(shingle)). One pass per row in a
+    * scalar function — no explode, no shuffle (same rationale as
+    * minHashSignatures). Shingles, not single tokens: documents drawn
+    * from a shared vocabulary have near-identical token DISTRIBUTIONS,
+    * which collapses token-level simhashes together; 3-gram features
+    * keep unrelated documents ~32 bits apart while true near-dups stay
+    * within a few bits. */
+  def simHash(df: DataFrame): DataFrame = {
+    val sh = udf { (shingles: Seq[String]) =>
+      val counts = new Array[Int](64)
+      shingles.foreach { s =>
+        val h = hash64(s)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    df.select(col("doc_id"),
+      sh(TextOps.shingles(col("text"))).as("simhash"))
+  }
+
+  /** dedup_simhash — band the 64-bit fingerprint into 8×8-bit keys (by
+    * pigeonhole, any pair within hamming distance 7 shares ≥1 band),
+    * then exact-Jaccard verify the candidates so the output is a true
+    * near-dup set. */
+  def simHashDedup(
+      spark: SparkSession, dir: String, threshold: Double = 0.6,
+      maxHamming: Int = 16): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = simHash(d).cache()
+    val bandCols = (0 until 8).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftright(col("simhash"), bi * 8).bitwiseAND(0xFFL).as("key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // 8-bit bands are deliberately coarse (any hamming ≤ 7 pair is
+    // guaranteed a shared band), so random pairs collide too — prune
+    // them with a cheap popcount-of-XOR hamming filter before the
+    // expensive shingle-join verification. Random 64-bit fingerprints
+    // sit at hamming ≈ 32, true near-dups well under 16.
+    val cands = lshCandidates(banded)
+      .join(sig.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sh_b")), Seq("doc_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .select("doc_a", "doc_b")
+    jaccardPairs(shingleRel(d), threshold, Some(cands))
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** dedup_embedding_cosine — pairs with cosine ≥ t. The comparison runs
+    * as a broadcast of the L2-normalized matrix with a partition-local
+    * scan (each task dots its rows against the broadcast) — no shuffle.
+    * For corpora too large to broadcast, bucket with the hyperplane LSH
+    * in `Similarity` first. */
+  def embeddingCosinePairs(
+      spark: SparkSession, dir: String, threshold: Double = 0.46): DataFrame = {
+    import spark.implicits._
+    val emb = Relational.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val mat = vecs.map { case (_, v) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bMat = spark.sparkContext.broadcast(mat)
+    spark.sparkContext.parallelize(mat.indices, 32)
+      .flatMap { i =>
+        val m = bMat.value; val id = bIds.value
+        val vi = m(i)
+        (i + 1 until m.length).iterator.flatMap { j =>
+          var s = 0.0; val vj = m(j); var k = 0
+          while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
+          if (s >= threshold) Some((id(i), id(j))) else None
+        }
+      }
+      .toDF("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+}

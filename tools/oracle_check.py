@@ -33,6 +33,11 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    present = {q for q in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, q))}
+    for q in sorted(set(oracle) - present):
+        print(f"[MISSING] {q}: no output dir (query failed in Verify?)")
+        n_fail += 1
     for q in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, q)
         if not os.path.isdir(qdir):

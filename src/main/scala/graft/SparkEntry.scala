@@ -86,6 +86,10 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
+    "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
+    "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
+    "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -466,5 +470,33 @@ object SparkEntry {
                 m.fp_min_shingle
          FROM documents d JOIN m USING (doc_id)
          ORDER BY doc_id""",
+    "stream_windowed_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2
+         ORDER BY window_start, event_type""",
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "multimodal_features" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+         count(*) AS n_items,
+         CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         8 AS feature_dim
+         FROM documents GROUP BY 1 ORDER BY media_type""",
+    "multimodal_metadata" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+         source, count(*) AS n_items,
+         CAST(sum(length(text)) AS BIGINT) AS sum_bytes
+         FROM documents WHERE n_chars = length(text)
+         GROUP BY 1, 2 ORDER BY media_type, source""",
   )
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private[operators] def normalized(
+  private[graft] def normalized(
       spark: SparkSession, dir: String): (Array[Long], Array[Array[Double]]) = {
     import spark.implicits._
     val vecs = Relational.table(spark, dir, "embeddings")

@@ -98,7 +98,7 @@ object Sources {
     * `data[0].items` into a JSON node; if no key given, auto-try the
     * conventional wrappers (results/data/items/records/rows), else treat
     * the root as the record array. */
-  private[sources] def resolveDataNode(
+  private[graft] def resolveDataNode(
       root: JsonNode, dataKey: Option[String]): JsonNode = {
     def walk(node: JsonNode, path: String): Option[JsonNode] = {
       val parts = path.split('.').toSeq.flatMap { seg =>

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators — the Spark-native form of the
+  * reference's Kafka micro-batch ingestion (`dag_generator.py:319-506`)
+  * plus the event-time capabilities a training-data pipeline needs that
+  * the reference lacks (watermarks, windowed aggregation, custom state).
+  *
+  * Delivery semantics: `Trigger.AvailableNow` + a checkpoint directory
+  * reproduces the reference's "consume everything since the last
+  * committed offset, commit only after a successful write" loop —
+  * the checkpoint is the offset store, commit happens post-sink,
+  * exactly-once into the bronze table.
+  */
+object Streaming {
+
+  /** Events-table schema as a stream source (ts arrives as raw parquet
+    * nanos → normalized to a timestamp column). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventsSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** scan_kafka_batch core — run a streaming DataFrame to completion
+    * (AvailableNow) into an in-memory table and return its contents.
+    * `outputMode` must match the aggregation shape. */
+  def runAvailableNow(
+      df: DataFrame, checkpoint: String,
+      outputMode: String = "complete"): DataFrame = {
+    val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(table)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(table)
+  }
+
+  /** The Kafka path proper (untestable here — no broker/connector in the
+    * environment; same mechanics as the parquet-source variant above).
+    * `maxOffsetsPerTrigger` is the reference's max_messages cap. */
+  def kafkaStream(
+      spark: SparkSession, bootstrap: String, topic: String,
+      maxOffsetsPerTrigger: Long = 100000): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      // The reference's Kafka metadata columns (dag_generator.py:400-406).
+      .select(
+        col("topic").as("_kafka_topic"),
+        col("partition").as("_kafka_partition"),
+        col("offset").as("_kafka_offset"),
+        col("timestamp").as("_kafka_timestamp"),
+        current_timestamp().as("_kafka_ingested_at"),
+        col("value").cast("string").as("payload"))
+
+  /** Event-time tumbling-window aggregation with a watermark: late rows
+    * beyond the watermark are dropped, state is bounded — the piece that
+    * makes 100 TB/day streams tractable. */
+  def windowedCounts(
+      events: DataFrame, watermark: String = "1 hour",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserSession(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Custom per-key state via mapGroupsWithState: running per-user event
+    * and purchase counters (the KeyValueGroupedDataset stateful path the
+    * reference has no equivalent for). */
+  def userCounters(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], st: GroupState[UserSession]) =>
+          val prev = st.getOption.getOrElse(UserSession(uid, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          rows.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val cur = UserSession(uid, n, p)
+          st.update(cur)
+          cur
+      }
+  }
+
+  /** stream_windowed_agg driver query — copy the events table into a
+    * stream-source dir, run the watermarked windowed aggregation to
+    * completion, return the (deterministic) final counts. */
+  def windowedAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    runAvailableNow(
+      windowedCounts(eventsStream(spark, srcDir.toString)),
+      base.resolve("ckpt").toString)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** stream_stateful driver query — run the custom-state counters over
+    * the events stream to completion; final per-user totals equal the
+    * batch groupBy, which is the oracle. */
+  def statefulQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_state")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val evs = eventsStream(spark, srcDir.toString)
+      .select(col("user_id"), col("event_type")).as[UserEvent]
+    runAvailableNow(userCounters(evs).toDF(),
+      base.resolve("ckpt").toString, outputMode = "update")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("n_purchases").as("n_purchases"))
+      .orderBy("user_id")
+  }
+}

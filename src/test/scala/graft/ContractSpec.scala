@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants for SparkEntry. */
+class ContractSpec extends AnyFunSuite with SparkTestBase {
+
+  test("every oracle refers to a declared query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("query ids are snake_case") {
+    assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

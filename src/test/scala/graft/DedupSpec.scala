@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),           // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon ETA"),            // near dup of 1
+    (4L, "one two three four five six seven eight nine"))  // unrelated
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("jaccard: identical docs score 1.0, unrelated docs drop out") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleRel(corpus), 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("shingles of short docs are empty, not an error") {
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.shingleRel(short).count() == 0)
+  }
+
+  test("minhash signatures are deterministic and equal for equal docs") {
+    val s1 = Dedup.minHashSignatures(corpus)
+      .as[(Long, Seq[Long])].collect().toMap
+    val s2 = Dedup.minHashSignatures(corpus)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(s1 == s2)
+    assert(s1(1L) == s1(2L))
+    assert(s1(1L) != s1(4L))
+  }
+
+  test("simhash: equal docs collide, near dups are close, others far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sh = Dedup.simHash(corpus).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("lsh candidates include the planted near-dup pairs at sf0.001") {
+    val pairs = Dedup.minHashLsh(spark, sfDir, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == exact)
+  }
+
+  test("embedding cosine pairs are ordered and above threshold") {
+    val pairs = Dedup.embeddingCosinePairs(spark, sfDir, 0.46)
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}

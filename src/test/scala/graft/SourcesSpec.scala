@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+  private def node(json: String) = mapper.readTree(json)
+
+  test("data-key resolver: dot paths, bracket indices, auto keys") {
+    val root = node(
+      """{"query":{"recentchanges":[{"a":1}]},
+         "data":[{"b":2}],
+         "arr":[{"x":[{"c":3}]}]}""")
+    assert(Sources.resolveDataNode(root, Some("query.recentchanges"))
+      .get(0).get("a").asInt == 1)
+    assert(Sources.resolveDataNode(root, Some("arr[0].x"))
+      .get(0).get("c").asInt == 3)
+    // no key: auto-try results/data/items/records/rows
+    assert(Sources.resolveDataNode(root, None).get(0).get("b").asInt == 2)
+    // root array passes through
+    val arr = node("""[{"d":4}]""")
+    assert(Sources.resolveDataNode(arr, None).get(0).get("d").asInt == 4)
+  }
+
+  test("pagination follows next cursor and stops at null") {
+    var calls = 0
+    val fetch: String => String = { url =>
+      calls += 1
+      val page = url.split("p=").last.toInt
+      val next = if (page < 2) s""""http://x?p=${page + 1}"""" else "null"
+      s"""{"rows":[{"v":$page}],"next":$next}"""
+    }
+    val recs = Sources.fetchApiRecords(fetch,
+      Sources.ApiConfig("http://x?p=0", nextKey = Some("next")))
+    assert(calls == 3 && recs.size == 3)
+  }
+
+  test("pagination respects maxPages cap") {
+    val fetch: String => String =
+      _ => """{"rows":[{"v":1}],"next":"http://x?again"}"""
+    val recs = Sources.fetchApiRecords(fetch,
+      Sources.ApiConfig("http://x", nextKey = Some("next"), maxPages = 4))
+    assert(recs.size == 4)
+  }
+
+  test("glob scan: extensions, decoys, one-level recursion, sorted") {
+    val base = Files.createTempDirectory("graft_globspec")
+    Files.writeString(base.resolve("b.csv"), "x\n1")
+    Files.writeString(base.resolve("a.JSONL"), "{}")
+    Files.writeString(base.resolve("notes.txt"), "decoy")
+    Files.writeString(base.resolve("_hidden.csv"), "decoy")
+    val sub = Files.createDirectories(base.resolve("sub"))
+    Files.writeString(sub.resolve("c.parquet"), "")
+    val subsub = Files.createDirectories(sub.resolve("deeper"))
+    Files.writeString(subsub.resolve("d.csv"), "too deep")
+    val found = Sources.globScan(spark, base.toString)
+      .map(_.split('/').last)
+    assert(found == Seq("a.JSONL", "b.csv", "c.parquet"))
+  }
+
+  test("table-name sanitization matches the postgres rules") {
+    assert(Sinks.sanitizeTableName("Valid_name.v2") == "Valid_name.v2")
+    assert(Sinks.sanitizeTableName("9starts-with digit!")
+      == "t_9starts_with_digit_")
+    assert(Sinks.sanitizeTableName("x" * 80).length == 63)
+  }
+
+  test("rest api scan builds a typed dataframe through pagination") {
+    val fetch: String => String = { url =>
+      val page = url.split("p=").last.toInt
+      val next = if (page == 0) s""""http://x?p=1"""" else "null"
+      s"""{"items":[{"id":${page * 2},"name":"r${page * 2}"},
+                    {"id":${page * 2 + 1},"name":"r${page * 2 + 1}"}],
+          "next":$next}"""
+    }
+    val df = Sources.scanRestApi(spark, fetch,
+      Sources.ApiConfig("http://x?p=0", dataKey = Some("items"),
+        nextKey = Some("next")))
+    assert(df.count() == 4)
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.operators.Relational
+import graft.streaming.Streaming
+
+class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("windowed aggregation equals batch group-by per hour") {
+    val got = Streaming.windowedAggQuery(spark, sfDir)
+      .select("window_start", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet
+    val want = Relational.table(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("stateful counters equal batch per-user totals") {
+    val got = Streaming.statefulQuery(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Relational.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("media table matches the declared multimodal schema") {
+    val schema = Multimodal.mediaTable(spark, sfDir).schema
+    assert(schema.fieldNames.toSeq
+      == Seq("media_id", "media_type", "bytes", "meta"))
+    assert(schema("bytes").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+  }
+
+  test("decode stub is deterministic and byte-count faithful") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val a = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    val b = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val lens = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long")).as[(Long, Long)]
+      .collect().toMap
+    Multimodal.decodeStub(media)
+      .select("media_id", "n_bytes").as[(Long, Long)].collect()
+      .foreach { case (id, n) => assert(n == lens(id)) }
+  }
+
+  test("feature vectors are fixed-width") {
+    val dims = Multimodal.decodeStub(Multimodal.mediaTable(spark, sfDir))
+      .select(size(col("feature"))).distinct().as[Int].collect().toSeq
+    assert(dims == Seq(8))
+  }
+}

@@ -171,6 +171,19 @@ object Infer {
     0.7 * avgField + 0.3 * ratio
   }
 
+  /** kafka_schema_sample / api_schema_sample — bounded-sample inference
+    * for non-file sources (`schema_detection.py:40-165, 611-772`): cap
+    * the rows, stringify every column (stream payloads and API JSON
+    * arrive untyped), and run the voting heuristic. The source DataFrame
+    * comes from `Streaming.kafkaStream`+`from_json` or
+    * `Sources.scanRestApi`. */
+  def sampleSourceSchema(
+      df: DataFrame, maxRows: Int = 50): Seq[FieldSpec] = {
+    val asStrings = df.select(
+      df.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+    inferTypes(asStrings.limit(maxRows), sampleRows = maxRows)
+  }
+
   /** sample_rows_synthesis — fabricate N rows cycling each field's sample
     * values with typed casts; null when a field has no samples
     * (`sandbox.py:78-117`). Used by dry-run. */

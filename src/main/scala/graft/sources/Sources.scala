@@ -77,6 +77,33 @@ object Sources {
     listDir(new org.apache.hadoop.fs.Path(dir), 0).distinct.sorted
   }
 
+  /** scan_db — JDBC source. The reference declares this source type but
+    * never implemented it (`models/models.py:63-66`, rejected at
+    * `routers/schemas.py:54-55`); Spark makes it trivial. Partitioned
+    * reads (`partitionColumn` + bounds) parallelize the extract; no
+    * database exists in this environment, so this is exercised only for
+    * wiring. */
+  def scanJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      user: String = "",
+      password: String = "",
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+    partitionColumn match {
+      case Some((c, lo, hi, n)) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n).load()
+      case None => base.load()
+    }
+  }
+
   // --------------------------------------------------------------------
   // scan_rest_api — paginated HTTP fetch (reference
   // `dag_generator.py:203-287`, data-key resolver

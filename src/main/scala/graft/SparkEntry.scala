@@ -90,6 +90,7 @@ object SparkEntry {
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
     "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
+    "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -235,9 +236,11 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "sink_parquet_append_partitioned" ->
-      """SELECT CAST(o_orderdate AS DATE) AS _ingestion_date,
-                count(*) AS n_orders
-         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+           AS _ingestion_date, count(*) AS n_orders
+         FROM orders
+         WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+           >= DATE '2000-01-01'
          GROUP BY 1 ORDER BY 1""",
     "scan_rest_api" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
@@ -498,5 +501,13 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS sum_bytes
          FROM documents WHERE n_chars = length(text)
          GROUP BY 1, 2 ORDER BY media_type, source""",
+    "similarity_cosine_expr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM v a, v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.e, b.e) >= 0.46
+         ORDER BY id_a, id_b""",
   )
 }

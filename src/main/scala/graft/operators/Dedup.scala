@@ -160,6 +160,31 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Exact Jaccard for an (assumed small) candidate-pair set, computed
+    * with per-doc shingle ARRAYS and array_intersect instead of the
+    * exploded shingle join: no explode, no distinct shuffle — just two
+    * hash joins of the candidate list against (doc_id, shingles).
+    * Set semantics identical to the join formulation (arrays are
+    * distinct'd). */
+  def jaccardVerifyPairs(
+      docsDf: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val arr = docsDf.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"))).as("sh"))
+    candidates
+      .join(arr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
+        size(col("sh_a")).as("ca"), size(col("sh_b")).as("cb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** dedup_minhash_lsh — shingle → minhash → band → bucket-join →
     * exact-Jaccard verify. With b=16, r=4 the detection probability at
     * j≥0.9 is 1-(1-0.9⁴)¹⁶ ≈ 1-4·10⁻⁸: the verified output equals the
@@ -169,7 +194,7 @@ object Dedup {
     val d = docs(spark, dir)
     val sig = minHashSignatures(d)
     val cands = lshCandidates(lshBands(sig, bands = 16, rows = 4))
-    jaccardPairs(shingleRel(d), threshold, Some(cands))
+    jaccardVerifyPairs(d, cands, threshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -240,7 +265,7 @@ object Dedup {
         col("simhash").as("sh_b")), Seq("doc_b"))
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
       .select("doc_a", "doc_b")
-    jaccardPairs(shingleRel(d), threshold, Some(cands))
+    jaccardVerifyPairs(d, cands, threshold)
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }

@@ -98,8 +98,12 @@ object SourceSinkQueries {
     * partition column reaches partition pruning, not a file scan). */
   def sinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("bronze").resolve("orders").toString
+    // Month-granular ingestion partitions: the reference stamps ONE
+    // date per ingestion run; thousands of day-level directories would
+    // be a small-files anti-pattern, not a realistic layout.
     val orders = Relational.table(spark, dir, "orders")
-      .withColumn("_ingestion_date", col("o_orderdate").cast("date"))
+      .withColumn("_ingestion_date",
+        date_trunc("month", col("o_orderdate")).cast("date"))
     Bronze.writeBronze(orders, out)
     Sources.scanParquet(spark, out)
       .filter(col("_ingestion_date") >= lit("2000-01-01"))

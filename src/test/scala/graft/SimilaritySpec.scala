@@ -37,4 +37,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val b = Similarity.lshTopK(spark, sfDir, _ < 2).collect().toSeq
     assert(a == b)
   }
+
+  test("native cosine_sim expression: known values via SQL") {
+    graft.functions.CosineSimilarity.register(spark)
+    val got = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                           array(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))""")
+      .head().getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-12)
+    val nullOut = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.0 AS DOUBLE)))")
+      .head()
+    assert(nullOut.isNullAt(0))
+  }
+
+  test("native cosine expression query equals the broadcast-scan dedup") {
+    import graft.operators.Dedup
+    val viaExpr = graft.functions.CosineSimilarity.pairsQuery(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val viaScan = Dedup.embeddingCosinePairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(viaExpr == viaScan)
+  }
 }

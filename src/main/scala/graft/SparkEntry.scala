@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, InferQueries, Relational, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -91,6 +91,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
     "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
+    "asof_join" -> ((s, dir) => AsOfJoin.asofQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -509,5 +510,15 @@ object SparkEntry {
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.e, b.e) >= 0.46
          ORDER BY id_a, id_b""",
+    "asof_join" ->
+      """SELECT a.event_id, a.user_id, b.purchase_event_id
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'error') a
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_id AS purchase_event_id
+               FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
   )
 }

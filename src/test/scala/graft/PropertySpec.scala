@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.infer.Infer
+import graft.sinks.Sinks
+import graft.transform.{Chain, Step}
+
+/** Property-style tests driven by ScalaCheck generators (sampled
+  * directly — the scalatest/scalacheck bridge artifact is not on the
+  * offline classpath). */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(42L + i)))
+
+  test("pure integer columns always vote long (no 0/1 boolean bleed)") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(2L, 1000000L)), 20)
+      .foreach { ns =>
+        val f = Infer.inferTypes(ns.map(_.toString).toDF("c")).head
+        assert(f.tpe.name == "long" && f.confidence == 1.0, ns.take(5))
+      }
+  }
+
+  test("decide() never exceeds confidence 1.0 for consistent votes") {
+    val g = for {
+      nn <- Gen.chooseNum(0L, 100L)
+      b <- Gen.chooseNum(0L, nn max 0L)
+      i <- Gen.chooseNum(0L, nn max 0L)
+      f <- Gen.chooseNum(0L, nn max 0L)
+    } yield Infer.TypeVotes(nn, b, i, f, 0, 0)
+    samples(g, 100).foreach { v =>
+      val (_, conf) = Infer.decide(v)
+      assert(conf > 0.0 && conf <= 1.0, v)
+    }
+  }
+
+  test("sanitized table names always satisfy the postgres identifier rule") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val t = Sinks.sanitizeTableName(s)
+      assert(t.matches("^[A-Za-z_][A-Za-z0-9_.]*$") && t.length <= 63,
+        s"'$s' -> '$t'")
+    }
+  }
+
+  test("chain fold equals direct function composition") {
+    samples(Gen.listOfN(3, Gen.chooseNum(1, 5)), 5).foreach { mults =>
+      val df = Seq(1, 2, 3).toDF("n")
+      val steps = mults.zipWithIndex.map { case (m, i) =>
+        Step(s"s$i",
+          _.withColumn("n", org.apache.spark.sql.functions.col("n") * m),
+          order = i)
+      }
+      val (out, results) = Chain.run(df, steps)
+      val expected = Seq(1, 2, 3).map(_ * mults.product)
+      assert(out.as[Int].collect().sorted.toSeq == expected)
+      assert(results.forall(_.status == "success"))
+    }
+  }
+}

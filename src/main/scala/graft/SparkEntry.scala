@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, RelationalExt, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -92,6 +92,13 @@ object SparkEntry {
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
     "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
     "asof_join" -> ((s, dir) => AsOfJoin.asofQuery(s, dir)),
+    "join_semi" -> ((s, dir) => RelationalExt.semiJoin(s, dir)),
+    "join_anti" -> ((s, dir) => RelationalExt.antiJoin(s, dir)),
+    "set_ops" -> ((s, dir) => RelationalExt.setOps(s, dir)),
+    "rollup_agg" -> ((s, dir) => RelationalExt.rollupAgg(s, dir)),
+    "topk_orderby_limit" -> ((s, dir) => RelationalExt.topKOrderByLimit(s, dir)),
+    "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
+    "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -520,5 +527,46 @@ object SparkEntry {
                FROM events WHERE event_type = 'purchase') b
          ON a.user_id = b.user_id AND a.ts >= b.ts
          ORDER BY a.event_id""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "set_ops" ->
+      """SELECT nationkey, 'both' AS op FROM
+           (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'customer_only' AS op FROM
+           (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier)
+         ORDER BY op, nationkey""",
+    "rollup_agg" ->
+      """SELECT coalesce(r_name, '<all>') AS r_name,
+                coalesce(n_name, '<all>') AS n_name,
+                count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name, n_name""",
+    "topk_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                true AS approx_within_5pct
+         FROM lineitem""",
   )
 }

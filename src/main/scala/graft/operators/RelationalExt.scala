@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operators BEYOND the reference's demonstrated surface
+  * (SURVEY.md §2.4 lists them as absent) — a user switching engines
+  * gets them for free from Catalyst, so they are first-class here:
+  * semi/anti joins, set operations, rollup aggregation, order-by-limit
+  * top-k, distinct, and approximate-distinct sketches.
+  */
+object RelationalExt {
+
+  /** join_semi — customers that have at least one open order (EXISTS).
+    * A semi join shuffles only the key column of the probe side and
+    * stops at first match. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Relational.table(spark, dir, "customer")
+    val open = Relational.table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(open, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** join_anti — customers with no orders at all (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Relational.table(spark, dir, "customer")
+    val keys = Relational.table(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(keys, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** set_ops — INTERSECT and EXCEPT of two nation-key projections,
+    * disambiguated with a tag column and unioned into one result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Relational.table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Relational.table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val both = custNations.intersect(suppNations)
+      .withColumn("op", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("op", lit("customer_only"))
+    both.unionByName(custOnly).orderBy("op", "nationkey")
+  }
+
+  /** rollup_agg — hierarchical totals over region→nation with grand
+    * total; null grouping levels rendered as sentinels so the hash
+    * comparison is null-ambiguity-free. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Relational.table(spark, dir, "customer")
+    val nat = Relational.table(spark, dir, "nation")
+    val reg = Relational.table(spark, dir, "region")
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("<all>")).as("r_name"),
+        coalesce(col("n_name"), lit("<all>")).as("n_name"),
+        col("n_customers"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** topk_orderby_limit — global top-k via ORDER BY LIMIT (Spark plans
+    * this as TakeOrderedAndProject: per-partition heaps, no full sort). */
+  def topKOrderByLimit(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  /** distinct_rows — SELECT DISTINCT over a projection. */
+  def distinctRows(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** approx_distinct — HLL++ sketch count with a self-asserted error
+    * bound: sketch estimates differ across engines, so the emitted row
+    * carries the EXACT count plus a boolean "estimate within 5% of
+    * exact", which any engine can verify. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .select(
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") < 0.05)
+          .as("approx_within_5pct"))
+}

@@ -99,6 +99,7 @@ object SparkEntry {
     "topk_orderby_limit" -> ((s, dir) => RelationalExt.topKOrderByLimit(s, dir)),
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
+    "similarity_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */

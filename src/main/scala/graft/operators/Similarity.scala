@@ -53,6 +53,97 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic Lloyd k-means over the normalized corpus (seeded
+    * init, fixed iterations, index tie-breaks). Returns (centroids,
+    * assignment). Driver-side: the quantizer is tiny; at full scale the
+    * same loop runs on a sample and only assignment distributes. */
+  private[graft] def kmeans(
+      mat: Array[Array[Double]], nCells: Int, iters: Int,
+      seed: Long): (Array[Array[Double]], Array[Int]) = {
+    val n = mat.length
+    val dim = if (n == 0) 0 else mat(0).length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle((0 until n).toList).take(nCells)
+    var centroids = init.map(i => mat(i).clone()).toArray
+    val assign = new Array[Int](n)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (0 until iters).foreach { _ =>
+      var i = 0
+      while (i < n) { assign(i) = nearest(mat(i), centroids); i += 1 }
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += mat(i)(j); j += 1 }
+        i += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    var i = 0
+    while (i < n) { assign(i) = nearest(mat(i), centroids); i += 1 }
+    (centroids, assign)
+  }
+
+  /** similarity_ann_ivf — inverted-file ANN: k-means coarse quantizer,
+    * queries scan only the `nProbe` nearest cells, exact cosine re-ranks
+    * the candidates. The IVF list is the structure that scales: at
+    * 100 TB the assignment is a partition column and probing is
+    * partition pruning. Deterministic (fixed seed/iterations). */
+  def ivfTopK(
+      spark: SparkSession, dir: String,
+      queryPred: Long => Boolean = _ < 5, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val (ids, mat) = normalized(spark, dir)
+    val (centroids, assign) = kmeans(mat, nCells, iters = 10, seed = seed)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bMat = spark.sparkContext.broadcast(mat)
+    val bAssign = spark.sparkContext.broadcast(assign)
+    val bCentroids = spark.sparkContext.broadcast(centroids)
+    val queryIdx = ids.indices.filter(i => queryPred(ids(i)))
+    spark.sparkContext.parallelize(queryIdx, math.min(32, queryIdx.size max 1))
+      .flatMap { qi =>
+        val m = bMat.value; val id = bIds.value
+        val asg = bAssign.value; val cs = bCentroids.value
+        val q = m(qi)
+        val cellDist = cs.indices.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < q.length) { val t = q(i) - cs(c)(i); d += t * t; i += 1 }
+          (d, c)
+        }.sorted.take(nProbe).map(_._2).toSet
+        val cands = m.indices.filter(j => j != qi && cellDist(asg(j)))
+        val sims = cands.map { j =>
+          var s = 0.0
+          var t = 0
+          val vj = m(j)
+          while (t < q.length) { s += q(t) * vj(t); t += 1 }
+          (s, id(j))
+        }
+        sims.sortBy { case (s, nid) => (-s, nid) }.take(k).zipWithIndex
+          .map { case ((_, nid), r) => (id(qi), r + 1, nid) }
+      }
+      .toDF("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** similarity_ann_lsh — random-hyperplane LSH: `tables` independent
     * p-bit sign buckets; a query compares only against vectors sharing a
     * bucket in ANY table, then exact cosine re-ranks the candidates.

@@ -38,6 +38,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("ivf ann reaches usable recall and is deterministic") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir, _ < 5, k = 10)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, _ < 5, k = 10)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+    val again = Similarity.ivfTopK(spark, sfDir, _ < 5, k = 10)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    assert(ivf == again)
+  }
+
   test("native cosine_sim expression: known values via SQL") {
     graft.functions.CosineSimilarity.register(spark)
     val got = spark.sql(

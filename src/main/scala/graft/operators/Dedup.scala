@@ -169,9 +169,19 @@ object Dedup {
   def jaccardVerifyPairs(
       docsDf: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val arr = docsDf.select(col("doc_id"),
-      array_distinct(TextOps.shingles(col("text"))).as("sh"))
-    candidates
+    val cands = candidates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shingle arrays only for docs that appear in a candidate pair —
+    // and persisted, since both join sides consume them. Without the
+    // semi-filter the full corpus would be shingled twice.
+    val docsInPlay = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val arr = docsDf
+      .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
       .join(arr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),

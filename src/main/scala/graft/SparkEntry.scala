@@ -100,6 +100,8 @@ object SparkEntry {
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
+    "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -569,5 +571,31 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                 true AS approx_within_5pct
          FROM lineitem""",
+    "pipeline_cs2_sensors" ->
+      """WITH silver AS (
+           SELECT event_type, CAST(hour(ts) AS INT) AS h,
+                  (value - 32.0) * 5.0 / 9.0 AS celsius,
+                  CASE WHEN (value - 32.0) * 5.0 / 9.0 < -20.0
+                         OR (value - 32.0) * 5.0 / 9.0 > 50.0
+                       THEN 1 ELSE 0 END AS is_anomaly
+           FROM events)
+         SELECT event_type, h, count(*) AS n_events,
+                min(celsius) AS min_c, max(celsius) AS max_c,
+                round(avg(celsius), 2) AS avg_c,
+                CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies
+         FROM silver GROUP BY event_type, h
+         HAVING sum(is_anomaly) > 3
+         ORDER BY event_type, h""",
+    "pipeline_cs3_editors" ->
+      """WITH silver AS (
+           SELECT event_id, user_id, CAST(hour(ts) AS INT) AS h
+           FROM events
+           WHERE NOT (lower('user' || CAST(user_id AS VARCHAR)) LIKE '%0'))
+         SELECT h, user_id, n_edits, rnk FROM (
+           SELECT h, user_id, count(*) AS n_edits,
+             CAST(row_number() OVER (PARTITION BY h
+                  ORDER BY count(*) DESC, user_id ASC) AS INT) AS rnk
+           FROM silver GROUP BY h, user_id)
+         WHERE rnk <= 5 ORDER BY h, rnk""",
   )
 }

@@ -116,6 +116,69 @@ object TransformQueries {
     Sources.scanParquet(spark, r.goldPath).orderBy("band")
   }
 
+  /** pipeline_cs2_sensors — the reference's case study 2 (IoT sensor
+    * stream) re-expressed over the events table: silver derives a
+    * Fahrenheit→Celsius-style unit conversion and an out-of-range
+    * anomaly flag; gold aggregates min/max/avg per (entity, hour) and
+    * keeps hours with >3 anomalies (`updated_paper_sections.tex:31-37`). */
+  def pipelineCs2Sensors(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_cs2").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val silver = Seq(
+      SqlTransforms.step(spark, "derive_celsius",
+        """SELECT event_id, event_type, value,
+                  (value - 32.0) * 5.0 / 9.0 AS celsius,
+                  hour(ts) AS h
+           FROM __input__""", order = 0),
+      SqlTransforms.step(spark, "flag_anomaly",
+        """SELECT *, CASE WHEN celsius < -20.0 OR celsius > 50.0
+           THEN 1 ELSE 0 END AS is_anomaly FROM __input__""", order = 1))
+    val gold = Seq(
+      SqlTransforms.step(spark, "hourly_profile",
+        """SELECT event_type, h,
+                  count(*) AS n_events,
+                  min(celsius) AS min_c,
+                  max(celsius) AS max_c,
+                  round(avg(celsius), 2) AS avg_c,
+                  sum(is_anomaly) AS n_anomalies
+           FROM __input__ GROUP BY event_type, h
+           HAVING sum(is_anomaly) > 3"""))
+    val src = Relational.table(spark, dir, "events")
+    val r = Pipeline.run(spark, src, silver, gold, root,
+      pipelineId = "cs2")
+    require(r.status == Pipeline.Status.GoldReady, s"status=${r.status}")
+    Sources.scanParquet(spark, r.goldPath).orderBy("event_type", "h")
+  }
+
+  /** pipeline_cs3_editors — the reference's case study 3 (Wikimedia
+    * recent changes): silver excludes "bot" actors and derives the
+    * hour; gold ranks the top editors per hour with a window function
+    * (`updated_paper_sections.tex:43-53`). Bot exclusion maps to the
+    * synthetic data as a deterministic actor predicate. */
+  def pipelineCs3Editors(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_cs3").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val silver = Seq(
+      SqlTransforms.step(spark, "exclude_bots",
+        """SELECT event_id, user_id, hour(ts) AS h
+           FROM __input__
+           WHERE NOT endswith(lower(concat('user', user_id)), '0')""",
+        order = 0))
+    val gold = Seq(
+      SqlTransforms.step(spark, "topk_editors",
+        """SELECT h, user_id, n_edits, rnk FROM (
+             SELECT h, user_id, count(*) AS n_edits,
+               CAST(row_number() OVER (PARTITION BY h
+                    ORDER BY count(*) DESC, user_id ASC) AS INT) AS rnk
+             FROM __input__ GROUP BY h, user_id)
+           WHERE rnk <= 5"""))
+    val src = Relational.table(spark, dir, "events")
+    val r = Pipeline.run(spark, src, silver, gold, root,
+      pipelineId = "cs3")
+    require(r.status == Pipeline.Status.GoldReady, s"status=${r.status}")
+    Sources.scanParquet(spark, r.goldPath).orderBy("h", "rnk")
+  }
+
   /** silver_schema_handoff — gold's input schema is re-read from the
     * silver OUTPUT files, not the declared schema. */
   def silverSchemaHandoff(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of headline queries
+  * so plan-shape regressions (lost pushdown, broadcast→SMJ flips,
+  * codegen breaks) are visible in review, not just in runtime numbers.
+  * Usage: runMain graft.Plans [sfDir] > PLANS.txt
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val headline = Seq(
+      "q1_agg", "filter_predicate", "lookup_join", "window_topk",
+      "asof_join", "join_semi", "rollup_agg", "similarity_cosine_expr",
+      "dedup_exact")
+    headline.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir)
+        .explain("formatted")
+    }
+    spark.stop()
+  }
+}

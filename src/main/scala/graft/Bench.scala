@@ -7,12 +7,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same timezone as Verify/Smoke/Plans: the benchmark must time the
+      // exact plans the correctness gate verified — on a non-UTC host,
+      // hour()/unix_timestamp predicates would otherwise select
+      // different rows than the verified run.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer caches, shuffle infra)
-    // so the first measured query doesn't absorb one-time JVM costs.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // against the SAME sfDir being benchmarked, so one-time JVM costs
+    // and footer reads for that data are off the clock.
+    try {
+      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     // Best of two runs per query: single-shot local timings vary ±40%
     // from GC/JIT/scheduler noise; the minimum reflects steady state.
     // The cache is cleared before every timing so persisted

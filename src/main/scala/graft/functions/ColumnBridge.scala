@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to Spark's `private[sql]` Column ⇄ Expression
+  * converters, so graft's native Catalyst expressions can be used as
+  * `Column`s from DataFrame code without going through the session
+  * function registry. Lives in a subpackage of org.apache.spark.sql
+  * solely for access; contains no logic.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

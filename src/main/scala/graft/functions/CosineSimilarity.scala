@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -94,21 +94,33 @@ object CosineSimilarity {
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
 
+  /** The expression as a `Column`, usable directly in DataFrame code
+    * without touching the session's function registry. */
+  def asColumn(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** similarity_cosine_expr driver query — embedding near-dup pairs via
-    * the native expression: a broadcast nested-loop self-join with the
-    * codegen'd cosine in the join filter. Same semantics (and oracle) as
-    * `Dedup.embeddingCosinePairs`, expressed as a pure Catalyst plan. */
+    * the native expression, scored inside a distributed block equi-join
+    * (`Similarity.blockPairs`: every unordered pair meets in exactly one
+    * of B(B+1)/2 balanced groups — O(B·n) shuffle rows, no broadcast of
+    * the corpus, no nested-loop join). The cosine runs as the join's
+    * codegen'd post-filter via the SQL-registered function. Same
+    * semantics (and oracle) as `Dedup.embeddingCosinePairs`, which uses
+    * the Column form of the same expression. */
   def pairsQuery(
       spark: SparkSession, dir: String,
       threshold: Double = 0.46): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import org.apache.spark.sql.functions.{col, expr, greatest, least}
     register(spark)
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .filter(expr(s"cosine_sim(ea, eb) >= $threshold"))
-      .select("id_a", "id_b")
+    graft.operators.Similarity
+      .blockPairs(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), blocks = 16)
+      .filter(expr(s"cosine_sim(e_l, e_r) >= $threshold"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
       .orderBy("id_a", "id_b")
   }
 }

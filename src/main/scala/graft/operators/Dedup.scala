@@ -387,36 +387,17 @@ object Dedup {
   // Embedding cosine near-dup
   // ------------------------------------------------------------------
 
-  /** dedup_embedding_cosine — pairs with cosine ≥ t. The comparison runs
-    * as a broadcast of the L2-normalized matrix with a partition-local
-    * scan (each task dots its rows against the broadcast) — no shuffle.
-    * For corpora too large to broadcast, bucket with the hyperplane LSH
-    * in `Similarity` first. */
+  /** dedup_embedding_cosine — pairs with cosine ≥ t, as a distributed
+    * DataFrame plan: `Similarity.blockPairs` generates every unordered
+    * pair exactly once via a balanced block equi-join (O(B·n) shuffle
+    * rows, (n/B)² compare work per group — exactness scales by adding
+    * executors), and the codegen'd `cosine_sim` expression scores
+    * inside the join filter. Nothing is collected or broadcast: exact
+    * threshold similarity on isotropic embeddings is inherently
+    * all-pairs, and this is the plan that distributes it. For a
+    * sub-quadratic approximate path, use the LSH/IVF bucket joins in
+    * `Similarity`. */
   def embeddingCosinePairs(
-      spark: SparkSession, dir: String, threshold: Double = 0.46): DataFrame = {
-    import spark.implicits._
-    val emb = Relational.table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val vecs = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
-    val ids = vecs.map(_._1)
-    val mat = vecs.map { case (_, v) =>
-      val d = v.map(_.toDouble)
-      val n = math.sqrt(d.map(x => x * x).sum)
-      d.map(_ / n)
-    }
-    val bIds = spark.sparkContext.broadcast(ids)
-    val bMat = spark.sparkContext.broadcast(mat)
-    spark.sparkContext.parallelize(mat.indices, 32)
-      .flatMap { i =>
-        val m = bMat.value; val id = bIds.value
-        val vi = m(i)
-        (i + 1 until m.length).iterator.flatMap { j =>
-          var s = 0.0; val vj = m(j); var k = 0
-          while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
-          if (s >= threshold) Some((id(i), id(j))) else None
-        }
-      }
-      .toDF("id_a", "id_b")
-      .orderBy("id_a", "id_b")
-  }
+      spark: SparkSession, dir: String, threshold: Double = 0.46): DataFrame =
+    Similarity.cosineThresholdPairs(spark, dir, threshold)
 }

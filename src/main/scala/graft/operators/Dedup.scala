@@ -46,13 +46,31 @@ object Dedup {
         explode(TextOps.shingles(col("text"), k)).as("shingle"))
       .distinct()
 
+  /** Per-doc distinct SORTED shingle arrays (doc_id, shg) — the shared
+    * input of signature generation, candidate banding, and
+    * exact-Jaccard verification. Computing it once (and persisting it
+    * across the legs of a query) avoids re-shingling the corpus per
+    * consumer; sorting once here lets verification count intersections
+    * with a merge scan (`SortedIntersectSize`) instead of per-pair hash
+    * sets. Set semantics are order-independent, so every consumer
+    * (MinHash, SimHash, Jaccard) is unaffected by the sort. */
+  private[graft] def shingleArrays(docsDf: DataFrame, k: Int = 3): DataFrame =
+    docsDf.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_sort(TextOps.shinglesOfTokens(col("ws"), k)).as("shg"))
+
   /** Exact pairwise Jaccard over a shingle relation, restricted to an
     * optional candidate-pair set; emits (doc_a, doc_b, jaccard ≥ t).
     *
     * EAGER: the (small-by-design) result is materialized via
     * localCheckpoint before returning so every cached intermediate can
     * be released in `finally` — a long-lived session running many
-    * queries must not accumulate persisted blocks. */
+    * queries must not accumulate persisted blocks.
+    *
+    * OWNERSHIP: `candidates` is consumed — this function persists it
+    * for its own multi-use and unpersists it before returning, so a
+    * caller must not rely on its own persist of the same DataFrame
+    * surviving the call. */
   def jaccardPairs(
       shingles: DataFrame,
       threshold: Double,
@@ -137,7 +155,13 @@ object Dedup {
     val r = (1 to 16)
       .filter(r => k / r >= 1 &&
         math.pow(1 - math.pow(threshold, r), k / r) <= 1e-6)
-      .maxOption.getOrElse(1)
+      .maxOption
+      // No silent fallback: if even r=1 misses the bound (very low
+      // thresholds with small k), the advertised recall guarantee
+      // cannot be met — fail loudly instead of quietly degrading.
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ($k-permutation) banding meets the 1e-6 miss bound at " +
+          s"threshold=$threshold; raise the threshold or k"))
     (k / r, r)
   }
 
@@ -148,7 +172,13 @@ object Dedup {
     * computes the same thing but pays an explode + shuffle + a janino
     * codegen blowup; per-row JVM code is ~10× faster here.) */
   def minHashSignatures(
-      docsDf: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame = {
+      docsDf: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame =
+    minHashSignaturesOfShingles(shingleArrays(docsDf), k, seed)
+
+  /** Signatures from a precomputed (doc_id, shg) shingle relation, so a
+    * multi-leg query shingles the corpus once. */
+  def minHashSignaturesOfShingles(
+      sh: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame = {
     val ps = perms(k, seed)
     val mh = udf { (shingles: Seq[String]) =>
       val sig = Array.fill(k)(MersennePrime)
@@ -163,21 +193,24 @@ object Dedup {
       }
       sig
     }
-    docsDf.select(col("doc_id"),
-      mh(TextOps.shingles(col("text"))).as("mh"))
+    sh.select(col("doc_id"), mh(col("shg")).as("mh"))
   }
 
   /** LSH band keys from the signature array: b bands of r rows; same
-    * (band, key) ⇒ candidate. */
-  def lshBands(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        xxhash64((bi * rows until (bi + 1) * rows)
-          .map(i => element_at(col("mh"), i + 1)): _*).as("key"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
+    * (band, key) ⇒ candidate.
+    *
+    * SHAPE MATTERS: the band index is exploded FIRST and the key is a
+    * `slice` of the signature ATTRIBUTE after the Generate. Building an
+    * array of per-band structs that each reference the signature column
+    * instead lets CollapseProject inline the signature UDF into every
+    * element_at reference — b·r re-evaluations of the full MinHash per
+    * row (measured 10× slowdown of the whole query at sf0.1). */
+  def lshBands(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"),
+          slice(col("mh"), col("band") * rows + 1, lit(rows))).as("key"))
 
   /** Candidate pairs from shared LSH buckets. */
   def lshCandidates(banded: DataFrame): DataFrame = {
@@ -196,19 +229,26 @@ object Dedup {
     * distinct'd). */
   def jaccardVerifyPairs(
       docsDf: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardVerifyShingled(shingleArrays(docsDf), candidates, threshold)
+
+  /** As `jaccardVerifyPairs`, but over a precomputed (doc_id, shg)
+    * shingle relation (typically persisted by the caller and shared
+    * with candidate generation). */
+  def jaccardVerifyShingled(
+      shingled: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     val cands = candidates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Shingle arrays only for docs that appear in a candidate pair —
       // and persisted, since both join sides consume them. Without the
-      // semi-filter the full corpus would be shingled twice.
+      // semi-filter the full corpus would flow into both joins.
       val docsInPlay = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val arr = docsDf
+      val arr = shingled
         .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("text"))).as("sh"))
+        .select(col("doc_id"), col("shg").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         cands
@@ -217,7 +257,11 @@ object Dedup {
           .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
             Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("i"),
+            // merge-scan intersection over the pre-sorted arrays: the
+            // hash-set-per-row of array_intersect dominated this stage
+            // on large candidate sets
+            graft.functions.SortedIntersectSize(
+              col("sh_a"), col("sh_b")).as("i"),
             size(col("sh_a")).as("ca"), size(col("sh_b")).as("cb"))
           .select(col("doc_a"), col("doc_b"),
             (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
@@ -234,9 +278,14 @@ object Dedup {
     * derived from the threshold by `chooseBands` so the probability of
     * missing a pair at j ≥ t is bounded (≤ 1e-6 at j = t exactly). */
   def minHashCandidates(
-      docsDf: DataFrame, threshold: Double, k: Int = 128): DataFrame = {
+      docsDf: DataFrame, threshold: Double, k: Int = 128): DataFrame =
+    minHashCandidatesOfShingles(shingleArrays(docsDf), threshold, k)
+
+  /** Candidates from a precomputed shingle relation. */
+  def minHashCandidatesOfShingles(
+      sh: DataFrame, threshold: Double, k: Int = 128): DataFrame = {
     val (bands, rows) = chooseBands(threshold, k)
-    lshCandidates(lshBands(minHashSignatures(docsDf, k), bands, rows))
+    lshCandidates(lshBands(minHashSignaturesOfShingles(sh, k), bands, rows))
   }
 
   /** dedup_minhash_lsh — shingle → minhash → band → bucket-join →
@@ -245,12 +294,17 @@ object Dedup {
     * probability ≥ 1 - 1e-6, and the exact verification step removes
     * every false candidate — so the output matches the exact all-pairs
     * result up to that bounded miss probability, at ~0.1% of its
-    * comparisons. */
+    * comparisons. The shingle relation is computed once and persisted
+    * across candidate generation and verification. */
   def minHashLsh(
       spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val d = docs(spark, dir)
-    jaccardVerifyPairs(d, minHashCandidates(d, threshold), threshold)
-      .orderBy("doc_a", "doc_b")
+    val sh = shingleArrays(docs(spark, dir)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      jaccardVerifyShingled(sh,
+          minHashCandidatesOfShingles(sh, threshold), threshold)
+        .orderBy("doc_a", "doc_b")
+    } finally sh.unpersist(false)
   }
 
   /** Exact threshold-Jaccard similarity join via prefix filtering (the
@@ -267,26 +321,48 @@ object Dedup {
     * construction, because frequent shingles land in suffixes. */
   def prefixJaccardPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleRel(docsDf)
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id")
-      .orderBy(col("df").asc, col("shingle").asc)
-    val ranked = sh.join(freq, Seq("shingle"))
-      .select(col("doc_id"), col("shingle"),
-        row_number().over(byRarity).as("rk"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
-    val pref = ranked
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("doc_id", "shingle", "sz")
-    val cands = pref
-      .select(col("doc_id").as("doc_a"), col("shingle"), col("sz").as("sz_a"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
-        col("sz").as("sz_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("sz_a") * threshold <= col("sz_b") &&
-        col("sz_b") * threshold <= col("sz_a"))
-      .select("doc_a", "doc_b").distinct()
-    jaccardVerifyPairs(docsDf, cands, threshold)
+    // Pruning bounds use a tiny slack (Eps) so thresholds that are not
+    // exactly representable in binary (0.6, 0.8, ...) can never round a
+    // boundary pair OUT of the candidate set: completeness is the part
+    // verification cannot recover, while the extra candidates the slack
+    // admits are removed by the exact verify step.
+    val Eps = 1e-9
+    val shg = shingleArrays(docsDf).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Shingles are distinct per doc already; carrying the set size
+      // through the explode avoids a second window over the relation.
+      val sh = shg.select(col("doc_id"), size(col("shg")).as("sz"),
+        explode(col("shg")).as("shingle"))
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("doc_id")
+        .orderBy(col("df").asc, col("shingle").asc)
+      val ranked = sh.join(freq, Seq("shingle"))
+        .select(col("doc_id"), col("shingle"), col("sz"),
+          row_number().over(byRarity).as("rk"))
+      val pref = ranked
+        .filter(col("rk") <=
+          col("sz") - ceil(col("sz") * threshold - Eps) + 1)
+        .select("doc_id", "shingle", "sz", "rk")
+      // jaccard ≥ t needs overlap ≥ t·(sz_a+sz_b)/(1+t); a match at
+      // rank rk leaves at most sz - rk shingles after it (positional
+      // filter, PPJoin: Xiao et al. 2008) — pairs whose only shared
+      // prefix shingles sit too late cannot reach the bound.
+      val minOverlap =
+        ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
+      val cands = pref
+        .select(col("doc_id").as("doc_a"), col("shingle"),
+          col("sz").as("sz_a"), col("rk").as("rk_a"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
+          col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("sz_a") * threshold <= col("sz_b") + Eps &&
+          col("sz_b") * threshold <= col("sz_a") + Eps &&
+          least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1
+            >= minOverlap)
+        .select("doc_a", "doc_b").distinct()
+      jaccardVerifyShingled(shg, cands, threshold)
+    } finally shg.unpersist(false)
   }
 
   /** dedup_ngram_jaccard — EXACT n-gram Jaccard threshold join. Same
@@ -309,7 +385,11 @@ object Dedup {
     * which collapses token-level simhashes together; 3-gram features
     * keep unrelated documents ~32 bits apart while true near-dups stay
     * within a few bits. */
-  def simHash(df: DataFrame): DataFrame = {
+  def simHash(df: DataFrame): DataFrame =
+    simHashOfShingles(shingleArrays(df))
+
+  /** SimHash from a precomputed (doc_id, shg) shingle relation. */
+  def simHashOfShingles(shingled: DataFrame): DataFrame = {
     val sh = udf { (shingles: Seq[String]) =>
       val counts = new Array[Int](64)
       shingles.foreach { s =>
@@ -325,8 +405,7 @@ object Dedup {
       while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
       out
     }
-    df.select(col("doc_id"),
-      sh(TextOps.shingles(col("text"))).as("simhash"))
+    shingled.select(col("doc_id"), sh(col("shg")).as("simhash"))
   }
 
   /** SimHash band candidates: 8×8-bit keys over the 64-bit fingerprint.
@@ -336,8 +415,13 @@ object Dedup {
     * collisions (random fingerprints sit at hamming ≈ 32) before the
     * expensive verification. */
   def simHashCandidates(
-      docsDf: DataFrame, maxHamming: Int = 16): DataFrame = {
-    val sig = simHash(docsDf).persist(
+      docsDf: DataFrame, maxHamming: Int = 16): DataFrame =
+    simHashCandidatesOfShingles(shingleArrays(docsDf), maxHamming)
+
+  /** SimHash band candidates from a precomputed shingle relation. */
+  def simHashCandidatesOfShingles(
+      shingled: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val sig = simHashOfShingles(shingled).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bandCols = (0 until 8).map { bi =>
@@ -374,13 +458,19 @@ object Dedup {
   def simHashDedup(
       spark: SparkSession, dir: String, threshold: Double = 0.8,
       maxHamming: Int = 16): DataFrame = {
-    val d = docs(spark, dir)
-    val cands = simHashCandidates(d, maxHamming)
-      .union(minHashCandidates(d, threshold))
-      .distinct()
-    jaccardVerifyPairs(d, cands, threshold)
-      .select("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+    // One shingle pass serves both candidate legs AND the verify step —
+    // without the shared persist, the union re-shingled and re-signed
+    // the corpus per leg (the round-2 2.5× regression of this query).
+    val sh = shingleArrays(docs(spark, dir)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = simHashCandidatesOfShingles(sh, maxHamming)
+        .union(minHashCandidatesOfShingles(sh, threshold))
+        .distinct()
+      jaccardVerifyShingled(sh, cands, threshold)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    } finally sh.unpersist(false)
   }
 
   // ------------------------------------------------------------------

@@ -14,9 +14,23 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word k-shingles joined with '|' (0-based Spark array
-    * indexing); empty array for docs shorter than k words. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = tokens(text)
+    * indexing); empty array for docs shorter than k words.
+    *
+    * PERFORMANCE: this form splices the `split` into every element_at
+    * reference inside the (interpreted, non-codegen) transform lambda —
+    * each shingle element re-splits the whole document, O(tokens²) per
+    * doc. Fine for one-off column use; for corpus-scale shingling,
+    * materialize the token array in its own projection first and use
+    * `shinglesOfTokens` (see `Dedup.shingleArrays`). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /** Distinct word k-shingles from an ALREADY-MATERIALIZED token-array
+    * column. When `ws` is a plain attribute (selected in a lower
+    * Project), CollapseProject will not inline the non-cheap split into
+    * the lambda's multiple references, so tokenization runs once per
+    * row and each lambda element is an O(k) array access. */
+  def shinglesOfTokens(ws: Column, k: Int = 3): Column = {
     val idxs = sequence(lit(0), size(ws) - k)
     val sh = transform(idxs, i =>
       concat_ws("|", (0 until k).map(off => element_at(ws, (i + off + 1))): _*))

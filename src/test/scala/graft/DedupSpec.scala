@@ -59,6 +59,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
     // the documented default: t=0.8, k=128 -> 32 bands of 4 rows
     assert(Dedup.chooseBands(0.8, 128) == (32, 4))
+    // no silent fallback: a threshold too low for the permutation count
+    // must fail loudly, not quietly degrade recall
+    intercept[IllegalArgumentException](Dedup.chooseBands(0.05, 16))
+  }
+
+  test("sorted_intersect_size equals size(array_intersect) on sorted input") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200).select(
+      array_sort(array_distinct(transform(
+        sequence(lit(0), pmod(col("id") * 7 + 3, lit(20))),
+        i => concat(lit("s"), pmod(i * col("id") + i, lit(37)))))).as("a"),
+      array_sort(array_distinct(transform(
+        sequence(lit(0), pmod(col("id") * 5 + 2, lit(25))),
+        i => concat(lit("s"), pmod(i * 3 + col("id"), lit(37)))))).as("b"))
+    val got = df.select(
+      graft.functions.SortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
   }
 
   test("lsh pairs equal the exact all-pairs result at sf0.001") {

@@ -61,6 +61,8 @@ object SparkEntry {
     "sink_parquet_append_partitioned" -> ((s, dir) => SourceSinkQueries.sinkParquetPartitioned(s, dir)),
     "scan_rest_api" -> ((s, dir) => SourceSinkQueries.scanRestApi(s, dir)),
     "scan_kafka_batch" -> ((s, dir) => SourceSinkQueries.scanMicroBatch(s, dir)),
+    "sink_jdbc_postgres" -> ((s, dir) => SourceSinkQueries.jdbcRoundTrip(s, dir)),
+    "scan_db" -> ((s, dir) => SourceSinkQueries.scanDb(s, dir)),
     "infer_types" -> ((s, dir) => InferQueries.inferTypes(s, dir)),
     "column_stats" -> ((s, dir) => InferQueries.columnStats(s, dir)),
     "schema_compat_check" -> ((s, dir) => InferQueries.compatCheck(s, dir)),
@@ -259,6 +261,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_jdbc_postgres" ->
+      """SELECT r_name, n_name, CAST(2 AS BIGINT) AS n_copies,
+                count(*) AS n_customers,
+                round(sum(c_acctbal), 2) AS sum_acctbal,
+                true AS fail_mode_rejected
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "scan_db" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey <= 300 ORDER BY c_custkey""",
     "infer_types" ->
       """SELECT column_name, inferred_type,
                 CAST(confidence AS DOUBLE) AS confidence

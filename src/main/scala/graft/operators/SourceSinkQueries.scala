@@ -141,6 +141,61 @@ object SourceSinkQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Embedded-Derby JDBC URL under a scratch dir. Derby ships in
+    * Spark's own jars (the Hive-metastore dependency), so the JDBC
+    * write/read paths are exercised against a REAL database with zero
+    * extra dependencies; `derby.system.home` is pointed at scratch so
+    * the engine's derby.log lands there, not in the working dir. */
+  private def derbyUrl(prefix: String): String = {
+    val base = tmpDir(prefix)
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", base.toString)
+    s"jdbc:derby:${base.resolve("db")};create=true"
+  }
+
+  /** sink_jdbc_postgres — the reference's gold→Postgres push
+    * (`gold_service.py:168-254`: sanitize table name, if_exists
+    * replace/append/fail), run against embedded Derby as the stand-in
+    * database: write the gold aggregate with replace, append a second
+    * copy, assert fail-mode rejects, then read the table back through
+    * the JDBC source. Every mode's behavior is visible in the output
+    * (n_copies = 2, fail_mode_rejected = true), so the oracle checks
+    * the round-trip, not just the write call. */
+  def jdbcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl("derby_sink")
+    val gold = Relational.lookupJoin(spark, dir)
+    val table = "gold summary" // sanitizer must rewrite the space
+    Sinks.jdbc(gold, url, table, ifExists = "replace")
+    Sinks.jdbc(gold, url, table, ifExists = "append")
+    val failRejected =
+      try { Sinks.jdbc(gold, url, table, ifExists = "fail"); false }
+      catch { case _: Exception => true }
+    Sources.scanJdbc(spark, url, Sinks.sanitizeTableName(table))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("n_customers")).as("n_customers"),
+        min(col("sum_acctbal")).as("sum_acctbal"))
+      .withColumn("fail_mode_rejected", lit(failRejected))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** scan_db — partitioned-parallel JDBC extract (the source type the
+    * reference declares but never implemented, `models/models.py:63-66`):
+    * seed a Derby table over JDBC, then read it back with
+    * partitionColumn bounds so the extract runs as 4 parallel
+    * range-partitioned queries — the shape that matters at scale, where
+    * a single-connection read would bottleneck the whole ingest. */
+  def scanDb(spark: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl("derby_scan")
+    val cust = Relational.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .filter(col("c_custkey") <= 300)
+    Sinks.jdbc(cust, url, "customer_src", ifExists = "replace")
+    Sources.scanJdbc(spark, url, "customer_src",
+        partitionColumn = Some(("c_custkey", 0L, 300L, 4)))
+      .orderBy("c_custkey")
+  }
+
   /** scan_kafka_batch — run-to-completion micro-batch semantics via
     * Structured Streaming `Trigger.AvailableNow` with a checkpoint (the
     * Spark-native equivalent of the reference's consumer-group

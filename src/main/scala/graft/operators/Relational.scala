@@ -18,12 +18,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** Set the TIMESTAMP(NANOS) legacy read conf at most ONCE per session
+    * (an idempotent guard, not a per-call mutation). It cannot move
+    * fully into our session builders because the correctness driver
+    * constructs its own SparkSession and calls straight into
+    * SparkEntry.queries. */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata `events` table carries TIMESTAMP(NANOS) parquet values,
     // which Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read them as
     // raw nanos (legacy conf) and normalize to a microsecond timestamp so
     // every downstream operator sees a plain TimestampType column.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.Trigger
 import graft.sources.Sources
 import graft.sinks.Sinks
 
@@ -204,7 +203,7 @@ object SourceSinkQueries {
     * parquet directory; the trigger/checkpoint mechanics are identical. */
   def scanMicroBatch(spark: SparkSession, dir: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS); read as raw long nanos.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Relational.ensureNanosAsLong(spark)
     val base = tmpDir("microbatch")
     val srcDir = base.resolve("in")
     Files.createDirectories(srcDir)
@@ -214,18 +213,12 @@ object SourceSinkQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val agg = spark.readStream.schema(schema).parquet(srcDir.toString)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory").queryName(table)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(table).orderBy("event_type")
+    graft.streaming.Streaming
+      .runAvailableNow(agg, base.resolve("ckpt").toString)
+      .orderBy("event_type")
   }
 }

@@ -123,7 +123,7 @@ object TransformQueries {
     * keeps hours with >3 anomalies (`updated_paper_sections.tex:31-37`). */
   def pipelineCs2Sensors(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.util.Scratch.dir("graft_cs2").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Relational.ensureNanosAsLong(spark)
     val silver = Seq(
       SqlTransforms.step(spark, "derive_celsius",
         """SELECT event_id, event_type, value,
@@ -157,7 +157,7 @@ object TransformQueries {
     * synthetic data as a deterministic actor predicate. */
   def pipelineCs3Editors(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.util.Scratch.dir("graft_cs3").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Relational.ensureNanosAsLong(spark)
     val silver = Seq(
       SqlTransforms.step(spark, "exclude_bots",
         """SELECT event_id, user_id, hour(ts) AS h

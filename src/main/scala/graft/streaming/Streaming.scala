@@ -27,7 +27,7 @@ object Streaming {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def eventsStream(spark: SparkSession, srcDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.operators.Relational.ensureNanosAsLong(spark)
     spark.readStream.schema(EventsSchema).parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -46,7 +46,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(table)
+    val spark = df.sparkSession
+    // Materialize the sink contents, then DROP the memory-sink temp
+    // view: without this, every micro-batch run leaves a mb_* catalog
+    // entry (and its rows) behind for the life of the session.
+    try spark.table(table).localCheckpoint(true)
+    finally spark.catalog.dropTempView(table)
   }
 
   /** The Kafka path proper (untestable here — no broker/connector in the

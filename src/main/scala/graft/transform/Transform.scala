@@ -125,17 +125,35 @@ object SqlTransforms {
     validate(spark, sql).left.foreach(err =>
       throw new IllegalArgumentException(s"invalid transform '$name': $err"))
     Step(name, df => {
-      // A unique view name per invocation, dropped before returning:
-      // analysis is forced first so the view subtree is inlined into the
-      // resolved plan — otherwise a long-lived session would accumulate
-      // one catalog entry per step execution.
+      // Parse-and-rewrite, not string substitution: the parsed plan's
+      // table reference `__input__` is rebound to a unique temp view, so
+      // the token inside a string LITERAL of the user SQL (e.g.
+      // SELECT '__input__') survives untouched. The view is dropped
+      // before returning — analysis is forced first so the view subtree
+      // is inlined into the resolved plan and a long-lived session does
+      // not accumulate one catalog entry per step execution.
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+      val spark = df.sparkSession
       val alias = s"__input_${java.util.UUID.randomUUID.toString.take(8)}__"
+      // CTE definitions are innerChildren (not traversed by transform),
+      // so rebind recurses into them explicitly; subquery expressions
+      // are covered by the WithSubqueries traversal.
+      def rebind(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.map(_.toLowerCase) == Seq("__input__") =>
+          UnresolvedRelation(Seq(alias))
+        case w: UnresolvedWith =>
+          w.copy(cteRelations = w.cteRelations.map { case (n, s, m) =>
+            (n, rebind(s).asInstanceOf[SubqueryAlias], m) })
+      }
       df.createOrReplaceTempView(alias)
       try {
-        val out = df.sparkSession.sql(sql.replace("__input__", alias))
+        val plan = rebind(spark.sessionState.sqlParser.parsePlan(sql))
+        val out = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, plan)
         out.queryExecution.assertAnalyzed()
         out
-      } finally df.sparkSession.catalog.dropTempView(alias)
+      } finally spark.catalog.dropTempView(alias)
     }, order)
   }
 }

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, LinkOption, Path}
 
 /** Session-scratch directories for queries that need an on-disk layer
   * interchange (medallion runs, stream sources, sink round-trips).
@@ -29,8 +29,16 @@ object Scratch {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRecursively)
+      // NOFOLLOW: a symlink inside a scratch tree must be removed as a
+      // link, never traversed — following it would delete content
+      // OUTSIDE the scratch dir. The stream is closed explicitly (it
+      // holds a directory fd; leaking one per directory matters inside
+      // a shutdown hook that walks many trees).
+      if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively)
+        finally children.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: Exception => () } // best-effort: exit-time cleanup
   }

@@ -33,6 +33,13 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("micro-batch runs leave no memory-sink tables in the catalog") {
+    graft.operators.SourceSinkQueries.scanMicroBatch(spark, sfDir).count()
+    val leaked = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("mb_"))
+    assert(leaked.isEmpty, s"leaked memory-sink tables: ${leaked.toSeq}")
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

@@ -80,6 +80,21 @@ class TransformSpec extends AnyFunSuite with SparkTestBase {
     assert(step.fn(df3).as[Int].collect().sorted.toSeq == Seq(2, 4, 6))
   }
 
+  test("sql step: '__input__' inside a string literal is not rewritten") {
+    val step = SqlTransforms.step(spark, "lit",
+      "SELECT n, '__input__' AS tag FROM __input__ WHERE n = 1")
+    val rows = step.fn(df3).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "__input__")
+  }
+
+  test("sql step: case-insensitive table token, CTE reference resolves") {
+    val step = SqlTransforms.step(spark, "cte",
+      "WITH t AS (SELECT n FROM __INPUT__ WHERE n > 1) " +
+        "SELECT sum(n) AS s FROM t")
+    assert(step.fn(df3).as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("dry run returns rows and schema; captures errors") {
     val fields = Seq(FieldSpec("v", TLong, sampleValues = Seq("5")))
     val ok = Chain.dryRun(spark,

@@ -20,7 +20,8 @@ object Plans {
     val headline = Seq(
       "q1_agg", "filter_predicate", "lookup_join", "window_topk",
       "asof_join", "join_semi", "rollup_agg", "similarity_cosine_expr",
-      "dedup_exact")
+      "dedup_exact", "dedup_embedding_cosine", "similarity_topk_cosine",
+      "scan_db")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

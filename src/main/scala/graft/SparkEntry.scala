@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, RelationalExt, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -104,6 +104,10 @@ object SparkEntry {
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
+    "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
+    "split_train_holdout" -> ((s, dir) => Sampling.trainHoldout(s, dir)),
+    "column_quantiles" -> ((s, dir) => RelationalExt.columnQuantiles(s, dir)),
+    "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -613,6 +617,60 @@ object SparkEntry {
          FROM silver GROUP BY event_type, h
          HAVING sum(is_anomaly) > 3
          ORDER BY event_type, h""",
+    "dedup_cluster_collapse" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pr
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                   UNION SELECT doc_b, doc_a FROM jp),
+         reach(u, v) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         FROM (SELECT u, min(v) AS canonical_id FROM reach GROUP BY u)
+         GROUP BY canonical_id ORDER BY canonical_id""",
+    "split_train_holdout" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'e6' THEN 'train' ELSE 'holdout' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS sum_tokens
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "column_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem)
+         SELECT l_returnflag,
+           min(CASE WHEN rn = ceil(0.25 * n) THEN l_extendedprice END) AS p25,
+           min(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END) AS p50,
+           min(CASE WHEN rn = ceil(0.75 * n) THEN l_extendedprice END) AS p75,
+           min(CASE WHEN rn = ceil(0.95 * n) THEN l_extendedprice END) AS p95
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "vocab_topk" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+                        unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+         dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+         SELECT CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS INT)
+                  AS rank,
+                token, df
+         FROM dfreq ORDER BY df DESC, token ASC LIMIT 20""",
     "pipeline_cs3_editors" ->
       """WITH silver AS (
            SELECT event_id, user_id, CAST(hour(ts) AS INT) AS h

@@ -474,6 +474,65 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cluster collapse (pairs → connected components → canonical doc)
+  // ------------------------------------------------------------------
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every vertex starts as its own label and
+    * repeatedly takes the minimum label among itself and its direct
+    * neighbors until a fixpoint. Each iteration is one join + one
+    * aggregation (both on the PAIR set, which is tiny relative to the
+    * corpus after near-dup candidate generation), and the intermediate
+    * is checkpointed so lineage stays flat. Converges in ≤ diameter
+    * iterations — near-dup clusters are quasi-cliques, so 2–3 rounds in
+    * practice; `maxIters` bounds pathological chains (a 100 TB run
+    * would switch to the alternating large-star/small-star variant for
+    * an O(log n) bound, same join shape). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val viaNeighbor = edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), col("label"))
+        val updated = labels.union(viaNeighbor)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val changed = updated
+          .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+          .filter(col("label") =!= col("prev")).count()
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist(false)
+  }
+
+  /** dedup_cluster_collapse — the step that makes pair-wise dedup
+    * actionable at corpus scale: near-dup PAIRS (minhash-LSH, exact
+    * verified) are collapsed into duplicate clusters and each cluster
+    * reports its canonical (minimum) doc_id and size — the "keep one
+    * per cluster" retention rule. Docs in no pair are implicitly their
+    * own singleton cluster and are not emitted. */
+  def clusterCollapse(
+      spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+        minHashLsh(spark, dir, threshold).select("doc_a", "doc_b"))
+      .groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("canonical_id")
+
+  // ------------------------------------------------------------------
   // Embedding cosine near-dup
   // ------------------------------------------------------------------
 

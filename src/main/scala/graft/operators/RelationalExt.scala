@@ -96,4 +96,29 @@ object RelationalExt {
         (abs(col("approx_parts") - col("exact_parts"))
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
+
+  /** column_quantiles — EXACT grouped percentiles, discrete form: the
+    * data element at rank ceil(p·n) in value order (percentile_disc).
+    * Discrete, not interpolated, deliberately: an interpolated midpoint
+    * is fresh floating-point arithmetic whose last ulp differs between
+    * engines and flips rounding at .xx5 boundaries, while a selected
+    * ELEMENT is bit-identical everywhere. The exact form is the
+    * correctness oracle for the sketch-based `approx_percentile` one
+    * would substitute at 100 TB; the window partitions by group, so no
+    * single global sort. */
+  def columnQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val part = Window.partitionBy("l_returnflag")
+    val ranked = Relational.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(byVal).as("rn"),
+        count(lit(1)).over(part).as("n"))
+    def pick(p: Double) =
+      min(when(col("rn") === ceil(lit(p) * col("n")), col("l_extendedprice")))
+    ranked.groupBy("l_returnflag")
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"),
+        pick(0.75).as("p75"), pick(0.95).as("p95"))
+      .orderBy("l_returnflag")
+  }
 }

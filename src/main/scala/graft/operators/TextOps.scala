@@ -112,4 +112,27 @@ object TextOps {
         s => md5(s.cast("binary")))).as("fp_min_shingle"))
       .orderBy("doc_id")
   }
+
+  /** vocab_topk — global top-k tokens by DOCUMENT frequency (each doc
+    * counts a token once), the vocabulary head a tokenizer-training or
+    * stopword-analysis pass needs. The top-k itself is
+    * TakeOrderedAndProject (per-partition heaps + a k-row merge on the
+    * driver — no global sort), so the plan scales to any vocabulary
+    * size; the window that assigns ranks runs over only the k
+    * survivors. Deterministic tie-break (df desc, token asc). */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Relational.table(spark, dir, "documents")
+    val top = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+    top.select(
+        row_number().over(Window.orderBy(col("df").desc, col("token").asc))
+          .as("rank"),
+        col("token"), col("df"))
+      .orderBy("rank")
+  }
 }

@@ -64,6 +64,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Dedup.chooseBands(0.05, 16))
   }
 
+  test("connected components: min-label propagation over a chain and an island") {
+    import spark.implicits._
+    // chain 1-2-3 (via two pairs) and island 7-8; 5 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("cluster collapse sizes sum to the docs covered by pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minHashLsh(spark, sfDir, 0.8).select("doc_a", "doc_b")
+    val docsInPairs = pairs.select("doc_a").union(pairs.select("doc_b"))
+      .distinct().count()
+    val clusters = Dedup.clusterCollapse(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(clusters.map(_._2).sum == docsInPairs)
+    assert(clusters.forall(_._2 >= 2), "every emitted cluster has >= 2 members")
+  }
+
   test("sorted_intersect_size equals size(array_intersect) on sorted input") {
     import org.apache.spark.sql.functions._
     val df = spark.range(200).select(

@@ -70,6 +70,27 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(Sinks.sanitizeTableName("x" * 80).length == 63)
   }
 
+  test("jdbc round-trip: replace+append+fail semantics against Derby") {
+    val out = graft.operators.SourceSinkQueries.jdbcRoundTrip(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // every group saw exactly the replace copy + the append copy, and
+    // the fail-mode write was rejected
+    assert(out.forall(_.getLong(2) == 2L), "n_copies must be 2 everywhere")
+    assert(out.forall(_.getBoolean(5)), "fail mode must be rejected")
+  }
+
+  test("jdbc partitioned extract equals the parquet source") {
+    import org.apache.spark.sql.functions.col
+    val viaDb = graft.operators.SourceSinkQueries.scanDb(spark, sfDir)
+      .collect().map(_.toSeq)
+    val direct = graft.operators.Relational.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .filter(col("c_custkey") <= 300).orderBy("c_custkey")
+      .collect().map(_.toSeq)
+    assert(viaDb.toSeq == direct.toSeq)
+  }
+
   test("rest api scan builds a typed dataframe through pagination") {
     val fetch: String => String = { url =>
       val page = url.split("p=").last.toInt

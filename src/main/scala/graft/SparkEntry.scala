@@ -108,6 +108,8 @@ object SparkEntry {
     "split_train_holdout" -> ((s, dir) => Sampling.trainHoldout(s, dir)),
     "column_quantiles" -> ((s, dir) => RelationalExt.columnQuantiles(s, dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    "kafka_schema_sample" -> ((s, dir) => InferQueries.kafkaSchemaSample(s, dir)),
+    "api_schema_sample" -> ((s, dir) => InferQueries.apiSchemaSample(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -284,6 +286,29 @@ object SparkEntry {
            ('o_custkey','long',1.0), ('o_orderdate','timestamp',1.0),
            ('o_orderkey','long',1.0), ('o_orderpriority','string',1.0),
            ('o_orderstatus','string',1.0), ('o_totalprice','double',1.0))
+           t(column_name, inferred_type, confidence)
+         ORDER BY column_name""",
+    // Golden oracles: sampling + voting is deterministic and every
+    // testdata column is clean, so confidence is exactly 1.0. `ts`
+    // infers as string by design — JSON payloads render timestamps in
+    // ISO-T form, which the voting set (reference regexes) does not
+    // recognize as timestamps; the reference behaves identically on
+    // Kafka JSON.
+    "kafka_schema_sample" ->
+      """SELECT column_name, inferred_type,
+                CAST(confidence AS DOUBLE) AS confidence
+         FROM (VALUES
+           ('event_id','long',1.0), ('event_type','string',1.0),
+           ('props','string',1.0), ('ts','string',1.0),
+           ('user_id','long',1.0), ('value','double',1.0))
+           t(column_name, inferred_type, confidence)
+         ORDER BY column_name""",
+    "api_schema_sample" ->
+      """SELECT column_name, inferred_type,
+                CAST(confidence AS DOUBLE) AS confidence
+         FROM (VALUES
+           ('n_name','string',1.0), ('n_nationkey','long',1.0),
+           ('n_regionkey','long',1.0))
            t(column_name, inferred_type, confidence)
          ORDER BY column_name""",
     "column_stats" ->

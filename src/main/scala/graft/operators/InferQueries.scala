@@ -26,6 +26,57 @@ object InferQueries {
     Sources.scanCsv(spark, out, schema = Some(allString))
   }
 
+  /** kafka_schema_sample — the reference's message-sample inference
+    * (`schema_detection.py:40-165`): render a bounded, deterministic
+    * sample of events as JSON message payloads (what a Kafka consumer
+    * would hand over), parse, stringify, and run the voting heuristic.
+    * Emits (column, type, confidence) — a golden oracle, since the
+    * clean testdata infers at confidence 1.0 for every column. */
+  def kafkaSchemaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Relational.table(spark, dir, "events")
+      .orderBy("event_id").limit(50)
+    val payloads = events
+      .select(to_json(struct(events.columns.map(col).toSeq: _*)).as("p"))
+      .as[String]
+    val parsed = spark.read.json(payloads)
+    Infer.sampleSourceSchema(parsed)
+      .map(f => (f.name, f.tpe.name, f.confidence))
+      .toDF("column_name", "inferred_type", "confidence")
+      .orderBy("column_name")
+  }
+
+  /** api_schema_sample — schema inference over a REST API source: page
+    * the nation table through the in-process deterministic server with
+    * NO declared schema (the JSON types come from read-time inference,
+    * as the reference's API sampler does), then vote. */
+  def apiSchemaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Relational.table(spark, dir, "nation")
+    val rows = nation.orderBy("n_nationkey").collect()
+    val pageSize = 5
+    val fetch: String => String = { url =>
+      val page = url.split("page=").last.toInt
+      val slice = rows.slice(page * pageSize, (page + 1) * pageSize)
+      val recs = slice.map(r =>
+        s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}",""" +
+          s""""n_regionkey":${r.getInt(2)}}""").mkString(",")
+      val next =
+        if ((page + 1) * pageSize < rows.length)
+          s""""http://fake/api?page=${page + 1}""""
+        else "null"
+      s"""{"query":{"recent":[$recs]},"next":$next}"""
+    }
+    val sampled = Sources.scanRestApi(spark, fetch,
+      Sources.ApiConfig(url = "http://fake/api?page=0",
+        dataKey = Some("query.recent"), nextKey = Some("next"),
+        maxPages = 100), schema = None)
+    Infer.sampleSourceSchema(sampled)
+      .map(f => (f.name, f.tpe.name, f.confidence))
+      .toDF("column_name", "inferred_type", "confidence")
+      .orderBy("column_name")
+  }
+
   /** infer_types — stringify `orders` through CSV (losing all type info),
     * re-infer with the voting heuristic; emits (column, type, confidence). */
   def inferTypes(spark: SparkSession, dir: String): DataFrame = {

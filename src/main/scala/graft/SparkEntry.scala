@@ -110,6 +110,8 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "kafka_schema_sample" -> ((s, dir) => InferQueries.kafkaSchemaSample(s, dir)),
     "api_schema_sample" -> ((s, dir) => InferQueries.apiSchemaSample(s, dir)),
+    "json_flatten" -> ((s, dir) => RelationalExt.jsonFlatten(s, dir)),
+    "upsert_latest_by_key" -> ((s, dir) => RelationalExt.latestByKey(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -627,6 +629,18 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                 true AS approx_within_5pct
          FROM lineitem""",
+    "json_flatten" ->
+      """SELECT event_id, event_type, CAST(props->>'k' AS INT) AS prop_k
+         FROM events ORDER BY event_id""",
+    "upsert_latest_by_key" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+                CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+              FROM events)
+         SELECT user_id, event_id AS last_event_id,
+                event_type AS last_event_type, ts_us
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "pipeline_cs2_sensors" ->
       """WITH silver AS (
            SELECT event_type, CAST(hour(ts) AS INT) AS h,

@@ -97,6 +97,37 @@ object RelationalExt {
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
 
+  /** json_flatten — extract typed fields out of a JSON payload column
+    * (the universal bronze-layer chore for event streams). A scalar
+    * JSON-path projection per row: no shuffle, column-prunes to just
+    * the payload at scan time. */
+  def jsonFlatten(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy("event_id")
+
+  /** upsert_latest_by_key — collapse an append-only event log to the
+    * latest record per key (CDC-style upsert materialization): one
+    * window per key ordered by (event-time micros, id) — the explicit
+    * microsecond ordering keeps "latest" identical across engines with
+    * different timestamp precisions. At scale this is one hash
+    * shuffle on the key, the same as the merge any lakehouse upsert
+    * performs. */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Relational.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_us"))
+      .orderBy("user_id")
+  }
+
   /** column_quantiles — EXACT grouped percentiles, discrete form: the
     * data element at rank ceil(p·n) in value order (percentile_disc).
     * Discrete, not interpolated, deliberately: an interpolated midpoint

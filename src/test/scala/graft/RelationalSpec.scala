@@ -48,6 +48,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("latest-by-key picks the max event-time row per user") {
+    import org.apache.spark.sql.functions.{col, max, struct, unix_micros}
+    val got = graft.operators.RelationalExt.latestByKey(spark, sfDir)
+      .select("user_id", "last_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent formulation: argmax via struct-max
+    val want = graft.operators.Relational.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("json flatten extracts a typed non-null field per event") {
+    val df = graft.operators.RelationalExt.jsonFlatten(spark, sfDir)
+    assert(df.schema("prop_k").dataType.typeName == "integer")
+    assert(df.filter(df("prop_k").isNull).count() == 0)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val df = Relational.filterPredicate(spark, sfDir)
     df.collect() // finalize the adaptive plan; codegen shows post-exec

@@ -112,6 +112,8 @@ object SparkEntry {
     "api_schema_sample" -> ((s, dir) => InferQueries.apiSchemaSample(s, dir)),
     "json_flatten" -> ((s, dir) => RelationalExt.jsonFlatten(s, dir)),
     "upsert_latest_by_key" -> ((s, dir) => RelationalExt.latestByKey(s, dir)),
+    "stream_dedup" -> ((s, dir) => graft.streaming.Streaming.streamDedupQuery(s, dir)),
+    "skew_salted_join" -> ((s, dir) => graft.operators.Skew.skewSaltedJoinQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -632,6 +634,17 @@ object SparkEntry {
     "json_flatten" ->
       """SELECT event_id, event_type, CAST(props->>'k' AS INT) AS prop_k
          FROM events ORDER BY event_id""",
+    // the stream carries every event TWICE (simulated at-least-once
+    // redelivery); watermark-bounded dedup must restore the single copy
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "skew_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "upsert_latest_by_key" ->
       """WITH r AS (SELECT user_id, event_id, event_type,
                 CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us,

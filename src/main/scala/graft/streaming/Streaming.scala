@@ -115,6 +115,34 @@ object Streaming {
       }
   }
 
+  /** stream_dedup — exact deduplication ON THE STREAM: the source dir
+    * carries every event twice (two copies of the file, the redelivery
+    * an at-least-once transport produces), and
+    * `dropDuplicatesWithinWatermark` drops the replays while the
+    * watermark bounds the dedup state — the property that makes exact
+    * stream dedup tractable on an unbounded 100 TB/day feed, where an
+    * unwatermarked dropDuplicates would grow state forever. The result
+    * must equal the batch aggregate over the SINGLE-copy table, which is
+    * the oracle. */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_sdedup")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_a.parquet"))
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_b.parquet"))
+    val deduped = eventsStream(spark, srcDir.toString)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    runAvailableNow(deduped, base.resolve("ckpt").toString,
+        outputMode = "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** stream_windowed_agg driver query — copy the events table into a
     * stream-source dir, run the watermarked windowed aggregation to
     * completion, return the (deterministic) final counts. */

@@ -63,6 +63,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("salted join equals the unsalted join row-for-row") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val li = Relational.table(spark, sfDir, "lineitem")
+      .withColumnRenamed("l_orderkey", "orderkey")
+      .select("orderkey", "l_linenumber", "l_extendedprice")
+    val o = Relational.table(spark, sfDir, "orders")
+      .withColumnRenamed("o_orderkey", "orderkey")
+      .select("orderkey", "o_orderstatus")
+    val salted = graft.operators.Skew
+      .saltedJoin(li, o, "orderkey", 8, pmod(col("l_linenumber"), lit(8)))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = li.join(o, "orderkey")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("json flatten extracts a typed non-null field per event") {
     val df = graft.operators.RelationalExt.jsonFlatten(spark, sfDir)
     assert(df.schema("prop_k").dataType.typeName == "integer")

@@ -319,50 +319,97 @@ object Dedup {
     * contains every qualifying pair, at a fraction of the all-pairs
     * join: the quadratic blowup of frequent shingles is excluded by
     * construction, because frequent shingles land in suffixes. */
-  def prefixJaccardPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
+  /** Prefix-filtered candidate pairs from a (doc_id, shg) relation.
+    * Pruning bounds use a tiny slack (Eps) so thresholds that are not
+    * exactly representable in binary (0.6, 0.8, ...) can never round a
+    * boundary pair OUT of the candidate set: completeness is the part
+    * verification cannot recover, while the extra candidates the slack
+    * admits are removed by the exact verify step. */
+  private[graft] def prefixCandidates(
+      shg: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Pruning bounds use a tiny slack (Eps) so thresholds that are not
-    // exactly representable in binary (0.6, 0.8, ...) can never round a
-    // boundary pair OUT of the candidate set: completeness is the part
-    // verification cannot recover, while the extra candidates the slack
-    // admits are removed by the exact verify step.
     val Eps = 1e-9
-    val shg = shingleArrays(docsDf).persist(
+    // Shingles are distinct per doc already; carrying the set size
+    // through the explode avoids a second window over the relation.
+    val sh = shg.select(col("doc_id"), size(col("shg")).as("sz"),
+      explode(col("shg")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("shingle").asc)
+    val ranked = sh.join(freq, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"), col("sz"),
+        row_number().over(byRarity).as("rk"))
+    val pref = ranked
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * threshold - Eps) + 1)
+      .select("doc_id", "shingle", "sz", "rk")
+    // jaccard ≥ t needs overlap ≥ t·(sz_a+sz_b)/(1+t); a match at
+    // rank rk leaves at most sz - rk shingles after it (positional
+    // filter, PPJoin: Xiao et al. 2008) — pairs whose only shared
+    // prefix shingles sit too late cannot reach the bound.
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
+    pref
+      .select(col("doc_id").as("doc_a"), col("shingle"),
+        col("sz").as("sz_a"), col("rk").as("rk_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * threshold <= col("sz_b") + Eps &&
+        col("sz_b") * threshold <= col("sz_a") + Eps &&
+        least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1
+          >= minOverlap)
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for a LARGE candidate-pair set: intersection counts
+    * come from the exploded shingle relation (narrow rows through the
+    * shuffle) instead of attaching both documents' shingle ARRAYS to
+    * every pair — at 125k candidates the array movement dominates the
+    * array-based verify (~5s vs ~1s at sf0.1). Safe whenever no shingle
+    * is pathologically hot (the self-join emits Σ df² rows); the
+    * array-based `jaccardVerifyShingled` remains the choice for small
+    * candidate sets and hot-key-prone inputs. Pairs sharing zero
+    * shingles emit no row, which is correct for any threshold > 0. */
+  def jaccardVerifyExploded(
+      shingled: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = candidates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Shingles are distinct per doc already; carrying the set size
-      // through the explode avoids a second window over the relation.
-      val sh = shg.select(col("doc_id"), size(col("shg")).as("sz"),
-        explode(col("shg")).as("shingle"))
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val byRarity = Window.partitionBy("doc_id")
-        .orderBy(col("df").asc, col("shingle").asc)
-      val ranked = sh.join(freq, Seq("shingle"))
-        .select(col("doc_id"), col("shingle"), col("sz"),
-          row_number().over(byRarity).as("rk"))
-      val pref = ranked
-        .filter(col("rk") <=
-          col("sz") - ceil(col("sz") * threshold - Eps) + 1)
-        .select("doc_id", "shingle", "sz", "rk")
-      // jaccard ≥ t needs overlap ≥ t·(sz_a+sz_b)/(1+t); a match at
-      // rank rk leaves at most sz - rk shingles after it (positional
-      // filter, PPJoin: Xiao et al. 2008) — pairs whose only shared
-      // prefix shingles sit too late cannot reach the bound.
-      val minOverlap =
-        ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
-      val cands = pref
-        .select(col("doc_id").as("doc_a"), col("shingle"),
-          col("sz").as("sz_a"), col("rk").as("rk_a"))
-        .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
-          col("sz").as("sz_b"), col("rk").as("rk_b")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b") &&
-          col("sz_a") * threshold <= col("sz_b") + Eps &&
-          col("sz_b") * threshold <= col("sz_a") + Eps &&
-          least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1
-            >= minOverlap)
-        .select("doc_a", "doc_b").distinct()
-      jaccardVerifyShingled(shg, cands, threshold)
-    } finally shg.unpersist(false)
+      val docsInPlay = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val arr = shingled
+        .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = arr.select(col("doc_id"), size(col("shg")).as("c"))
+        val ex = arr.select(col("doc_id"), explode(col("shg")).as("shingle"))
+        val inter = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(ex.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("c", "ca"), Seq("doc_a"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("c", "cb"), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .localCheckpoint(true)
+      } finally arr.unpersist(false)
+    } finally cands.unpersist(false)
+  }
+
+  def prefixJaccardPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
+    val shg = shingleArrays(docsDf).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try jaccardVerifyExploded(shg, prefixCandidates(shg, threshold), threshold)
+    finally shg.unpersist(false)
   }
 
   /** dedup_ngram_jaccard — EXACT n-gram Jaccard threshold join. Same

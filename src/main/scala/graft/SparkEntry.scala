@@ -114,6 +114,7 @@ object SparkEntry {
     "upsert_latest_by_key" -> ((s, dir) => RelationalExt.latestByKey(s, dir)),
     "stream_dedup" -> ((s, dir) => graft.streaming.Streaming.streamDedupQuery(s, dir)),
     "skew_salted_join" -> ((s, dir) => graft.operators.Skew.skewSaltedJoinQuery(s, dir)),
+    "sessionize" -> ((s, dir) => RelationalExt.sessionize(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -645,6 +646,25 @@ object SparkEntry {
          round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+                CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us
+              FROM events),
+         m AS (SELECT user_id, event_id, ts_us,
+                CASE WHEN ts_us - lag(ts_us) OVER w > 30*60*1000000
+                       OR lag(ts_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us ASC, event_id ASC)),
+         s AS (SELECT user_id, ts_us,
+                CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM m)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     "upsert_latest_by_key" ->
       """WITH r AS (SELECT user_id, event_id, event_type,
                 CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us,

@@ -128,6 +128,33 @@ object RelationalExt {
       .orderBy("user_id")
   }
 
+  /** sessionize — split each user's event stream into sessions at
+    * inactivity gaps (here 30 min): a lag window marks session starts,
+    * a running sum numbers them, and a final aggregate emits per-session
+    * spans. Two windows plus one aggregation, all partitioned by
+    * user_id — one hash shuffle total, no global sort. Ordering inside
+    * a user is by explicit (event-time micros, id), engine-neutral. */
+  def sessionize(
+      spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    Relational.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) > gapUs
+          || lag(col("ts_us"), 1).over(byTime).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** column_quantiles — EXACT grouped percentiles, discrete form: the
     * data element at rank ceil(p·n) in value order (percentile_disc).
     * Discrete, not interpolated, deliberately: an interpolated midpoint

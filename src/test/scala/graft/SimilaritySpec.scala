@@ -110,6 +110,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("block all-pairs is an equi-join, never a nested-loop product") {
+    val df = Dedup.embeddingCosinePairs(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("native cosine_sim expression: known values via SQL") {
     graft.functions.CosineSimilarity.register(spark)
     val got = spark.sql(

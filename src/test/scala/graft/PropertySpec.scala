@@ -59,4 +59,30 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(results.forall(_.status == "success"))
     }
   }
+
+  test("sorted_intersect_size equals the set-intersection size on random sets") {
+    import org.apache.spark.sql.functions._
+    val g = for {
+      a <- Gen.listOf(Gen.chooseNum(0, 50))
+      b <- Gen.listOf(Gen.chooseNum(0, 50))
+    } yield (a.distinct.map(i => s"s$i").sorted, b.distinct.map(i => s"s$i").sorted)
+    val cases = samples(g, 200)
+    val df = cases.toDF("a", "b")
+      .select(graft.functions.SortedIntersectSize(col("a"), col("b")).as("got"))
+    val gots = df.as[Int].collect()
+    cases.zip(gots).foreach { case ((a, b), got) =>
+      assert(got == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("hash split is a stable partition: every id lands in exactly one side") {
+    import org.apache.spark.sql.functions._
+    val ids = samples(Gen.chooseNum(0L, 1000000L), 200)
+    def eval(): Seq[String] = ids.toDF("id")
+      .select(graft.operators.Sampling.splitCol(col("id")).as("s"))
+      .as[String].collect().toSeq
+    val first = eval()
+    assert(first.forall(s => s == "train" || s == "holdout"))
+    assert(first == eval(), "same ids must land on the same side every run")
+  }
 }

@@ -115,6 +115,8 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => graft.streaming.Streaming.streamDedupQuery(s, dir)),
     "skew_salted_join" -> ((s, dir) => graft.operators.Skew.skewSaltedJoinQuery(s, dir)),
     "sessionize" -> ((s, dir) => RelationalExt.sessionize(s, dir)),
+    "multimodal_frame_sample" -> ((s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir)),
+    "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -573,6 +575,34 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS sum_bytes
          FROM documents WHERE n_chars = length(text)
          GROUP BY 1, 2 ORDER BY media_type, source""",
+    // frame/resize stubs use pure integer arithmetic over the payload
+    // length (ASCII text ⇒ n_chars = byte length), so the oracle
+    // recomputes the exact chunk/stride math per row
+    "multimodal_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, n_chars,
+                CAST((n_chars + 255)//256 AS BIGINT) AS nc
+              FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0)
+         SELECT media_id,
+                CAST((nc + 3)//4 AS BIGINT) AS n_frames,
+                CAST(CASE WHEN (nc - 1) % 4 = 0
+                     THEN ((nc + 3)//4 - 1) * 256 + (n_chars - (nc - 1) * 256)
+                     ELSE ((nc + 3)//4) * 256 END AS BIGINT) AS sampled_bytes
+         FROM v ORDER BY media_id""",
+    "multimodal_resize" ->
+      """WITH v AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+                n_chars,
+                greatest(1, (n_chars + 1023)//1024) AS stride
+              FROM documents)
+         SELECT media_type, count(*) AS n_items,
+                CAST(sum(n_chars) AS BIGINT) AS sum_orig,
+                CAST(sum((n_chars + stride - 1)//stride) AS BIGINT)
+                  AS sum_resized,
+                CAST(max((n_chars + stride - 1)//stride) AS BIGINT)
+                  AS max_resized
+         FROM v GROUP BY media_type ORDER BY media_type""",
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

@@ -93,6 +93,78 @@ object Multimodal {
         min(size(col("feature"))).as("feature_dim"))
       .orderBy("media_type")
 
+  final case class Frame(
+      media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling STUB — stands in for video keyframe extraction:
+    * the payload is chunked into fixed-size pseudo-frames and every
+    * `everyNth` chunk is kept. A real implementation replaces only the
+    * chunking with codec-aware frame boundaries; the flatMap fan-out
+    * (one row per sampled frame), schema and batching stay. Frame
+    * counts are pure integer arithmetic over the payload length, so the
+    * whole path is SQL-verifiable. */
+  def frameSampleStub(
+      media: DataFrame, frameBytes: Int = 256, everyNth: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val nChunks = (b.length + frameBytes - 1) / frameBytes
+          (0 until nChunks by everyNth).iterator.map { ci =>
+            Frame(id, ci, java.util.Arrays.copyOfRange(
+              b, ci * frameBytes, math.min((ci + 1) * frameBytes, b.length)))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Resize STUB — stands in for image downscaling: stride-sample the
+    * payload down to at most `targetBytes` (stride = ⌈len/target⌉,
+    * resized length = ⌈len/stride⌉ — pure integer arithmetic, so the
+    * size contract is SQL-verifiable). A real implementation replaces
+    * the stride loop with a scaler; schema and batching stay. */
+  def resizeStub(media: DataFrame, targetBytes: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, tpe, b) =>
+          val stride = math.max(1, (b.length + targetBytes - 1) / targetBytes)
+          val out = new Array[Byte]((b.length + stride - 1) / stride.max(1))
+          var i = 0
+          var j = 0
+          while (i < b.length) { out(j) = b(i); j += 1; i += stride }
+          (id, tpe, b.length.toLong, out)
+        }
+      }.toDF("media_id", "media_type", "orig_bytes", "resized")
+  }
+
+  /** multimodal_frame_sample driver query — per-video sampled-frame
+    * counts and byte volumes (verifiable integer arithmetic). */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSampleStub(mediaTable(spark, dir))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy("media_id")
+
+  /** multimodal_resize driver query — per-type resized byte volumes;
+    * every row must respect the target cap. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeStub(mediaTable(spark, dir))
+      .select(col("media_id"), col("media_type"), col("orig_bytes"),
+        length(col("resized")).cast("long").as("resized_bytes"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("orig_bytes")).as("sum_orig"),
+        sum(col("resized_bytes")).as("sum_resized"),
+        max(col("resized_bytes")).as("max_resized"))
+      .orderBy("media_type")
+
   /** multimodal_metadata driver query — metadata-only column pruning:
     * reading the meta struct must not deserialize the payload bytes. */
   def metadataQuery(spark: SparkSession, dir: String): DataFrame =

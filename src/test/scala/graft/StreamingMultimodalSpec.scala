@@ -61,6 +61,27 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
       .foreach { case (id, n) => assert(n == lens(id)) }
   }
 
+  test("frame sampling keeps every Nth chunk with correct boundaries") {
+    import graft.multimodal.Multimodal
+    val frames = Multimodal.frameSampleStub(
+      Multimodal.mediaTable(spark, sfDir), frameBytes = 256, everyNth = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getInt(1) % 4 == 0, "only every 4th frame index survives")
+      assert(r.getAs[Array[Byte]](2).length <= 256)
+    }
+  }
+
+  test("resize never exceeds the target byte cap") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions.length
+    val over = Multimodal.resizeStub(
+      Multimodal.mediaTable(spark, sfDir), targetBytes = 1024)
+      .filter(length($"resized") > 1024).count()
+    assert(over == 0)
+  }
+
   test("feature vectors are fixed-width") {
     val dims = Multimodal.decodeStub(Multimodal.mediaTable(spark, sfDir))
       .select(size(col("feature"))).distinct().as[Int].collect().toSeq

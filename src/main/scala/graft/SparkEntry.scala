@@ -117,6 +117,7 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => RelationalExt.sessionize(s, dir)),
     "multimodal_frame_sample" -> ((s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir)),
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
+    "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -752,6 +753,24 @@ object SparkEntry {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                   AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY split""",
+    "pipeline_corpus_curation" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 10000, text FROM documents),
+         q AS (SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+               FROM u),
+         f AS (SELECT doc_id, text, n_tok FROM q
+               WHERE n_tok >= 15 AND stop_ratio >= 0.02),
+         d AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+               FROM f GROUP BY text)
+         SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'e6' THEN 'train' ELSE 'holdout' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY 1 ORDER BY split""",
     "column_quantiles" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
                 row_number() OVER (PARTITION BY l_returnflag

@@ -36,4 +36,30 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
       .orderBy("split")
+
+  /** pipeline_corpus_curation — the canonical training-data curation
+    * flow, end to end in ONE Catalyst plan: corpus ∪ re-keyed copy
+    * (simulated crawl overlap) → quality filter (length + stopword
+    * ratio) → exact dedup (hash-grouped: the shuffle carries sha2
+    * digests, not bodies; originals win by min id) → deterministic
+    * train/holdout split → per-split volume stats. Every stage is an
+    * existing operator — the query proves they compose without
+    * materialization barriers between stages. */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val u = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+    val toks = TextOps.tokens(col("text"))
+    val quality = u.select(col("doc_id"), col("text"),
+        size(toks).as("n_tok"),
+        (size(filter(toks, w => w.isin(TextOps.StopWords: _*)))
+          .cast("double") / size(toks)).as("stop_ratio"))
+      .filter(col("n_tok") >= 15 && col("stop_ratio") >= 0.02)
+    Dedup.exactDedup(quality, "doc_id", "text")
+      .select(splitCol(col("doc_id")).as("split"), col("n_tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("sum_tokens"))
+      .orderBy("split")
+  }
 }

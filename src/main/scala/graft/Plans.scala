@@ -21,7 +21,7 @@ object Plans {
       "q1_agg", "filter_predicate", "lookup_join", "window_topk",
       "asof_join", "join_semi", "rollup_agg", "similarity_cosine_expr",
       "dedup_exact", "dedup_embedding_cosine", "similarity_topk_cosine",
-      "scan_db")
+      "scan_db", "sessionize", "upsert_latest_by_key", "skew_salted_join")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

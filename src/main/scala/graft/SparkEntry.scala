@@ -118,6 +118,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir)),
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
+    "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -512,6 +513,16 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
+    "text_normalize" ->
+      """SELECT doc_id,
+                CAST(length(text) AS INT) AS n_chars_raw,
+                CAST(length(trim(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                  AS INT) AS n_chars_norm,
+                trim(regexp_replace(regexp_replace(
+                  lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+                  AS text_norm
+         FROM documents ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -113,6 +113,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** text_normalize — the curation-standard canonical text form:
+    * lowercase, punctuation stripped, whitespace collapsed, trimmed.
+    * Pure codegen'd string expressions (no UDF), engine-neutral
+    * regexes; emits before/after lengths so volume loss is auditable. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(norm).as("n_chars_norm"),
+        norm.as("text_norm"))
+      .orderBy("doc_id")
+  }
+
   /** vocab_topk — global top-k tokens by DOCUMENT frequency (each doc
     * counts a token once), the vocabulary head a tokenizer-training or
     * stopword-analysis pass needs. The top-k itself is

@@ -119,6 +119,7 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
+    "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -686,6 +687,11 @@ object SparkEntry {
     "skew_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
          round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+         round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sessionize" ->

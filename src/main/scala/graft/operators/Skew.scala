@@ -32,6 +32,49 @@ object Skew {
     f.join(d, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Write a DataFrame as a bucketed, per-bucket-sorted parquet table
+    * (external location, catalog-registered — bucketing metadata lives
+    * in the catalog, which is why this is saveAsTable and not a plain
+    * path write). */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** bucketed_join — the co-located join: both sides written bucketed
+    * on the join key, so the join consumes the bucket layout and runs
+    * with NO shuffle on either side (asserted in RelationalSpec). At
+    * 100 TB this is the difference between re-shuffling the fact table
+    * on every join and paying the partitioning once at write time.
+    * Output aggregated so the oracle is the plain SQL join. */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_bucket")
+    val li = Relational.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val o = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    writeBucketed(li, "graft_li_b", base.resolve("li").toString, "l_orderkey")
+    writeBucketed(o, "graft_o_b", base.resolve("o").toString, "o_orderkey")
+    try {
+      spark.table("graft_li_b")
+        .join(spark.table("graft_o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+        // materialize before dropping the catalog entries
+        .localCheckpoint(true)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_li_b")
+      spark.sql("DROP TABLE IF EXISTS graft_o_b")
+    }
+  }
+
   /** skew_salted_join — lineitem⋈orders salted 8 ways, aggregated so
     * the oracle is the plain SQL join: proves salting changes the
     * execution distribution, never the semantics. */

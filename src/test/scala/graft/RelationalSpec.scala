@@ -63,6 +63,42 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("bucketed join runs with no shuffle on either side") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val base = graft.util.Scratch.dir("graft_bucket_spec")
+    val li = Relational.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Relational.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    graft.operators.Skew.writeBucketed(
+      li, "spec_li_b", base.resolve("li").toString, "l_orderkey")
+    graft.operators.Skew.writeBucketed(
+      o, "spec_o_b", base.resolve("o").toString, "o_orderkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assertion targets bucketing,
+      // not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("spec_li_b")
+        .join(spark.table("spec_o_b"), col("l_orderkey") === col("o_orderkey"))
+      j.collect() // finalize adaptive plan
+      val plan = j.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case s: ShuffleExchangeExec => s }
+        case s: ShuffleExchangeExec => Seq(s)
+      }.flatten
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle: ${plan.toString.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS spec_li_b")
+      spark.sql("DROP TABLE IF EXISTS spec_o_b")
+    }
+  }
+
   test("salted join equals the unsalted join row-for-row") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val li = Relational.table(spark, sfDir, "lineitem")

@@ -120,6 +120,7 @@ object SparkEntry {
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
+    "asof_join_forward" -> ((s, dir) => AsOfJoin.asofForwardQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -633,6 +634,16 @@ object SparkEntry {
                       event_id AS purchase_event_id
                FROM events WHERE event_type = 'purchase') b
          ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
+    "asof_join_forward" ->
+      """SELECT a.event_id, a.user_id, b.next_purchase_event_id
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'error') a
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_id AS next_purchase_event_id
+               FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id AND a.ts <= b.ts
          ORDER BY a.event_id""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -38,7 +38,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightNn = right.filter(col(rightTime).isNotNull)
     val l = left.select(
@@ -54,10 +55,22 @@ object AsOfJoin {
       lit(null).cast(left.select(struct(leftCols.map(col): _*))
         .schema.fields.head.dataType).as("__l"),
       struct((rightPayload :+ rightTieBreak).distinct.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__is_left").asc,
-        col(s"__r.$rightTieBreak").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: ascending time scan — last() sees the greatest right
+    // time ≤ left time (MAX tie-break wins at equal right times).
+    // forward: the mirror image — descending time scan, so last() sees
+    // the SMALLEST right time ≥ left time (MIN tie-break wins). In both
+    // scans, right rows sort before the left row at equal timestamps,
+    // giving inclusive semantics.
+    val w = (direction match {
+      case "backward" => Window.partitionBy(col("__key"))
+        .orderBy(col("__t").asc, col("__is_left").asc,
+          col(s"__r.$rightTieBreak").asc_nulls_first)
+      case "forward" => Window.partitionBy(col("__key"))
+        .orderBy(col("__t").desc, col("__is_left").asc,
+          col(s"__r.$rightTieBreak").desc_nulls_first)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward/forward, got '$other'")
+    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
@@ -81,6 +94,26 @@ object AsOfJoin {
       rightPayload = Seq("purchase_event_id"),
       rightTieBreak = "purchase_event_id")
       .select("event_id", "user_id", "purchase_event_id")
+      .orderBy("event_id")
+  }
+
+  /** asof_join_forward driver query — for every 'error' event, the NEXT
+    * 'purchase' by the same user (the attribution direction: which
+    * conversion followed this failure). Same one-shuffle one-sort plan
+    * as the backward join, scanned in mirror order. */
+  def asofForwardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Relational.table(spark, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("next_purchase_event_id"))
+    asofJoin(errors, purchases,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightPayload = Seq("next_purchase_event_id"),
+      rightTieBreak = "next_purchase_event_id",
+      direction = "forward")
+      .select("event_id", "user_id", "next_purchase_event_id")
       .orderBy("event_id")
   }
 }

@@ -40,6 +40,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == errors.count())
   }
 
+  test("forward as-of picks the earliest purchase at or after the error") {
+    import org.apache.spark.sql.functions._
+    val events = graft.operators.Relational.table(spark, sfDir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("pt"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("et"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = AsOfJoin.asofForwardQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    errors.foreach { case (eid, uid, et) =>
+      val nexts = purchases.getOrElse(uid, Array.empty).filter(_._2 >= et)
+      val want =
+        if (nexts.isEmpty) None
+        else {
+          val minT = nexts.map(_._2).min
+          Some(nexts.filter(_._2 == minT).map(_._1).min)
+        }
+      assert(got(eid) == want, s"error $eid user $uid")
+    }
+  }
+
   test("matched purchase is never after the error") {
     import org.apache.spark.sql.functions._
     val events = graft.operators.Relational.table(spark, sfDir, "events")

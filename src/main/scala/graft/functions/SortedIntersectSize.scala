@@ -43,11 +43,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    // Null elements are admitted by the type check (containsNull
+    // schemas are common even when no null is ever present); treat
+    // them defensively as no-match and skip, instead of NPE-ing.
     while (i < n1 && j < n2) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -65,9 +72,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
         int $n1 = $a.numElements(); int $n2 = $b.numElements();
         int $i = 0; int $j = 0; int $c = 0;
         while ($i < $n1 && $j < $n2) {
-          int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-          if ($cmp == 0) { $c++; $i++; $j++; }
-          else if ($cmp < 0) { $i++; } else { $j++; }
+          if ($a.isNullAt($i)) { $i++; }
+          else if ($b.isNullAt($j)) { $j++; }
+          else {
+            int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+            if ($cmp == 0) { $c++; $i++; $j++; }
+            else if ($cmp < 0) { $i++; } else { $j++; }
+          }
         }
         ${ev.value} = $c;
       """

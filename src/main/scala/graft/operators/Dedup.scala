@@ -561,6 +561,12 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      // Fail loudly rather than hand back silently-wrong clusters: a
+      // non-converged exit means some component's diameter exceeded
+      // maxIters and its labels are still mid-propagation.
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations; " +
+          "raise maxIters or switch to the large-star/small-star variant")
       labels
     } finally edges.unpersist(false)
   }

@@ -333,6 +333,18 @@ object Similarity {
   def annRecallQuery(
       spark: SparkSession, dir: String, method: String,
       bound: Double, nQueries: Long = 5, k: Int = 10): DataFrame = {
+    recallFrame(spark, dir, method, nQueries, k)
+      .select(col("n_queries"),
+        (col("n_hits").cast("double") / col("n_total") >= bound)
+          .as("recall_ge_bound"))
+  }
+
+  /** One row `(n_queries, n_hits, n_total)` comparing an ANN method's
+    * top-k against the brute-force exact top-k — shared by the
+    * oracle-checked boolean query above and the numeric recall below. */
+  private def recallFrame(
+      spark: SparkSession, dir: String, method: String,
+      nQueries: Long, k: Int): DataFrame = {
     val ann = method match {
       case "lsh" => lshTopK(spark, dir, nQueries, k)
       case "ivf" => ivfTopK(spark, dir, nQueries, k)
@@ -347,8 +359,19 @@ object Similarity {
     val nq = emb(spark, dir).filter(col("vec_id") < nQueries)
       .agg(count(lit(1)).cast("bigint").as("n_queries"))
     nq.crossJoin(hits).crossJoin(total)
-      .select(col("n_queries"),
-        (col("n_hits").cast("double") / col("n_total") >= bound)
-          .as("recall_ge_bound"))
+  }
+
+  /** Measured recall@k as a number. The driver-checked query collapses
+    * recall to a pass/fail bound (ANN neighbor lists are engine-specific,
+    * so the external oracle can only check the engine's own assertion);
+    * this surfaces the actual value so a regression that stays above the
+    * bound is still visible in benchmark output. */
+  def annRecallValue(
+      spark: SparkSession, dir: String, method: String,
+      nQueries: Long = 5, k: Int = 10): Double = {
+    val r = recallFrame(spark, dir, method, nQueries, k).head()
+    val total = r.getAs[Long]("n_total")
+    if (total == 0) 0.0
+    else r.getAs[Long]("n_hits").toDouble / total
   }
 }

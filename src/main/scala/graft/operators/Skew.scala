@@ -19,17 +19,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of `fact` to `dim` on `key`, salted `salts` ways.
-    * `saltExpr` must be deterministic per fact row (e.g. a pmod of some
-    * per-row attribute) so the plan stays reproducible; results are
-    * identical to the unsalted join in any order-insensitive
-    * consumption. */
+    * `saltExpr` should be deterministic per fact row (e.g. a pmod of
+    * some per-row attribute) so the plan stays reproducible. The salt
+    * is normalized internally — `pmod(_, salts)` with nulls coalesced
+    * to 0 — so an out-of-range or null salt can never silently drop
+    * fact rows from the inner join; any salt expression only changes
+    * the execution distribution, never the semantics. */
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, saltExpr: Column): DataFrame = {
-    val f = fact.withColumn("_salt", saltExpr.cast("int"))
-    val d = dim.withColumn("_salt",
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltCol = "__graft_salt"
+    val bounded = coalesce(pmod(saltExpr.cast("int"), lit(salts)), lit(0))
+    val f = fact.withColumn(saltCol, bounded)
+    val d = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    f.join(d, Seq(key, "_salt")).drop("_salt")
+    f.join(d, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Write a DataFrame as a bucketed, per-bucket-sorted parquet table

@@ -166,9 +166,15 @@ object SourceSinkQueries {
     val table = "gold summary" // sanitizer must rewrite the space
     Sinks.jdbc(gold, url, table, ifExists = "replace")
     Sinks.jdbc(gold, url, table, ifExists = "append")
+    // Only the table-already-exists rejection counts as the expected
+    // fail-mode behavior; a connectivity/driver error must propagate,
+    // not masquerade as the assertion passing.
     val failRejected =
       try { Sinks.jdbc(gold, url, table, ifExists = "fail"); false }
-      catch { case _: Exception => true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase.contains("already exists") => true
+      }
     Sources.scanJdbc(spark, url, Sinks.sanitizeTableName(table))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_copies"),

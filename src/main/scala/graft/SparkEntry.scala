@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, InferQueries, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -121,6 +121,10 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
     "asof_join_forward" -> ((s, dir) => AsOfJoin.asofForwardQuery(s, dir)),
+    "text_decontaminate" -> ((s, dir) => Curation.decontaminateQuery(s, dir)),
+    "text_repetition" -> ((s, dir) => Curation.repetitionQuery(s, dir)),
+    "sample_stratified" -> ((s, dir) => Curation.stratifiedSampleQuery(s, dir)),
+    "token_length_histogram" -> ((s, dir) => Curation.tokenLengthHistogram(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -831,5 +835,57 @@ object SparkEntry {
                   ORDER BY count(*) DESC, user_id ASC) AS INT) AS rnk
            FROM silver GROUP BY h, user_id)
          WHERE rnk <= 5 ORDER BY h, rnk""",
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM sh
+         WHERE doc_id % 97 <> 0
+           AND shingle IN (SELECT shingle FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, ws[i] || '|' || ws[i+1] AS bg
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 1),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, bg AS top_bigram, c,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, bg ASC) AS rn
+                 FROM cnt),
+         st AS (SELECT doc_id, len(ws) AS n_tok,
+                  len(list_distinct(ws)) AS n_dis FROM w)
+         SELECT st.doc_id, CAST(st.n_tok AS INT) AS n_tokens,
+                CAST(st.n_tok - st.n_dis AS DOUBLE) / st.n_tok
+                  AS dup_token_ratio,
+                top.top_bigram,
+                CAST(top.c AS DOUBLE) / (st.n_tok - 1) AS top_bigram_frac
+         FROM st JOIN top ON st.doc_id = top.doc_id AND top.rn = 1
+         ORDER BY st.doc_id""",
+    "sample_stratified" ->
+      """WITH d AS (SELECT lang,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                    (CASE WHEN lang = 'en' THEN '66' ELSE 'g0' END) AS keep
+                FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+                  AS kept_tokens
+         FROM d GROUP BY lang ORDER BY lang""",
+    "token_length_histogram" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n
+                    FROM documents)
+         SELECT CAST(floor(n / 10.0) * 10 AS INT) AS bin_lo,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY 1 ORDER BY bin_lo""",
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: benchmark decontamination, repetition
+  * quality signals, domain-mixture sampling, and sequence-length
+  * profiling. (No reference-system equivalent — these extend the
+  * engine's LLM-data surface; cf. SURVEY.md §2 scope note.)
+  *
+  * Scale design notes per operator are on the methods; the common
+  * principles: benchmark sets are broadcast (they are small by nature),
+  * repetition signals shuffle (doc_id, ngram-hash) pairs rather than
+  * document bodies, and mixture sampling is a pure per-row hash
+  * predicate with no shuffle at all.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** Training docs that share at least one word k-gram with a
+    * benchmark/eval set — the overlap check every training corpus runs
+    * before release (the "13-gram decontamination" of GPT-3/PaLM
+    * lineage; k is a parameter because the right value depends on
+    * document length).
+    *
+    * Plan shape at 100 TB: the benchmark side (eval suites are at most
+    * ~10⁶ short rows) collapses to a distinct n-gram set that is
+    * explicitly `broadcast` — the corpus side streams through a
+    * broadcast hash join with NO shuffle of corpus n-grams; only the
+    * surviving (doc_id) groups aggregate, with map-side partial
+    * counts. Corpus n-grams never leave their scan partition.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int)
+      : DataFrame = {
+    val corpusGrams = Dedup.shingleRel(corpus, k)
+    val benchGrams = Dedup.shingleRel(benchmark, k)
+      .select(col("shingle")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** text_decontaminate driver query — benchmark = every doc_id
+    * divisible by `benchMod` (standing in for an eval suite), k=3 to
+    * suit the short synthetic docs. Emits the contaminated doc ids with
+    * their distinct-overlapping-n-gram counts. */
+  def decontaminateQuery(
+      spark: SparkSession, dir: String,
+      k: Int = 3, benchMod: Int = 97): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % benchMod === 0)
+    val train = d.filter(col("doc_id") % benchMod =!= 0)
+    decontaminate(train, bench, k).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition quality signals
+  // ------------------------------------------------------------------
+
+  /** Non-distinct word bigrams of a token-array column (repetition
+    * counting needs multiplicity, so this deliberately does NOT reuse
+    * the distinct `TextOps.shinglesOfTokens`). `ws` must be a
+    * materialized attribute (see TextOps.shingles perf note). */
+  private def bigramsOfTokens(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2), i =>
+        concat_ws("|", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+
+  /** text_repetition — per-doc repetition signals in the
+    * Gopher/MassiveText family: duplicate-token fraction and the
+    * fraction of the doc covered by its most frequent bigram. Docs
+    * that score high are boilerplate/spam candidates.
+    *
+    * Scale: the only shuffle carries (doc_id, bigram) pairs for the
+    * per-doc mode computation — partial-aggregated map-side, keyed by
+    * doc so it partitions evenly; token-level ratios are pure
+    * codegen'd array expressions on the scan side. The window that
+    * picks each doc's top bigram partitions by doc_id (no global
+    * sort). Tie-break (count desc, bigram asc) is deterministic.
+    */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val stats = toks.select(
+      col("doc_id"),
+      size(col("ws")).as("n_tokens"),
+      size(array_distinct(col("ws"))).as("n_distinct"))
+    val topBigram = toks
+      .select(col("doc_id"), explode(bigramsOfTokens(col("ws"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("bg").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"),
+        col("cnt").as("top_bigram_n"))
+    stats.join(topBigram, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("dup_token_ratio"),
+        col("top_bigram"),
+        (col("top_bigram_n").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Domain-mixture sampling
+  // ------------------------------------------------------------------
+
+  /** Keep-predicate for deterministic per-stratum downsampling: a doc
+    * survives iff the first two hex digits of md5(id) fall below its
+    * stratum's boundary (resolution 1/256). Same engine-neutral hash
+    * contract as [[Sampling.splitCol]]: membership depends only on the
+    * id, so re-running over a grown corpus never flips prior decisions,
+    * and no RNG state is involved — a pure per-row expression, zero
+    * shuffle, fully codegen'd. */
+  def mixtureKeep(id: Column, stratum: Column, rates: Map[String, Double],
+      defaultRate: Double = 1.0): Column = {
+    // "g0" sorts above every hex pair ("00".."ff"), so rate >= 1 keeps
+    // all rows; a 3-char "100" would compare LOWER than most pairs.
+    def hex2(rate: Double): String =
+      if (rate >= 1.0) "g0"
+      else f"${math.max(0L, (rate * 256).round).toInt}%02x"
+    val boundary = rates.foldLeft(lit(hex2(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(hex2(r))).otherwise(acc)
+    }
+    substring(md5(id.cast("string")), 1, 2) < boundary
+  }
+
+  /** sample_stratified — rebalance the corpus toward a target language
+    * mixture by deterministically downsampling the dominant stratum
+    * (here: keep ~40% of `en`, all of the rest — the classic
+    * "don't let the crawl drown the low-resource languages" step).
+    * Emits per-language totals, kept counts, and kept token volume —
+    * the numbers a mixture card reports. */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 0.4)
+    val d = docs(spark, dir).select(
+      col("lang"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      mixtureKeep(col("doc_id"), col("lang"), rates).as("keep"))
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .cast("bigint").as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------------------------
+  // Sequence-length profiling
+  // ------------------------------------------------------------------
+
+  /** token_length_histogram — doc counts and token volume per
+    * token-count bin (width `binWidth`), the length profile that sizes
+    * sequence-packing and max-length truncation decisions. One
+    * map-side-combined aggregation over a scan that prunes to `text`
+    * only; bin count is bounded by max doc length, so the result is
+    * driver-safe at any corpus size. */
+  def tokenLengthHistogram(
+      spark: SparkSession, dir: String, binWidth: Int = 10): DataFrame = {
+    val n = size(TextOps.tokens(col("text")))
+    docs(spark, dir)
+      .select((floor(n / binWidth) * binWidth).cast("int").as("bin_lo"),
+        n.as("n_tokens"))
+      .groupBy("bin_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+      .orderBy("bin_lo")
+  }
+}

@@ -125,6 +125,7 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => Curation.repetitionQuery(s, dir)),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSampleQuery(s, dir)),
     "token_length_histogram" -> ((s, dir) => Curation.tokenLengthHistogram(s, dir)),
+    "code_store" -> ((s, dir) => TransformQueries.codeStore(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -887,5 +888,26 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n) AS BIGINT) AS sum_tokens
          FROM d GROUP BY 1 ORDER BY bin_lo""",
+    // Deterministic by construction: the query runs the code-store
+    // lifecycle with a FIXED clock, so the audit-trail listing is a
+    // constant function of the scripted calls.
+    "code_store" ->
+      """SELECT * FROM (VALUES
+           ('demo_project', 'gold',
+            '2026-01-01_00-00-00__order_counts__confirmed_v1.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__add_a_discounted_price_column__ai_generated.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__discount__confirmed_v1.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__discount__confirmed_v2.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__discount__dry_run.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__discount__manual_edit.sql'),
+           ('demo_project', 'silver',
+            '2026-01-01_00-00-00__upload_to_silver__pipeline.sql'))
+           t(project, layer, file_name)
+         ORDER BY project, layer, file_name""",
   )
 }

@@ -179,6 +179,48 @@ object TransformQueries {
     Sources.scanParquet(spark, r.goldPath).orderBy("h", "rnk")
   }
 
+  /** code_store — the file-persisted audit trail of transform code
+    * (reference `code_saver.py`): every lifecycle event (AI draft,
+    * dry-run, confirm v1, manual edit, confirm v2, gold confirm,
+    * pipeline dump) lands as a slugged, timestamped file under
+    * `<project>/<layer>/`. Runs the full scripted lifecycle against a
+    * scratch root with a FIXED clock (filenames deterministic for the
+    * oracle), validates each step through the same SQL gate the chain
+    * uses, and emits the resulting listing. Read-back is asserted
+    * in-query so the listing also proves content round-trip. */
+  def codeStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("graft_codestore")
+    val store = new graft.transform.CodeStore(root,
+      clock = () => java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val project = "Demo Project!"
+    val draft = "SELECT *, o_totalprice * 0.9 AS discounted FROM __input__"
+    val edited = "SELECT *, round(o_totalprice * 0.9, 2) AS discounted FROM __input__"
+    val goldSql = "SELECT count(*) AS n FROM __input__"
+    // Validate through the same gate the chain uses before persisting,
+    // mirroring the reference flow (generate -> validate -> save).
+    Seq(draft, edited, goldSql).foreach { sql =>
+      SqlTransforms.step(spark, "gate", sql)
+    }
+    store.saveAiGenerated(project, "silver", "discount", "Add a discounted price column", draft)
+    store.saveDryRun(project, "silver", "discount", draft)
+    store.saveConfirmed(project, "silver", "discount", draft, version = 1)
+    store.saveManualEdit(project, "silver", "discount", edited)
+    store.saveConfirmed(project, "silver", "discount", edited, version = 2)
+    store.saveConfirmed(project, "gold", "order_counts", goldSql, version = 1)
+    store.savePipeline(project, "silver", Seq(("discount", 2, edited)),
+      inPath = "/data/bronze", outPath = "/data/silver")
+    val listing = store.list()
+    // Content round-trip: the confirmed v2 artifact carries the edited
+    // SQL and its header metadata.
+    val v2 = listing.collectFirst {
+      case (p, l, f) if f.contains("confirmed_v2") => store.read(project, l, f)
+    }.getOrElse(sys.error("confirmed_v2 artifact missing"))
+    require(v2.contains(edited) && v2.contains("-- Version: 2"), v2)
+    listing.toDF("project", "layer", "file_name")
+      .orderBy("project", "layer", "file_name")
+  }
+
   /** silver_schema_handoff — gold's input schema is re-read from the
     * silver OUTPUT files, not the declared schema. */
   def silverSchemaHandoff(spark: SparkSession, dir: String): DataFrame = {

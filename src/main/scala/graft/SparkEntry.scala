@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, RangeJoin, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -126,6 +126,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSampleQuery(s, dir)),
     "token_length_histogram" -> ((s, dir) => Curation.tokenLengthHistogram(s, dir)),
     "code_store" -> ((s, dir) => TransformQueries.codeStore(s, dir)),
+    "range_join" -> ((s, dir) => RangeJoin.rangeJoinQuery(s, dir)),
+    "pivot_table" -> ((s, dir) => RelationalExt.pivotTable(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -909,5 +911,23 @@ object SparkEntry {
             '2026-01-01_00-00-00__upload_to_silver__pipeline.sql'))
            t(project, layer, file_name)
          ORDER BY project, layer, file_name""",
+    "range_join" ->
+      """WITH w AS (SELECT i AS w_id,
+                  make_timestamp(1704067200000000 + i * 43200000000)
+                    AS w_start,
+                  make_timestamp(1704067200000000 + i * 43200000000
+                    + 28800000000) AS w_end
+                FROM (SELECT unnest(generate_series(0, 59)) AS i))
+         SELECT w_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM w JOIN events e
+           ON e.ts >= w.w_start AND e.ts < w.w_end
+         GROUP BY w_id ORDER BY w_id""",
+    "pivot_table" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F'
+                               THEN l_quantity ELSE 0 END), 2) AS qty_f,
+                round(sum(CASE WHEN l_linestatus = 'O'
+                               THEN l_quantity ELSE 0 END), 2) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

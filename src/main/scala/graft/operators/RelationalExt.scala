@@ -97,6 +97,26 @@ object RelationalExt {
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
 
+  /** pivot_table — wide-format conditional aggregation
+    * (groupBy().pivot().agg()). The pivot VALUES ARE PASSED EXPLICITLY:
+    * without them Spark runs an extra distinct-collect job over the
+    * whole table just to discover the columns — at 100 TB that is a
+    * full scan before the real one, and an unbounded output schema.
+    * With explicit values the plan is a single partial+final hash
+    * aggregation, identical in shape to a CASE-WHEN rollup. Cells with
+    * no input rows surface as 0.0 (coalesced), matching the conditional
+    * -sum semantics an external engine computes. */
+  def pivotTable(spark: SparkSession, dir: String): DataFrame = {
+    val p = Relational.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+    p.select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"))
+      .orderBy("l_returnflag")
+  }
+
   /** json_flatten — extract typed fields out of a JSON payload column
     * (the universal bronze-layer chore for event streams). A scalar
     * JSON-path projection per row: no shuffle, column-prunes to just

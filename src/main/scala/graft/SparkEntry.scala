@@ -128,6 +128,7 @@ object SparkEntry {
     "code_store" -> ((s, dir) => TransformQueries.codeStore(s, dir)),
     "range_join" -> ((s, dir) => RangeJoin.rangeJoinQuery(s, dir)),
     "pivot_table" -> ((s, dir) => RelationalExt.pivotTable(s, dir)),
+    "stream_join" -> ((s, dir) => graft.streaming.Streaming.streamJoinQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -929,5 +930,16 @@ object SparkEntry {
                 round(sum(CASE WHEN l_linestatus = 'O'
                                THEN l_quantity ELSE 0 END), 2) AS qty_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "stream_join" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'error'),
+         p AS (SELECT user_id AS pu, ts AS pts FROM events
+               WHERE event_type = 'purchase')
+         SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e JOIN p
+           ON e.user_id = p.pu
+          AND p.pts >= e.ts
+          AND p.pts <= e.ts + INTERVAL 30 MINUTE
+         GROUP BY e.user_id ORDER BY e.user_id""",
   )
 }

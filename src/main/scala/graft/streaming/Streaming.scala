@@ -143,6 +143,50 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** Watermarked stream-stream interval join: purchases within
+    * `horizon` AFTER an error by the same user (error→conversion
+    * attribution). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can expire join state — the
+    * difference between bounded memory and state that grows with the
+    * full history of both streams on an unbounded feed. Inner join in
+    * append mode: rows emit once both watermarks pass the match window. */
+  def errorPurchaseJoin(
+      errors: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour", horizon: String = "30 minutes")
+      : DataFrame = {
+    val e = errors
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("ets"))
+      .withWatermark("ets", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    e.join(p, expr(
+      s"user_id = p_user_id AND pts >= ets AND pts <= ets + interval $horizon"))
+  }
+
+  /** stream_join driver query — run the attribution join to completion
+    * over two stream sources reading the same events table; the final
+    * per-user pair counts equal the batch interval join, which is the
+    * oracle. */
+  def streamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_sjoin")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val errors = eventsStream(spark, srcDir.toString)
+      .filter(col("event_type") === "error")
+    val purchases = eventsStream(spark, srcDir.toString)
+      .filter(col("event_type") === "purchase")
+    runAvailableNow(errorPurchaseJoin(errors, purchases),
+        base.resolve("ckpt").toString, outputMode = "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** stream_windowed_agg driver query — copy the events table into a
     * stream-source dir, run the watermarked windowed aggregation to
     * completion, return the (deterministic) final counts. */

@@ -33,6 +33,22 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val got = Streaming.streamJoinQuery(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val ev = Relational.table(spark, sfDir, "events")
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("ets"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val want = e.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("ets") &&
+        col("pts") <= col("ets") + expr("interval 30 minutes"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("micro-batch runs leave no memory-sink tables in the catalog") {
     graft.operators.SourceSinkQueries.scanMicroBatch(spark, sfDir).count()
     val leaked = spark.catalog.listTables().collect()

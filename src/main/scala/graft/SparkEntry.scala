@@ -129,6 +129,7 @@ object SparkEntry {
     "range_join" -> ((s, dir) => RangeJoin.rangeJoinQuery(s, dir)),
     "pivot_table" -> ((s, dir) => RelationalExt.pivotTable(s, dir)),
     "stream_join" -> ((s, dir) => graft.streaming.Streaming.streamJoinQuery(s, dir)),
+    "pipeline_pretrain_curation" -> ((s, dir) => Curation.pretrainCuration(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -941,5 +942,43 @@ object SparkEntry {
           AND p.pts >= e.ts
           AND p.pts <= e.ts + INTERVAL 30 MINUTE
          GROUP BY e.user_id ORDER BY e.user_id""",
+    "pipeline_pretrain_curation" ->
+      """WITH d0 AS (SELECT doc_id, text, lang FROM documents),
+         u AS (SELECT * FROM d0
+               UNION ALL SELECT doc_id + 10000, text, lang FROM d0),
+         q AS (SELECT doc_id, text, lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+               FROM u),
+         f AS (SELECT doc_id, text, lang, n_tok FROM q
+               WHERE n_tok >= 15 AND stop_ratio >= 0.02),
+         dd AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok,
+                  min(lang) AS lang, text
+                FROM f GROUP BY text),
+         bw AS (SELECT string_split(text, ' ') AS ws FROM d0
+                WHERE doc_id % 97 = 0),
+         bg AS (SELECT DISTINCT ws[i] || '|' || ws[i+1] || '|' || ws[i+2]
+                  AS g
+                FROM bw, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+         dg AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS g
+                FROM dw, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         cont AS (SELECT DISTINCT doc_id FROM dg
+                  WHERE g IN (SELECT g FROM bg)),
+         clean AS (SELECT * FROM dd
+                   WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         samp AS (SELECT * FROM clean
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                    (CASE WHEN lang = 'en' THEN '66' ELSE 'g0' END))
+         SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'e6' THEN 'train' ELSE 'holdout' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         FROM samp GROUP BY 1 ORDER BY split""",
   )
 }

@@ -161,6 +161,48 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // End-to-end pre-training curation
+  // ------------------------------------------------------------------
+
+  /** pipeline_pretrain_curation — the complete pre-training data
+    * pipeline in ONE Catalyst plan: corpus ∪ re-keyed copy (crawl
+    * overlap) → quality filter → exact dedup → benchmark
+    * decontamination (anti-join against contaminated ids; benchmark
+    * docs themselves are removed too, as they share all their grams) →
+    * language-mixture downsampling → deterministic split → per-split
+    * volume stats. Extends [[Sampling.corpusCuration]] with the
+    * decontaminate and mixture stages; every stage is an existing
+    * operator, and no stage materializes — the optimizer sees the whole
+    * chain. */
+  def pretrainCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"), col("lang"))
+    val u = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+    val toks = TextOps.tokens(col("text"))
+    val quality = u.select(col("doc_id"), col("text"), col("lang"),
+        size(toks).as("n_tok"),
+        (size(filter(toks, w => w.isin(TextOps.StopWords: _*)))
+          .cast("double") / size(toks)).as("stop_ratio"))
+      .filter(col("n_tok") >= 15 && col("stop_ratio") >= 0.02)
+    val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+    val benchGrams = Dedup.shingleRel(
+        d.filter(col("doc_id") % 97 === 0), 3)
+      .select(col("shingle")).distinct()
+    val contaminated = Dedup.shingleRel(
+        deduped.select(col("doc_id"), col("text")), 3)
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = clean.filter(
+      mixtureKeep(col("doc_id"), col("lang"), Map("en" -> 0.4)))
+    sampled.select(Sampling.splitCol(col("doc_id")).as("split"),
+        col("n_tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  // ------------------------------------------------------------------
   // Sequence-length profiling
   // ------------------------------------------------------------------
 

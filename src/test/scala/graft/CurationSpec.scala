@@ -98,6 +98,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("pretrain curation is corpus curation minus decontaminated/sampled docs") {
+    val base = graft.operators.Sampling.corpusCuration(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val got = Curation.pretrainCuration(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // Every split shrinks (decontamination removes the benchmark family,
+    // mixture sampling downsamples en) but survives non-empty.
+    got.foreach { case (split, n) =>
+      assert(n > 0 && n < base(split), s"$split: $n vs base ${base(split)}")
+    }
+  }
+
   test("token_length_histogram bins partition the corpus exactly") {
     val h = Curation.tokenLengthHistogram(spark, sfDir)
       .as[(Int, Long, Long)].collect()

@@ -21,7 +21,10 @@ object Plans {
       "q1_agg", "filter_predicate", "lookup_join", "window_topk",
       "asof_join", "join_semi", "rollup_agg", "similarity_cosine_expr",
       "dedup_exact", "dedup_embedding_cosine", "similarity_topk_cosine",
-      "scan_db", "sessionize", "upsert_latest_by_key", "skew_salted_join")
+      "scan_db", "sessionize", "upsert_latest_by_key", "skew_salted_join",
+      "range_join", "pivot_table", "text_decontaminate", "text_repetition",
+      "sample_stratified", "token_length_histogram",
+      "pipeline_pretrain_curation")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

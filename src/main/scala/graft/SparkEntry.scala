@@ -130,6 +130,7 @@ object SparkEntry {
     "pivot_table" -> ((s, dir) => RelationalExt.pivotTable(s, dir)),
     "stream_join" -> ((s, dir) => graft.streaming.Streaming.streamJoinQuery(s, dir)),
     "pipeline_pretrain_curation" -> ((s, dir) => Curation.pretrainCuration(s, dir)),
+    "stream_resume" -> ((s, dir) => graft.streaming.Streaming.streamResumeQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -980,5 +981,12 @@ object SparkEntry {
                 count(*) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens
          FROM samp GROUP BY 1 ORDER BY split""",
+    // Exactly-once across restart: final state must equal the batch
+    // aggregate over the WHOLE table — double-counted rows on resume or
+    // a missed second file both break this equality.
+    "stream_resume" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -40,7 +40,15 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int)
       : DataFrame = {
-    val corpusGrams = Dedup.shingleRel(corpus, k)
+    // NOT Dedup.shingleRel: its global `.distinct()` would shuffle every
+    // corpus n-gram just to deduplicate WITHIN documents — the shingle
+    // arrays are already per-doc distinct, so a plain explode gives the
+    // same relation with zero corpus-side shuffle.
+    val corpusGrams = corpus
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesOfTokens(col("ws"), k)).as("shingle"))
     val benchGrams = Dedup.shingleRel(benchmark, k)
       .select(col("shingle")).distinct()
     corpusGrams
@@ -187,8 +195,10 @@ object Curation {
     val benchGrams = Dedup.shingleRel(
         d.filter(col("doc_id") % 97 === 0), 3)
       .select(col("shingle")).distinct()
-    val contaminated = Dedup.shingleRel(
-        deduped.select(col("doc_id"), col("text")), 3)
+    val contaminated = deduped
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesOfTokens(col("ws"), 3)).as("shingle"))
       .join(broadcast(benchGrams), Seq("shingle"))
       .select("doc_id").distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")

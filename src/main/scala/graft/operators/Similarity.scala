@@ -320,6 +320,30 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Vector pooling
+  // ------------------------------------------------------------------
+
+  /** embedding_centroid — per-language mean embedding (the mean-pooling
+    * every embedding-space analysis starts with: cluster centers, drift
+    * checks, per-domain anchors). posexplode multiplies rows ×dim, but
+    * the (lang, dim) aggregation partial-aggregates map-side, so the
+    * shuffle carries at most n_langs × dim partial sums per task —
+    * constant in corpus size. The doc↔vector join is a co-partitioned
+    * equi-join on the id. */
+  def centroidByLang(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    emb(spark, dir)
+      .join(langs, Seq("vec_id"))
+      .select(col("lang"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("lang", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("avg_x"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("lang", "dim")
+  }
+
+  // ------------------------------------------------------------------
   // Recall as a driver-checkable result
   // ------------------------------------------------------------------
 

@@ -110,6 +110,31 @@ object SourceSinkQueries {
       .orderBy("_ingestion_date")
   }
 
+  /** scan_parquet_evolving — schema-evolution read: an early batch
+    * wrote (c_custkey, c_name), a later batch added c_acctbal;
+    * `mergeSchema` unions the footers so old files surface the new
+    * column as null. The aggregate distinguishes rows-with-balance from
+    * total rows, so a read that dropped either generation (or failed to
+    * merge) breaks the oracle. mergeSchema is a READ-TIME option here,
+    * not the default: at 100 TB footer-merging every file is a planning
+    * cost you opt into only for evolving tables. */
+  def scanParquetEvolving(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("evolve")
+    val c = Relational.table(spark, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name")
+      .write.parquet(root.resolve("gen1").toString)
+    c.filter(col("c_custkey") % 2 === 1)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .write.parquet(root.resolve("gen2").toString)
+    spark.read.option("mergeSchema", "true")
+      .parquet(root.resolve("gen1").toString, root.resolve("gen2").toString)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_acctbal")).as("n_with_bal"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+  }
+
   /** scan_rest_api — paginated fetch with data-key extraction and cursor
     * pagination, against a deterministic in-process "server" that pages
     * the nation table 5 rows at a time. */

@@ -133,6 +133,7 @@ object SparkEntry {
     "stream_resume" -> ((s, dir) => graft.streaming.Streaming.streamResumeQuery(s, dir)),
     "scan_parquet_evolving" -> ((s, dir) => SourceSinkQueries.scanParquetEvolving(s, dir)),
     "embedding_centroid" -> ((s, dir) => Similarity.centroidByLang(s, dir)),
+    "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1005,5 +1006,9 @@ object SparkEntry {
          JOIN documents d ON e.vec_id = d.doc_id,
               (SELECT unnest(generate_series(1, 64)) AS i)
          GROUP BY d.lang, i ORDER BY d.lang, dim""",
+    "sketch_bottomk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS rank, h
+         FROM (SELECT DISTINCT md5(c_name) AS h FROM customer)
+         ORDER BY h LIMIT 16""",
   )
 }

@@ -134,6 +134,7 @@ object SparkEntry {
     "scan_parquet_evolving" -> ((s, dir) => SourceSinkQueries.scanParquetEvolving(s, dir)),
     "embedding_centroid" -> ((s, dir) => Similarity.centroidByLang(s, dir)),
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
+    "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1010,5 +1011,16 @@ object SparkEntry {
       """SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS rank, h
          FROM (SELECT DISTINCT md5(c_name) AS h FROM customer)
          ORDER BY h LIMIT 16""",
+    // Final upserted state must equal the batch latest-per-key over the
+    // whole feed (ts in explicit micros — engine-neutral encoding).
+    "stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+                CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_micros,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+              FROM events)
+         SELECT user_id, event_id AS last_event_id,
+                event_type AS last_type, ts_micros
+         FROM r WHERE rn = 1 ORDER BY user_id""",
   )
 }

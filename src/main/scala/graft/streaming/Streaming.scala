@@ -213,34 +213,45 @@ object Streaming {
     * write" loop (`dag_generator.py:414-454`), surviving process death.
     * Rows double-counted on resume, or file B missed, would both break
     * the oracle equality. */
+  /** Land a DataFrame as ONE plain parquet file in a stream-source dir
+    * (the file source lists files, not subdirectories — a
+    * directory-shaped df.write output would be invisible to it). */
+  private def landSingleFile(
+      df: DataFrame, tmpBase: java.nio.file.Path,
+      srcDir: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = tmpBase.resolve(name + "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.move(part, srcDir.resolve(name))
+  }
+
+  /** The events table re-encoded for the stream source (raw nanos in
+    * `ts`), restricted to one event_id parity — the "half a feed has
+    * arrived" fixture for restart tests. */
+  private def eventsHalf(
+      spark: SparkSession, dir: String, parity: Int): DataFrame =
+    graft.operators.Relational.table(spark, dir, "events")
+      .filter(col("event_id") % 2 === parity)
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+
   def streamResumeQuery(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.util.Scratch.dir("graft_sresume")
     val srcDir = base.resolve("in")
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
-    // Land a DataFrame as ONE plain parquet file in the stream-source
-    // dir (the file source lists files, not subdirectories — a
-    // directory-shaped df.write output would be invisible to it).
-    def land(df: DataFrame, name: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val tmp = base.resolve(name + "_tmp")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
-      Files.move(part, srcDir.resolve(name))
-    }
+    def land(df: DataFrame, name: String): Unit =
+      landSingleFile(df, base, srcDir, name)
     def agg(df: DataFrame): DataFrame =
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
     // Run 1: only the first half of events (split by event_id parity)
     // is present.
-    val ev = graft.operators.Relational.table(spark, dir, "events")
-    def half(parity: Int): DataFrame = ev
-      .filter(col("event_id") % 2 === parity)
-      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    def half(parity: Int): DataFrame = eventsHalf(spark, dir, parity)
     land(half(0), "a.parquet")
     runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
       statePartitions = Some(8))
@@ -250,6 +261,68 @@ object Streaming {
     runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
       statePartitions = Some(8))
       .orderBy("event_type")
+  }
+
+  /** stream_upsert — foreachBatch MERGE into a keyed gold table: each
+    * micro-batch folds its rows into "latest event per user", persisted
+    * across batches AND across query restarts (run 1 sees half the
+    * feed, run 2 the rest; the final table must equal the batch
+    * latest-per-key over everything — the oracle). foreachBatch is the
+    * sink escape hatch the built-in sinks can't express: arbitrary
+    * batch-side logic with the stream's exactly-once bookkeeping.
+    *
+    * Scale: the upsert here rewrites the whole (key-bounded) gold
+    * table per batch — right when the key space is small (per-user
+    * latest state). For a 100 TB key space the same foreachBatch body
+    * targets a format with real MERGE (dynamic partition overwrite or
+    * a table format), not a full rewrite; the streaming side is
+    * unchanged. */
+  def streamUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.util.Scratch.dir("graft_supsert")
+    val srcDir = base.resolve("in")
+    val gold = base.resolve("gold").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    // Latest row per user: max (ts, event_id) — deterministic tie-break.
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    def upsertBatch(batch: DataFrame): Unit = {
+      val incoming = latestPerUser(batch)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+      val existing =
+        if (Files.exists(Paths.get(gold)))
+          batch.sparkSession.read.parquet(gold)
+        else incoming.limit(0)
+      // Materialize the merge BEFORE overwriting the dir it reads from.
+      val merged = latestPerUser(existing.unionByName(incoming))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(gold)
+    }
+    def run(): Unit = {
+      val q = eventsStream(spark, srcDir.toString)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch((b: DataFrame, _: Long) => upsertBatch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    landSingleFile(eventsHalf(spark, dir, 0), base, srcDir, "a.parquet")
+    run()
+    landSingleFile(eventsHalf(spark, dir, 1), base, srcDir, "b.parquet")
+    run()
+    spark.read.parquet(gold)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("ts").as("ts_micros"))
+      .orderBy("user_id")
   }
 
   /** stream_windowed_agg driver query — copy the events table into a

@@ -59,6 +59,16 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("foreachBatch upsert across restarts equals batch latest-per-key") {
+    val got = Streaming.streamUpsertQuery(spark, sfDir)
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = graft.operators.RelationalExt.latestByKey(spark, sfDir)
+      .select(col("user_id"), col("last_event_id"),
+        col("last_event_type"), col("ts_us"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("micro-batch runs leave no memory-sink tables in the catalog") {
     graft.operators.SourceSinkQueries.scanMicroBatch(spark, sfDir).count()
     val leaked = spark.catalog.listTables().collect()

@@ -135,6 +135,7 @@ object SparkEntry {
     "embedding_centroid" -> ((s, dir) => Similarity.centroidByLang(s, dir)),
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
+    "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1022,5 +1023,19 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id,
                 event_type AS last_type, ts_micros
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "time_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+         sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS h FROM b),
+         agg AS (SELECT date_trunc('hour', ts) AS h,
+                        CAST(count(*) AS BIGINT) AS n,
+                        round(sum(value), 2) AS s
+                 FROM events GROUP BY 1)
+         SELECT strftime(sp.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+                coalesce(s, 0.0) AS sum_value
+         FROM sp LEFT JOIN agg ON sp.h = agg.h
+         ORDER BY hour""",
   )
 }

@@ -545,6 +545,15 @@ object Dedup {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint(true)
+      // Convergence witness: per-doc labels are monotonically
+      // NON-INCREASING (each step takes a min over a set containing the
+      // current label), so the label SUM strictly decreases on any
+      // change — comparing sums detects the fixpoint with one cheap
+      // aggregate per iteration instead of a join + count.
+      def labelSum(df: DataFrame): Option[Long] =
+        Option(df.agg(sum("label")).head().getAs[java.lang.Long](0))
+          .map(_.longValue())
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -554,11 +563,10 @@ object Dedup {
         val updated = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("label").as("label"))
           .localCheckpoint(true)
-        val changed = updated
-          .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-          .filter(col("label") =!= col("prev")).count()
+        val curSum = labelSum(updated)
         labels = updated
-        converged = changed == 0
+        converged = curSum == prevSum
+        prevSum = curSum
         iter += 1
       }
       // Fail loudly rather than hand back silently-wrong clusters: a

@@ -97,6 +97,35 @@ object RelationalExt {
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
 
+  /** time_resample — fixed-interval resampling with gap fill: generate
+    * the complete hourly spine between the feed's min and max event
+    * time and left-join the hourly aggregates, zero-filling empty
+    * buckets — the normalization every sensor/metrics consumer needs
+    * before windowed models. The spine derives from a single-row
+    * min/max aggregate (broadcast to the join), the hourly aggregation
+    * is partial+final, and the spine row count is bounded by the time
+    * range, not the data volume. */
+  def timeResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.table(spark, dir, "events")
+      .select(col("ts"), col("value"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .as("h"))
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour")
+  }
+
   /** pivot_table — wide-format conditional aggregation
     * (groupBy().pivot().agg()). The pivot VALUES ARE PASSED EXPLICITLY:
     * without them Spark runs an extra distinct-collect job over the

@@ -136,6 +136,7 @@ object SparkEntry {
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
+    "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1037,5 +1038,16 @@ object SparkEntry {
                 coalesce(s, 0.0) AS sum_value
          FROM sp LEFT JOIN agg ON sp.h = agg.h
          ORDER BY hour""",
+    "sql_functions" ->
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 50 AND b.vec_id < 50
+              AND list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.46) AS n_close,
+           CAST(len(list_intersect(['a','b','c'], ['b','c','d'])) AS INT)
+             AS isect,
+           (SELECT min(md5(c_name)) FROM customer) AS min_hash""",
   )
 }

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{BottomKStrings, CosineSimilarity, SortedIntersectSize}
+
+/** SQL-surface registration of graft's native Catalyst functions, so
+  * `spark.sql("... cosine_sim(a, b) ...")` works exactly like the
+  * Column API. Two entry points, one function list:
+  *
+  *  - `GraftExtensions` is a `SparkSessionExtensions` injector for
+  *    sessions built with `.config("spark.sql.extensions",
+  *    "graft.plans.GraftExtensions")` — the deployment path.
+  *  - `GraftFunctions.registerAll(spark)` registers the same functions
+  *    on an ALREADY-RUNNING session (the correctness driver constructs
+  *    its own plain SparkSession, so the SQL queries call this; it is
+  *    idempotent).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples — the one list both
+    * registration paths share. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size", "sorted_intersect_size(a, b) - intersection size of two SORTED string arrays"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (FunctionIdentifier("bottom_k"),
+      info("bottom_k", "bottom_k(s, k) - k smallest distinct strings (KMV sketch with hashed input)"),
+      (args: Seq[Expression]) =>
+        BottomKStrings(args(0), intLit(args(1), "bottom_k k"))))
+
+  /** Register on a live session (idempotent: re-registration replaces
+    * the same identifiers). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+
+  /** sql_functions driver query — the native functions exercised from
+    * PURE SQL: a cosine-threshold pair count over the first 50 vectors,
+    * a merge-scan intersection of two array literals, and the global
+    * minimum name hash via the bottom-k sketch. Every output is an
+    * integer/string, so an external engine reproduces it bit-for-bit
+    * with its own primitives. */
+  def sqlFunctionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark)
+    graft.operators.Relational.table(spark, dir, "embeddings")
+      .createOrReplaceTempView("emb_sqlfn")
+    graft.operators.Relational.table(spark, dir, "customer")
+      .createOrReplaceTempView("cust_sqlfn")
+    try spark.sql(
+      """SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM emb_sqlfn a
+            JOIN emb_sqlfn b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 50 AND b.vec_id < 50
+              AND cosine_sim(a.embedding, b.embedding) >= 0.46) AS n_close,
+           sorted_intersect_size(array('a','b','c'), array('b','c','d'))
+             AS isect,
+           (SELECT element_at(bottom_k(md5(CAST(c_name AS BINARY)), 1), 1)
+            FROM cust_sqlfn) AS min_hash""").localCheckpoint(true)
+    finally {
+      spark.catalog.dropTempView("emb_sqlfn")
+      spark.catalog.dropTempView("cust_sqlfn")
+    }
+  }
+}

@@ -137,6 +137,7 @@ object SparkEntry {
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
+    "text_pii_redact" -> ((s, dir) => Curation.piiRedactQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1049,5 +1050,26 @@ object SparkEntry {
            CAST(len(list_intersect(['a','b','c'], ['b','c','d'])) AS INT)
              AS isect,
            (SELECT min(md5(c_name)) FROM customer) AS min_hash""",
+    "text_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    AS raw
+                FROM documents),
+         e AS (SELECT doc_id, raw,
+                 regexp_replace(raw,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                   '<EMAIL>', 'g') AS no_email
+               FROM d)
+         SELECT doc_id,
+                regexp_replace(no_email, '\+\d[\d-]{5,}', '<PHONE>', 'g')
+                  AS text_redacted,
+                CAST(len(regexp_extract_all(raw,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(no_email,
+                  '\+\d[\d-]{5,}')) AS INT) AS n_phones
+         FROM e ORDER BY doc_id""",
   )
 }

@@ -124,6 +124,43 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+
+  /** Email/phone redaction over a text column: placeholder-substitute
+    * every match and count what was removed (the audit number a
+    * curation report carries). Pure codegen'd regexp expressions — runs
+    * at scan speed, no shuffle, column-prunes to `text`. Patterns stay
+    * within the regex subset whose semantics agree across engines
+    * (character classes, bounded repetition — no lookaround). */
+  def redactPii(text: Column): (Column, Column, Column) = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\+\\d[\\d-]{5,}"
+    val noEmail = regexp_replace(text, emailPat, "<EMAIL>")
+    val redacted = regexp_replace(noEmail, phonePat, "<PHONE>")
+    (redacted,
+      regexp_count(text, lit(emailPat)).cast("int"),
+      regexp_count(noEmail, lit(phonePat)).cast("int"))
+  }
+
+  /** text_pii_redact driver query — the corpus carries no real PII, so
+    * each doc is deterministically decorated with one synthetic email
+    * and phone (a fixture both engines construct identically), then
+    * redacted; emits the redacted text and per-kind removal counts. */
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val (redacted, nEmails, nPhones) = redactPii(decorated)
+    docs(spark, dir).select(
+        col("doc_id"),
+        redacted.as("text_redacted"),
+        nEmails.as("n_emails"),
+        nPhones.as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // Domain-mixture sampling
   // ------------------------------------------------------------------
 

@@ -110,6 +110,19 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PII redaction removes every synthetic email and phone") {
+    val out = Curation.piiRedactQuery(spark, sfDir)
+    val bad = out.filter(col("text_redacted").contains("@example.com") ||
+      col("text_redacted").rlike("\\+\\d")).count()
+    assert(bad == 0)
+    val counts = out.select(sum("n_emails"), sum("n_phones"))
+      .as[(Long, Long)].head()
+    val n = out.count()
+    assert(counts == ((n, n))) // exactly one of each was planted per doc
+    assert(out.filter(col("text_redacted").contains("<EMAIL>")).count() == n)
+    assert(out.filter(col("text_redacted").contains("<PHONE>")).count() == n)
+  }
+
   test("token_length_histogram bins partition the corpus exactly") {
     val h = Curation.tokenLengthHistogram(spark, sfDir)
       .as[(Int, Long, Long)].collect()

@@ -14,6 +14,11 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("every query has an oracle (no weaker rows-only checks)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

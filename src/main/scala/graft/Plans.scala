@@ -24,7 +24,8 @@ object Plans {
       "scan_db", "sessionize", "upsert_latest_by_key", "skew_salted_join",
       "range_join", "pivot_table", "text_decontaminate", "text_repetition",
       "sample_stratified", "token_length_histogram",
-      "pipeline_pretrain_curation")
+      "pipeline_pretrain_curation", "sketch_bottomk", "embedding_centroid",
+      "time_resample", "text_pii_redact", "text_token_count")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

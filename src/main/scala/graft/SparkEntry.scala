@@ -545,6 +545,9 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS INT)
+                  AS n_subwords,
                 CAST(length(text) AS INT) AS n_chars_measured,
                 n_chars
          FROM documents ORDER BY doc_id""",

@@ -37,13 +37,21 @@ object TextOps {
     array_distinct(when(size(ws) >= k, sh).otherwise(array()))
   }
 
-  /** token_count — whitespace token count plus a BPE-ish subword count
-    * estimate (words + punctuation splits), both codegen'd. */
+  /** token_count — whitespace token count plus a BPE-ish subword
+    * estimate, both codegen'd. The subword count uses a GPT-2-style
+    * pre-tokenizer split — alphabetic runs, digit runs, and single
+    * non-alphanumeric marks each count once, with long runs chunked to
+    * ≤4 chars (the scale of a learned merge table's reach) — a cheap,
+    * deterministic proxy for "how many BPE tokens will this cost"
+    * that needs no vocabulary file. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(spark, dir, "documents")
+    val subwordPat = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
+      regexp_count(lower(col("text")), lit(subwordPat)).cast("int")
+        .as("n_subwords"),
       length(col("text")).as("n_chars_measured"),
       col("n_chars"))
       .orderBy("doc_id")

@@ -138,6 +138,8 @@ object SparkEntry {
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
     "text_pii_redact" -> ((s, dir) => Curation.piiRedactQuery(s, dir)),
+    "approx_quantile" -> ((s, dir) => RelationalExt.approxQuantile(s, dir)),
+    "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1074,5 +1076,26 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(no_email,
                   '\+\d[\d-]{5,}')) AS INT) AS n_phones
          FROM e ORDER BY doc_id""",
+    // Sketch internals differ across engines: the oracle checks the
+    // exact discrete median plus the engine's own error assertion.
+    "approx_quantile" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem)
+         SELECT l_returnflag,
+                min(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END)
+                  AS exact_p50,
+                true AS approx_within_1pct
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_qty,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   )
 }

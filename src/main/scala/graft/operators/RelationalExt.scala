@@ -97,6 +97,46 @@ object RelationalExt {
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
 
+  /** approx_quantile — percentile_approx (GK sketch) with a
+    * self-asserted error bound against the exact discrete median:
+    * sketch internals differ across engines, so the oracle checks the
+    * exact value plus the engine's own "approx within 1%" assertion
+    * (the approx_distinct pattern). At 100 TB the sketch is the only
+    * option — it partial-aggregates and never materializes a sort. */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Relational.table(spark, dir, "lineitem")
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val exact = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("l_returnflag"), col("l_extendedprice").as("exact_p50"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx_p50"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) /
+          col("exact_p50") < 0.01).as("approx_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** grouping_sets — CUBE aggregation with grouping_id: every
+    * combination of the two keys plus both margins and the grand total
+    * in ONE pass (Spark expands the grouping sets inside a single
+    * partial+final aggregation, not one scan per set). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** time_resample — fixed-interval resampling with gap fill: generate
     * the complete hourly spine between the feed's min and max event
     * time and left-join the hourly aggregates, zero-filling empty

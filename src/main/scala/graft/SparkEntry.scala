@@ -140,6 +140,7 @@ object SparkEntry {
     "text_pii_redact" -> ((s, dir) => Curation.piiRedactQuery(s, dir)),
     "approx_quantile" -> ((s, dir) => RelationalExt.approxQuantile(s, dir)),
     "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
+    "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1097,5 +1098,23 @@ object SparkEntry {
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // Session semantics: a window extends to lastEvent + gap EXCLUSIVE,
+    // so an event exactly gap after its predecessor starts a NEW
+    // session -> the island break condition is >= gap.
+    "stream_session_window" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
   )
 }

@@ -106,6 +106,38 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time SESSION windows (dynamic-gap windowing): a user's
+    * session extends while events arrive within `gap` of the previous
+    * one; the watermark closes sessions and evicts their state. The
+    * native `session_window` merges per-key overlapping windows inside
+    * the aggregation — no self-join, no driver logic. */
+  def sessionCounts(
+      events: DataFrame, watermark: String = "1 hour",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** stream_session_window driver query — run the session aggregation
+    * to completion; final sessions equal the batch gaps-and-islands
+    * computation, which is the oracle. */
+  def sessionWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_swin")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    runAvailableNow(
+      sessionCounts(eventsStream(spark, srcDir.toString)),
+      base.resolve("ckpt").toString, statePartitions = Some(8))
+      .orderBy("user_id", "session_start")
+  }
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserSession(user_id: Long, n_events: Long, n_purchases: Long)
 

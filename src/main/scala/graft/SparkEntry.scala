@@ -141,6 +141,7 @@ object SparkEntry {
     "approx_quantile" -> ((s, dir) => RelationalExt.approxQuantile(s, dir)),
     "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
     "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
+    "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1116,5 +1117,13 @@ object SparkEntry {
                 user_id, CAST(count(*) AS BIGINT) AS n_events
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // Deterministic fixture: 5 data rows, two malformed (unparseable
+    // number, wrong arity) — quarantined, not dropped.
+    "scan_csv_malformed" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows,
+                CAST(3 AS BIGINT) AS n_clean,
+                CAST(2 AS BIGINT) AS n_corrupt,
+                CAST(90 AS BIGINT) AS clean_qty,
+                '2,beta,not_a_number|4,delta' AS corrupt_payloads""",
   )
 }

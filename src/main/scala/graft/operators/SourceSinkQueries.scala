@@ -135,6 +135,47 @@ object SourceSinkQueries {
         round(sum(col("c_acctbal")), 2).as("sum_bal"))
   }
 
+  /** scan_csv_malformed — ingestion-grade CSV reading: PERMISSIVE mode
+    * with a corrupt-record column, so bad rows are QUARANTINED (kept,
+    * flagged, auditable) instead of silently dropped or failing the
+    * batch — the behavior a bronze layer needs when a feed ships a few
+    * broken lines inside a 100 TB drop. The fixture file carries two
+    * deliberately malformed rows (wrong arity, unparseable number);
+    * the query reports clean/corrupt splits and the corrupt payloads. */
+  def scanCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("csvmal")
+    val f = root.resolve("feed.csv")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "id,name,qty",
+      "1,alpha,10",
+      "2,beta,not_a_number", // unparseable qty
+      "3,gamma,30",
+      "4,delta",             // missing column
+      "5,epsilon,50"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("qty", LongType), StructField("_corrupt", StringType)))
+    val df = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(f.toString)
+      // The corrupt-record column is lazily populated; materialize
+      // before aggregating over it (Spark requires a cache/checkpoint
+      // when _corrupt is selected together with other columns).
+      .localCheckpoint(true)
+    df.select(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+      count(col("_corrupt")).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, col("qty")).otherwise(0L))
+        .cast("bigint").as("clean_qty"),
+      concat_ws("|", sort_array(collect_list(col("_corrupt"))))
+        .as("corrupt_payloads"))
+  }
+
   /** scan_rest_api — paginated fetch with data-key extraction and cursor
     * pagination, against a deterministic in-process "server" that pages
     * the nation table 5 rows at a time. */

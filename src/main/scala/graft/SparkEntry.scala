@@ -142,6 +142,7 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
     "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
+    "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1125,5 +1126,12 @@ object SparkEntry {
                 CAST(2 AS BIGINT) AS n_corrupt,
                 CAST(90 AS BIGINT) AS clean_qty,
                 '2,beta,not_a_number|4,delta' AS corrupt_payloads""",
+    "chain_failure_status" ->
+      """SELECT * FROM (VALUES
+           ('ok_filter', 0, 'success', false),
+           ('boom_missing_col', 1, 'failed', true),
+           ('never_runs', 2, 'skipped', false))
+           t(step_name, ord, status, has_error)
+         ORDER BY ord""",
   )
 }

@@ -179,6 +179,26 @@ object TransformQueries {
     Sources.scanParquet(spark, r.goldPath).orderBy("h", "rnk")
   }
 
+  /** chain_failure_status — the chain's failure state machine
+    * (`silver_service.py:96-127`): the first failing step records its
+    * error, every later step is SKIPPED (not run against a broken
+    * frame), earlier successes keep their status. The failing step
+    * references a missing column, so the failure surfaces at plan
+    * construction — before any data moves. */
+  def chainFailureStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = Seq(
+      Step("ok_filter", _.filter(col("o_orderstatus") === "O"), order = 0),
+      Step("boom_missing_col", _.select(col("no_such_column")), order = 1),
+      Step("never_runs", _.limit(1), order = 2))
+    val (_, results) =
+      Chain.run(Relational.table(spark, dir, "orders"), steps)
+    results
+      .map(r => (r.name, r.order, r.status, r.error.isDefined))
+      .toDF("step_name", "ord", "status", "has_error")
+      .orderBy("ord")
+  }
+
   /** code_store — the file-persisted audit trail of transform code
     * (reference `code_saver.py`): every lifecycle event (AI draft,
     * dry-run, confirm v1, manual edit, confirm v2, gold confirm,

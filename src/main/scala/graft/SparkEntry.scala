@@ -143,6 +143,7 @@ object SparkEntry {
     "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
     "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
+    "stream_batched_cap" -> ((s, dir) => graft.streaming.Streaming.streamBatchedCapQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1133,5 +1134,10 @@ object SparkEntry {
            ('never_runs', 2, 'skipped', false))
            t(step_name, ord, status, has_error)
          ORDER BY ord""",
+    // Cap proof: 3 files with maxFilesPerTrigger=1 -> exactly 3
+    // micro-batches; row total proves nothing was dropped between them.
+    "stream_batched_cap" ->
+      """SELECT CAST(3 AS BIGINT) AS n_batches,
+                (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows""",
   )
 }

@@ -357,6 +357,46 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** stream_batched_cap — the reference's max_messages ingestion cap
+    * (`dag_generator.py:414-416`): a bounded amount of input per
+    * micro-batch. On the file source the cap is `maxFilesPerTrigger`;
+    * on Kafka it is `maxOffsetsPerTrigger` (`kafkaStream` wires it).
+    * Three files + cap 1 must yield exactly three micro-batches whose
+    * union is the whole feed — batch COUNT proves the cap was applied,
+    * row totals prove nothing was dropped between batches. */
+  def streamBatchedCapQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir("graft_scap")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    val ev = graft.operators.Relational.table(spark, dir, "events")
+    (0 until 3).foreach { i =>
+      landSingleFile(
+        ev.filter(col("event_id") % 3 === i)
+          .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props")),
+        base, srcDir, s"part$i.parquet")
+    }
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        rows.addAndGet(b.count())
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq((batches.get(), rows.get()))
+      .toDF("n_batches", "n_rows")
+  }
+
   /** stream_windowed_agg driver query — copy the events table into a
     * stream-source dir, run the watermarked windowed aggregation to
     * completion, return the (deterministic) final counts. */

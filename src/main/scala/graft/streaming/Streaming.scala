@@ -254,9 +254,12 @@ object Streaming {
     import scala.jdk.CollectionConverters._
     val tmp = tmpBase.resolve(name + "_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file under $tmp"))
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      finally listing.close()
     Files.move(part, srcDir.resolve(name))
   }
 

@@ -119,13 +119,19 @@ final class CodeStore(root: Path, clock: () => Instant = () => Instant.now()) {
     * version), so this listing IS the audit trail. */
   def list(): Seq[(String, String, String)] =
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(root.relativize)
-      .filter(_.getNameCount == 3)
-      .map(p => (p.getName(0).toString, p.getName(1).toString,
-        p.getName(2).toString))
-      .toSeq.sorted
+    else {
+      val walk = Files.walk(root)
+      // Materialize fully before closing: Files.walk holds directory
+      // handles until the stream is closed.
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(root.relativize)
+        .filter(_.getNameCount == 3)
+        .map(p => (p.getName(0).toString, p.getName(1).toString,
+          p.getName(2).toString))
+        .toVector.sorted
+      finally walk.close()
+    }
 
   /** Read an artifact back (header included). */
   def read(project: String, layer: String, fileName: String): String =

@@ -144,6 +144,8 @@ object SparkEntry {
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
     "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
     "stream_batched_cap" -> ((s, dir) => graft.streaming.Streaming.streamBatchedCapQuery(s, dir)),
+    "dedup_incremental" -> ((s, dir) => Curation.incrementalDedupQuery(s, dir)),
+    "quality_funnel" -> ((s, dir) => Curation.qualityFunnelQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1139,5 +1141,47 @@ object SparkEntry {
     "stream_batched_cap" ->
       """SELECT CAST(3 AS BIGINT) AS n_batches,
                 (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows""",
+    "dedup_incremental" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                     WHERE doc_id % 2 = 0),
+         inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                 UNION ALL
+                 SELECT doc_id + 10000, text FROM documents
+                 WHERE doc_id % 2 = 0 AND doc_id < 100)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
+                (SELECT CAST(count(*) AS BIGINT) FROM inc
+                 WHERE md5(text) NOT IN (SELECT fp FROM ex)) AS n_new,
+                (SELECT CAST(count(*) AS BIGINT) FROM inc)
+                  - (SELECT CAST(count(*) AS BIGINT) FROM inc
+                     WHERE md5(text) NOT IN (SELECT fp FROM ex))
+                  AS n_already_known""",
+    "quality_funnel" ->
+      """WITH q AS (SELECT
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(len(string_split(text, ' '))
+                  - len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS dup_ratio
+           FROM documents),
+         f AS (SELECT count(*) AS n0,
+                 sum(CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN n_tok >= 20 AND stop_ratio >= 0.02
+                          THEN 1 ELSE 0 END) AS n2,
+                 sum(CASE WHEN n_tok >= 20 AND stop_ratio >= 0.02
+                            AND dup_ratio <= 0.8
+                          THEN 1 ELSE 0 END) AS n3
+               FROM q)
+         SELECT stage,
+                CAST(n_removed AS BIGINT) AS n_removed,
+                CAST(n_remaining AS BIGINT) AS n_remaining
+         FROM (SELECT '1_min_length' AS stage, n0 - n1 AS n_removed,
+                      n1 AS n_remaining FROM f
+               UNION ALL
+               SELECT '2_stopword_ratio', n1 - n2, n2 FROM f
+               UNION ALL
+               SELECT '3_repetition', n2 - n3, n3 FROM f)
+         ORDER BY stage""",
   )
 }

@@ -95,6 +95,11 @@ object Curation {
     * codegen'd array expressions on the scan side. The window that
     * picks each doc's top bigram partitions by doc_id (no global
     * sort). Tie-break (count desc, bigram asc) is deterministic.
+    *
+    * CONTRACT: docs with fewer than 2 tokens have no bigrams and no
+    * repetition signal — they are omitted from the output (the inner
+    * join against the per-doc top bigram is intentional; the oracle
+    * mirrors it).
     */
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
@@ -121,6 +126,78 @@ object Curation {
         (col("top_bigram_n").cast("double") / (col("n_tokens") - 1))
           .as("top_bigram_frac"))
       .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental (cross-corpus) dedup
+  // ------------------------------------------------------------------
+
+  /** dedup_incremental — dedup a NEW batch against an EXISTING corpus
+    * (the steady-state shape of corpus growth: each crawl lands against
+    * everything already kept, not against itself alone). Anti-join on
+    * sha2(text): the shuffle carries 32-byte digests, never bodies, and
+    * at 100 TB the existing side's digest set is a compact table that
+    * co-partitions with the incoming batch. Emits the audit row a
+    * growth report needs: batch size, how many were already present,
+    * how many are genuinely new. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val fp = sha2(col(textCol).cast("binary"), 256)
+    val known = existing.select(fp.as("_fp")).distinct()
+    incoming.withColumn("_fp", fp)
+      .join(known, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
+  /** Driver query — existing corpus = even doc_ids; the incoming batch
+    * = odd doc_ids PLUS re-keyed copies of 50 existing docs (the crawl
+    * overlap). The dedup must drop exactly the copies. */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val existing = d.filter(col("doc_id") % 2 === 0)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+      .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val fresh = incrementalDedup(existing, incoming)
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(fresh.agg(count(lit(1)).as("n_new")))
+      .select(col("n_incoming"), col("n_new"),
+        (col("n_incoming") - col("n_new")).as("n_already_known"))
+  }
+
+  // ------------------------------------------------------------------
+  // Quality-filter funnel
+  // ------------------------------------------------------------------
+
+  /** quality_funnel — per-stage removal accounting: how many docs each
+    * quality rule removes when applied in order (min length → stopword
+    * ratio → repetition), and how many survive the whole funnel —
+    * the dataset-card table every corpus release publishes. One scan;
+    * each stage is a boolean column and the funnel is a single
+    * aggregation over cumulative conjunctions (no per-stage jobs). */
+  def qualityFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws)
+    val stopRatio = size(filter(ws, w => w.isin(TextOps.StopWords: _*)))
+      .cast("double") / nTok
+    val dupRatio = (nTok - size(array_distinct(ws))).cast("double") / nTok
+    val pass1 = nTok >= 20                 // min length
+    val pass2 = pass1 && stopRatio >= 0.02 // language-ish confidence
+    val pass3 = pass2 && dupRatio <= 0.8   // repetition cap
+    val agg = docs(spark, dir).agg(
+      count(lit(1)).as("n0"),
+      sum(when(pass1, 1L).otherwise(0L)).as("n1"),
+      sum(when(pass2, 1L).otherwise(0L)).as("n2"),
+      sum(when(pass3, 1L).otherwise(0L)).as("n3")).head()
+    val Seq(n0, n1, n2, n3) =
+      (0 to 3).map(i => agg.getAs[Long](i))
+    Seq(
+      ("1_min_length", n0 - n1, n1),
+      ("2_stopword_ratio", n1 - n2, n2),
+      ("3_repetition", n2 - n3, n3))
+      .toDF("stage", "n_removed", "n_remaining")
+      .orderBy("stage")
   }
 
   // ------------------------------------------------------------------

@@ -123,6 +123,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("text_redacted").contains("<PHONE>")).count() == n)
   }
 
+  test("incremental dedup drops exactly the already-known texts") {
+    val existing = Seq((0L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq((1L, "gamma"), (3L, "beta"), (5L, "alpha"),
+      (7L, "delta")).toDF("doc_id", "text")
+    val fresh = Curation.incrementalDedup(existing, incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(1L, 7L))
+  }
+
+  test("quality funnel stages are monotone and sum to the corpus") {
+    val f = Curation.qualityFunnelQuery(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val total = graft.operators.Relational.table(spark, sfDir, "documents")
+      .count()
+    // removed counts plus final survivors partition the corpus
+    assert(f.map(_._2).sum + f.last._3 == total)
+    // remaining counts never increase down the funnel
+    assert(f.map(_._3).toSeq == f.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("token_length_histogram bins partition the corpus exactly") {
     val h = Curation.tokenLengthHistogram(spark, sfDir)
       .as[(Int, Long, Long)].collect()

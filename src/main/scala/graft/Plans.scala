@@ -25,7 +25,9 @@ object Plans {
       "range_join", "pivot_table", "text_decontaminate", "text_repetition",
       "sample_stratified", "token_length_histogram",
       "pipeline_pretrain_curation", "sketch_bottomk", "embedding_centroid",
-      "time_resample", "text_pii_redact", "text_token_count")
+      "time_resample", "text_pii_redact", "text_token_count",
+      "dedup_incremental", "quality_funnel", "grouping_sets",
+      "approx_quantile")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

@@ -75,6 +75,41 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("binned range join equals the naive range join on random data") {
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000000L // fixed epoch-micros origin
+    val hour = 3600000000L
+    val pts = samples(Gen.chooseNum(0L, 72L * hour), 150).zipWithIndex
+      .map { case (off, i) => (i.toLong, new java.sql.Timestamp((base + off) / 1000)) }
+    val ivs = samples(Gen.zip(Gen.chooseNum(0L, 70L * hour),
+      Gen.chooseNum(1L, 10L * hour)), 40).zipWithIndex
+      .map { case ((s, len), i) =>
+        (i.toLong, new java.sql.Timestamp((base + s) / 1000),
+          new java.sql.Timestamp((base + s + len) / 1000)) }
+    val p = pts.toDF("p_id", "t")
+    val iv = ivs.toDF("i_id", "s", "e")
+    val want = p.join(iv, col("t") >= col("s") && col("t") < col("e"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    Seq(1800L, 3600L, 7 * 3600L).foreach { w =>
+      val got = graft.operators.RangeJoin
+        .pointInInterval(p, "t", iv, "s", "e", binWidthSec = w)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"binWidthSec=$w")
+    }
+  }
+
+  test("bottom_k equals sorted distinct take(k) on random multisets") {
+    import org.apache.spark.sql.functions._
+    val vals = samples(Gen.chooseNum(0, 300), 400).map(i => f"v$i%03d")
+    val want = vals.distinct.sorted.take(7)
+    Seq(1, 5, 24).foreach { parts =>
+      val got = vals.toDF("s").repartition(parts)
+        .agg(graft.functions.BottomKStrings.asColumn(col("s"), 7).as("bk"))
+        .as[Seq[String]].head()
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("hash split is a stable partition: every id lands in exactly one side") {
     import org.apache.spark.sql.functions._
     val ids = samples(Gen.chooseNum(0L, 1000000L), 200)

@@ -1015,7 +1015,9 @@ object SparkEntry {
          FROM customer""",
     "embedding_centroid" ->
       """SELECT d.lang, CAST(i - 1 AS INT) AS dim,
-                round(avg(CAST(e.embedding[i] AS DOUBLE)), 4) AS avg_x,
+                CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT))
+                     AS DOUBLE) / (count(*) * 1000000.0) AS avg_x,
                 CAST(count(*) AS BIGINT) AS n_vecs
          FROM embeddings e
          JOIN documents d ON e.vec_id = d.doc_id,

@@ -325,7 +325,11 @@ object Dedup {
     * boundary pair OUT of the candidate set: completeness is the part
     * verification cannot recover, while the extra candidates the slack
     * admits are removed by the exact verify step. */
-  private[graft] def prefixCandidates(
+  /** The per-doc rarest-prefix relation (doc_id, shingle, sz, rk) the
+    * candidate self-join runs over. Split out so callers can persist it
+    * once across both sides of that self-join — without the persist the
+    * explode → df-join → window chain runs twice. */
+  private[graft] def prefixRelation(
       shg: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Eps = 1e-9
@@ -339,10 +343,19 @@ object Dedup {
     val ranked = sh.join(freq, Seq("shingle"))
       .select(col("doc_id"), col("shingle"), col("sz"),
         row_number().over(byRarity).as("rk"))
-    val pref = ranked
+    ranked
       .filter(col("rk") <=
         col("sz") - ceil(col("sz") * threshold - Eps) + 1)
       .select("doc_id", "shingle", "sz", "rk")
+  }
+
+  /** Candidate pairs from a prefix relation. May emit a pair once per
+    * shared prefix shingle (a small bounded factor) — callers that need
+    * set semantics apply `.distinct()`; the exploded/left-semi verify
+    * steps tolerate duplicates, so the hot path skips that shuffle. */
+  private[graft] def prefixCandidatesOf(
+      pref: DataFrame, threshold: Double): DataFrame = {
+    val Eps = 1e-9
     // jaccard ≥ t needs overlap ≥ t·(sz_a+sz_b)/(1+t); a match at
     // rank rk leaves at most sz - rk shingles after it (positional
     // filter, PPJoin: Xiao et al. 2008) — pairs whose only shared
@@ -359,8 +372,12 @@ object Dedup {
         col("sz_b") * threshold <= col("sz_a") + Eps &&
         least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) + 1
           >= minOverlap)
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
   }
+
+  private[graft] def prefixCandidates(
+      shg: DataFrame, threshold: Double): DataFrame =
+    prefixCandidatesOf(prefixRelation(shg, threshold), threshold).distinct()
 
   /** Exact Jaccard for a LARGE candidate-pair set: intersection counts
     * come from the exploded shingle relation (narrow rows through the
@@ -408,8 +425,17 @@ object Dedup {
   def prefixJaccardPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
     val shg = shingleArrays(docsDf).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try jaccardVerifyExploded(shg, prefixCandidates(shg, threshold), threshold)
-    finally shg.unpersist(false)
+    try {
+      val pref = prefixRelation(shg, threshold).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Duplicate candidates (one per shared prefix shingle) are fine:
+      // the exploded verify's left-semi pair filter and the distinct'd
+      // docs-in-play set both tolerate them, so the former global
+      // `.distinct()` shuffle over the candidate set is skipped.
+      try jaccardVerifyExploded(shg,
+        prefixCandidatesOf(pref, threshold), threshold)
+      finally pref.unpersist(false)
+    } finally shg.unpersist(false)
   }
 
   /** dedup_ngram_jaccard — EXACT n-gram Jaccard threshold join. Same
@@ -511,12 +537,50 @@ object Dedup {
     val sh = shingleArrays(docs(spark, dir)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cands = simHashCandidatesOfShingles(sh, maxHamming)
-        .union(minHashCandidatesOfShingles(sh, threshold))
-        .distinct()
-      jaccardVerifyShingled(sh, cands, threshold)
-        .select("doc_a", "doc_b")
-        .orderBy("doc_a", "doc_b")
+      // FUSED candidate generation: both legs' (band, key) rows are
+      // unioned BEFORE a single bucket self-join, replacing the former
+      // per-leg self-join + pair-set union + distinct (three shuffles
+      // and an eager checkpoint barrier) with one join + one groupBy.
+      // Simhash bands are offset to 1000+ so the two legs' key spaces
+      // can never alias. The hamming prune applies only to pairs whose
+      // sole provenance is a simhash band (`from_min` tracks whether
+      // any minhash bucket produced the pair) — minhash candidates keep
+      // their threshold-tuned recall bound untouched, and the exact
+      // verify removes every false candidate either way.
+      val sig = simHashOfShingles(sh).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val simBandCols = (0 until 8).map { bi =>
+          struct(lit(1000 + bi).as("band"),
+            shiftright(col("simhash"), bi * 8).bitwiseAND(0xFFL).as("key"))
+        }
+        val simBanded = sig
+          .select(col("doc_id"), explode(array(simBandCols: _*)).as("bk"))
+          .select(col("doc_id"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val (bands, rows) = chooseBands(threshold, 128)
+        val minBanded =
+          lshBands(minHashSignaturesOfShingles(sh, 128), bands, rows)
+        val banded = minBanded.unionByName(simBanded)
+        val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+        val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+        val cands = l.join(r, Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(max(when(col("band") < 1000, 1).otherwise(0)).as("from_min"))
+          .join(sig.select(col("doc_id").as("doc_a"),
+            col("simhash").as("sh_a")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"),
+            col("simhash").as("sh_b")), Seq("doc_b"))
+          .filter(col("from_min") === 1 ||
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+          .select("doc_a", "doc_b")
+        // jaccardVerifyShingled materializes eagerly, so sig/sh can be
+        // released as soon as it returns.
+        jaccardVerifyShingled(sh, cands, threshold)
+          .select("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      } finally sig.unpersist(false)
     } finally sh.unpersist(false)
   }
 

@@ -329,7 +329,14 @@ object Similarity {
     * the (lang, dim) aggregation partial-aggregates map-side, so the
     * shuffle carries at most n_langs × dim partial sums per task —
     * constant in corpus size. The doc↔vector join is a co-partitioned
-    * equi-join on the id. */
+    * equi-join on the id.
+    *
+    * The mean is made engine-neutral by quantizing each element to
+    * 1e-6 with pure IEEE ops (floor(x*1e6 + 0.5) — bit-identical on
+    * any engine), summing the exact integers (order-independent), and
+    * doing ONE deterministic division at the end. `round(avg(...))`
+    * is explicitly avoided: float summation order differs between
+    * engines and rounding then manufactures half-way disagreements. */
   def centroidByLang(spark: SparkSession, dir: String): DataFrame = {
     val langs = Relational.table(spark, dir, "documents")
       .select(col("doc_id").as("vec_id"), col("lang"))
@@ -338,7 +345,10 @@ object Similarity {
       .select(col("lang"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("lang", "dim")
-      .agg(round(avg(col("x").cast("double")), 4).as("avg_x"),
+      .agg(
+        (sum(floor(col("x").cast("double") * lit(1e6) + lit(0.5)))
+          .cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
+          .as("avg_x"),
         count(lit(1)).as("n_vecs"))
       .orderBy("lang", "dim")
   }

@@ -102,6 +102,7 @@ object SparkEntry {
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
+    "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
@@ -532,14 +533,34 @@ object SparkEntry {
     // and the bound is chosen below the measured floor per scale factor
     // (see SimilaritySpec). The oracle checks the assertion, not the
     // (engine-specific) neighbor lists.
+    // ANN plans are seeded and deterministic, so the hit count is a
+    // fixed function of the dataset; the oracle pins the measured value
+    // per scale factor (keyed on lineitem's row count, which is unique
+    // per SF — embeddings has 500 rows at both sf0.001 and sf0.01).
+    // A recall regression is then a driver-visible hash mismatch even
+    // when it still clears the bound.
     "similarity_ann_lsh" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(49 AS BIGINT) AS n_hits,
+                CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
     "similarity_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(CASE (SELECT count(*) FROM lineitem)
+                     WHEN 6000 THEN 41 WHEN 60000 THEN 44
+                     WHEN 600000 THEN 42 END AS BIGINT) AS n_hits,
+                CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
+    // The pruning/equivalence booleans are computed by the engine from
+    // the executed plan (partition dirs selected vs on disk) and the
+    // in-memory IVF result; the oracle pins them true.
+    "similarity_ivf_partitioned" ->
+      """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
+                true AS matches_in_memory_ivf,
+                true AS scan_pruned
+         FROM embeddings WHERE vec_id < 2""",
     "text_normalize" ->
       """SELECT doc_id,
                 CAST(length(text) AS INT) AS n_chars_raw,

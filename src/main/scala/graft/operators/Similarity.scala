@@ -306,7 +306,18 @@ object Similarity {
     val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
     e.select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    // At query time the probe list is driver-known: nQueries is a
+    // bounded set by definition and the quantizer is tiny, so the cell
+    // predicate below is a STATIC partition filter — the parquet scan
+    // lists and reads ONLY the probed cell directories. This is what
+    // turns nProbe/nCells into a physical I/O fraction instead of a
+    // post-scan filter (verified by `ivfPartitionedQuery`).
+    val probedCells = e.filter(col("vec_id") < nQueries)
+      .select(col("embedding")).collect()
+      .flatMap(r => nearestCells(cs, normalize(r.getSeq[Float](0)), nProbe))
+      .distinct.toSeq
     val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
         col("cell"))
     val queries = queriesDf(e, nQueries)
@@ -317,6 +328,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cos(col("qe"), col("ne")).as("sim"))
     topK(scored, k)
+  }
+
+  /** Number of partition directories the plan's parquet scan over
+    * `idx` selected after partition-filter pruning — the physical
+    * witness that probing an IVF cell-partitioned index reads only the
+    * probed directories. */
+  private[graft] def cellsRead(df: DataFrame, idx: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(idx)))
+      .map(_.selectedPartitions.partitionCount).sum
+  }
+
+  /** similarity_ivf_partitioned — the "cell id as partition column ⇒
+    * probe = partition pruning" claim as a driver-checked fact. Writes
+    * the cell-partitioned index, answers a probe query from it, and
+    * emits one row asserting (a) the result equals the in-plan IVF
+    * path and (b) the scan physically selected at most the probed
+    * cells — strictly fewer directories than exist on disk. The only
+    * driver-side data are the k·nQueries result rows and two plan
+    * metrics, both O(1) in corpus size. */
+  def ivfPartitionedQuery(
+      spark: SparkSession, dir: String,
+      nQueries: Long = 2, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val idx = graft.util.Scratch.dir("ivf_index").toString
+    val part = ivfPartitionedTopK(
+      spark, dir, idx, nQueries, k, nCells, nProbe, seed)
+    val rows = part.collect()
+    val read = cellsRead(part, idx)
+    val onDisk = new java.io.File(idx).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val mem =
+      ivfTopK(spark, dir, nQueries, k, nCells, nProbe, seed).collect()
+    Seq((rows.length.toLong,
+      rows.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
+      read <= nQueries * nProbe && read < onDisk))
+      .toDF("n_results", "matches_in_memory_ivf", "scan_pruned")
   }
 
   // ------------------------------------------------------------------
@@ -367,8 +424,14 @@ object Similarity {
   def annRecallQuery(
       spark: SparkSession, dir: String, method: String,
       bound: Double, nQueries: Long = 5, k: Int = 10): DataFrame = {
+    // n_hits/n_total are emitted NUMERICALLY (not just the bound
+    // boolean): the oracle pins the expected hit count per scale
+    // factor, so a recall regression that still clears the bound is a
+    // visible hash mismatch to the driver, not just a bench-log note.
     recallFrame(spark, dir, method, nQueries, k)
       .select(col("n_queries"),
+        col("n_hits").cast("bigint").as("n_hits"),
+        col("n_total").cast("bigint").as("n_total"),
         (col("n_hits").cast("double") / col("n_total") >= bound)
           .as("recall_ge_bound"))
   }

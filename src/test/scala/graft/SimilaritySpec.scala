@@ -86,11 +86,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("ann recall queries emit the driver-checkable row") {
     val lsh = Similarity.annRecallQuery(spark, sfDir, "lsh", bound = 0.70)
-      .as[(Long, Boolean)].collect()
-    assert(lsh.toSeq == Seq((5L, true)))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(lsh.length == 1)
+    val (nq, hits, total, ok) = lsh(0)
+    assert(nq == 5L && total == 50L && ok && hits >= 35L && hits <= 50L)
     val ivf = Similarity.annRecallQuery(spark, sfDir, "ivf", bound = 0.45)
-      .as[(Long, Boolean)].collect()
-    assert(ivf.toSeq == Seq((5L, true)))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(ivf.length == 1)
+    val (nq2, hits2, total2, ok2) = ivf(0)
+    assert(nq2 == 5L && total2 == 50L && ok2 &&
+      hits2 >= 23L && hits2 <= 50L)
   }
 
   test("ivf partitioned layout: probing prunes parquet partitions") {
@@ -104,6 +109,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val cellDirs = new java.io.File(idx).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.length > 1, "corpus should split across cell dirs")
+    // and the SCAN physically selected only the probed directories:
+    // the static cell predicate prunes partitions before listing files
+    val read = Similarity.cellsRead(df, idx)
+    assert(read <= 8 && read < cellDirs.length,
+      s"scan read $read of ${cellDirs.length} cell dirs — not pruned")
     // equivalence with the in-plan ivf path
     val plain = Similarity.ivfTopK(spark, sfDir,
       nQueries = 2, k = 5, nCells = 16, nProbe = 4).collect()

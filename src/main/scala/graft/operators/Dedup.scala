@@ -633,14 +633,109 @@ object Dedup {
         prevSum = curSum
         iter += 1
       }
-      // Fail loudly rather than hand back silently-wrong clusters: a
-      // non-converged exit means some component's diameter exceeded
-      // maxIters and its labels are still mid-propagation.
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations; " +
-          "raise maxIters or switch to the large-star/small-star variant")
+      // Never hand back silently-wrong clusters: a non-converged exit
+      // means some component's diameter exceeded maxIters and its
+      // labels are still mid-propagation. Instead of failing, finish
+      // with the O(log n) star-contraction variant — correct labels in
+      // bounded rounds regardless of diameter (loud in logs so the
+      // round-budget miss stays observable).
+      if (!converged) {
+        System.err.println(
+          s"[graft] connectedComponents: no fixpoint in $maxIters " +
+            "min-label rounds; switching to star contraction")
+        return connectedComponentsStar(pairs)
+      }
       labels
     } finally edges.unpersist(false)
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond" — public algorithm): each round rewires every node
+    * toward the minimum of its neighborhood, which provably converges
+    * in O(log n) rounds on ANY graph — the variant to run when
+    * component diameters are unbounded (min-label propagation above
+    * needs diameter rounds). Each round is two join+aggregate passes
+    * over the current edge set, checkpointed to keep lineage flat.
+    *
+    * large-star: for every edge (u,v), v > u, connect v to
+    * m(u) = min(Γ(u) ∪ {u}); small-star: orient edges toward the
+    * larger endpoint and connect each hub and its smaller neighbors to
+    * their minimum. At the fixpoint the edge set is a forest of stars
+    * rooted at component minima, and one more pass of either step
+    * reproduces it unchanged — detected via an order-independent
+    * (count, hash-sum) witness, one cheap aggregate per round.
+    *
+    * Returns (doc_id, label) for every vertex incident to a pair,
+    * label = component minimum — same contract as
+    * `connectedComponents` (equivalence property-tested on random
+    * graphs in DedupSpec). */
+  private[graft] def connectedComponentsStar(
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = sym(e)
+      val m = nb.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      nb.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Order-independent change witness: row count + a 31-bit hash sum
+    // (31-bit so the Long sum cannot overflow under ANSI arithmetic).
+    def witness(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit((1L << 31) - 1)))).head()
+      (r.getLong(0), Option(r.getAs[java.lang.Long](1)).fold(0L)(_.longValue()))
+    }
+    // Every vertex incident to a pair gets a label — including ones
+    // whose only pair is a degenerate self-pair, which the star rounds
+    // drop as edges (same contract as `connectedComponents`).
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = witness(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = witness(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds " +
+        "(expected O(log n)); the input edge set may be adversarial")
+    // Fixpoint edges are (node, componentMin) stars; roots map to
+    // themselves, and vertices with no surviving edge are their own
+    // singleton component.
+    val fromStars = edges
+      .select(col("u").as("doc_id"), col("v").as("label"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
+    verts.join(fromStars, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** dedup_cluster_collapse — the step that makes pair-wise dedup
@@ -648,7 +743,10 @@ object Dedup {
     * verified) are collapsed into duplicate clusters and each cluster
     * reports its canonical (minimum) doc_id and size — the "keep one
     * per cluster" retention rule. Docs in no pair are implicitly their
-    * own singleton cluster and are not emitted. */
+    * own singleton cluster and are not emitted. Components run the
+    * min-label fast path (2-3 rounds on quasi-clique near-dup graphs)
+    * with the O(log n) star-contraction variant as the automatic
+    * fallback for diameters beyond the round budget. */
   def clusterCollapse(
       spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     connectedComponents(

@@ -73,6 +73,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("star-contraction components equal min-label propagation on random graphs") {
+    import spark.implicits._
+    // long chains (worst case for label propagation, the case the
+    // O(log n) star variant exists for), cliques, and random sparse
+    // graphs — star and min-label must produce identical label maps
+    val rnd = new scala.util.Random(7)
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq, // 40-chain
+      (for (a <- 1 to 6; b <- a + 1 to 6) yield (a.toLong, b.toLong)),
+      Seq((5L, 5L), (9L, 2L)), // self-loop + single edge
+      Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)),
+      Seq.fill(40)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)))
+    graphs.foreach { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val ref = Dedup.connectedComponents(pairs, maxIters = 50)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == ref, s"edges=$edges")
+    }
+  }
+
+  test("min-label CC falls back to star contraction beyond its round budget") {
+    import spark.implicits._
+    // a 30-chain needs ~29 min-label rounds; with maxIters=3 the loop
+    // cannot converge and must finish via star contraction — same labels
+    val chain = (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (1L to 30L).map(_ -> 1L).toMap)
+  }
+
   test("cluster collapse sizes sum to the docs covered by pairs") {
     import spark.implicits._
     val pairs = Dedup.minHashLsh(spark, sfDir, 0.8).select("doc_a", "doc_b")

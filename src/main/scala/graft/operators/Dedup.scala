@@ -390,7 +390,7 @@ object Dedup {
     * shingles emit no row, which is correct for any threshold > 0. */
   def jaccardVerifyExploded(
       shingled: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxJoinRows: Double = 2e8): DataFrame = {
     val cands = candidates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -402,6 +402,20 @@ object Dedup {
       try {
         val sizes = arr.select(col("doc_id"), size(col("shg")).as("c"))
         val ex = arr.select(col("doc_id"), explode(col("shg")).as("shingle"))
+        // HOT-SHINGLE GUARD: the intersection self-join emits Σ df²
+        // rows — one pathologically hot shingle makes that quadratic
+        // in its document frequency. The Σ df² estimate costs one
+        // aggregate over rows the join would read anyway (and `arr` is
+        // persisted, so nothing recomputes); above the budget, verify
+        // with the array merge-scan path instead — identical output
+        // (property-tested), no quadratic shuffle. Summed as double:
+        // the estimate must not itself overflow where the join would.
+        val joinRows = Option(
+          ex.groupBy("shingle").agg(count(lit(1)).cast("double").as("df"))
+            .agg(sum(col("df") * col("df"))).head().getAs[java.lang.Double](0))
+          .fold(0.0)(_.doubleValue())
+        if (joinRows > maxJoinRows)
+          return jaccardVerifyShingled(arr, cands, threshold)
         val inter = ex.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(ex.select(col("doc_id").as("doc_b"), col("shingle")),
             Seq("shingle"))

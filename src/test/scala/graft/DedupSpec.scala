@@ -95,6 +95,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exploded jaccard verify: hot-shingle fallback equals the join path") {
+    import spark.implicits._
+    // every doc shares a hot 3-shingle run (df = n on three shingles),
+    // the shape that makes the intersection self-join quadratic
+    val docs = (1L to 30L)
+      .map(i => (i, s"common alpha beta gamma delta token$i"))
+      .toDF("doc_id", "text")
+    val shg = Dedup.shingleArrays(docs)
+    val cands = Dedup.prefixCandidates(shg, 0.3)
+    def run(budget: Double) =
+      Dedup.jaccardVerifyExploded(shg, cands, 0.3, maxJoinRows = budget)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaJoin = run(2e8)
+    val viaFallback = run(1.0) // force the array merge-scan path
+    val viaArrays = Dedup.jaccardVerifyShingled(shg, cands, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaJoin.nonEmpty, "fixture should produce verified pairs")
+    assert(viaFallback == viaJoin && viaJoin == viaArrays)
+  }
+
   test("min-label CC falls back to star contraction beyond its round budget") {
     import spark.implicits._
     // a 30-chain needs ~29 min-label rounds; with maxIters=3 the loop

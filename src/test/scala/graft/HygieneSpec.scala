@@ -26,4 +26,33 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(after == before,
       s"catalog entries leaked: ${(after -- before).toSeq.sorted}")
   }
+
+  test("persist-heavy queries leave no persisted RDD blocks behind") {
+    // Queries that persist intermediates (shared shingle relations,
+    // candidate sets, prefix relations, signatures) must unpersist them
+    // before returning: a long-lived session sweeping all queries would
+    // otherwise pin executor storage. localCheckpoint blocks owned by
+    // LIVE results are exempt — they are released when the DataFrame is
+    // collected and dropped — so the sweep collects each result first
+    // and only then asserts the persistent-RDD map is back to baseline.
+    def persisted: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    System.gc() // drop blocks owned by earlier suites' dead DataFrames
+    Seq(
+      "dedup_minhash_lsh",
+      "dedup_simhash",
+      "dedup_ngram_jaccard",
+      "dedup_cluster_collapse",
+      "text_decontaminate"
+    ).foreach { q =>
+      val before = persisted
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val leaked = persisted -- before
+      // the query's own eager localCheckpoint result may still be
+      // referenced by `df`; everything else must be gone
+      assert(leaked.size <= 2,
+        s"$q leaked persisted RDDs beyond its live result: $leaked")
+    }
+  }
 }

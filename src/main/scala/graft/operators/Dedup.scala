@@ -613,6 +613,19 @@ object Dedup {
     * practice; `maxIters` bounds pathological chains (a 100 TB run
     * would switch to the alternating large-star/small-star variant for
     * an O(log n) bound, same join shape). */
+  /** Explicitly release the executor blocks behind an EAGER
+    * localCheckpoint DataFrame that nothing will read again. Distributed
+    * storage must not wait for driver GC: superseded loop intermediates
+    * would otherwise pin executor memory until the JVM happens to
+    * collect their RDD handles. NEVER call this on a live result —
+    * local checkpoints cannot recompute lost blocks. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private[graft] def connectedComponents(
       pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs
@@ -642,6 +655,9 @@ object Dedup {
           .groupBy("doc_id").agg(min("label").as("label"))
           .localCheckpoint(true)
         val curSum = labelSum(updated)
+        // `updated` is materialized; the previous labels checkpoint is
+        // superseded — release its executor blocks now, not at GC time.
+        releaseCheckpoint(labels)
         labels = updated
         converged = curSum == prevSum
         prevSum = curSum
@@ -659,6 +675,12 @@ object Dedup {
             "min-label rounds; switching to star contraction")
         return connectedComponentsStar(pairs)
       }
+      // OWNERSHIP: `pairs` is consumed — the final labels are
+      // materialized, so a checkpointed input (e.g. a verify-join
+      // result) can release its executor blocks now. (Not before the
+      // fallback branch: star contraction still reads `pairs`, and a
+      // released local checkpoint cannot recompute.)
+      releaseCheckpoint(pairs)
       labels
     } finally edges.unpersist(false)
   }
@@ -726,15 +748,20 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // OWNERSHIP: `pairs` is consumed — verts and the initial edges are
+    // both materialized, so a checkpointed input can release now.
+    releaseCheckpoint(pairs)
     var prev = witness(edges)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = witness(next)
+      // superseded edge set: free its executor blocks deterministically
+      releaseCheckpoint(edges)
+      edges = next
       converged = cur == prev
       prev = cur
-      edges = next
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, RangeJoin, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, Packing, RangeJoin, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -147,6 +147,9 @@ object SparkEntry {
     "stream_batched_cap" -> ((s, dir) => graft.streaming.Streaming.streamBatchedCapQuery(s, dir)),
     "dedup_incremental" -> ((s, dir) => Curation.incrementalDedupQuery(s, dir)),
     "quality_funnel" -> ((s, dir) => Curation.qualityFunnelQuery(s, dir)),
+    "token_budget_pack" -> ((s, dir) => Packing.tokenBudgetPack(s, dir)),
+    "dedup_bloom_prefilter" -> ((s, dir) => Curation.bloomPrefilterQuery(s, dir)),
+    "sample_domain_mix" -> ((s, dir) => Curation.domainMixQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1206,5 +1209,59 @@ object SparkEntry {
                UNION ALL
                SELECT '3_repetition', n2 - n3, n3 FROM f)
          ORDER BY stage""",
+    // The two-level distributed prefix sum must equal the single
+    // global running-total window (which IS the oracle's form).
+    "token_budget_pack" ->
+      """WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                  COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS prior
+               FROM t)
+         SELECT CAST(floor(prior / 20000.0) AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc,
+                max(doc_id) AS last_doc
+         FROM c GROUP BY shard ORDER BY shard""",
+    // The bloom prefilter must be output-invisible: the oracle is the
+    // PLAIN exact anti-join, with no bloom anywhere.
+    "dedup_bloom_prefilter" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                     WHERE doc_id % 2 = 0),
+         inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                 UNION ALL
+                 SELECT doc_id + 10000, text FROM documents
+                 WHERE doc_id % 2 = 0 AND doc_id < 100),
+         nw AS (SELECT doc_id FROM inc
+                WHERE md5(text) NOT IN (SELECT fp FROM ex))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
+                (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_new,
+                (SELECT CAST(count(*) AS BIGINT) FROM inc)
+                  - (SELECT CAST(count(*) AS BIGINT) FROM nw)
+                  AS n_already_known,
+                (SELECT min(doc_id) FROM nw) AS min_new_id,
+                (SELECT max(doc_id) FROM nw) AS max_new_id""",
+    // Keep rate = min_lang_count/lang_count quantized to 1/256, applied
+    // through the same md5-prefix predicate as sample_stratified.
+    "sample_domain_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+         b AS (SELECT lang, n_docs,
+                  CAST(floor((SELECT min(n_docs) FROM c) * 256
+                             / n_docs) AS INT) AS boundary256
+               FROM c),
+         k AS (SELECT d.lang,
+                  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
+                    (CASE WHEN b.boundary256 >= 256 THEN 'g0'
+                          ELSE printf('%02x', b.boundary256) END) AS keep
+               FROM documents d JOIN b ON d.lang = b.lang)
+         SELECT b.lang, b.n_docs AS n_total, b.boundary256,
+                (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                             AS BIGINT)
+                 FROM k WHERE k.lang = b.lang) AS n_kept
+         FROM b ORDER BY lang""",
   )
 }

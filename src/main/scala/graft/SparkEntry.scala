@@ -150,6 +150,8 @@ object SparkEntry {
     "token_budget_pack" -> ((s, dir) => Packing.tokenBudgetPack(s, dir)),
     "dedup_bloom_prefilter" -> ((s, dir) => Curation.bloomPrefilterQuery(s, dir)),
     "sample_domain_mix" -> ((s, dir) => Curation.domainMixQuery(s, dir)),
+    "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "text_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1263,5 +1265,40 @@ object SparkEntry {
                              AS BIGINT)
                  FROM k WHERE k.lang = b.lang) AS n_kept
          FROM b ORDER BY lang""",
+    // Greedy keep-first SemDeDup on precomputed cells: a vector is
+    // dropped iff an earlier vector in the SAME cell sits at cosine>=t.
+    "dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         d AS (SELECT DISTINCT b.vec_id
+               FROM v a JOIN v b
+                 ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.e, b.e) >= 0.46)
+         SELECT v.label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(CASE WHEN v.vec_id IN (SELECT vec_id FROM d)
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN v.vec_id IN (SELECT vec_id FROM d)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM v GROUP BY v.label ORDER BY v.label""",
+    // Per-token log-probs quantized to integer millinats BEFORE the
+    // per-doc sum, so accumulation order cannot change the hash.
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS tok FROM documents),
+         cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks GROUP BY tok),
+         voc AS (SELECT tok, cnt FROM cnts
+                 ORDER BY cnt DESC, tok ASC LIMIT 256),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+         s AS (SELECT t.doc_id,
+                  CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
+                  CAST(floor(ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE)
+                                / (SELECT n_total FROM tot)) * 1000)
+                       AS BIGINT) AS q
+               FROM toks t LEFT JOIN voc v ON t.tok = v.tok)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST(sum(q) AS BIGINT) AS q_logprob_sum
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -471,4 +471,51 @@ object Similarity {
     if (total == 0) 0.0
     else r.getAs[Long]("n_hits").toDouble / total
   }
+
+  // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup)
+  // ------------------------------------------------------------------
+
+  /** dedup_semantic — SemDeDup-style pruning (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public algorithm): partition the embedding space
+    * into cells, and within each cell drop every vector that has an
+    * EARLIER (lower-id) near-neighbor at cosine ≥ t. The greedy
+    * keep-first rule makes the result a pure function of (ids, cells,
+    * similarities) — no clustering-order or representative-choice
+    * ambiguity — which is what lets an external engine replay it
+    * exactly.
+    *
+    * Cells here are the `label` column (the testdata's stand-in for
+    * the k-means/IVF cell id the quantizer assigns in production —
+    * `ivfCells` produces exactly such a column; the sampled-training
+    * step is not SQL-replayable, so the oracle-checked query runs on
+    * the precomputed cell id). Scale shape: pairs form ONLY within a
+    * cell — an equi-join on the cell id, (n/C)² work per cell instead
+    * of n² global, and the per-cell pair blowup is bounded by the
+    * quantizer's cell-size balance. The cosine runs as the join's
+    * codegen'd post-filter (native expression, no UDF). Emits the
+    * per-cell manifest (total, kept, dropped). */
+  def semanticDedup(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.46): DataFrame = {
+    val e = Relational.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val l = e.select(col("label"), col("vec_id").as("id_l"),
+      col("embedding").as("e_l"))
+    val r = e.select(col("label"), col("vec_id").as("id_r"),
+      col("embedding").as("e_r"))
+    val dropped = l.join(r, Seq("label"))
+      .filter(col("id_l") < col("id_r") &&
+        cos(col("e_l"), col("e_r")) >= threshold)
+      .select(col("id_r").as("vec_id")).distinct()
+      .withColumn("_drop", lit(1))
+    e.select(col("label"), col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("_drop").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_drop").isNull, 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("label")
+  }
 }

@@ -160,4 +160,40 @@ object TextOps {
         col("token"), col("df"))
       .orderBy("rank")
   }
+
+  /** text_unigram_logprob — unigram language-model quality score: each
+    * document's summed log-probability under the corpus's own top-K
+    * unigram distribution (out-of-vocabulary tokens get the
+    * add-zero floor count of 1). The model-based quality filter in
+    * miniature — the same shape as a KenLM perplexity filter, with the
+    * n-gram table replaced by a corpus-derived unigram head.
+    *
+    * Scale shape: the vocabulary is a word-count aggregate (map-side
+    * partial combine) topped by TakeOrderedAndProject (no global
+    * sort, deterministic ties: count desc / token asc); the K-row
+    * vocabulary and the 1-row corpus total broadcast to the scoring
+    * scan, which stays codegen'd. Per-token log-probs are QUANTIZED TO
+    * INTEGER MILLINATS (⌊ln(p)·1000⌋) before summing, so the per-doc
+    * sum is order-independent — the same engine-neutral discretization
+    * the centroid and prefix-sum queries use; a float sum would hash
+    * differently per partitioning. */
+  def unigramLogprob(
+      spark: SparkSession, dir: String, vocabK: Int = 256): DataFrame = {
+    val toks = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val qlp = floor(log(
+      coalesce(col("cnt"), lit(1L)).cast("double") / col("n_total"))
+      * 1000).cast("bigint")
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(qlp).as("q_logprob_sum"))
+      .orderBy("doc_id")
+  }
 }

@@ -53,4 +53,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(scanLine.contains("text") && !scanLine.contains("lang"),
       s"scan not pruned to text: $scanLine")
   }
+
+  test("bloom prefilter probes via might_contain, not a corpus join") {
+    val plan = executedPlan("dedup_bloom_prefilter")
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("prefix sum: the only global-order window runs over block totals") {
+    // Window nodes partitioned by _blk parallelize per block; exactly
+    // one unpartitioned window may exist and it must sit above the
+    // block-total aggregate (one row per block), never above the
+    // corpus relation — that would be the accidental serialization the
+    // two-level scan exists to avoid.
+    val df = SparkEntry.queries("token_budget_pack")(spark, sfDir)
+    df.collect()
+    // collect() does not descend into AQE's finalized stages; flatten
+    // through the adaptive wrappers explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val windows = flatten(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val (global, perBlock) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1, s"expected one block-offset window")
+    assert(perBlock.forall(_.partitionSpec.nonEmpty))
+    // The global window's input must already be aggregated: its child
+    // subtree contains the block groupBy, so an aggregate node sits
+    // below it.
+    val belowGlobal = flatten(global.head.child).filter(
+      _.nodeName.contains("Aggregate"))
+    assert(belowGlobal.nonEmpty,
+      "global window must consume per-block aggregates, not raw rows")
+  }
+
+  test("unigram logprob broadcasts the vocabulary to the scoring scan") {
+    val plan = executedPlan("text_unigram_logprob")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join should broadcast:\n$plan")
+    // The scoring side must not sort-merge-join the token relation.
+    assert(!plan.contains("SortMergeJoin"),
+      s"token relation must not shuffle for scoring:\n$plan")
+  }
 }

@@ -151,4 +151,60 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val viaScan = scanDf.as[(Long, Long)].collect().toSet
     assert(viaExpr == viaScan)
   }
+
+  test("semantic dedup equals the sequential greedy scan per cell") {
+    val df = Similarity.semanticDedup(spark, sfDir, threshold = 0.4)
+    assertNoDriverMaterialization(df)
+    val got = df.as[(Int, Long, Long, Long)].collect()
+    // Reference: per cell, walk ids ascending, drop a vector iff ANY
+    // earlier vector (kept or not) of the cell is a near-neighbor —
+    // that is the keep-first rule as specified, computable naively.
+    val vecs = graft.operators.Relational
+      .table(spark, sfDir, "embeddings")
+      .select("label", "vec_id", "embedding")
+      .as[(Int, Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.groupBy(_._1).map { case (label, vs) =>
+      val sorted = vs.sortBy(_._2)
+      val dropped = sorted.count { case (_, id, e) =>
+        sorted.exists { case (_, id2, e2) =>
+          id2 < id && cos(e2, e) >= 0.4 }
+      }
+      (label, vs.length.toLong, (vs.length - dropped).toLong,
+        dropped.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.map(_._4).sum > 0, "fixture must exercise drops")
+  }
+
+  test("unigram logprob: OOV floor, in-vocab docs score higher") {
+    val rows = graft.operators.TextOps.unigramLogprob(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val total = graft.operators.Relational
+      .table(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")))
+      .count()
+    val floorQ = math.floor(math.log(1.0 / total) * 1000).toLong
+    rows.foreach { case (_, nTok, nOov, qSum) =>
+      assert(nOov <= nTok)
+      // Every token's quantized logprob is >= the OOV floor, so the
+      // sum is bounded by the all-OOV extreme on one side and the
+      // impossible all-probability-1 extreme (0) on the other.
+      assert(qSum >= floorQ * nTok && qSum < 0)
+    }
+    // The corpus shares a vocabulary, so OOV should be the exception:
+    // the aggregate in-vocab rate must clear 50% by a wide margin.
+    val inVocab =
+      1.0 - rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(inVocab > 0.5, s"in-vocab rate $inVocab")
+  }
 }

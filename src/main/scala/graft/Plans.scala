@@ -27,7 +27,9 @@ object Plans {
       "pipeline_pretrain_curation", "sketch_bottomk", "embedding_centroid",
       "time_resample", "text_pii_redact", "text_token_count",
       "dedup_incremental", "quality_funnel", "grouping_sets",
-      "approx_quantile")
+      "approx_quantile", "token_budget_pack", "dedup_bloom_prefilter",
+      "sample_domain_mix", "dedup_semantic", "text_unigram_logprob",
+      "dedup_span_exact")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

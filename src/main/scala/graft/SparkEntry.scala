@@ -152,6 +152,9 @@ object SparkEntry {
     "sample_domain_mix" -> ((s, dir) => Curation.domainMixQuery(s, dir)),
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "text_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(s, dir)),
+    "dedup_span_exact" -> ((s, dir) => Dedup.spanDedup(s, dir)),
+    "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
+    "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1300,5 +1303,75 @@ object SparkEntry {
                 CAST(sum(oov) AS BIGINT) AS n_oov,
                 CAST(sum(q) AS BIGINT) AS q_logprob_sum
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    // First occurrence in (doc_id, span_index) order wins; trailing
+    // partial spans are not candidates. 1-based list slicing on the
+    // DuckDB side mirrors Spark's 1-based slice().
+    "dedup_span_exact" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         ft AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= 10),
+         ch AS (SELECT doc_id, i AS ci,
+                  array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS span
+                FROM ft, (SELECT unnest(generate_series(0, 4000)) AS i)
+                WHERE i <= CAST(floor(n / 10.0) AS INT) - 1),
+         f AS (SELECT span, min(doc_id * 1000000 + ci) AS first_key
+               FROM ch GROUP BY span)
+         SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.ci
+                                   = f.first_key
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept_spans,
+                CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.ci
+                                   = f.first_key
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_dup_spans
+         FROM ch JOIN f ON ch.span = f.span
+         GROUP BY ch.doc_id ORDER BY ch.doc_id""",
+    // The streamed quality-filter + (lang, digest) dedup must collapse
+    // the doubled feed back to the batch distinct-text answer.
+    "stream_curation" ->
+      """WITH q AS (SELECT lang, text,
+                  len(string_split(text, ' ')) AS n_tok,
+                  CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','of','and','to','in')))
+                    AS DOUBLE)
+                    / len(string_split(text, ' ')) AS stop_ratio
+               FROM documents),
+         d AS (SELECT DISTINCT lang, text, n_tok FROM q
+               WHERE n_tok >= 15 AND stop_ratio >= 0.02)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY lang ORDER BY lang""",
+    // Cross-set exact Jaccard (corpus side × batch side) — the LSH
+    // index probe must recover every pair at j >= 0.8.
+    "dedup_minhash_incremental" ->
+      """WITH co AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents WHERE doc_id % 2 = 0),
+         ba AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000, string_split(text, ' ')
+                FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+         shc AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM co, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         shb AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM ba, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         szc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         szb AS (SELECT doc_id, count(*) AS c FROM shb GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS i
+                FROM shc a JOIN shb b ON a.shingle = b.shingle
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
+         FROM pr
+         JOIN szc sa ON sa.doc_id = doc_a
+         JOIN szb sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
+         ORDER BY doc_a, doc_b""",
   )
 }

@@ -813,4 +813,96 @@ object Dedup {
   def embeddingCosinePairs(
       spark: SparkSession, dir: String, threshold: Double = 0.46): DataFrame =
     Similarity.cosineThresholdPairs(spark, dir, threshold)
+
+  // ------------------------------------------------------------------
+  // Persisted LSH index + incremental probe
+  // ------------------------------------------------------------------
+
+  /** dedup_minhash_incremental — the RECURRING-INGEST shape of MinHash
+    * LSH: the corpus's banded signature keys are written ONCE to disk
+    * as a persisted index table, and each incoming batch computes only
+    * its OWN keys and equi-joins the index — the corpus is never
+    * re-shingled, re-signed, or re-banded. At 100 TB this is the
+    * difference between an O(batch) nightly job and an O(corpus) one;
+    * after the probe, appending the batch's keys to the index table
+    * (same schema, same write) keeps it current for the next batch.
+    * Candidates verify exactly against the candidate documents' shingle
+    * sets only (semi-filtered), so the verify cost also tracks the
+    * candidate count, not the corpus. Banding is threshold-tuned
+    * (`chooseBands`: miss probability ≤ 1e-6 at j = t), same guarantee
+    * as the one-shot `minHashLsh`. Emits every (corpus doc, batch doc)
+    * pair at jaccard ≥ t. */
+  def minhashIndexIncrementalQuery(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8, k: Int = 128): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_lshidx")
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val (bands, rows) = chooseBands(threshold, k)
+    lshBands(minHashSignaturesOfShingles(shingleArrays(corpus), k),
+        bands, rows)
+      .write.mode("overwrite").parquet(base.resolve("index").toString)
+    val idx = spark.read.parquet(base.resolve("index").toString)
+    val probes = lshBands(
+      minHashSignaturesOfShingles(shingleArrays(batch), k), bands, rows)
+    val cands = idx
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(probes.select(col("band"), col("key"),
+        col("doc_id").as("doc_b")), Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = shingleArrays(corpus.unionByName(batch))
+    jaccardVerifyShingled(sh, cands, threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Sub-document span dedup
+  // ------------------------------------------------------------------
+
+  /** dedup_span_exact — cross-document DUPLICATED-SPAN removal (the
+    * C4/RefinedWeb-style step that strips boilerplate repeated across
+    * pages, at span rather than whole-document granularity): the corpus
+    * is cut into consecutive k-token spans, and every span keeps only
+    * its FIRST occurrence in (doc_id, span_index) order — later copies
+    * anywhere in the corpus are marked duplicate. Deterministic by
+    * construction (lexicographic min over the occurrence set), so an
+    * external engine replays it exactly.
+    *
+    * Scale shape: spans shuffle by span TEXT once for the
+    * first-occurrence aggregate (map-side partial min), then once more
+    * joined back — 2 shuffles of (span, ids) rows, never of documents;
+    * the span relation is ~n_tokens/k rows regardless of document
+    * sizes. At 100 TB the span strings would be replaced by 128-bit
+    * span hashes in the shuffle (same plan, narrower rows); collision
+    * risk, not plan shape, is the only difference. Trailing partial
+    * spans (< k tokens) are not candidates — they stay with their
+    * document. Emits the per-document audit (spans, kept, duplicated)
+    * for documents with at least one full span. */
+  def spanDedup(
+      spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val withTokens = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .filter(col("n") >= k)
+    val chunks = withTokens
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (col("n") / k).cast("int") - 1)).as("ci"),
+        col("ws"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", slice(col("ws"), col("ci") * k + 1, lit(k)))
+          .as("span"))
+    val first = chunks.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("first"))
+    chunks.join(first, Seq("span"))
+      .withColumn("keep", col("doc_id") === col("first.doc_id") &&
+        col("ci") === col("first.ci"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_spans"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
 }

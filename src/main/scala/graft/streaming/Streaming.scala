@@ -191,6 +191,51 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** stream_curation — the curation chain AS A STREAM: documents arrive
+    * as files (the crawl-drop pattern: each fetch lands a parquet file;
+    * `maxFilesPerTrigger` would cap batch size on a real feed), pass
+    * the quality gate (same predicates as the batch funnel), and
+    * exact-dedup on a (lang, digest) key — `dropDuplicates` state keyed
+    * by digest, the streaming twin of the batch anti-join. The source
+    * injects every document TWICE (two file copies), so the dedup
+    * state is genuinely exercised: the final per-language counts must
+    * collapse back to the batch answer over distinct texts, which is
+    * the oracle. On an unbounded feed the dedup key would carry an
+    * ingest-time watermark (`dropDuplicatesWithinWatermark`) to bound
+    * state, as stream_dedup demonstrates; here the run is bounded by
+    * AvailableNow, so plain dropDuplicates keeps exact cross-batch
+    * semantics. */
+  def streamCurationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_scur")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      srcDir.resolve("documents_a.parquet"))
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      srcDir.resolve("documents_b.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val ws = graft.operators.TextOps.tokens(col("text"))
+    val nTok = size(ws)
+    val stopRatio = size(filter(ws,
+      w => w.isin(graft.operators.TextOps.StopWords: _*)))
+      .cast("double") / nTok
+    val curated = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("n_tok", nTok)
+      .filter(col("n_tok") >= 15 && stopRatio >= 0.02)
+      .withColumn("digest", sha2(col("text").cast("binary"), 256))
+      .dropDuplicates("lang", "digest")
+    runAvailableNow(curated, base.resolve("ckpt").toString,
+        outputMode = "append", statePartitions = Some(8))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   /** Watermarked stream-stream interval join: purchases within
     * `horizon` AFTER an error by the same user (error→conversion
     * attribution). Both sides carry watermarks and the join condition

@@ -155,6 +155,7 @@ object SparkEntry {
     "dedup_span_exact" -> ((s, dir) => Dedup.spanDedup(s, dir)),
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
+    "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1373,5 +1374,19 @@ object SparkEntry {
          JOIN szb sb ON sb.doc_id = doc_b
          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // Upsampling factors r = min(4, ceil(max_count / count)); one row
+    // per (lang, epoch<=r) with the stratum's doc count.
+    "sample_repeat_factor" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+         f AS (SELECT lang, n,
+                  least(4, CAST(ceil(CAST((SELECT max(n) FROM c)
+                                          AS DOUBLE) / n) AS INT)) AS r
+               FROM c)
+         SELECT lang, CAST(e.epoch AS INT) AS epoch,
+                CAST(r AS INT) AS repeat_factor, n AS n_docs
+         FROM f, (SELECT unnest(generate_series(1, 64)) AS epoch) e
+         WHERE e.epoch <= r
+         ORDER BY lang, epoch""",
   )
 }

@@ -434,6 +434,36 @@ object Curation {
     * pure function of (doc_id, lang, counts) — engine-neutral and
     * replayable. The counts join is a broadcast of n_langs rows; the
     * keep decision itself is zero-shuffle codegen. */
+  /** sample_repeat_factor — the UPSAMPLING half of mixture calibration
+    * (domainMixQuery downsamples the dominant strata; this replicates
+    * the scarce ones): each language gets an integer repeat factor
+    * r = min(cap, ⌈max_lang_count / lang_count⌉) — the "epochs over
+    * low-resource data" multiplier a training mix specifies — and every
+    * document is emitted once per epoch 1..r. Zero shuffle on the
+    * corpus: the factor table (one row per language) broadcasts, and
+    * the replication is a per-row `explode(sequence(1, r))` at scan
+    * speed; downstream writers see the epoch column and can salt or
+    * shard by it. The cap bounds worst-case blowup on a pathologically
+    * rare stratum. Emits per-(lang, epoch) counts. */
+  def repeatFactorQuery(
+      spark: SparkSession, dir: String, cap: Int = 4): DataFrame = {
+    val counts = docs(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(col("n")).as("mx"))
+    val factors = counts.crossJoin(broadcast(mx))
+      .select(col("lang"), col("n"),
+        least(lit(cap),
+          ceil(col("mx").cast("double") / col("n")).cast("int")).as("r"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(factors), Seq("lang"))
+      .select(col("lang"), col("r"),
+        explode(sequence(lit(1), col("r"))).as("epoch"))
+      .groupBy("lang", "epoch")
+      .agg(max(col("r")).as("repeat_factor"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang", "epoch")
+  }
+
   def domainMixQuery(spark: SparkSession, dir: String): DataFrame = {
     val counts = docs(spark, dir).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"))

@@ -64,6 +64,24 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(!viaBloom.exists(_ >= 5000))
   }
 
+  test("repeat factors: dense epochs, capped ceil(max/n), full strata") {
+    val rows = Curation.repeatFactorQuery(spark, sfDir)
+      .as[(String, Int, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._1)
+    val counts = byLang.map { case (lang, rs) => lang -> rs.head._4 }
+    val mx = counts.values.max
+    byLang.foreach { case (_, rs) =>
+      val r = rs.head._3
+      val n = rs.head._4
+      assert(r == math.min(4, math.ceil(mx.toDouble / n).toInt))
+      assert(rs.map(_._2).sorted.toSeq == (1 to r),
+        "epochs must be dense 1..r")
+      assert(rs.forall(_._4 == n), "every epoch carries the full stratum")
+    }
+    assert(rows.exists(_._3 > 1), "fixture must exercise upsampling")
+  }
+
   test("domain mix boundaries: smallest language keeps everything") {
     val rows = Curation.domainMixQuery(spark, sfDir)
       .as[(String, Long, Int, Long)].collect()

@@ -156,6 +156,7 @@ object SparkEntry {
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
+    "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1388,5 +1389,15 @@ object SparkEntry {
          FROM f, (SELECT unnest(generate_series(1, 64)) AS epoch) e
          WHERE e.epoch <= r
          ORDER BY lang, epoch""",
+    // The rewritten naive join must still produce the exact all-pairs
+    // threshold result; `rewritten` is the engine's own plan assertion.
+    "optimizer_cosine_rewrite" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS rewritten
+         FROM v a, v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.e, b.e) >= 0.46
+         ORDER BY id_a, id_b""",
   )
 }

@@ -18,8 +18,10 @@ import graft.functions.{BottomKStrings, CosineSimilarity, SortedIntersectSize}
   *    idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(CosineBlockJoin.apply)
+  }
 }
 
 object GraftFunctions {

@@ -15,6 +15,7 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
     Seq(
       "scan_kafka_batch",      // memory-sink table per micro-batch run
       "stream_dedup",          // memory sink, append mode
+      "stream_curation",       // memory sink + dedup state
       "sql_functions",         // fixture temp views
       "transform_chain",       // SQL-step rebind views
       "pipeline_medallion",    // full chain of SQL steps
@@ -45,6 +46,7 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
       "dedup_simhash",
       "dedup_ngram_jaccard",
       "dedup_cluster_collapse",
+      "dedup_minhash_incremental",
       "text_decontaminate"
     ).foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     def drainTo(before: Set[Int], tolerance: Int): Set[Int] = {

@@ -157,6 +157,7 @@ object SparkEntry {
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
+    "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1399,5 +1400,42 @@ object SparkEntry {
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.e, b.e) >= 0.46
          ORDER BY id_a, id_b""",
+    // Release cut: quality -> exact dedup (min id per text) -> balanced
+    // mixture downsample (computed rates) -> budget-shard manifest.
+    "pipeline_pack_release" ->
+      """WITH q AS (SELECT doc_id, lang, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','of','and','to','in')))
+                    AS DOUBLE)
+                    / len(string_split(text, ' ')) AS stop_ratio
+               FROM documents),
+         f AS (SELECT doc_id, lang, text, n_tok FROM q
+               WHERE n_tok >= 15 AND stop_ratio >= 0.02),
+         dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+                  min(n_tok) AS n_tok
+                FROM f GROUP BY text),
+         c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM dd GROUP BY lang),
+         b AS (SELECT lang,
+                  CAST(floor((SELECT min(n_docs) FROM c) * 256
+                             / n_docs) AS INT) AS boundary256
+               FROM c),
+         k AS (SELECT dd.doc_id, dd.n_tok
+               FROM dd JOIN b ON dd.lang = b.lang
+               WHERE substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 2) <
+                 (CASE WHEN b.boundary256 >= 256 THEN 'g0'
+                       ELSE printf('%02x', b.boundary256) END)),
+         c2 AS (SELECT doc_id, n_tok,
+                  COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS prior
+                FROM k)
+         SELECT CAST(floor(prior / 5000.0) AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc,
+                max(doc_id) AS last_doc
+         FROM c2 GROUP BY shard ORDER BY shard""",
   )
 }

@@ -55,6 +55,55 @@ object Packing {
       .drop("_blk", "_blk_offset")
   }
 
+  /** pipeline_pack_release — the release-cut pipeline as ONE declarative
+    * chain ending in the shard manifest a dataset release publishes:
+    *
+    *   quality gate → exact dedup (lowest id per text) →
+    *   balanced-mixture downsample (rates computed from the deduped
+    *   counts, the [[Curation.domainMixQuery]] rule) →
+    *   token-budget shard packing ([[tokenBudgetPack]]'s two-level
+    *   prefix sum over the kept set).
+    *
+    * Every stage is an existing proven operator; no stage materializes
+    * — Catalyst sees the whole chain, so column pruning reaches the
+    * scan (bodies are dropped after the quality/token columns are
+    * derived) and the only corpus-wide shuffles are the dedup
+    * hash-group and the per-block prefix-sum windows. */
+  def packReleaseQuery(
+      spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val quality = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(ws).cast("bigint").as("n_tok"),
+        (size(filter(ws, w => w.isin(TextOps.StopWords: _*)))
+          .cast("double") / size(ws)).as("stop_ratio"))
+      .filter(col("n_tok") >= 15 && col("stop_ratio") >= 0.02)
+    val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val counts = deduped.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val boundaries = counts.crossJoin(
+        broadcast(counts.agg(min(col("n_docs")).as("min_docs"))))
+      .select(col("lang"),
+        floor(col("min_docs") * 256 / col("n_docs")).cast("int")
+          .as("boundary256"))
+    val keep = substring(md5(col("doc_id").cast("string")), 1, 2) <
+      when(col("boundary256") >= 256, lit("g0"))
+        .otherwise(lpad(lower(conv(col("boundary256").cast("string"),
+          10, 16)), 2, "0"))
+    val kept = deduped.join(broadcast(boundaries), Seq("lang"))
+      .filter(keep)
+      .select(col("doc_id"), col("n_tok"))
+    exclusivePrefixSum(kept, "doc_id", "n_tok")
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("prior") / budget).cast("bigint").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   /** token_budget_pack — greedy fixed-budget shard assignment: walking
     * the corpus in doc_id order, a document lands in shard
     * ⌊prior_tokens / budget⌋. Shards are contiguous doc_id ranges of

@@ -64,6 +64,22 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(!viaBloom.exists(_ >= 5000))
   }
 
+  test("pack release: contiguous shards over the curated subset") {
+    val shards = Packing.packReleaseQuery(spark, sfDir, budget = 500L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(shards.nonEmpty)
+    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
+    shards.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, "shard id ranges must be disjoint and ordered")
+    }
+    // The curated subset is strictly smaller than the corpus (quality
+    // gate + downsample both bite on this fixture).
+    val total = graft.operators.Relational
+      .table(spark, sfDir, "documents").count()
+    assert(shards.map(_._2).sum < total)
+    assert(shards.map(_._2).sum > 0)
+  }
+
   test("repeat factors: dense epochs, capped ceil(max/n), full strata") {
     val rows = Curation.repeatFactorQuery(spark, sfDir)
       .as[(String, Int, Int, Long)].collect()

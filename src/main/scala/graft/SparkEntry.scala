@@ -160,6 +160,8 @@ object SparkEntry {
     "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
     "custom_topk_exec" -> ((s, dir) => graft.plans.TopKPerKey.topkQuery(s, dir)),
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
+    "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
+    "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1465,5 +1467,25 @@ object SparkEntry {
                 TRUE
          FROM documents
          ORDER BY lang""",
+    // Dynamic overwrite replaces ONLY the backfilled partition: the
+    // earliest year carries doubled prices, every other year original.
+    "sink_partition_backfill" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+                  CAST(date_trunc('year', o_orderdate) AS DATE) AS _p
+                FROM orders),
+         t AS (SELECT min(_p) AS p FROM o)
+         SELECT _p, CAST(count(*) AS BIGINT) AS n_orders,
+                round(sum(CASE WHEN _p = (SELECT p FROM t)
+                               THEN o_totalprice * 2
+                               ELSE o_totalprice END), 2) AS sum_price
+         FROM o GROUP BY _p ORDER BY _p""",
+    // Compaction preserves rows and values; the engine-observed file
+    // counts are pinned (64 residue files -> 2).
+    "sink_compact_small_files" ->
+      """SELECT CAST(64 AS BIGINT) AS files_before,
+                CAST(2 AS BIGINT) AS files_after,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem""",
   )
 }

@@ -110,6 +110,67 @@ object SourceSinkQueries {
       .orderBy("_ingestion_date")
   }
 
+  /** sink_partition_backfill — IDEMPOTENT BACKFILL via dynamic
+    * partition overwrite: a partitioned table is written, then one
+    * partition's corrected data is re-written with
+    * `partitionOverwriteMode=dynamic` — ONLY the partitions present in
+    * the incoming frame are replaced; every other partition's files
+    * are untouched. This is the rerun-safety contract a production
+    * pipeline needs (re-running a day's job must not truncate the
+    * table, as whole-table overwrite would, nor double rows, as append
+    * would). The final state is a pure function of (base load,
+    * backfill), so the oracle replays it relationally. The conf is
+    * scoped and restored. */
+  def sinkPartitionBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("backfill").resolve("orders").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .withColumn("_p", date_trunc("year", col("o_orderdate")).cast("date"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("_p"))
+    orders.write.partitionBy("_p").parquet(out)
+    val target = orders.agg(min(col("_p")).as("p")).head().getDate(0)
+    // The corrected batch: same partition, prices re-stated (doubled) —
+    // after the backfill the partition must hold EXACTLY this data.
+    val corrected = orders.filter(col("_p") === lit(target))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try corrected.write.mode("overwrite").partitionBy("_p").parquet(out)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(out)
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("_p")
+  }
+
+  /** sink_compact_small_files — COMPACTION: a partition landed as many
+    * small files (the micro-batch/backfill residue that slows every
+    * subsequent scan — at 100 TB, file-count is a first-order planning
+    * cost); rewrite it to a bounded file count with `repartition(n)`,
+    * preserving rows exactly. Emits the engine-observed before/after
+    * file counts alongside the row conservation check, so the oracle
+    * pins all three. */
+  def sinkCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmpDir("compact")
+    val small = root.resolve("small").toString
+    val compacted = root.resolve("compacted").toString
+    val li = Relational.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.repartition(64).write.parquet(small)          // the residue
+    def files(p: String): Long = new java.io.File(p)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = files(small)
+    spark.read.parquet(small).repartition(2).write.parquet(compacted)
+    val after = files(compacted)
+    val (rows, sumPrice) = spark.read.parquet(compacted)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2))
+      .as[(Long, Double)].head()
+    Seq((before, after, rows, sumPrice))
+      .toDF("files_before", "files_after", "n_rows", "sum_price")
+  }
+
   /** scan_parquet_evolving — schema-evolution read: an early batch
     * wrote (c_custkey, c_name), a later batch added c_acctbal;
     * `mergeSchema` unions the footers so old files surface the new

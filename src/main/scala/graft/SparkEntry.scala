@@ -162,6 +162,7 @@ object SparkEntry {
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
+    "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1487,5 +1488,16 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem""",
+    // The observed in-flight metrics must equal a direct aggregate —
+    // validation counters piggybacked on the write scan, no re-read.
+    "observe_quality_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice <= 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
+                CAST(sum(CASE WHEN o_orderdate IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_null_date,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders""",
   )
 }

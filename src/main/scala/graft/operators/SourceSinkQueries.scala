@@ -171,6 +171,38 @@ object SourceSinkQueries {
       .toDF("files_before", "files_after", "n_rows", "sum_price")
   }
 
+  /** observe_quality_metrics — inline data-quality counters via
+    * `Dataset.observe`: null counts, domain violations, and row totals
+    * accumulate AS THE JOB RUNS (metric expressions evaluate inside
+    * the existing scan — zero extra passes, unlike a separate
+    * validation query that re-reads the table). The observed values
+    * surface after the action completes and become the audit row an
+    * ingest job logs next to its output. At 100 TB this is the only
+    * affordable shape for per-batch quality gates: the alternative —
+    * re-scanning to validate — doubles the IO. The job itself is a
+    * real write (the bronze land), so the metrics describe exactly the
+    * data that shipped. */
+  def observeQualityMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("bronze_quality")
+    val out = tmpDir("observe").resolve("orders").toString
+    Relational.table(spark, dir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull ||
+          col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_bad_price"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+          .as("n_null_date"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .write.mode("overwrite").parquet(out)
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("n_bad_price").asInstanceOf[Long],
+        m("n_null_date").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double]))
+      .toDF("n_rows", "n_bad_price", "n_null_date", "sum_price")
+  }
+
   /** scan_parquet_evolving — schema-evolution read: an early batch
     * wrote (c_custkey, c_name), a later batch added c_acctbal;
     * `mergeSchema` unions the footers so old files surface the new

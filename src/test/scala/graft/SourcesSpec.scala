@@ -105,4 +105,42 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 4)
     assert(df.columns.sorted.toSeq == Seq("id", "name"))
   }
+
+  test("dynamic backfill physically leaves other partitions' files alone") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val out = graft.util.Scratch.dir("graft_bfspec").resolve("t").toString
+    val orders = Relational.table(spark, sfDir, "orders")
+      .withColumn("_p", date_trunc("year", col("o_orderdate")).cast("date"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("_p"))
+    orders.write.partitionBy("_p").parquet(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_p="))
+      .map(_.getName).sorted
+    assert(parts.length >= 2, "fixture needs multiple partitions")
+    val target = parts.head
+    val others = parts.tail
+    def snapshot(p: String): Map[String, Long] =
+      new java.io.File(s"$out/$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = others.map(p => p -> snapshot(p)).toMap
+    val targetDate = java.sql.Date.valueOf(
+      target.stripPrefix("_p="))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try orders.filter(col("_p") === lit(targetDate))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.mode("overwrite").partitionBy("_p").parquet(out)
+    finally spark.conf.set(key, prev)
+    others.foreach { p =>
+      assert(snapshot(p) == before(p),
+        s"partition $p was rewritten by the backfill")
+    }
+    // And the target partition WAS replaced (new files).
+    assert(snapshot(target).nonEmpty)
+    val total = spark.read.parquet(out).count()
+    assert(total == orders.count(), "no row doubling, no truncation")
+  }
 }

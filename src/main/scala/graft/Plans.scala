@@ -29,7 +29,9 @@ object Plans {
       "dedup_incremental", "quality_funnel", "grouping_sets",
       "approx_quantile", "token_budget_pack", "dedup_bloom_prefilter",
       "sample_domain_mix", "dedup_semantic", "text_unigram_logprob",
-      "dedup_span_exact")
+      "dedup_span_exact", "custom_topk_exec", "optimizer_cosine_rewrite",
+      "pipeline_pack_release", "sketch_hll_store",
+      "sink_partition_backfill", "observe_quality_metrics")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

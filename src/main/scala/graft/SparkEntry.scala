@@ -1417,9 +1417,14 @@ object SparkEntry {
                FROM documents),
          f AS (SELECT doc_id, lang, text, n_tok FROM q
                WHERE n_tok >= 15 AND stop_ratio >= 0.02),
-         dd AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
-                  min(n_tok) AS n_tok
-                FROM f GROUP BY text),
+         -- winner = the LOWEST-ID ROW per text (its lang, not min(lang):
+         -- identical texts can occur under different languages, and the
+         -- mixture stage is lang-sensitive)
+         dd AS (SELECT doc_id, lang, n_tok FROM (
+                  SELECT doc_id, lang, n_tok,
+                    row_number() OVER (PARTITION BY text
+                      ORDER BY doc_id) AS rn
+                  FROM f) WHERE rn = 1),
          c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
                FROM dd GROUP BY lang),
          b AS (SELECT lang,

@@ -882,8 +882,14 @@ object Dedup {
     * document. Emits the per-document audit (spans, kept, duplicated)
     * for documents with at least one full span. */
   def spanDedup(
-      spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val withTokens = docs(spark, dir)
+      spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    spanDedupOf(docs(spark, dir), k)
+
+  /** The span-dedup core over any (doc_id, text) frame — per-chunk keep
+    * marks, exposed for property tests; [[spanDedup]] aggregates it to
+    * the per-document audit. */
+  private[graft] def spanKeepMarks(docsDf: DataFrame, k: Int): DataFrame = {
+    val withTokens = docsDf
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
       .filter(col("n") >= k)
@@ -899,10 +905,13 @@ object Dedup {
     chunks.join(first, Seq("span"))
       .withColumn("keep", col("doc_id") === col("first.doc_id") &&
         col("ci") === col("first.ci"))
+  }
+
+  def spanDedupOf(docsDf: DataFrame, k: Int): DataFrame =
+    spanKeepMarks(docsDf, k)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_spans"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_spans"))
       .orderBy("doc_id")
-  }
 }

@@ -110,6 +110,33 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span dedup equals in-memory first-occurrence scan on random corpora") {
+    import org.apache.spark.sql.functions._
+    val k = 4
+    // Tiny vocabulary forces heavy span collisions across docs.
+    val texts = samples(for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "), 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text").repartition(5)
+    val got = graft.operators.Dedup.spanKeepMarks(df, k)
+      .select(col("doc_id"), col("ci"), col("keep"))
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (d, c, kf) => (d, c) -> kf }.toMap
+    val seen = scala.collection.mutable.Set[String]()
+    texts.sortBy(_._1).foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length >= k) (0 until ws.length / k).foreach { ci =>
+        val span = ws.slice(ci * k, ci * k + k).mkString(" ")
+        val expectKeep = !seen.contains(span)
+        seen += span
+        assert(got((id, ci)) == expectKeep,
+          s"doc $id chunk $ci span '$span'")
+      }
+    }
+  }
+
   test("custom top-k exec equals in-memory grouped sort-take on random data") {
     import org.apache.spark.sql.functions._
     val rows = samples(for {

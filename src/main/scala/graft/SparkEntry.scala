@@ -1010,9 +1010,15 @@ object SparkEntry {
                FROM u),
          f AS (SELECT doc_id, text, lang, n_tok FROM q
                WHERE n_tok >= 15 AND stop_ratio >= 0.02),
-         dd AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok,
-                  min(lang) AS lang, text
-                FROM f GROUP BY text),
+         -- winner = the LOWEST-ID ROW per text: min(lang) per group can
+         -- diverge from the kept row's lang once identical texts occur
+         -- under different languages (seen at sf0.1), and the mixture
+         -- stage is lang-sensitive.
+         dd AS (SELECT doc_id, n_tok, lang, text FROM (
+                  SELECT doc_id, n_tok, lang, text,
+                    row_number() OVER (PARTITION BY text
+                      ORDER BY doc_id) AS rn
+                  FROM f) WHERE rn = 1),
          bw AS (SELECT string_split(text, ' ') AS ws FROM d0
                 WHERE doc_id % 97 = 0),
          bg AS (SELECT DISTINCT ws[i] || '|' || ws[i+1] || '|' || ws[i+2]

@@ -163,6 +163,7 @@ object SparkEntry {
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
+    "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
   )
 
   /** TPC-H Q1-shaped pricing summary — the canonical groupBy/agg probe. */
@@ -1510,5 +1511,19 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_null_date,
                 round(sum(o_totalprice), 2) AS sum_price
          FROM orders""",
+    // AQE's runtime skew split must not change results; the flag is the
+    // engine's own executed-plan assertion that it actually fired.
+    "skew_aqe_join" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                               ELSE l_orderkey % 25 END AS hot_key,
+                  l_extendedprice
+               FROM lineitem),
+         d AS (SELECT n_nationkey AS hot_key, n_name AS status
+               FROM nation)
+         SELECT d.status, CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(f.l_extendedprice), 2) AS sum_price,
+                TRUE AS skew_split_applied
+         FROM f JOIN d ON f.hot_key = d.hot_key
+         GROUP BY d.status ORDER BY d.status""",
   )
 }

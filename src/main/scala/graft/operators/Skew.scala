@@ -96,4 +96,71 @@ object Skew {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy("o_orderstatus")
   }
+
+  /** skew_aqe_join — the AUTOMATIC skew mitigation: AQE observes the
+    * finished shuffle's per-partition sizes at runtime and splits any
+    * skewed partition across extra tasks (`isSkewJoin=true` on the
+    * sort-merge join), with identical results — the runtime complement
+    * to [[saltedJoin]]'s up-front salting. The fixture funnels ~every
+    * fact row onto ONE join key (the straggler pattern) and lowers the
+    * skew thresholds so the split triggers at local scale; production
+    * keeps the defaults (256 MB). Confs are scoped and restored. The
+    * engine's own plan assertion ships in the hash-checked output, so
+    * a regression that silently stops splitting flips the row. */
+  def aqeSkewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // The split trades one extra shuffle-read pass for straggler
+      // elimination; at these fixture sizes Spark's cost heuristic
+      // would decline, so the demonstration opts in explicitly.
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of lineitem lands on hot_key 0. Two pattern requirements,
+      // both scale lessons in their own right:
+      //  - the dim side must reach the join DIRECTLY from its shuffle
+      //    (OptimizeSkewedJoin only matches sort-merge joins whose
+      //    children are sort-over-shuffle; an aggregate in between
+      //    defeats it) — hence a plain projection of the nation table;
+      //  - AQE splits a skewed reducer partition at MAP-TASK
+      //    granularity (a sub-partition is a range of map outputs), so
+      //    a single-map-task shuffle — one input file at local scale —
+      //    is UNSPLITTABLE no matter how skewed. The `repartition(16)`
+      //    stands in for the many map tasks any real table has.
+      val fact = Relational.table(spark, dir, "lineitem")
+        .repartition(16)
+        .select(
+          when(col("l_orderkey") % 10 =!= 0, 0L)
+            .otherwise(col("l_orderkey") % 25).as("hot_key"),
+          col("l_extendedprice"))
+      val dim = Relational.table(spark, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("hot_key"),
+          col("n_name").as("status"))
+      val joined = fact.join(dim, Seq("hot_key"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      // Plan inspection must target the SAME QueryExecution that ran:
+      // .orderBy would create a fresh (never-executed) one.
+      val ordered = joined.orderBy("status")
+      val rows = ordered.collect()
+      val planStr = ordered.queryExecution.executedPlan.toString
+      val split = planStr.contains("skew=true")
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), split))
+        .toSeq
+        .toDF("status", "n_rows", "sum_price", "skew_split_applied")
+        .orderBy("status")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -383,10 +383,15 @@ object Curation {
     // contract Spark's injected runtime join filters satisfy), so the
     // one-row bloom aggregate is attached as a ScalarSubquery rather
     // than a join.
+    // An EMPTY existing corpus aggregates to a NULL bloom filter and
+    // might_contain(NULL, h) is NULL — which a bare filter would treat
+    // as "drop", silently deleting the whole first batch. NULL means
+    // "no filter exists", i.e. nothing can match: coalesce to false.
     val probed = incoming.withColumn("_h", fp)
-      .withColumn("_maybe", ColumnBridge.column(BloomFilterMightContain(
-        ScalarSubquery(bloom.queryExecution.logical),
-        ColumnBridge.expression(col("_h")))))
+      .withColumn("_maybe", coalesce(
+        ColumnBridge.column(BloomFilterMightContain(
+          ScalarSubquery(bloom.queryExecution.logical),
+          ColumnBridge.expression(col("_h")))), lit(false)))
     val definiteNew = probed.filter(!col("_maybe"))
     val needsCheck = probed.filter(col("_maybe"))
     val known = existing.select(fp.as("_h2")).distinct()

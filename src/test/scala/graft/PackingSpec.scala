@@ -98,6 +98,17 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._3 > 1), "fixture must exercise upsampling")
   }
 
+  test("bloom prefilter with an empty existing corpus keeps every row") {
+    val d = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val empty = d.filter(lit(false))
+    val survived = Curation.bloomPrefilterDedup(empty, d)
+      .select("doc_id").as[Long].collect().sorted
+    val all = d.select("doc_id").as[Long].collect().sorted
+    assert(survived.toSeq == all.toSeq,
+      "first-ever batch must pass through an empty-corpus prefilter")
+  }
+
   test("domain mix boundaries: smallest language keeps everything") {
     val rows = Curation.domainMixQuery(spark, sfDir)
       .as[(String, Long, Int, Long)].collect()

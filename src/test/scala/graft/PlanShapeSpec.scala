@@ -96,6 +96,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "global window must consume per-block aggregates, not raw rows")
   }
 
+  test("aqe skew join reports the runtime split in its own output") {
+    // sf0.001's hot partition sits under the 64KB skew threshold by
+    // design (the thresholds are not lowered to absurdity); assert at
+    // sf0.01 — the scale the driver contract runs at.
+    val rows = SparkEntry.queries("skew_aqe_join")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("skew_split_applied")),
+      "AQE skew split did not fire on the skewed fixture")
+  }
+
   test("unigram logprob broadcasts the vocabulary to the scoring scan") {
     val plan = executedPlan("text_unigram_logprob")
     assert(plan.contains("BroadcastHashJoin"),

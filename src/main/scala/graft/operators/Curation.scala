@@ -427,6 +427,31 @@ object Curation {
   // Target-mixture calibration (computed rates, not hand-set)
   // ------------------------------------------------------------------
 
+  /** Whitespace-token quality gate shared by the curation surfaces
+    * (batch, streaming, and the release pipeline): returns
+    * (n_tok, pass) for `pass = n_tok ≥ minTokens ∧ stop_ratio ≥
+    * minStopRatio`. One definition, one oracle translation. */
+  private[graft] def qualityGate(ws: Column, minTokens: Int = 15,
+      minStopRatio: Double = 0.02): (Column, Column) = {
+    val nTok = size(ws)
+    val stopRatio = size(filter(ws, w => w.isin(TextOps.StopWords: _*)))
+      .cast("double") / nTok
+    (nTok, nTok >= minTokens && stopRatio >= minStopRatio)
+  }
+
+  /** Balanced-mixture boundary: the keep rate min_docs/n_docs quantized
+    * to 1/256 — integer arithmetic only, engine-neutral. */
+  private[graft] def boundary256(minDocs: Column, nDocs: Column): Column =
+    floor(minDocs * 256 / nDocs).cast("int")
+
+  /** The md5-prefix keep predicate at a quantized boundary column —
+    * the computed-rate sibling of [[mixtureKeep]]'s hand-set rates. */
+  private[graft] def keepBelowBoundary(id: Column, boundary: Column): Column =
+    substring(md5(id.cast("string")), 1, 2) <
+      when(boundary >= 256, lit("g0"))
+        .otherwise(lpad(lower(conv(boundary.cast("string"), 10, 16)),
+          2, "0"))
+
   /** sample_domain_mix — downsample toward an EQUAL-SHARE language
     * mixture computed FROM THE DATA: the per-language keep rate is
     * min_lang_count / lang_count, so every language is sampled down to
@@ -475,15 +500,10 @@ object Curation {
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("n_docs")).as("min_docs"))))
     // Quantized boundary in [0,256]: 256 ⇔ keep-all (md5 prefix is
-    // always < "g0"-equivalent). Integer arithmetic only — both
-    // engines floor (min*256)/n identically.
-    val rate256 = floor(col("min_docs") * 256 / col("n_docs"))
-      .cast("int").as("boundary256")
-    val boundaries = withMin.select(col("lang"), col("n_docs"), rate256)
-    val keep = substring(md5(col("doc_id").cast("string")), 1, 2) <
-      when(col("boundary256") >= 256, lit("g0"))
-        .otherwise(lpad(lower(conv(col("boundary256").cast("string"),
-          10, 16)), 2, "0"))
+    // always < "g0"-equivalent).
+    val boundaries = withMin.select(col("lang"), col("n_docs"),
+      boundary256(col("min_docs"), col("n_docs")).as("boundary256"))
+    val keep = keepBelowBoundary(col("doc_id"), col("boundary256"))
     docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(broadcast(boundaries), Seq("lang"))
       .groupBy("lang")

@@ -414,8 +414,14 @@ object Dedup {
           ex.groupBy("shingle").agg(count(lit(1)).cast("double").as("df"))
             .agg(sum(col("df") * col("df"))).head().getAs[java.lang.Double](0))
           .fold(0.0)(_.doubleValue())
+        // Candidates may arrive NON-DISTINCT (prefixCandidatesOf emits a
+        // pair once per shared prefix shingle — the hot-key corpora that
+        // trip this guard are exactly the ones with many shared prefixes).
+        // The main path dedups via left_semi + groupBy; the array path's
+        // plain joins preserve multiplicity, so dedup here or the output
+        // carries duplicate pairs.
         if (joinRows > maxJoinRows)
-          return jaccardVerifyShingled(arr, cands, threshold)
+          return jaccardVerifyShingled(arr, cands.distinct(), threshold)
         val inter = ex.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(ex.select(col("doc_id").as("doc_b"), col("shingle")),
             Seq("shingle"))
@@ -626,8 +632,14 @@ object Dedup {
       case _ => ()
     }
 
+  /** `releaseInput = true` hands ownership of a locally-checkpointed
+    * `pairs` to this function: its executor blocks are freed once the
+    * labels are materialized, and THE CALLER MUST NOT READ `pairs`
+    * AGAIN (a released local checkpoint cannot recompute). Default is
+    * non-destructive. */
   private[graft] def connectedComponents(
-      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 20,
+      releaseInput: Boolean = false): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -673,14 +685,12 @@ object Dedup {
         System.err.println(
           s"[graft] connectedComponents: no fixpoint in $maxIters " +
             "min-label rounds; switching to star contraction")
-        return connectedComponentsStar(pairs)
+        // The abandoned loop's last labels checkpoint would otherwise
+        // pin executor storage for the whole star-contraction phase.
+        releaseCheckpoint(labels)
+        return connectedComponentsStar(pairs, releaseInput = releaseInput)
       }
-      // OWNERSHIP: `pairs` is consumed — the final labels are
-      // materialized, so a checkpointed input (e.g. a verify-join
-      // result) can release its executor blocks now. (Not before the
-      // fallback branch: star contraction still reads `pairs`, and a
-      // released local checkpoint cannot recompute.)
-      releaseCheckpoint(pairs)
+      if (releaseInput) releaseCheckpoint(pairs)
       labels
     } finally edges.unpersist(false)
   }
@@ -699,15 +709,17 @@ object Dedup {
     * larger endpoint and connect each hub and its smaller neighbors to
     * their minimum. At the fixpoint the edge set is a forest of stars
     * rooted at component minima, and one more pass of either step
-    * reproduces it unchanged — detected via an order-independent
-    * (count, hash-sum) witness, one cheap aggregate per round.
+    * reproduces it unchanged — screened by an order-independent
+    * (count, hash-sum) witness each round, then CONFIRMED exactly
+    * (empty anti-difference) before the fixpoint is trusted.
     *
     * Returns (doc_id, label) for every vertex incident to a pair,
     * label = component minimum — same contract as
     * `connectedComponents` (equivalence property-tested on random
     * graphs in DedupSpec). */
   private[graft] def connectedComponentsStar(
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 25,
+      releaseInput: Boolean = false): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     def largeStar(e: DataFrame): DataFrame = {
@@ -748,19 +760,26 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    // OWNERSHIP: `pairs` is consumed — verts and the initial edges are
-    // both materialized, so a checkpointed input can release now.
-    releaseCheckpoint(pairs)
+    if (releaseInput) releaseCheckpoint(pairs)
     var prev = witness(edges)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = witness(next)
+      // The (count, hash-sum) witness is NECESSARY but not sufficient —
+      // a 31-bit sum can collide (~2^-31/round), and a false fixpoint
+      // here would mean silently wrong cluster labels. Confirm claimed
+      // fixpoints EXACTLY before trusting them: counts already match,
+      // so one empty anti-difference proves set equality. Runs once at
+      // the true fixpoint (plus on the vanishingly rare collision),
+      // never per ordinary round.
+      val isFixpoint = cur == prev &&
+        next.exceptAll(edges).isEmpty
       // superseded edge set: free its executor blocks deterministically
       releaseCheckpoint(edges)
       edges = next
-      converged = cur == prev
+      converged = isFixpoint
       prev = cur
       iter += 1
     }
@@ -791,7 +810,8 @@ object Dedup {
   def clusterCollapse(
       spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     connectedComponents(
-        minHashLsh(spark, dir, threshold).select("doc_a", "doc_b"))
+        minHashLsh(spark, dir, threshold).select("doc_a", "doc_b"),
+        releaseInput = true)
       .groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("canonical_id")

@@ -81,13 +81,12 @@ object Packing {
       col("n_exact").cast("bigint").as("n_exact"),
       (abs(expr("hll_sketch_estimate(sketch)") - col("n_exact"))
         <= col("n_exact") * 0.05).as("approx_within_5pct"))
+    // The merged total's exact twin is computed independently below —
+    // per-language exact counts do NOT sum to it when a text repeats
+    // across languages.
     val merged = sketches
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"),
-        sum(col("n_exact")).as("n_exact"))
-      // languages partition the digest space in this corpus only if no
-      // text repeats across languages; the exact total is computed
-      // independently below to avoid assuming that.
-      .select(lit("__all__").as("lang"), col("est"), col("n_exact"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+      .select(lit("__all__").as("lang"), col("est"))
     val exactAll = Relational.table(spark, dir, "documents")
       .select(sha2(col("text").cast("binary"), 256).as("digest"))
       .agg(count_distinct(col("digest")).as("n_exact_all"))
@@ -115,26 +114,21 @@ object Packing {
   def packReleaseQuery(
       spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
     val ws = TextOps.tokens(col("text"))
+    val (nTok, pass) = Curation.qualityGate(ws)
     val quality = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
-        size(ws).cast("bigint").as("n_tok"),
-        (size(filter(ws, w => w.isin(TextOps.StopWords: _*)))
-          .cast("double") / size(ws)).as("stop_ratio"))
-      .filter(col("n_tok") >= 15 && col("stop_ratio") >= 0.02)
+        nTok.cast("bigint").as("n_tok"), pass.as("_pass"))
+      .filter(col("_pass")).drop("_pass")
     val deduped = Dedup.exactDedup(quality, "doc_id", "text")
       .select(col("doc_id"), col("lang"), col("n_tok"))
     val counts = deduped.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val boundaries = counts.crossJoin(
         broadcast(counts.agg(min(col("n_docs")).as("min_docs"))))
       .select(col("lang"),
-        floor(col("min_docs") * 256 / col("n_docs")).cast("int")
+        Curation.boundary256(col("min_docs"), col("n_docs"))
           .as("boundary256"))
-    val keep = substring(md5(col("doc_id").cast("string")), 1, 2) <
-      when(col("boundary256") >= 256, lit("g0"))
-        .otherwise(lpad(lower(conv(col("boundary256").cast("string"),
-          10, 16)), 2, "0"))
     val kept = deduped.join(broadcast(boundaries), Seq("lang"))
-      .filter(keep)
+      .filter(Curation.keepBelowBoundary(col("doc_id"), col("boundary256")))
       .select(col("doc_id"), col("n_tok"))
     exclusivePrefixSum(kept, "doc_id", "n_tok")
       .select(col("doc_id"), col("n_tok"),

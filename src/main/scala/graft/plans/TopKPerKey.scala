@@ -32,6 +32,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class TopKPerKeyPlan(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k requires k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(
@@ -52,6 +53,13 @@ case class TopKPerKeyExec(
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  // Row-pruning preserves the child's clustering: advertise it, so a
+  // downstream groupBy/join on the same keys reuses this shuffle
+  // instead of paying a second one (the contract built-in aggregates
+  // follow).
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def withNewChildInternal(
       newChild: SparkPlan): TopKPerKeyExec = copy(child = newChild)
 

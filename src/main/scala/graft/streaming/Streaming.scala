@@ -218,14 +218,11 @@ object Streaming {
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val ws = graft.operators.TextOps.tokens(col("text"))
-    val nTok = size(ws)
-    val stopRatio = size(filter(ws,
-      w => w.isin(graft.operators.TextOps.StopWords: _*)))
-      .cast("double") / nTok
+    val (nTok, pass) = graft.operators.Curation.qualityGate(ws)
     val curated = spark.readStream.schema(schema)
       .parquet(srcDir.toString)
       .withColumn("n_tok", nTok)
-      .filter(col("n_tok") >= 15 && stopRatio >= 0.02)
+      .filter(pass)
       .withColumn("digest", sha2(col("text").cast("binary"), 256))
       .dropDuplicates("lang", "digest")
     runAvailableNow(curated, base.resolve("ckpt").toString,

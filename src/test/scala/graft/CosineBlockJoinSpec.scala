@@ -51,6 +51,41 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got == handBuilt)
   }
 
+  test("rule skips joins with extra conjuncts beyond the matched pair") {
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val threeConjuncts = e.as("a").join(e.as("b"),
+      col("a.vec_id") < col("b.vec_id") &&
+        CosineSimilarity.asColumn(
+          col("a.embedding"), col("b.embedding")) >= 0.46 &&
+        col("b.vec_id") % 2 === 0)
+    val (without, within) = {
+      val w0 = threeConjuncts.queryExecution.optimizedPlan.toString
+      val w1 = withRule {
+        threeConjuncts.queryExecution.optimizedPlan.toString
+      }
+      (w0, w1)
+    }
+    // The guard requires EXACTLY the (id-order, cosine) conjunct pair;
+    // any extra predicate must leave the join untouched rather than be
+    // silently dropped by a partial rewrite.
+    assert(within == without)
+  }
+
+  test("parents above the rewritten join still resolve (exprIds kept)") {
+    val expectedCount = naiveJoin().count()
+    val got = withRule {
+      // An aggregate ABOVE the join references the join's output
+      // attributes; a rewrite that re-created them under fresh exprIds
+      // would fail analysis or bind to the wrong columns.
+      naiveJoin().groupBy((col("id_a") % 2).as("parity"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got.values.sum == expectedCount)
+    assert(got.nonEmpty)
+  }
+
   test("rule leaves non-matching joins untouched") {
     val e = Relational.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -176,7 +176,6 @@ object Curation {
     * each stage is a boolean column and the funnel is a single
     * aggregation over cumulative conjunctions (no per-stage jobs). */
   def qualityFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val ws = TextOps.tokens(col("text"))
     val nTok = size(ws)
     val stopRatio = size(filter(ws, w => w.isin(TextOps.StopWords: _*)))
@@ -185,18 +184,23 @@ object Curation {
     val pass1 = nTok >= 20                 // min length
     val pass2 = pass1 && stopRatio >= 0.02 // language-ish confidence
     val pass3 = pass2 && dupRatio <= 0.8   // repetition cap
-    val agg = docs(spark, dir).agg(
-      count(lit(1)).as("n0"),
-      sum(when(pass1, 1L).otherwise(0L)).as("n1"),
-      sum(when(pass2, 1L).otherwise(0L)).as("n2"),
-      sum(when(pass3, 1L).otherwise(0L)).as("n3")).head()
-    val Seq(n0, n1, n2, n3) =
-      (0 to 3).map(i => agg.getAs[Long](i))
-    Seq(
-      ("1_min_length", n0 - n1, n1),
-      ("2_stopword_ratio", n1 - n2, n2),
-      ("3_repetition", n2 - n3, n3))
-      .toDF("stage", "n_removed", "n_remaining")
+    // One aggregation row pivoted to per-stage rows INSIDE the plan
+    // (explode over a struct array) — no driver round-trip, so the
+    // funnel composes like any other DataFrame and the pattern is safe
+    // to copy for unbounded outputs.
+    def stage(name: String, removed: Column, remaining: Column) =
+      struct(lit(name).as("stage"), removed.as("n_removed"),
+        remaining.as("n_remaining"))
+    docs(spark, dir).agg(
+        count(lit(1)).as("n0"),
+        sum(when(pass1, 1L).otherwise(0L)).as("n1"),
+        sum(when(pass2, 1L).otherwise(0L)).as("n2"),
+        sum(when(pass3, 1L).otherwise(0L)).as("n3"))
+      .select(explode(array(
+        stage("1_min_length", col("n0") - col("n1"), col("n1")),
+        stage("2_stopword_ratio", col("n1") - col("n2"), col("n2")),
+        stage("3_repetition", col("n2") - col("n3"), col("n3")))).as("s"))
+      .select(col("s.*"))
       .orderBy("stage")
   }
 

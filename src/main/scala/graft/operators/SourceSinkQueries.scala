@@ -164,11 +164,11 @@ object SourceSinkQueries {
     val before = files(small)
     spark.read.parquet(small).repartition(2).write.parquet(compacted)
     val after = files(compacted)
-    val (rows, sumPrice) = spark.read.parquet(compacted)
-      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2))
-      .as[(Long, Double)].head()
-    Seq((before, after, rows, sumPrice))
-      .toDF("files_before", "files_after", "n_rows", "sum_price")
+    spark.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(lit(before).as("files_before"), lit(after).as("files_after"),
+        col("n_rows"), col("sum_price"))
   }
 
   /** observe_quality_metrics — inline data-quality counters via

@@ -113,8 +113,11 @@ object Skew {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // Low enough that the hot partition qualifies at EVERY test scale
+      // (sf0.001's compressed hot partition is ~50KB); production keeps
+      // the 256MB default.
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       // The split trades one extra shuffle-read pass for straggler
       // elimination; at these fixture sizes Spark's cost heuristic

@@ -97,11 +97,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("aqe skew join reports the runtime split in its own output") {
-    // sf0.001's hot partition sits under the 64KB skew threshold by
-    // design (the thresholds are not lowered to absurdity); assert at
-    // sf0.01 — the scale the driver contract runs at.
-    val rows = SparkEntry.queries("skew_aqe_join")(
-      spark, "/root/testdata/sf0.01").collect()
+    // The query's demonstration thresholds are sized so the hot
+    // partition qualifies at every test scale, including this suite's
+    // sf0.001.
+    val rows = SparkEntry.queries("skew_aqe_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("skew_split_applied")),
       "AQE skew split did not fire on the skewed fixture")

@@ -1283,8 +1283,10 @@ object SparkEntry {
                              AS BIGINT)
                  FROM k WHERE k.lang = b.lang) AS n_kept
          FROM b ORDER BY lang""",
-    // Greedy keep-first SemDeDup on precomputed cells: a vector is
-    // dropped iff an earlier vector in the SAME cell sits at cosine>=t.
+    // Drop-if-any-earlier-neighbor SemDeDup on precomputed cells: a
+    // vector is dropped iff ANY earlier vector (kept or dropped) in
+    // the SAME cell sits at cosine>=t — more aggressive than greedy
+    // keep-first, and order-free, hence SQL-replayable.
     "dedup_semantic" ->
       """WITH v AS (SELECT vec_id, label,
                   CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

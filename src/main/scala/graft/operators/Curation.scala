@@ -153,7 +153,8 @@ object Curation {
     * = odd doc_ids PLUS re-keyed copies of 50 existing docs (the crawl
     * overlap). The dedup must drop exactly the copies. */
   def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val d = docs(spark, dir)
+      .select(Dedup.pinnedDocId(col("doc_id")).as("doc_id"), col("text"))
     val existing = d.filter(col("doc_id") % 2 === 0)
     val incoming = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
@@ -377,7 +378,14 @@ object Curation {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val fp = xxhash64(sha2(col(textCol).cast("binary"), 256))
+    // The Bloom filter wants a LONG input, so the 256-bit content
+    // digest is narrowed through xxhash64 for the PROBE only; the
+    // exact anti-join below matches on the full sha2 hex digest, so a
+    // 64-bit collision can cost at most a wasted trip through the
+    // exact check — never a silently dropped document (the failure
+    // mode a billions-of-docs corpus would otherwise hit).
+    val digest = sha2(col(textCol).cast("binary"), 256)
+    val fp = xxhash64(digest)
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(col("_h")),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
@@ -397,11 +405,11 @@ object Curation {
           ScalarSubquery(bloom.queryExecution.logical),
           ColumnBridge.expression(col("_h")))), lit(false)))
     val definiteNew = probed.filter(!col("_maybe"))
-    val needsCheck = probed.filter(col("_maybe"))
-    val known = existing.select(fp.as("_h2")).distinct()
+    val needsCheck = probed.filter(col("_maybe")).withColumn("_fp", digest)
+    val known = existing.select(digest.as("_fp2")).distinct()
     val survived = needsCheck
-      .join(known, col("_h") === col("_h2"), "left_anti")
-    definiteNew.unionByName(survived.drop("_h2"))
+      .join(known, col("_fp") === col("_fp2"), "left_anti")
+    definiteNew.unionByName(survived.drop("_fp2", "_fp"))
       .drop("_h", "_maybe")
   }
 
@@ -412,7 +420,8 @@ object Curation {
     * without any shuffle, and how many it sent to the exact check. The
     * result set must equal the plain anti-join's (oracle-checked). */
   def bloomPrefilterQuery(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val d = docs(spark, dir)
+      .select(Dedup.pinnedDocId(col("doc_id")).as("doc_id"), col("text"))
     val existing = d.filter(col("doc_id") % 2 === 0)
     val incoming = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)

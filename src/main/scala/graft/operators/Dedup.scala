@@ -18,6 +18,25 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Relational.table(spark, dir, "documents")
 
+  /** Fixture re-key offset shared by the incremental-ingest demo
+    * queries here and in [[Curation]]: "new batch" rows are synthesized
+    * by copying existing docs to `doc_id + ReKeyOffset`. Those queries
+    * are only faithful if no GENUINE doc_id reaches the offset — a
+    * collision would silently merge two documents' shingle sets (here)
+    * or alias audit ids (there). */
+  private[operators] val ReKeyOffset = 10000L
+
+  /** Pins the `doc_id < ReKeyOffset` fixture assumption declaratively:
+    * identity on every valid id, `raise_error` on violation. A pure
+    * codegen'd conditional — zero cost while the assumption holds, a
+    * loud failure instead of corrupt output if a future fixture breaks
+    * it (the oracle SQL keeps the plain `doc_id + 10000` literal, so
+    * hashes are unchanged). */
+  private[operators] def pinnedDocId(c: Column): Column =
+    when(c < ReKeyOffset, c).otherwise(raise_error(concat(
+      lit(s"fixture doc_id >= re-key offset $ReKeyOffset: "),
+      c.cast("string"))))
+
   /** dedup_exact — keep the lowest doc_id per identical text. Grouping
     * key is sha2(text): the shuffle carries (hash, id), never the
     * document body. Collision probability at 2^-256 is ignorable. */
@@ -856,7 +875,10 @@ object Dedup {
       spark: SparkSession, dir: String,
       threshold: Double = 0.8, k: Int = 128): DataFrame = {
     val base = graft.util.Scratch.dir("graft_lshidx")
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    // pinnedDocId: a genuine id at/above the re-key offset would merge
+    // two documents' shingle sets in the unioned verify relation below.
+    val d = docs(spark, dir)
+      .select(pinnedDocId(col("doc_id")).as("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") % 2 === 0)
     val batch = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)

@@ -480,11 +480,14 @@ object Similarity {
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public algorithm): partition the embedding space
     * into cells, and within each cell drop every vector that has an
-    * EARLIER (lower-id) near-neighbor at cosine ≥ t. The greedy
-    * keep-first rule makes the result a pure function of (ids, cells,
-    * similarities) — no clustering-order or representative-choice
-    * ambiguity — which is what lets an external engine replay it
-    * exactly.
+    * EARLIER (lower-id) near-neighbor at cosine ≥ t — whether or not
+    * that earlier vector was itself dropped. This drop-if-any-earlier-
+    * neighbor rule is MORE aggressive than greedy keep-first (which
+    * compares only against still-kept vectors and so retains transitive
+    * chains), and it is what makes the result a pure function of (ids,
+    * cells, pairwise similarities) — no sequential scan order, no
+    * representative choice — which is what lets an external engine
+    * replay it exactly.
     *
     * Cells here are the `label` column (the testdata's stand-in for
     * the k-means/IVF cell id the quantizer assigns in production —

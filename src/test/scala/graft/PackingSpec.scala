@@ -29,8 +29,10 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(shards.nonEmpty)
     assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong),
       "shard ids must be dense from 0")
-    shards.sliding(2).foreach { case Array(a, b) =>
-      assert(a._5 < b._4, "shards must cover contiguous doc_id ranges")
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 < b._4, "shards must cover contiguous doc_id ranges")
+      case _ => () // single shard: sliding(2) emits one size-1 window
     }
     // Greedy packing invariant: a shard only closes once it has reached
     // the budget, so every shard except possibly the last holds at
@@ -69,8 +71,10 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(shards.nonEmpty)
     assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
-    shards.sliding(2).foreach { case Array(a, b) =>
-      assert(a._5 < b._4, "shard id ranges must be disjoint and ordered")
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 < b._4, "shard id ranges must be disjoint and ordered")
+      case _ => () // single shard: sliding(2) emits one size-1 window
     }
     // The curated subset is strictly smaller than the corpus (quality
     // gate + downsample both bite on this fixture).

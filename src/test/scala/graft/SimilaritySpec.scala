@@ -152,13 +152,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(viaExpr == viaScan)
   }
 
-  test("semantic dedup equals the sequential greedy scan per cell") {
+  test("semantic dedup equals the sequential drop-if-earlier scan per cell") {
     val df = Similarity.semanticDedup(spark, sfDir, threshold = 0.4)
     assertNoDriverMaterialization(df)
     val got = df.as[(Int, Long, Long, Long)].collect()
     // Reference: per cell, walk ids ascending, drop a vector iff ANY
     // earlier vector (kept or not) of the cell is a near-neighbor —
-    // that is the keep-first rule as specified, computable naively.
+    // the drop-if-any-earlier-neighbor rule as specified (more
+    // aggressive than greedy keep-first), computable naively.
     val vecs = graft.operators.Relational
       .table(spark, sfDir, "embeddings")
       .select("label", "vec_id", "embedding")

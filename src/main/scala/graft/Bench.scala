@@ -38,9 +38,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> math.min(time(fn), time(fn)) }
+    // The two runs per query are INTERLEAVED as full sweeps (every
+    // query once, then every query again) rather than back-to-back, so
+    // a transient load spike on a shared host can poison at most one of
+    // a query's two samples — back-to-back pairs made one bad minute
+    // look like a per-query regression. A fixed CALIBRATION probe
+    // (q1_agg — a plain scan+aggregate whose code rarely changes) is
+    // timed at the start, middle, and end of the sweep and emitted as
+    // "calib":[a,b,c]; a contended run shows inflated/ragged calib
+    // values, letting any cross-round comparison normalize by or
+    // discard that run instead of chasing phantom regressions.
+    def calibProbe(): Double = time(SparkEntry.queries("q1_agg"))
+    val calibA = calibProbe()
+    val pass1 = qlist.map { case (name, fn) => name -> time(fn) }
+    val calibB = calibProbe()
+    val pass2 = qlist.map { case (name, fn) => name -> time(fn) }
+    val calibC = calibProbe()
+    val results = pass1.zip(pass2).map {
+      case ((name, a), (_, b)) => name -> math.min(a, b)
+    }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map, one line, for human/judge reading.
@@ -72,7 +90,8 @@ object Bench {
     }
     val restSec = sorted.collect { case (k, v) if !keptKeys(k) => v }.sum
     val qs = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)}]"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

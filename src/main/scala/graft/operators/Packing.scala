@@ -5,54 +5,101 @@ import org.apache.spark.sql.functions._
 
 /** Sequence/shard packing for pre-training corpora: assign documents to
   * fixed-token-budget shards in a deterministic global order. The core
-  * primitive is a DISTRIBUTED PREFIX SUM — the textbook two-level scan
-  * (partial sums per block, one tiny scan over block totals, then a
-  * within-block scan), expressed entirely in DataFrame operations so
-  * Catalyst sees the whole plan.
+  * primitive is a DISTRIBUTED PREFIX SUM — the textbook multi-level
+  * scan (partial sums per block, a recursively-scanned block-total
+  * relation, then a within-block scan), expressed entirely in DataFrame
+  * operations so Catalyst sees the whole plan.
   *
   * Why not a plain running-total window? `sum(x) OVER (ORDER BY id)`
   * with no PARTITION BY collapses the whole corpus into ONE task — the
   * classic accidental serialization. Here the corpus-sized work is
-  * partitioned by a deterministic block key (id / blockSize); the only
-  * unpartitioned step runs over ONE ROW PER BLOCK (corpus_size /
-  * blockSize rows — bounded and controllable; at 100 TB you would add
-  * a third level over super-blocks, same shape). Reference capability:
-  * sairam030/autonomus_datapipeline has no packing step; this is part
-  * of the training-data extension surface (SURVEY §2 "beyond").
+  * partitioned by a deterministic block key (id / blockSize), and the
+  * block-total relation is scanned RECURSIVELY with a bounded fan-in:
+  * every window in the plan is either partitioned (parallel) or runs
+  * over at most `fanIn` rows — no level is ever a single task over an
+  * unbounded row count, at any corpus size up to the static capacity.
+  * Reference capability: sairam030/autonomus_datapipeline has no
+  * packing step; this is part of the training-data extension surface
+  * (SURVEY §2 "beyond").
   */
 object Packing {
 
   /** Exclusive running total of `valueCol` in ascending `idCol` order,
-    * computed with the two-level scan. Emits the input columns plus
-    * `prior` (sum of all values strictly before this row).
+    * computed with the recursive multi-level scan. Emits the input
+    * columns plus `prior` (sum of all values strictly before this row).
     *
     * - level 1: within-block exclusive cumsum — window PARTITIONED BY
     *   block, so every block scans in parallel;
-    * - level 2: per-block totals, then an exclusive cumsum over the
-    *   block-total relation (1 row per block) — the only global-order
-    *   window, bounded by the block count, never by the corpus.
-    */
+    * - level 2+: per-block totals scanned by [[exclusiveScanRel]],
+    *   which recurses over `fanIn`-sized super-groups until the top
+    *   scan fits one bounded window.
+    *
+    * `capacityIds` is the PLAN-TIME bound on the id domain that fixes
+    * the recursion depth (ids must be < capacityIds; the default 2^36
+    * covers ~6.9e10 documents — comfortably past the 10^10-doc /
+    * 100 TB design point). At the defaults that is exactly three
+    * levels: the in-block scan, one super-block scan (parallel,
+    * ≤ fanIn rows per partition), and a top window over ≤ 4096 rows;
+    * a larger corpus just passes a bigger capacity and the recursion
+    * adds levels. Each level is a fixed-cost stage (tiny groupBy +
+    * broadcast), so depth is chosen from the stated capacity rather
+    * than maxed out defensively. */
   def exclusivePrefixSum(
       df: DataFrame, idCol: String, valueCol: String,
-      blockSize: Long = 4096L): DataFrame = {
+      blockSize: Long = 4096L, fanIn: Long = 4096L,
+      capacityIds: Long = 1L << 36): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(blockSize >= 2 && fanIn >= 2, "blockSize and fanIn must be >= 2")
     val block = (col(idCol).cast("bigint") / blockSize).cast("bigint")
     val withBlock = df.withColumn("_blk", block)
     val inBlock = Window.partitionBy("_blk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val overBlocks = Window.orderBy("_blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blockOffsets = withBlock
+    val blockTotals = withBlock
       .groupBy("_blk").agg(sum(col(valueCol)).as("_blk_total"))
-      .select(col("_blk"),
-        coalesce(sum(col("_blk_total")).over(overBlocks), lit(0L))
-          .as("_blk_offset"))
+    val blockOffsets = exclusiveScanRel(blockTotals, "_blk", "_blk_total",
+        fanIn, maxKeys = capacityIds / blockSize + 1, lvl = 0)
+      .withColumnRenamed("_offset", "_blk_offset")
     withBlock
       .join(broadcast(blockOffsets), Seq("_blk"))
       .withColumn("prior",
         col("_blk_offset") +
           coalesce(sum(col(valueCol)).over(inBlock), lit(0L)))
       .drop("_blk", "_blk_offset")
+  }
+
+  /** Exclusive prefix sum over a (key, total) relation → (key,
+    * `_offset`): if the PLAN-TIME key bound fits one `fanIn` window,
+    * scan it directly (the bounded base case); otherwise group keys
+    * into `fanIn`-sized super-groups, scan within each group in
+    * parallel, and recurse on the one-row-per-group totals. Column
+    * names carry the recursion level so a level's synthetic columns
+    * never collide with its parent's. */
+  private def exclusiveScanRel(
+      rel: DataFrame, keyCol: String, totalCol: String,
+      fanIn: Long, maxKeys: Long, lvl: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (maxKeys <= fanIn) {
+      val w = Window.orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rel.select(col(keyCol),
+        coalesce(sum(col(totalCol)).over(w), lit(0L)).as("_offset"))
+    } else {
+      val supKey = s"_sup$lvl"
+      val grouped = rel.withColumn(supKey,
+        (col(keyCol) / fanIn).cast("bigint"))
+      val inGroup = Window.partitionBy(supKey).orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val groupTotals = grouped.groupBy(supKey)
+        .agg(sum(col(totalCol)).as(s"_sup_total$lvl"))
+      val groupOffsets = exclusiveScanRel(groupTotals, supKey,
+          s"_sup_total$lvl", fanIn, maxKeys / fanIn + 1, lvl + 1)
+        .withColumnRenamed("_offset", s"_sup_offset$lvl")
+      grouped.join(broadcast(groupOffsets), Seq(supKey))
+        .select(col(keyCol),
+          (col(s"_sup_offset$lvl") +
+            coalesce(sum(col(totalCol)).over(inGroup), lit(0L)))
+            .as("_offset"))
+    }
   }
 
   /** sketch_hll_store — PERSISTED-SKETCH rollup (the daily-partial

@@ -22,6 +22,37 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("recursive prefix sum equals the single-window oracle at any depth") {
+    // Tiny blockSize/fanIn force the recursion several levels deep on a
+    // modest fixture; sweeping configurations exercises base-case-only,
+    // one-super-level, and three-plus-level plans against the same
+    // sequential oracle.
+    val rnd = new scala.util.Random(13)
+    val rows = rnd.shuffle((0 until 4000).toList)
+      .take(2300).map(i => (i.toLong * 7 + 3, rnd.nextInt(900).toLong))
+    val df = rows.toDF("doc_id", "v").repartition(5)
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .sliding(2).map { case Seq((_, acc), (id, _)) => (id, acc) }.toSeq
+    for ((blockSize, fanIn, cap) <- Seq(
+        (8L, 4L, 1L << 15),   // ~3500 blocks, fan-in 4: 6 scan levels
+        (64L, 8L, 1L << 15),  // ~440 blocks, 3 scan levels
+        (4096L, 4096L, 1L << 44), // production defaults: base case +2
+        (16L, 2L, 1L << 15))) { // minimum legal fan-in, ~10 levels
+      val got = Packing.exclusivePrefixSum(df, "doc_id", "v",
+          blockSize, fanIn, cap)
+        .select("doc_id", "prior").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == want,
+        s"mismatch at blockSize=$blockSize fanIn=$fanIn")
+    }
+    // The deep configuration genuinely recursed: its plan carries the
+    // level-tagged super-group columns from at least two extra levels.
+    val deepPlan = Packing.exclusivePrefixSum(df, "doc_id", "v",
+        8L, 4L, 1L << 15).queryExecution.optimizedPlan.toString
+    assert(deepPlan.contains("_sup0") && deepPlan.contains("_sup1"),
+      s"expected recursive super-levels in plan:\n$deepPlan")
+  }
+
   test("token budget pack: shards are contiguous and within budget") {
     val budget = 2000L
     val shards = Packing.tokenBudgetPack(spark, sfDir, budget)

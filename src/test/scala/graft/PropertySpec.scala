@@ -137,6 +137,24 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash-fingerprint span marks equal the text-grouped form") {
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val texts = samples(for {
+      n <- Gen.chooseNum(0, 24)
+      ws <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+    } yield ws.mkString(" "), 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text").repartition(4)
+    def marks(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("ci"), col("keep"))
+      .as[(Long, Int, Boolean)].collect().toSet
+    val viaHash = marks(graft.operators.Dedup.spanKeepMarks(df, k))
+    val viaText = marks(graft.operators.Dedup.spanKeepMarksByText(df, k))
+    assert(viaHash == viaText)
+    assert(viaHash.nonEmpty)
+  }
+
   test("custom top-k exec equals in-memory grouped sort-take on random data") {
     import org.apache.spark.sql.functions._
     val rows = samples(for {

@@ -50,6 +50,19 @@ object TopKStrategy extends SparkStrategy {
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
+  // SQLMetrics make the custom operator observable like a built-in:
+  // they render in EXPLAIN/the SQL UI, and heap evictions quantify the
+  // work the bounded heap saved versus a full per-partition sort
+  // (every eviction is a row the window form would have sorted and
+  // then discarded).
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numHeapEvictions" -> SQLMetrics.createMetric(sparkContext,
+      "number of heap evictions"))
+
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
@@ -68,6 +81,8 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val outputRows = longMetric("numOutputRows")
+    val evictions = longMetric("numHeapEvictions")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // rowOrd ranks rows: the FIRST row in this order is rank 1.
@@ -85,10 +100,11 @@ case class TopKPerKeyExec(
           heaps.put(key.copy(), heap)
         }
         heap.add(row.copy())
-        if (heap.size > limit) heap.poll()
+        if (heap.size > limit) { heap.poll(); evictions += 1 }
       }
       import scala.jdk.CollectionConverters._
       heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+        .map { r => outputRows += 1; r }
     }
   }
 }

@@ -58,6 +58,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
   }
 
+  test("SQLMetrics: output rows and heap evictions are recorded") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 4.0), ("a", 3L, 3.0), ("a", 4L, 2.0),
+      ("b", 5L, 9.0), ("b", 6L, 8.0))
+      .toDF("key", "id", "score").repartition(3)
+    val q = TopKPerKey(df, Seq("key"),
+      Seq(("score", true), ("id", false)), k = 2)
+    q.collect()
+    val exec = flatten(q.queryExecution.executedPlan)
+      .collectFirst { case t: TopKPerKeyExec => t }
+      .getOrElse(fail("TopKPerKeyExec not in executed plan"))
+    // a: 4 rows -> 2 kept, 2 evicted; b: 2 rows -> 2 kept, 0 evicted.
+    assert(exec.metrics("numOutputRows").value == 4)
+    assert(exec.metrics("numHeapEvictions").value == 2)
+    // Observable like a built-in: the operator advertises both metrics
+    // (these feed the SQL UI node, same as built-in exec nodes).
+    assert(exec.metrics.keySet == Set("numOutputRows", "numHeapEvictions"))
+    assert(exec.metrics("numHeapEvictions").name
+      .contains("number of heap evictions"))
+  }
+
   test("ties beyond k are cut deterministically by the total order") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0),

@@ -103,6 +103,7 @@ object SparkEntry {
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
+    "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
@@ -577,6 +578,16 @@ object SparkEntry {
     "similarity_ivf_partitioned" ->
       """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
                 true AS matches_in_memory_ivf,
+                true AS scan_pruned
+         FROM embeddings WHERE vec_id < 2""",
+    // Incremental append into the cell-partitioned index: result parity
+    // with the single-plan rebuild, pre-existing files untouched, and
+    // probe-side partition pruning are all engine-asserted booleans the
+    // oracle pins to true; n_results is k rows per query.
+    "similarity_ivf_incremental" ->
+      """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
+                true AS matches_full_index,
+                true AS corpus_files_untouched,
                 true AS scan_pruned
          FROM embeddings WHERE vec_id < 2""",
     "text_normalize" ->

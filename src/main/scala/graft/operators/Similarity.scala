@@ -376,6 +376,87 @@ object Similarity {
       .toDF("n_results", "matches_in_memory_ivf", "scan_pruned")
   }
 
+  /** similarity_ivf_incremental — the persisted-index ingest pattern
+    * for IVF (the ANN sibling of the minhash incremental index): the
+    * coarse quantizer is trained ONCE on the existing corpus, the
+    * corpus is written cell-partitioned, and a new batch APPENDS its
+    * vectors into the same cell layout — assigned by the frozen
+    * quantizer, touching no existing file, retraining nothing. At
+    * 100 TB this is what recurring embedding ingest has to look like:
+    * O(batch) work per arrival, while probes keep reading only the
+    * probed cell directories of the combined index.
+    *
+    * Emits one hash-checked row asserting (a) probing the
+    * incrementally-built index returns exactly what a single-plan IVF
+    * over corpus ∪ batch with the same frozen centroids returns, (b)
+    * the append left every pre-existing index file byte-identical
+    * (name+length+mtime witness), and (c) the combined-index scan
+    * still physically pruned to at most the probed cells. Driver-side
+    * data: k·nQueries result rows, one bounded file listing, two plan
+    * metrics — all O(1) in corpus size. */
+  def ivfIncrementalQuery(
+      spark: SparkSession, dir: String,
+      nQueries: Long = 2, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val idx = graft.util.Scratch.dir("ivf_incr").toString
+    val e = emb(spark, dir)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val cs = trainCentroids(corpus, nCells, seed)
+    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
+    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
+    def cellified(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"))
+    cellified(corpus)
+      .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    def fileStates(): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    }
+    val before = fileStates()
+    cellified(batch)
+      .write.mode("append").partitionBy("cell").parquet(idx)
+    val untouched = before.subsetOf(fileStates())
+    // Probe the combined on-disk index — static partition filter, same
+    // as [[ivfPartitionedTopK]].
+    val probedCells = e.filter(col("vec_id") < nQueries)
+      .select(col("embedding")).collect()
+      .flatMap(r => nearestCells(cs, normalize(r.getSeq[Float](0)), nProbe))
+      .distinct.toSeq
+    val queries = queriesDf(e, nQueries)
+      .select(col("query_id"), col("qe"),
+        explode(probesOf(col("qe"))).as("cell"))
+    def scoredOf(c: DataFrame): DataFrame = c
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qe"), col("ne")).as("sim"))
+    val fromIndex = topK(scoredOf(
+      spark.read.parquet(idx)
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("cell"))), k)
+    val rows = fromIndex.collect()
+    val read = cellsRead(fromIndex, idx)
+    val onDisk = new java.io.File(idx).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    // Reference: one plan over corpus ∪ batch, same frozen centroids.
+    val mem = topK(scoredOf(
+      cellified(e).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell"))), k).collect()
+    Seq((rows.length.toLong,
+      rows.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
+      untouched,
+      read <= nQueries * nProbe && read < onDisk))
+      .toDF("n_results", "matches_full_index",
+        "corpus_files_untouched", "scan_pruned")
+  }
+
   // ------------------------------------------------------------------
   // Vector pooling
   // ------------------------------------------------------------------

@@ -98,6 +98,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       hits2 >= 23L && hits2 <= 50L)
   }
 
+  test("ivf incremental append: parity, untouched files, pruned scan") {
+    val r = Similarity.ivfIncrementalQuery(spark, sfDir).head()
+    assert(r.getAs[Long]("n_results") > 0)
+    assert(r.getAs[Boolean]("matches_full_index"),
+      "incremental index diverged from the single-plan rebuild")
+    assert(r.getAs[Boolean]("corpus_files_untouched"),
+      "append rewrote pre-existing corpus index files")
+    assert(r.getAs[Boolean]("scan_pruned"),
+      "probe scan read more than the probed cell directories")
+  }
+
   test("ivf partitioned layout: probing prunes parquet partitions") {
     val idx = graft.util.Scratch.dir("ivf_index").toString
     val df = Similarity.ivfPartitionedTopK(spark, sfDir, idx,

@@ -35,7 +35,10 @@ object Packing {
     *   scan fits one bounded window.
     *
     * `capacityIds` is the PLAN-TIME bound on the id domain that fixes
-    * the recursion depth (ids must be < capacityIds; the default 2^36
+    * the recursion depth, RUNTIME-ENFORCED: a row whose id falls
+    * outside [0, capacityIds) raises rather than silently running the
+    * base-case window over more than `fanIn` rows (ids must be
+    * < capacityIds; the default 2^36
     * covers ~6.9e10 documents — comfortably past the 10^10-doc /
     * 100 TB design point). At the defaults that is exactly three
     * levels: the in-block scan, one super-block scan (parallel,
@@ -50,7 +53,17 @@ object Packing {
       capacityIds: Long = 1L << 36): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(blockSize >= 2 && fanIn >= 2, "blockSize and fanIn must be >= 2")
-    val block = (col(idCol).cast("bigint") / blockSize).cast("bigint")
+    // The stated capacity is what FIXES the recursion depth; an id at
+    // or past it would not corrupt the sum, but it would silently push
+    // the base-case window past its fanIn bound — the exact accidental
+    // serialization this operator exists to prevent. Fail loudly
+    // instead of degrading (same convention as Dedup.pinnedDocId).
+    val rawId = col(idCol).cast("bigint")
+    val guardedId = when(rawId >= 0 && rawId < capacityIds, rawId)
+      .otherwise(raise_error(concat(
+        lit(s"prefix-sum id outside [0, $capacityIds): "),
+        rawId.cast("string"))))
+    val block = (guardedId / blockSize).cast("bigint")
     val withBlock = df.withColumn("_blk", block)
     val inBlock = Window.partitionBy("_blk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)

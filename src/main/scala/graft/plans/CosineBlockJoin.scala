@@ -28,16 +28,20 @@ import graft.functions.CosineSimilarity
   *
   * Semantic requirements checked before rewriting: inner join, both
   * sides the SAME relation (`sameResult`), and the condition contains
-  * an `idL < idR` conjunct (int/long, one attribute per side) plus a
-  * `cosine_sim(eL, eR) >= lit` conjunct. ADDITIONAL deterministic
-  * conjuncts are carried through the rewrite rather than blocking it:
+  * an `idL < idR` conjunct (int/long, one attribute per side, both
+  * sides' attribute the SAME underlying column — positional
+  * correspondence, not just side membership) plus a
+  * `cosine_sim(eL, eR) >= lit` conjunct over corresponding embedding
+  * columns. ADDITIONAL deterministic conjuncts are carried through the
+  * rewrite rather than blocking it:
   *
-  *  - two-side attribute EQUALITIES (`a.lang = b.lang`) fold into the
+  *  - SAME-COLUMN two-side equalities (`a.lang = b.lang`) fold into the
   *    block equi-join's keys — symmetric under the role swap, and at
   *    scale they co-locate groups on top of the balanced blocks (the
   *    low-cardinality grouping key that would otherwise make a plain
   *    sort-merge join quadratic per group);
-  *  - everything else (asymmetric inequalities, arithmetic between the
+  *  - everything else (asymmetric inequalities, CROSS-COLUMN
+  *    equalities like `a.next_id = b.vec_id`, arithmetic between the
   *    sides, single-side leftovers) is applied as a Filter ABOVE the
   *    id-order-restoring projection, where attributes carry their
   *    original exprIds and the left role is the smaller id again —
@@ -64,6 +68,28 @@ case class CosineBlockJoin(spark: SparkSession)
 
   private val SyntheticCols = Set("__gp", "__gq", "__gp2", "__gq2")
 
+  /** True iff `x` and `y` are the SAME column of the self-joined
+    * relation, one attribute from each side — i.e. they sit at the
+    * same position in the two sides' outputs. Side membership alone is
+    * NOT enough: `a.next_id = b.vec_id` relates two DIFFERENT columns,
+    * is not symmetric under the block-role swap, and must never fold
+    * into the pre-reorder join keys; likewise a cross-column
+    * `a.vec_id < b.other_id` or `cosine_sim(a.emb1, b.emb2)` breaks
+    * the triangle-blocking assumption that both sides key on the same
+    * attribute. */
+  private def correspondingPair(l: LogicalPlan, r: LogicalPlan,
+      x: Attribute, y: Attribute): Boolean = {
+    def idx(p: LogicalPlan, a: Attribute): Int =
+      p.output.indexWhere(_.exprId == a.exprId)
+    val (li, ri) =
+      if (l.outputSet.contains(x) && r.outputSet.contains(y))
+        (idx(l, x), idx(r, y))
+      else if (r.outputSet.contains(x) && l.outputSet.contains(y))
+        (idx(l, y), idx(r, x))
+      else (-1, -2)
+    li >= 0 && li == ri
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(l, r, Inner, Some(cond), _) if l.sameResult(r) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -74,6 +100,7 @@ case class CosineBlockJoin(spark: SparkSession)
         val idLt = conjuncts.collectFirst {
           case lt @ LessThan(idL: Attribute, idR: Attribute)
               if l.outputSet.contains(idL) && r.outputSet.contains(idR) &&
+                correspondingPair(l, r, idL, idR) &&
                 (idL.dataType == org.apache.spark.sql.types.LongType ||
                   idL.dataType == org.apache.spark.sql.types.IntegerType) =>
             lt
@@ -82,23 +109,23 @@ case class CosineBlockJoin(spark: SparkSession)
           // Either sidedness: cosine is symmetric.
           case g @ GreaterThanOrEqual(CosineSimilarity(eL: Attribute,
               eR: Attribute), Literal(_, _))
-              if (l.outputSet.contains(eL) && r.outputSet.contains(eR)) ||
-                (r.outputSet.contains(eL) && l.outputSet.contains(eR)) =>
+              if correspondingPair(l, r, eL, eR) =>
             g
         }
         (idLt, cosGte) match {
           case (Some(lt), Some(g)) =>
             val residuals =
               conjuncts.filterNot(c => (c eq lt) || (c eq g))
-            // Two-side attribute equalities join the block keys; all
-            // other residuals run above the id-order projection.
+            // SAME-COLUMN equalities (a.lang = b.lang) join the block
+            // keys — only those are symmetric under the role swap.
+            // Everything else, including cross-column equalities
+            // (a.next_id = b.vec_id), runs above the id-order
+            // projection where the left role is the smaller id again.
             val (equiRes, otherRes) = residuals.partition {
               case EqualTo(x: Attribute, y: Attribute) =>
-                (l.outputSet.contains(x) && r.outputSet.contains(y)) ||
-                  (r.outputSet.contains(x) && l.outputSet.contains(y))
+                correspondingPair(l, r, x, y)
               case EqualNullSafe(x: Attribute, y: Attribute) =>
-                (l.outputSet.contains(x) && r.outputSet.contains(y)) ||
-                  (r.outputSet.contains(x) && l.outputSet.contains(y))
+                correspondingPair(l, r, x, y)
               case _ => false
             }
             rewrite(j, l, r, lt.left.asInstanceOf[Attribute],
@@ -156,26 +183,19 @@ case class CosineBlockJoin(spark: SparkSession)
 
 object CosineBlockJoinQuery {
 
-  /** optimizer_cosine_rewrite driver query — the NAIVE quadratic join
-    * text, executed with [[CosineBlockJoin]] active on the session
-    * (scoped: installed and removed around the run). The emitted pairs
-    * must equal the exact all-pairs cosine result (the oracle), and the
-    * `rewritten` column carries the engine's own assertion that the
-    * executed plan contains no cartesian/nested-loop operator — so a
-    * rule regression flips a hash-checked value, not just a spec. */
-  def rewriteQuery(spark: SparkSession, dir: String,
-      threshold: Double = 0.46): DataFrame = {
+  /** Shared scaffolding for the rewrite driver queries: build the
+    * naive pairs under a SCOPED install of [[CosineBlockJoin]] (added
+    * and removed around the run), stamp the engine's own
+    * no-quadratic-plan assertion as the hash-checked `rewritten`
+    * column, and pin a deterministic order. One copy means the set of
+    * quadratic operator names the assertion scans for can never drift
+    * between the plain and residual variants. */
+  private def runWithRule(spark: SparkSession)(
+      build: => DataFrame): DataFrame = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ CosineBlockJoin(spark)
     try {
-      val e = graft.operators.Relational.table(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.vec_id") < col("b.vec_id") &&
-            ColumnBridge.column(CosineSimilarity(
-              ColumnBridge.expression(col("a.embedding")),
-              ColumnBridge.expression(col("b.embedding")))) >= threshold)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val pairs = build
       val planStr = pairs.queryExecution.executedPlan.toString
       val rewritten = !planStr.contains("CartesianProduct") &&
         !planStr.contains("BroadcastNestedLoopJoin")
@@ -184,6 +204,26 @@ object CosineBlockJoinQuery {
         .localCheckpoint(true)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  /** optimizer_cosine_rewrite driver query — the NAIVE quadratic join
+    * text, executed with [[CosineBlockJoin]] active on the session
+    * (scoped: installed and removed around the run). The emitted pairs
+    * must equal the exact all-pairs cosine result (the oracle), and the
+    * `rewritten` column carries the engine's own assertion that the
+    * executed plan contains no cartesian/nested-loop operator — so a
+    * rule regression flips a hash-checked value, not just a spec. */
+  def rewriteQuery(spark: SparkSession, dir: String,
+      threshold: Double = 0.46): DataFrame =
+    runWithRule(spark) {
+      val e = graft.operators.Relational.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            ColumnBridge.column(CosineSimilarity(
+              ColumnBridge.expression(col("a.embedding")),
+              ColumnBridge.expression(col("b.embedding")))) >= threshold)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }
 
   /** optimizer_cosine_rewrite_residual driver query — the naive join
     * text carrying EXTRA conjuncts beyond the matched (id-order,
@@ -197,13 +237,11 @@ object CosineBlockJoinQuery {
     * called out (a user adding `AND a.lang = b.lang` used to silently
     * fall back to the quadratic plan). */
   def residualRewriteQuery(spark: SparkSession, dir: String,
-      threshold: Double = 0.2): DataFrame = {
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ CosineBlockJoin(spark)
-    try {
+      threshold: Double = 0.2): DataFrame =
+    runWithRule(spark) {
       val e = graft.operators.Relational.table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
-      val pairs = e.as("a").join(e.as("b"),
+      e.as("a").join(e.as("b"),
           col("a.vec_id") < col("b.vec_id") &&
             ColumnBridge.column(CosineSimilarity(
               ColumnBridge.expression(col("a.embedding")),
@@ -212,12 +250,5 @@ object CosineBlockJoinQuery {
             col("b.vec_id") - col("a.vec_id") > 3)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("a.label").as("label"))
-      val planStr = pairs.queryExecution.executedPlan.toString
-      val rewritten = !planStr.contains("CartesianProduct") &&
-        !planStr.contains("BroadcastNestedLoopJoin")
-      pairs.withColumn("rewritten", lit(rewritten))
-        .orderBy("id_a", "id_b")
-        .localCheckpoint(true)
-    } finally spark.experimental.extraOptimizations = prev
-  }
+    }
 }

@@ -128,6 +128,62 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(unrestricted) && got != unrestricted)
   }
 
+  test("cross-column equality is a post-reorder residual, not a join key") {
+    // a.next_id = b.vec_id relates two DIFFERENT columns: it is not
+    // symmetric under the block-role swap, so folding it into the
+    // pre-reorder join keys evaluates row_big.next_id = row_small.vec_id
+    // for every pair the triangle scheme meets in swapped roles —
+    // silently dropping matches. It must run above the id-order
+    // projection instead (and the rewrite should still fire).
+    def q = {
+      val e = Relational.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("next_id", col("vec_id") + 1)
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            CosineSimilarity.asColumn(
+              col("a.embedding"), col("b.embedding")) >= 0.0 &&
+            col("a.next_id") === col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }
+    val expected = q.as[(Long, Long)].collect().toSet
+    val (got, plan) = withRule {
+      val df = q
+      (df.as[(Long, Long)].collect().toSet,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on the cross-column-equality join:\n$plan")
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // Every surviving pair is consecutive — the residual really ran.
+    assert(got.forall { case (a, b) => b == a + 1 })
+  }
+
+  test("cross-column < or cosine conjuncts leave the join untouched") {
+    // The triangle blocking keys both sides on the SAME column as the
+    // matched `<` (and scores corresponding embeddings); cross-column
+    // variants break that assumption, so the rule must not fire.
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("next_id", col("vec_id") + 1)
+      .withColumn("emb2", reverse(col("embedding")))
+    val crossId = e.as("a").join(e.as("b"),
+      col("a.vec_id") < col("b.next_id") &&
+        CosineSimilarity.asColumn(
+          col("a.embedding"), col("b.embedding")) >= 0.46)
+    val crossEmb = e.as("a").join(e.as("b"),
+      col("a.vec_id") < col("b.vec_id") &&
+        CosineSimilarity.asColumn(
+          col("a.embedding"), col("b.emb2")) >= 0.46)
+    for (q <- Seq(crossId, crossEmb)) {
+      val without = q.queryExecution.optimizedPlan.toString
+      val within = withRule { q.queryExecution.optimizedPlan.toString }
+      assert(within == without)
+    }
+  }
+
   test("parents above the rewritten join still resolve (exprIds kept)") {
     val expectedCount = naiveJoin().count()
     val got = withRule {

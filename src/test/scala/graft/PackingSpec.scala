@@ -53,6 +53,23 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       s"expected recursive super-levels in plan:\n$deepPlan")
   }
 
+  test("id at or past the stated capacity fails loudly, not slowly") {
+    // capacityIds fixes the recursion depth; an id past it would turn
+    // the bounded base-case window into a single unbounded task. The
+    // guard must raise instead.
+    val df = Seq((5L, 1L), (1L << 20, 2L)).toDF("doc_id", "v")
+    val ex = intercept[Exception] {
+      Packing.exclusivePrefixSum(df, "doc_id", "v",
+        blockSize = 16L, fanIn = 16L, capacityIds = 1L << 20).collect()
+    }
+    assert(ex.getMessage != null)
+    // Negative ids are outside the capacity contract too.
+    val neg = Seq((-3L, 1L), (4L, 2L)).toDF("doc_id", "v")
+    intercept[Exception] {
+      Packing.exclusivePrefixSum(neg, "doc_id", "v").collect()
+    }
+  }
+
   test("token budget pack: shards are contiguous and within budget") {
     val budget = 2000L
     val shards = Packing.tokenBudgetPack(spark, sfDir, budget)

@@ -104,6 +104,7 @@ object SparkEntry {
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
+    "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
@@ -590,6 +591,34 @@ object SparkEntry {
                 true AS corpus_files_untouched,
                 true AS scan_pruned
          FROM embeddings WHERE vec_id < 2""",
+    // Int8 scalar quantization: the oracle replays the exact IEEE
+    // arithmetic (double, fixed ((x*127)/ma) association, round
+    // half-away-from-zero in both engines on exact-integer doubles),
+    // so the code vectors hash-match; the round-trip cosine check has
+    // a ≥1.9% margin over int8's worst observed loss, making the
+    // boolean engine-neutral.
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+                    FROM embeddings WHERE vec_id < 100),
+         m AS (SELECT vec_id, ed,
+                      list_max(list_transform(ed, x -> abs(x))) AS ma
+               FROM v),
+         c AS (SELECT vec_id, ed, ma,
+                      CASE WHEN ma = 0
+                           THEN list_transform(ed, x -> CAST(0 AS TINYINT))
+                           ELSE list_transform(ed,
+                             x -> CAST(round(x * 127.0 / ma) AS TINYINT))
+                      END AS codes
+               FROM m),
+         r AS (SELECT vec_id, ed, codes,
+                      list_transform(codes,
+                        q -> CAST(q AS DOUBLE) * ma / 127.0) AS recon
+               FROM c)
+         SELECT vec_id,
+                array_to_string(list_transform(codes,
+                  q -> CAST(q AS VARCHAR)), ',') AS codes_str,
+                list_cosine_similarity(ed, recon) >= 0.98 AS well_preserved
+         FROM r ORDER BY vec_id""",
     "text_normalize" ->
       """SELECT doc_id,
                 CAST(length(text) AS INT) AS n_chars_raw,

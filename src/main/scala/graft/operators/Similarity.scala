@@ -259,6 +259,52 @@ object Similarity {
     }.sorted.take(nProbe).map(_._2).toArray
   }
 
+  /** The query side of every IVF probe: bounded query set, each row
+    * exploded to its `nProbe` nearest cells. */
+  private def probeQueries(e: DataFrame, nQueries: Long,
+      probesOf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    queriesDf(e, nQueries)
+      .select(col("query_id"), col("qe"),
+        explode(probesOf(col("qe"))).as("cell"))
+
+  /** The probe join every IVF variant shares: corpus cells × broadcast
+    * queries on the cell key, self-matches dropped, exact cosine
+    * re-rank. `corpusCells` must expose (neighbor_id, ne, cell);
+    * `queries` (query_id, qe, cell). Each corpus row lives in exactly
+    * one cell, so a (query, neighbor) pair appears at most once — no
+    * dedup needed before ranking. */
+  private def cellScores(corpusCells: DataFrame, queries: DataFrame): DataFrame =
+    corpusCells.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qe"), col("ne")).as("sim"))
+
+  /** Driver-known probe list: the distinct cells any of the bounded
+    * query set's rows probes — O(nQueries·nProbe) values, the STATIC
+    * partition filter that turns probing a cell-partitioned index into
+    * physical directory pruning. */
+  private def probedCellsOf(e: DataFrame, cs: Array[Array[Double]],
+      nQueries: Long, nProbe: Int): Seq[Int] =
+    e.filter(col("vec_id") < nQueries)
+      .select(col("embedding")).collect()
+      .flatMap(r => nearestCells(cs, normalize(r.getSeq[Float](0)), nProbe))
+      .distinct.toSeq
+
+  /** The probed read of a cell-partitioned on-disk index, shaped for
+    * [[cellScores]]. */
+  private def indexCells(spark: SparkSession, idx: String,
+      probedCells: Seq[Int]): DataFrame =
+    spark.read.parquet(idx)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cell"))
+
+  /** Cell partition directories present on disk under `idx` — the
+    * denominator for the scan-pruning witness. */
+  private def cellDirsOnDisk(idx: String): Int =
+    new java.io.File(idx).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+
   /** similarity_ann_ivf — inverted-file ANN as a DataFrame plan: a
     * k-means coarse quantizer (trained on a bounded sample) assigns
     * every corpus row a cell id in one scalar-function pass; each query
@@ -278,16 +324,7 @@ object Similarity {
     val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
     val corpus = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"), cellOf(col("embedding")).as("cell"))
-    val queries = queriesDf(e, nQueries)
-      .select(col("query_id"), col("qe"),
-        explode(probesOf(col("qe"))).as("cell"))
-    // Each corpus row lives in exactly one cell, so a (query, neighbor)
-    // pair appears at most once — no dedup needed before ranking.
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cos(col("qe"), col("ne")).as("sim"))
-    topK(scored, k)
+    topK(cellScores(corpus, probeQueries(e, nQueries, probesOf)), k)
   }
 
   /** The "cell id is a partition column" claim as actual code: write
@@ -308,26 +345,13 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     // At query time the probe list is driver-known: nQueries is a
     // bounded set by definition and the quantizer is tiny, so the cell
-    // predicate below is a STATIC partition filter — the parquet scan
-    // lists and reads ONLY the probed cell directories. This is what
-    // turns nProbe/nCells into a physical I/O fraction instead of a
+    // predicate is a STATIC partition filter — the parquet scan lists
+    // and reads ONLY the probed cell directories. This is what turns
+    // nProbe/nCells into a physical I/O fraction instead of a
     // post-scan filter (verified by `ivfPartitionedQuery`).
-    val probedCells = e.filter(col("vec_id") < nQueries)
-      .select(col("embedding")).collect()
-      .flatMap(r => nearestCells(cs, normalize(r.getSeq[Float](0)), nProbe))
-      .distinct.toSeq
-    val corpus = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-        col("cell"))
-    val queries = queriesDf(e, nQueries)
-      .select(col("query_id"), col("qe"),
-        explode(probesOf(col("qe"))).as("cell"))
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cos(col("qe"), col("ne")).as("sim"))
-    topK(scored, k)
+    val corpus = indexCells(spark, indexPath,
+      probedCellsOf(e, cs, nQueries, nProbe))
+    topK(cellScores(corpus, probeQueries(e, nQueries, probesOf)), k)
   }
 
   /** Number of partition directories the plan's parquet scan over
@@ -366,8 +390,7 @@ object Similarity {
       spark, dir, idx, nQueries, k, nCells, nProbe, seed)
     val rows = part.collect()
     val read = cellsRead(part, idx)
-    val onDisk = new java.io.File(idx).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val onDisk = cellDirsOnDisk(idx)
     val mem =
       ivfTopK(spark, dir, nQueries, k, nCells, nProbe, seed).collect()
     Seq((rows.length.toLong,
@@ -423,32 +446,20 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(idx)
     val untouched = before.subsetOf(fileStates())
     // Probe the combined on-disk index — static partition filter, same
-    // as [[ivfPartitionedTopK]].
-    val probedCells = e.filter(col("vec_id") < nQueries)
-      .select(col("embedding")).collect()
-      .flatMap(r => nearestCells(cs, normalize(r.getSeq[Float](0)), nProbe))
-      .distinct.toSeq
-    val queries = queriesDf(e, nQueries)
-      .select(col("query_id"), col("qe"),
-        explode(probesOf(col("qe"))).as("cell"))
-    def scoredOf(c: DataFrame): DataFrame = c
-      .join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cos(col("qe"), col("ne")).as("sim"))
-    val fromIndex = topK(scoredOf(
-      spark.read.parquet(idx)
-        .filter(col("cell").isin(probedCells: _*))
-        .select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("cell"))), k)
+    // shared helpers as [[ivfPartitionedTopK]], so the partitioned and
+    // incremental probe semantics can never drift apart.
+    val queries = probeQueries(e, nQueries, probesOf)
+    val fromIndex = topK(cellScores(
+      indexCells(spark, idx, probedCellsOf(e, cs, nQueries, nProbe)),
+      queries), k)
     val rows = fromIndex.collect()
     val read = cellsRead(fromIndex, idx)
-    val onDisk = new java.io.File(idx).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val onDisk = cellDirsOnDisk(idx)
     // Reference: one plan over corpus ∪ batch, same frozen centroids.
-    val mem = topK(scoredOf(
+    val mem = topK(cellScores(
       cellified(e).select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ne"), col("cell"))), k).collect()
+        col("embedding").as("ne"), col("cell")),
+      queries), k).collect()
     Seq((rows.length.toLong,
       rows.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
       untouched,
@@ -489,6 +500,60 @@ object Similarity {
           .as("avg_x"),
         count(lit(1)).as("n_vecs"))
       .orderBy("lang", "dim")
+  }
+
+  /** Per-vector symmetric int8 scalar quantization: scale =
+    * max|x|/127, codes = round(x/scale) ∈ [-127, 127]. The storage
+    * workhorse at 100 TB of embeddings — an `array<tinyint>` column is
+    * 4× smaller than `array<float>` (and 8× smaller than double),
+    * which cuts shuffle bytes, parquet footprint, and ANN probe I/O
+    * alike, while cosine against the dequantized vectors stays within
+    * a fraction of a percent. Everything is a codegen'd higher-order
+    * function over the array column — one scan, no UDF, no shuffle.
+    *
+    * Output: (idCol, ma, codes). Dequantize with
+    * `transform(codes, c -> c * ma / 127.0)`. A zero vector (ma = 0)
+    * quantizes to all-zero codes rather than dividing by zero. */
+  def quantizeInt8(e: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    // All arithmetic in DOUBLE with a fixed association
+    // ((x * 127) / ma) so any engine replays the exact IEEE ops.
+    val dbl = transform(col(embCol), v => v.cast("double"))
+    e.select(col(idCol), dbl.as("_ed"))
+      .withColumn("ma", array_max(transform(col("_ed"), v => abs(v))))
+      .withColumn("codes",
+        when(col("ma") === 0d,
+          transform(col("_ed"), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col("_ed"),
+          v => round(v * lit(127.0) / col("ma")).cast("tinyint"))))
+      .drop("_ed")
+  }
+
+  /** embedding_quantize driver query — int8-quantize a bounded id
+    * range and prove round-trip fidelity inline: `codes_str` is the
+    * exact code vector (hash-checked against the oracle replaying the
+    * same IEEE arithmetic), `well_preserved` asserts cosine(original,
+    * dequantized) ≥ 0.98 — int8 keeps it ≥ 0.999 in practice, so the
+    * margin is engine-neutral. */
+  def quantizeInt8Query(spark: SparkSession, dir: String,
+      n: Long = 100): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") < n)
+    val q = quantizeInt8(e)
+      .join(e.select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("ed")),
+        Seq("vec_id"))
+      .withColumn("recon",
+        transform(col("codes"),
+          c => c.cast("double") * col("ma") / lit(127.0)))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cosRR = dot(col("ed"), col("recon")) /
+      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("recon"), col("recon"))))
+    q.select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes_str"),
+        (cosRR >= 0.98).as("well_preserved"))
+      .orderBy("vec_id")
   }
 
   // ------------------------------------------------------------------

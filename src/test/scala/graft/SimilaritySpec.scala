@@ -3,9 +3,36 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  test("int8 quantization: exact codes, code range, round-trip cosine") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.quantizeInt8Query(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3), "every vector must round-trip at cos >= 0.98")
+    // Recompute sequentially with the same IEEE arithmetic.
+    val raw = Relational.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    got.foreach { case (id, codesStr, _) =>
+      val ed = raw(id)
+      val ma = ed.map(math.abs).max
+      val want = ed.map { x =>
+        if (ma == 0) 0L
+        else BigDecimal(x * 127.0 / ma)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val codes = codesStr.split(",").map(_.toLong).toSeq
+      assert(codes == want, s"codes mismatch for vec $id")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+  }
   import spark.implicits._
 
   /** The round-3 bar: no similarity plan may be fed from driver-side

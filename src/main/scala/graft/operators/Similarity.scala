@@ -502,6 +502,74 @@ object Similarity {
       .orderBy("lang", "dim")
   }
 
+  /** Total bytes of parquet data files under `p` (recursive). */
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(p))
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+  }
+
+  /** similarity_ivf_quantized — the combined ANN storage shape for a
+    * full-scale corpus: the cell-partitioned IVF index stores int8
+    * CODES plus the per-vector scale instead of float vectors, probes
+    * read only the probed cell directories, and dequantization happens
+    * IN-PLAN (a codegen'd `transform`) just before the exact-cosine
+    * re-rank. Vector bytes are what an ANN probe's I/O scales with, so
+    * quantized cells cut the probe's physical read on top of the
+    * partition pruning — the two multiply.
+    *
+    * Emits one hash-checked row asserting (a) the quantized index's
+    * top-k overlaps the float index's top-k at ≥ 0.8 recall (int8
+    * keeps it at 1.0 in practice; both plans are seeded and
+    * deterministic), (b) the quantized index occupies at most 0.7× the
+    * float index's parquet bytes, and (c) the probe scan physically
+    * pruned to at most the probed cells. */
+  def ivfQuantizedQuery(spark: SparkSession, dir: String,
+      nQueries: Long = 2, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val idxF = graft.util.Scratch.dir("ivf_float_ref").toString
+    val idxQ = graft.util.Scratch.dir("ivf_q8").toString
+    val e = emb(spark, dir)
+    val cs = trainCentroids(e, nCells, seed)
+    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
+    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
+    val cells = e.withColumn("cell", cellOf(col("embedding")))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(idxF)
+    quantizeInt8(e)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
+    val probed = probedCellsOf(e, cs, nQueries, nProbe)
+    // Query vectors cast to double so the codegen'd cosine runs on
+    // (double, double) against the dequantized corpus side.
+    val queriesD = probeQueries(e, nQueries, probesOf)
+      .select(col("query_id"),
+        transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
+    val corpusQ = spark.read.parquet(idxQ)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("codes"),
+          c => c.cast("double") * col("ma") / lit(127.0)).as("ne"),
+        col("cell"))
+    val fromQ = topK(cellScores(corpusQ, queriesD), k)
+    val rowsQ = fromQ.collect()
+    val read = cellsRead(fromQ, idxQ)
+    val onDisk = cellDirsOnDisk(idxQ)
+    val fromF = topK(cellScores(indexCells(spark, idxF, probed),
+      probeQueries(e, nQueries, probesOf)), k).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
+    val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
+    Seq((rowsQ.length.toLong,
+      overlap.toDouble >= 0.8 * fromF.length,
+      ratio <= 0.7,
+      read <= nQueries * nProbe && read < onDisk))
+      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
+        "scan_pruned")
+  }
+
   /** Per-vector symmetric int8 scalar quantization: scale =
     * max|x|/127, codes = round(x/scale) ∈ [-127, 127]. The storage
     * workhorse at 100 TB of embeddings — an `array<tinyint>` column is

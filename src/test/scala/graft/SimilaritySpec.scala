@@ -7,6 +7,14 @@ import graft.operators.{Dedup, Relational, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
+  test("quantized IVF index: recall holds, bytes shrink, scan prunes") {
+    val row = Similarity.ivfQuantizedQuery(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == 10L) // k=5 × 2 queries
+    assert(row.getBoolean(1), "quantized top-k must overlap float top-k >= 0.8")
+    assert(row.getBoolean(2), "int8 index must be <= 0.7x float index bytes")
+    assert(row.getBoolean(3), "probe must prune to the probed cells")
+  }
+
   test("int8 quantization: exact codes, code range, round-trip cosine") {
     import org.apache.spark.sql.functions.col
     val got = Similarity.quantizeInt8Query(spark, sfDir)

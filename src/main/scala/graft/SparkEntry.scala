@@ -105,6 +105,7 @@ object SparkEntry {
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
+    "similarity_ivf_quantized" -> ((s, dir) => Similarity.ivfQuantizedQuery(s, dir)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(s, dir)),
     "dedup_span_exact" -> ((s, dir) => Dedup.spanDedup(s, dir)),
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
+    "stream_incremental_dedup" -> ((s, dir) => graft.streaming.Streaming.streamIncrementalDedupQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
@@ -589,6 +591,15 @@ object SparkEntry {
       """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
                 true AS matches_full_index,
                 true AS corpus_files_untouched,
+                true AS scan_pruned
+         FROM embeddings WHERE vec_id < 2""",
+    // Quantized IVF index: recall vs the float index, byte shrinkage,
+    // and probe-side pruning are engine-asserted deterministic booleans
+    // the oracle pins to true; n_results is k rows per query.
+    "similarity_ivf_quantized" ->
+      """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
+                true AS recall_ge_bound,
+                true AS index_bytes_shrunk,
                 true AS scan_pruned
          FROM embeddings WHERE vec_id < 2""",
     // Int8 scalar quantization: the oracle replays the exact IEEE
@@ -1400,6 +1411,23 @@ object SparkEntry {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS sum_tokens
          FROM d GROUP BY lang ORDER BY lang""",
+    // Streamed ingest probing the persisted digest index: run 1 lands
+    // the even-id half (first-per-text wins by min doc_id), run 2
+    // restarts on the same checkpoint with a re-keyed full copy —
+    // survivors are exactly the texts absent from the even half.
+    "stream_incremental_dedup" ->
+      """WITH even AS (SELECT min(doc_id) AS doc_id, text
+                       FROM documents WHERE doc_id % 2 = 0
+                       GROUP BY text),
+         fresh AS (SELECT min(doc_id) + 10000 AS doc_id
+                   FROM documents d
+                   WHERE NOT EXISTS
+                     (SELECT 1 FROM even e WHERE e.text = d.text)
+                   GROUP BY text)
+         SELECT doc_id FROM even
+         UNION ALL
+         SELECT doc_id FROM fresh
+         ORDER BY doc_id""",
     // Cross-set exact Jaccard (corpus side × batch side) — the LSH
     // index probe must recover every pair at j >= 0.8.
     "dedup_minhash_incremental" ->

@@ -24,7 +24,7 @@ object Dedup {
     * are only faithful if no GENUINE doc_id reaches the offset — a
     * collision would silently merge two documents' shingle sets (here)
     * or alias audit ids (there). */
-  private[operators] val ReKeyOffset = 10000L
+  private[graft] val ReKeyOffset = 10000L
 
   /** Pins the `doc_id < ReKeyOffset` fixture assumption declaratively:
     * identity on every valid id, `raise_error` on violation. A pure
@@ -32,7 +32,7 @@ object Dedup {
     * loud failure instead of corrupt output if a future fixture breaks
     * it (the oracle SQL keeps the plain `doc_id + 10000` literal, so
     * hashes are unchanged). */
-  private[operators] def pinnedDocId(c: Column): Column =
+  private[graft] def pinnedDocId(c: Column): Column =
     when(c < ReKeyOffset, c).otherwise(raise_error(concat(
       lit(s"fixture doc_id >= re-key offset $ReKeyOffset: "),
       c.cast("string"))))

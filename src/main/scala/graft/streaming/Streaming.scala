@@ -233,6 +233,84 @@ object Streaming {
       .orderBy("lang")
   }
 
+  /** stream_incremental_dedup — recurring corpus ingest as a stream
+    * probing a PERSISTED digest index. The state-store dedup the other
+    * streaming queries use (`dropDuplicates*`) keeps its key set INSIDE
+    * the checkpoint: right for bounded/watermarked keys, wrong for a
+    * corpus-scale digest set — at 10^10 documents the store would hold
+    * the whole corpus's hashes in executor state and reload them on
+    * every restart. Here the digest set lives where the corpus lives
+    * (a parquet index, the streaming twin of `Dedup.incrementalDedup`'s
+    * on-disk LSH sibling): each micro-batch collapses to first-per-
+    * digest within itself, anti-joins the persisted index, appends its
+    * survivors to the output AND their digests to the index. Per batch
+    * that is O(batch) new work against an equi-join whose right side
+    * scans digests, never documents.
+    *
+    * Restart safety: the checkpoint's offset log decides which FILES
+    * re-enter; a replayed batch re-probes the index, so its
+    * already-indexed digests drop out and the append is idempotent.
+    * The output-then-index write order means a crash BETWEEN the two
+    * appends replays survivors whose digests are absent from the index
+    * — duplicate output rows, never lost ones; production closes that
+    * window by committing both appends in one table-format transaction
+    * (the stream side is unchanged). Run 2 below restarts the query on
+    * the same checkpoint after new files land, and must emit only the
+    * genuinely-new texts.
+    *
+    * The oracle replays the feed in SQL: run 1 lands the even-id half
+    * (first-per-text by min doc_id), run 2 lands a re-keyed FULL copy
+    * (survivors = texts absent from the even half, at doc_id+10000). */
+  def streamIncrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_sincrdedup")
+    val srcDir = base.resolve("in")
+    val idxPath = base.resolve("digest_index").toString
+    val outPath = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    val docsAll = graft.operators.Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def dedupBatch(b: DataFrame): Unit = {
+      val ss = b.sparkSession
+      val firstPerDigest = b
+        .withColumn("digest", sha2(col("text").cast("binary"), 256))
+        .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+      val survivors =
+        (if (Files.exists(Paths.get(idxPath)))
+           firstPerDigest.join(ss.read.parquet(idxPath),
+             Seq("digest"), "left_anti")
+         else firstPerDigest)
+          .localCheckpoint(true) // one probe, two appends
+      survivors.select("doc_id").write.mode("append").parquet(outPath)
+      survivors.select("digest").write.mode("append").parquet(idxPath)
+    }
+    def run(): Unit = {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch((b: DataFrame, _: Long) => dedupBatch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Run 1: the even-id half of the corpus has arrived.
+    landSingleFile(docsAll.filter(col("doc_id") % 2 === 0),
+      base, srcDir, "a.parquet")
+    run()
+    // Run 2 (fresh query, same checkpoint): a re-keyed copy of the FULL
+    // corpus lands — every even-half text is a cross-run duplicate the
+    // index must drop; odd-only texts are genuinely new and survive.
+    landSingleFile(docsAll.withColumn("doc_id",
+        graft.operators.Dedup.pinnedDocId(col("doc_id"))
+          + graft.operators.Dedup.ReKeyOffset),
+      base, srcDir, "b.parquet")
+    run()
+    spark.read.parquet(outPath).orderBy("doc_id")
+  }
+
   /** Watermarked stream-stream interval join: purchases within
     * `horizon` AFTER an error by the same user (error→conversion
     * attribution). Both sides carry watermarks and the join condition

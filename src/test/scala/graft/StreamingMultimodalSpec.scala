@@ -59,6 +59,25 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("stream incremental dedup: persisted index survives the restart") {
+    val got = Streaming.streamIncrementalDedupQuery(spark, sfDir)
+      .as[Long].collect().toSeq
+    // Replay the feed in batch: even half first-per-text, then the
+    // re-keyed full copy contributes only texts the even half lacks.
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+    val fresh = docs.join(even.select("text"), Seq("text"), "left_anti")
+      .groupBy("text").agg((min("doc_id") + 10000L).as("doc_id"))
+    val want = (even.select("doc_id").as[Long].collect() ++
+      fresh.select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(got == want)
+    assert(got.exists(_ >= 10000L),
+      "run 2 must contribute genuinely new texts through the probe")
+    assert(got.exists(_ < 10000L), "run 1 survivors must persist")
+  }
+
   test("foreachBatch upsert across restarts equals batch latest-per-key") {
     val got = Streaming.streamUpsertQuery(spark, sfDir)
       .as[(Long, Long, String, Long)].collect().toSet

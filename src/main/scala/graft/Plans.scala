@@ -30,8 +30,10 @@ object Plans {
       "approx_quantile", "token_budget_pack", "dedup_bloom_prefilter",
       "sample_domain_mix", "dedup_semantic", "text_unigram_logprob",
       "dedup_span_exact", "custom_topk_exec", "optimizer_cosine_rewrite",
+      "optimizer_cosine_rewrite_residual",
       "pipeline_pack_release", "sketch_hll_store",
-      "sink_partition_backfill", "observe_quality_metrics")
+      "sink_partition_backfill", "observe_quality_metrics",
+      "embedding_quantize")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

@@ -579,22 +579,26 @@ object Similarity {
     * a fraction of a percent. Everything is a codegen'd higher-order
     * function over the array column — one scan, no UDF, no shuffle.
     *
-    * Output: (idCol, ma, codes). Dequantize with
-    * `transform(codes, c -> c * ma / 127.0)`. A zero vector (ma = 0)
-    * quantizes to all-zero codes rather than dividing by zero. */
+    * Output: (idCol, ma, codes) — plus the double-cast original as
+    * `ed` when `keepDouble` is set (for callers that compare against
+    * the original in the same plan, without a self-join). Dequantize
+    * with `transform(codes, c -> c * ma / 127.0)`. A zero vector
+    * (ma = 0) quantizes to all-zero codes rather than dividing by
+    * zero. */
   def quantizeInt8(e: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      keepDouble: Boolean = false): DataFrame = {
     // All arithmetic in DOUBLE with a fixed association
     // ((x * 127) / ma) so any engine replays the exact IEEE ops.
     val dbl = transform(col(embCol), v => v.cast("double"))
-    e.select(col(idCol), dbl.as("_ed"))
-      .withColumn("ma", array_max(transform(col("_ed"), v => abs(v))))
+    val q = e.select(col(idCol), dbl.as("ed"))
+      .withColumn("ma", array_max(transform(col("ed"), v => abs(v))))
       .withColumn("codes",
         when(col("ma") === 0d,
-          transform(col("_ed"), _ => lit(0).cast("tinyint")))
-        .otherwise(transform(col("_ed"),
+          transform(col("ed"), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col("ed"),
           v => round(v * lit(127.0) / col("ma")).cast("tinyint"))))
-      .drop("_ed")
+    if (keepDouble) q else q.drop("ed")
   }
 
   /** embedding_quantize driver query — int8-quantize a bounded id
@@ -606,10 +610,7 @@ object Similarity {
   def quantizeInt8Query(spark: SparkSession, dir: String,
       n: Long = 100): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") < n)
-    val q = quantizeInt8(e)
-      .join(e.select(col("vec_id"),
-        transform(col("embedding"), v => v.cast("double")).as("ed")),
-        Seq("vec_id"))
+    val q = quantizeInt8(e, keepDouble = true)
       .withColumn("recon",
         transform(col("codes"),
           c => c.cast("double") * col("ma") / lit(127.0)))

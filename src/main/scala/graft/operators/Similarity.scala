@@ -434,13 +434,9 @@ object Similarity {
         cellOf(col("embedding")).as("cell"))
     cellified(corpus)
       .write.mode("overwrite").partitionBy("cell").parquet(idx)
-    def fileStates(): Set[(String, Long, Long)] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(idx))
-        .filter(_.getName.endsWith(".parquet"))
+    def fileStates(): Set[(String, Long, Long)] =
+      parquetFiles(idx)
         .map(f => (f.getPath, f.length(), f.lastModified())).toSet
-    }
     val before = fileStates()
     cellified(batch)
       .write.mode("append").partitionBy("cell").parquet(idx)
@@ -502,13 +498,17 @@ object Similarity {
       .orderBy("lang", "dim")
   }
 
-  /** Total bytes of parquet data files under `p` (recursive). */
-  private def dirBytes(p: String): Long = {
+  /** All parquet data files under `p` (recursive) — shared by the
+    * bytes-shrunk and files-untouched witnesses so their notion of
+    * "the index's files" can never drift apart. */
+  private def parquetFiles(p: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(new java.io.File(p))
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
   }
+
+  /** Total bytes of parquet data files under `p`. */
+  private def dirBytes(p: String): Long = parquetFiles(p).map(_.length()).sum
 
   /** similarity_ivf_quantized — the combined ANN storage shape for a
     * full-scale corpus: the cell-partitioned IVF index stores int8
@@ -535,10 +535,13 @@ object Similarity {
     val cs = trainCentroids(e, nCells, seed)
     val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
     val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
-    val cells = e.withColumn("cell", cellOf(col("embedding")))
-    cells.write.mode("overwrite").partitionBy("cell").parquet(idxF)
-    quantizeInt8(e)
-      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    e.withColumn("cell", cellOf(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxF)
+    // Quantize the just-written float index rather than re-running the
+    // quantizer-assignment scan: the cell column rides along through
+    // quantizeInt8 (no re-join), and the cell-partitioned read keeps
+    // the layout, so each output partition rewrites in place.
+    quantizeInt8(spark.read.parquet(idxF))
       .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
     val probed = probedCellsOf(e, cs, nQueries, nProbe)
     // Query vectors cast to double so the codegen'd cosine runs on
@@ -579,25 +582,27 @@ object Similarity {
     * a fraction of a percent. Everything is a codegen'd higher-order
     * function over the array column — one scan, no UDF, no shuffle.
     *
-    * Output: (idCol, ma, codes) — plus the double-cast original as
-    * `ed` when `keepDouble` is set (for callers that compare against
-    * the original in the same plan, without a self-join). Dequantize
-    * with `transform(codes, c -> c * ma / 127.0)`. A zero vector
-    * (ma = 0) quantizes to all-zero codes rather than dividing by
-    * zero. */
-  def quantizeInt8(e: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding",
+    * Output: the input columns with `embCol` replaced by (ma, codes) —
+    * non-embedding columns (ids, cell assignments, metadata) pass
+    * through untouched, so index builds quantize in the SAME scan that
+    * computed them, no re-join. `keepDouble` additionally keeps the
+    * double-cast original as `ed` (for callers that compare against
+    * the original in one plan). Dequantize with
+    * `transform(codes, c -> c * ma / 127.0)`. A zero vector (ma = 0)
+    * quantizes to all-zero codes rather than dividing by zero. */
+  def quantizeInt8(e: DataFrame, embCol: String = "embedding",
       keepDouble: Boolean = false): DataFrame = {
     // All arithmetic in DOUBLE with a fixed association
     // ((x * 127) / ma) so any engine replays the exact IEEE ops.
     val dbl = transform(col(embCol), v => v.cast("double"))
-    val q = e.select(col(idCol), dbl.as("ed"))
+    val q = e.withColumn("ed", dbl)
       .withColumn("ma", array_max(transform(col("ed"), v => abs(v))))
       .withColumn("codes",
         when(col("ma") === 0d,
           transform(col("ed"), _ => lit(0).cast("tinyint")))
         .otherwise(transform(col("ed"),
           v => round(v * lit(127.0) / col("ma")).cast("tinyint"))))
+      .drop(embCol)
     if (keepDouble) q else q.drop("ed")
   }
 

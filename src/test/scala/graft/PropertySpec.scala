@@ -45,6 +45,35 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("int8 quantization: range, zero-vector safety, bounded error") {
+    import org.apache.spark.sql.functions._
+    val gVec = Gen.listOfN(8, Gen.chooseNum(-1e4f, 1e4f))
+    val vecs = samples(gVec, 40).map(_.toArray) :+
+      Array.fill(8)(0.0f) // the ma = 0 edge
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity
+      .quantizeInt8(df, keepDouble = true)
+      .select("vec_id", "ed", "ma", "codes")
+      .collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val ed = r.getSeq[Double](1)
+      val ma = r.getDouble(2)
+      val codes = r.getSeq[Byte](3)
+      assert(codes.length == ed.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (ma == 0.0) assert(codes.forall(_ == 0))
+      else ed.zip(codes).foreach { case (x, c) =>
+        // Dequantized value is within half a quantization step.
+        val recon = c.toDouble * ma / 127.0
+        assert(math.abs(recon - x) <= ma / 127.0 * 0.5 + 1e-9,
+          s"x=$x recon=$recon ma=$ma")
+      }
+    }
+  }
+
   test("chain fold equals direct function composition") {
     samples(Gen.listOfN(3, Gen.chooseNum(1, 5)), 5).foreach { mults =>
       val df = Seq(1, 2, 3).toDF("n")

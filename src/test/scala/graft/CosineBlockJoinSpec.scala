@@ -198,6 +198,39 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("rule is result-preserving under a grammar of extra conjuncts") {
+    // The matcher has been bitten twice by conjunct shapes no fixture
+    // exercised (single-side pushdown asymmetry; cross-column
+    // equalities). Sweep a grammar of extras — whatever the rule
+    // decides (rewrite, residual, or refuse), the results must equal
+    // the no-rule plan's.
+    import org.apache.spark.sql.Column
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("next_id", col("vec_id") + 1)
+    def q(extra: Column) = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          CosineSimilarity.asColumn(
+            col("a.embedding"), col("b.embedding")) >= 0.2 && extra)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val grammar: Seq[(String, Column)] = Seq(
+      "same-column equality" -> (col("a.label") === col("b.label")),
+      "cross-column equality" -> (col("a.next_id") === col("b.vec_id")),
+      "asymmetric inequality" ->
+        (col("b.vec_id") - col("a.vec_id") > 7),
+      "two-side arithmetic" ->
+        ((col("a.vec_id") + col("b.vec_id")) % 3 === 0),
+      "single-side predicate" -> (col("b.vec_id") % 2 === 0),
+      "stacked extras" -> (col("a.label") === col("b.label") &&
+        col("b.vec_id") - col("a.vec_id") > 2))
+    grammar.foreach { case (name, extra) =>
+      val expected = q(extra).as[(Long, Long)].collect().toSet
+      val got = withRule { q(extra).as[(Long, Long)].collect().toSet }
+      assert(got == expected, s"result drift under extra conjunct: $name")
+      assert(expected.nonEmpty, s"vacuous case: $name")
+    }
+  }
+
   test("rule leaves non-matching joins untouched") {
     val e = Relational.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -247,6 +247,17 @@ object Streaming {
     * that is O(batch) new work against an equi-join whose right side
     * scans digests, never documents.
     *
+    * The index is a digest-BUCKETED catalog table, not plain parquet:
+    * the per-batch anti-join consumes the bucket layout, so the
+    * corpus-sized stored side NEVER re-shuffles — only the O(batch)
+    * probe side hashes into the bucket partitioning (the same
+    * write-once-join-forever trade as `Skew.writeBucketed`, asserted
+    * in the spec). To also avoid re-READING the whole index per batch,
+    * compose with the persisted-bloom pattern
+    * (`Curation.bloomPrefilterDedup` / `Packing.hllStoreQuery` store
+    * mergeable sketch bytes): bloom-negative batch rows skip the join
+    * entirely.
+    *
     * Restart safety: the checkpoint's offset log decides which FILES
     * re-enter; a replayed batch re-probes the index, so its
     * already-indexed digests drop out and the append is idempotent.
@@ -265,9 +276,11 @@ object Streaming {
     val base = graft.util.Scratch.dir("graft_sincrdedup")
     val srcDir = base.resolve("in")
     val idxPath = base.resolve("digest_index").toString
+    val idxTable = "graft_sincr_digests"
     val outPath = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
+    spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     val docsAll = graft.operators.Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     def dedupBatch(b: DataFrame): Unit = {
@@ -276,13 +289,15 @@ object Streaming {
         .withColumn("digest", sha2(col("text").cast("binary"), 256))
         .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
       val survivors =
-        (if (Files.exists(Paths.get(idxPath)))
-           firstPerDigest.join(ss.read.parquet(idxPath),
-             Seq("digest"), "left_anti")
+        (if (ss.catalog.tableExists(idxTable))
+           firstPerDigest.join(ss.table(idxTable), Seq("digest"), "left_anti")
          else firstPerDigest)
           .localCheckpoint(true) // one probe, two appends
       survivors.select("doc_id").write.mode("append").parquet(outPath)
-      survivors.select("digest").write.mode("append").parquet(idxPath)
+      val idxWrite = survivors.select("digest").write.mode("append")
+        .bucketBy(8, "digest").sortBy("digest").format("parquet")
+      if (ss.catalog.tableExists(idxTable)) idxWrite.saveAsTable(idxTable)
+      else idxWrite.option("path", idxPath).saveAsTable(idxTable)
     }
     def run(): Unit = {
       val schema = StructType(Seq(
@@ -308,7 +323,12 @@ object Streaming {
           + graft.operators.Dedup.ReKeyOffset),
       base, srcDir, "b.parquet")
     run()
-    spark.read.parquet(outPath).orderBy("doc_id")
+    // Materialize before dropping the index table (the catalog entry is
+    // per-query scratch; its files go with the Scratch dir at exit).
+    val out = spark.read.parquet(outPath).orderBy("doc_id")
+      .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+    out
   }
 
   /** Watermarked stream-stream interval join: purchases within

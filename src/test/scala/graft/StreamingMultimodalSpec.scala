@@ -142,4 +142,57 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
       .select(size(col("feature"))).distinct().as[Int].collect().toSeq
     assert(dims == Seq(8))
   }
+
+  test("stream dedup index: bucketed stored side probes shuffle-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Same table shape dedupBatch persists: single digest column,
+    // bucketed 8 ways. The per-batch anti-join must hash only the
+    // O(batch) probe side into the bucket partitioning; the
+    // corpus-sized stored side reads bucket-aligned, no exchange.
+    val base = graft.util.Scratch.dir("graft_sdedup_bucket_spec")
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.withColumn("digest", sha2(col("text").cast("binary"), 256))
+      .select("digest")
+      .write.bucketBy(8, "digest").sortBy("digest").format("parquet")
+      .option("path", base.resolve("idx").toString)
+      .saveAsTable("spec_sdedup_idx")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force sort-merge + a static plan so the shuffle census is exact
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = docs.limit(100)
+        .withColumn("digest", sha2(col("text").cast("binary"), 256))
+        .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+      val j = probe.join(
+        spark.table("spec_sdedup_idx"), Seq("digest"), "left_anti")
+      j.collect()
+      val plan = j.queryExecution.executedPlan
+      val idxScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.output.map(_.name) == Seq("digest") => f
+      }
+      assert(idxScans.nonEmpty, s"index scan missing: $plan")
+      assert(idxScans.forall(_.bucketedScan),
+        "stored side must read bucket-aligned")
+      val shuffledIdxScans = plan.collect {
+        case s: ShuffleExchangeExec => s.child.collect {
+          case f: FileSourceScanExec
+            if f.output.map(_.name) == Seq("digest") => f
+        }
+      }.flatten
+      assert(shuffledIdxScans.isEmpty,
+        s"stored side must never sit under an exchange: $plan")
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty,
+        "probe side is unbucketed, so it alone should exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS spec_sdedup_idx")
+    }
+  }
 }

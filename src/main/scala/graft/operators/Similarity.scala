@@ -543,10 +543,15 @@ object Similarity {
     // the layout, so each output partition rewrites in place.
     quantizeInt8(spark.read.parquet(idxF))
       .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
-    val probed = probedCellsOf(e, cs, nQueries, nProbe)
+    // One probe build serves the quantized leg, the float-reference
+    // leg, and the static partition filter (checkpointed: the probe
+    // set is O(nQueries·nProbe) rows, and rebuilding it means another
+    // embeddings scan plus nearest-cell pass per use).
+    val probeQ = probeQueries(e, nQueries, probesOf).localCheckpoint(true)
+    val probed = probeQ.select(col("cell")).distinct().as[Int].collect().toSeq
     // Query vectors cast to double so the codegen'd cosine runs on
     // (double, double) against the dequantized corpus side.
-    val queriesD = probeQueries(e, nQueries, probesOf)
+    val queriesD = probeQ
       .select(col("query_id"),
         transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
     val corpusQ = spark.read.parquet(idxQ)
@@ -560,7 +565,7 @@ object Similarity {
     val read = cellsRead(fromQ, idxQ)
     val onDisk = cellDirsOnDisk(idxQ)
     val fromF = topK(cellScores(indexCells(spark, idxF, probed),
-      probeQueries(e, nQueries, probesOf)), k).collect()
+      probeQ), k).collect()
     def pairs(rs: Array[org.apache.spark.sql.Row]) =
       rs.map(r => (r.getLong(0), r.getLong(2))).toSet
     val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
@@ -619,14 +624,13 @@ object Similarity {
       .withColumn("recon",
         transform(col("codes"),
           c => c.cast("double") * col("ma") / lit(127.0)))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val cosRR = dot(col("ed"), col("recon")) /
-      (sqrt(dot(col("ed"), col("ed"))) * sqrt(dot(col("recon"), col("recon"))))
+    // cos = the shared codegen'd CosineSimilarity; its single loop
+    // accumulates dot/nx/ny as three independent sequential folds, so
+    // the value is bit-identical to the former aggregate/zip_with form.
     q.select(col("vec_id"),
         array_join(transform(col("codes"), c => c.cast("string")), ",")
           .as("codes_str"),
-        (cosRR >= 0.98).as("well_preserved"))
+        (cos(col("ed"), col("recon")) >= 0.98).as("well_preserved"))
       .orderBy("vec_id")
   }
 

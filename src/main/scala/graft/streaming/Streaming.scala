@@ -19,6 +19,26 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
+  /** Bloom sizing for the streaming dedup index short-circuit: sized
+    * for the fixture corpus; production sizes to the corpus (or shards
+    * one bloom per index bucket once a single sketch outgrows the
+    * driver). False positives only cost a wasted exact probe. */
+  private val BloomExpectedItems = 500000L
+  private val BloomFpp = 0.03
+
+  /** Cost-based switch for the bloom short-circuit (same idea as
+    * Spark's broadcast threshold): below this many indexed digests the
+    * anti-join is cheaper than the per-batch sketch upkeep, so the
+    * bloom stays disengaged; above it, skipping the join on
+    * bloom-negative rows wins. Fixture-scale runs sit far below the
+    * default. `private[graft] var` so the spec can force engagement. */
+  @volatile private[graft] var BloomMinIndexRows: Long = 1000000L
+
+  /** Spec hook: (bloom-negative rows that bypassed the anti-join,
+    * might-contain rows that took it) accumulated over the last
+    * `streamIncrementalDedupQuery` invocation's bloom-split batches. */
+  @volatile private[graft] var lastBloomSplit: (Long, Long) = (0L, 0L)
+
   /** Events-table schema as a stream source (ts arrives as raw parquet
     * nanos → normalized to a timestamp column). */
   val EventsSchema: StructType = StructType(Seq(
@@ -252,11 +272,30 @@ object Streaming {
     * corpus-sized stored side NEVER re-shuffles — only the O(batch)
     * probe side hashes into the bucket partitioning (the same
     * write-once-join-forever trade as `Skew.writeBucketed`, asserted
-    * in the spec). To also avoid re-READING the whole index per batch,
-    * compose with the persisted-bloom pattern
-    * (`Curation.bloomPrefilterDedup` / `Packing.hllStoreQuery` store
-    * mergeable sketch bytes): bloom-negative batch rows skip the join
-    * entirely.
+    * in the spec).
+    *
+    * A driver-held Bloom filter over the indexed digests short-circuits
+    * the join: bloom-NEGATIVE batch rows are definitely new and bypass
+    * the anti-join entirely; only the might-contain subset (true dups +
+    * fpp false positives) probes the index, so a mostly-novel feed pays
+    * the join on a sliver of each batch. The bloom is REBUILT from the
+    * index at every stream start (one distributed aggregate per
+    * restart, amortized over the run's batches) rather than persisted —
+    * a persisted sketch can lag the index after a crash between the two
+    * writes, and a stale bloom turns "definitely new" into silent
+    * duplicates; rebuilt-at-start, it is exact w.r.t. the index by
+    * construction, and a false positive only costs a wasted exact
+    * probe, never a wrong answer. Within a run each batch's survivor
+    * sketch is built distributed and OR-merged into the driver copy
+    * (sketch-sized transfer, same shape as `Packing.hllStoreQuery`'s
+    * mergeable HLLs). Engagement is COST-BASED ([[BloomMinIndexRows]],
+    * the same idea as Spark's broadcast threshold): below it the
+    * anti-join is cheaper than sketch upkeep and the bloom stays off —
+    * fixture-scale runs take the plain path; the spec forces
+    * engagement to pin the split. At 10^10+ documents a single bloom
+    * outgrows the driver — the extension is one bloom per index
+    * bucket, probed only by that bucket's rows; the split logic below
+    * is unchanged.
     *
     * Restart safety: the checkpoint's offset log decides which FILES
     * re-enter; a replayed batch re-probes the index, so its
@@ -283,23 +322,61 @@ object Streaming {
     spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     val docsAll = graft.operators.Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    lastBloomSplit = (0L, 0L)
     def dedupBatch(b: DataFrame): Unit = {
       val ss = b.sparkSession
       val firstPerDigest = b
         .withColumn("digest", sha2(col("text").cast("binary"), 256))
         .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-      val survivors =
-        (if (ss.catalog.tableExists(idxTable))
-           firstPerDigest.join(ss.table(idxTable), Seq("digest"), "left_anti")
-         else firstPerDigest)
-          .localCheckpoint(true) // one probe, two appends
+      val survivors = ((bloom, ss.catalog.tableExists(idxTable)) match {
+        case (Some(bf), true) =>
+          val bfB = ss.sparkContext.broadcast(bf)
+          // The split census rides the (eager) checkpoint action as
+          // accumulators inside the probe function — no extra job.
+          val accNew = ss.sparkContext.longAccumulator
+          val accMaybe = ss.sparkContext.longAccumulator
+          val maybe = udf { (d: String) =>
+            val m = bfB.value.mightContain(d)
+            if (m) accMaybe.add(1L) else accNew.add(1L)
+            m
+          }
+          val probed = firstPerDigest
+            .withColumn("_maybe", maybe(col("digest")))
+            .localCheckpoint(true) // one bloom probe feeds both branches
+          lastBloomSplit = (lastBloomSplit._1 + accNew.value,
+            lastBloomSplit._2 + accMaybe.value)
+          val checked = probed.filter(col("_maybe"))
+            .join(ss.table(idxTable), Seq("digest"), "left_anti")
+          probed.filter(!col("_maybe")).unionByName(checked).drop("_maybe")
+        case (None, true) =>
+          firstPerDigest.join(ss.table(idxTable), Seq("digest"), "left_anti")
+        case _ => firstPerDigest
+      }).localCheckpoint(true) // one probe, two appends
       survivors.select("doc_id").write.mode("append").parquet(outPath)
       val idxWrite = survivors.select("digest").write.mode("append")
         .bucketBy(8, "digest").sortBy("digest").format("parquet")
       if (ss.catalog.tableExists(idxTable)) idxWrite.saveAsTable(idxTable)
       else idxWrite.option("path", idxPath).saveAsTable(idxTable)
+      // Fold the appended digests into the driver bloom (engaged runs
+      // only): the sketch is built DISTRIBUTED over the (checkpointed)
+      // survivors; only the bloom's bytes cross for the OR-merge.
+      if (bloom.isDefined) {
+        val add = survivors.stat
+          .bloomFilter("digest", BloomExpectedItems, BloomFpp)
+        bloom = bloom.map { b0 => b0.mergeInPlace(add); b0 }
+      }
     }
     def run(): Unit = {
+      // Sync the bloom to the index ON DISK (not the previous run's
+      // in-memory copy): after a crash-and-replay the index is the only
+      // truth, and "definitely new" must be exact w.r.t. it. The
+      // engagement check is a parquet-metadata count — no data scan.
+      bloom = if (spark.catalog.tableExists(idxTable) &&
+          spark.table(idxTable).count() >= BloomMinIndexRows)
+        Some(spark.table(idxTable).stat
+          .bloomFilter("digest", BloomExpectedItems, BloomFpp))
+      else None
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val q = spark.readStream.schema(schema).parquet(srcDir.toString)

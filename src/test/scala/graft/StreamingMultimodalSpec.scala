@@ -60,8 +60,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("stream incremental dedup: persisted index survives the restart") {
-    val got = Streaming.streamIncrementalDedupQuery(spark, sfDir)
-      .as[Long].collect().toSeq
+    // Force the bloom short-circuit to engage (the fixture index sits
+    // far below the cost-based threshold) so run 2 pins BOTH split
+    // paths; equality with the batch replay holds either way.
+    val prevMin = Streaming.BloomMinIndexRows
+    Streaming.BloomMinIndexRows = 0L
+    val got =
+      try Streaming.streamIncrementalDedupQuery(spark, sfDir)
+        .as[Long].collect().toSeq
+      finally Streaming.BloomMinIndexRows = prevMin
     // Replay the feed in batch: even half first-per-text, then the
     // re-keyed full copy contributes only texts the even half lacks.
     val docs = Relational.table(spark, sfDir, "documents")
@@ -76,6 +83,12 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_ >= 10000L),
       "run 2 must contribute genuinely new texts through the probe")
     assert(got.exists(_ < 10000L), "run 1 survivors must persist")
+    // Run 2's batch holds both novel texts (bloom-negative, must skip
+    // the anti-join) and cross-run duplicates (might-contain, must
+    // take it) — the split has to exercise BOTH paths to dedup right.
+    val (nSkipped, nChecked) = Streaming.lastBloomSplit
+    assert(nSkipped > 0, "bloom-negative rows should bypass the join")
+    assert(nChecked > 0, "known digests should reach the exact probe")
   }
 
   test("foreachBatch upsert across restarts equals batch latest-per-key") {

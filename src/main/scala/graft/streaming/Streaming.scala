@@ -331,21 +331,29 @@ object Streaming {
         .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
       val survivors = ((bloom, ss.catalog.tableExists(idxTable)) match {
         case (Some(bf), true) =>
-          val bfB = ss.sparkContext.broadcast(bf)
-          // The split census rides the (eager) checkpoint action as
-          // accumulators inside the probe function — no extra job.
-          val accNew = ss.sparkContext.longAccumulator
-          val accMaybe = ss.sparkContext.longAccumulator
-          val maybe = udf { (d: String) =>
-            val m = bfB.value.mightContain(d)
-            if (m) accMaybe.add(1L) else accNew.add(1L)
-            m
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+          // The probe is Spark's own BloomFilterMightContain over a
+          // CONSTANT bloom literal — codegen'd, no UDF in the hot path
+          // (same bridge as `Curation.bloomPrefilterDedup`; there the
+          // bloom is in-plan via ScalarSubquery, here it is driver-held
+          // so a Literal carries the bytes). Keyed by xxhash64 of the
+          // digest because the expression probes longs; a 64-bit
+          // collision is just a false positive → wasted exact probe.
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos); bos.toByteArray
           }
-          val probed = firstPerDigest
-            .withColumn("_maybe", maybe(col("digest")))
+          val maybeCol = ColumnBridge.column(BloomFilterMightContain(
+            Literal(bytes),
+            ColumnBridge.expression(xxhash64(col("digest")))))
+          val probed = firstPerDigest.withColumn("_maybe", maybeCol)
             .localCheckpoint(true) // one bloom probe feeds both branches
-          lastBloomSplit = (lastBloomSplit._1 + accNew.value,
-            lastBloomSplit._2 + accMaybe.value)
+          val sr = probed.agg(
+            count(when(!col("_maybe"), 1)).as("n_new"),
+            count(when(col("_maybe"), 1)).as("n_maybe")).head()
+          lastBloomSplit = (lastBloomSplit._1 + sr.getLong(0),
+            lastBloomSplit._2 + sr.getLong(1))
           val checked = probed.filter(col("_maybe"))
             .join(ss.table(idxTable), Seq("digest"), "left_anti")
           probed.filter(!col("_maybe")).unionByName(checked).drop("_maybe")
@@ -362,8 +370,8 @@ object Streaming {
       // only): the sketch is built DISTRIBUTED over the (checkpointed)
       // survivors; only the bloom's bytes cross for the OR-merge.
       if (bloom.isDefined) {
-        val add = survivors.stat
-          .bloomFilter("digest", BloomExpectedItems, BloomFpp)
+        val add = survivors.select(xxhash64(col("digest")).as("_h"))
+          .stat.bloomFilter("_h", BloomExpectedItems, BloomFpp)
         bloom = bloom.map { b0 => b0.mergeInPlace(add); b0 }
       }
     }
@@ -374,8 +382,9 @@ object Streaming {
       // engagement check is a parquet-metadata count — no data scan.
       bloom = if (spark.catalog.tableExists(idxTable) &&
           spark.table(idxTable).count() >= BloomMinIndexRows)
-        Some(spark.table(idxTable).stat
-          .bloomFilter("digest", BloomExpectedItems, BloomFpp))
+        Some(spark.table(idxTable)
+          .select(xxhash64(col("digest")).as("_h"))
+          .stat.bloomFilter("_h", BloomExpectedItems, BloomFpp))
       else None
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))

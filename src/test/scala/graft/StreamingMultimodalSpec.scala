@@ -208,4 +208,39 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS spec_sdedup_idx")
     }
   }
+
+  test("bloom probe via Literal sketch stays inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // The dedupBatch probe shape: a driver-held sketch carried as a
+    // binary Literal into BloomFilterMightContain over xxhash64. Pins
+    // (a) put-long/probe-long format compatibility end to end and
+    // (b) that the probe compiles into the generated pipeline — a
+    // regression back to a Scala UDF would drop out of codegen.
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bf = docs.filter(col("doc_id") % 2 === 0)
+      .select(xxhash64(col("text")).as("_h"))
+      .stat.bloomFilter("_h", 10000L, 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val probed = docs.withColumn("_maybe", ColumnBridge.column(
+      BloomFilterMightContain(Literal(bytes),
+        ColumnBridge.expression(xxhash64(col("text"))))))
+    val rows = probed.collect()
+    val inBloom = rows.filter(_.getAs[Boolean]("_maybe")).map(_.getLong(0))
+    // No false negatives: every even doc was put into the sketch.
+    assert(rows.filter(_.getLong(0) % 2 == 0)
+      .forall(_.getAs[Boolean]("_maybe")))
+    assert(inBloom.nonEmpty && rows.exists(!_.getAs[Boolean]("_maybe")))
+    val codegenSpans = probed.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString
+    }
+    assert(codegenSpans.exists(_.contains("might_contain")),
+      s"probe must sit inside a WholeStageCodegen span:\n" +
+        probed.queryExecution.executedPlan.toString.take(1200))
+  }
 }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Bloom sizing for the streaming dedup index short-circuit: sized
-    * for the fixture corpus; production sizes to the corpus (or shards
-    * one bloom per index bucket once a single sketch outgrows the
-    * driver). False positives only cost a wasted exact probe. */
-  private val BloomExpectedItems = 500000L
+  /** Bloom sizing floor for the streaming dedup index short-circuit.
+    * The sketch is sized to the COUNTED index rows at rebuild (×2
+    * headroom for within-run appends), never below this floor — a
+    * fixed capacity would be oversaturated the moment engagement
+    * triggers, running at far worse than the design fpp. Production
+    * shards one bloom per index bucket once a single sketch outgrows
+    * the driver. False positives only cost a wasted exact probe. */
+  private val BloomMinCapacity = 500000L
   private val BloomFpp = 0.03
 
   /** Cost-based switch for the bloom short-circuit (same idea as
@@ -34,9 +37,13 @@ object Streaming {
     * default. `private[graft] var` so the spec can force engagement. */
   @volatile private[graft] var BloomMinIndexRows: Long = 1000000L
 
-  /** Spec hook: (bloom-negative rows that bypassed the anti-join,
-    * might-contain rows that took it) accumulated over the last
-    * `streamIncrementalDedupQuery` invocation's bloom-split batches. */
+  /** Spec hook: when enabled, each bloom-split batch runs one extra
+    * census aggregate and accumulates (bloom-negative rows that
+    * bypassed the anti-join, might-contain rows that took it) into
+    * [[lastBloomSplit]]. Off by default — the census is observability
+    * for the spec, not part of the query, and must not cost the
+    * production path a per-batch job. */
+  @volatile private[graft] var bloomCensusEnabled: Boolean = false
   @volatile private[graft] var lastBloomSplit: (Long, Long) = (0L, 0L)
 
   /** Events-table schema as a stream source (ts arrives as raw parquet
@@ -315,14 +322,21 @@ object Streaming {
     val base = graft.util.Scratch.dir("graft_sincrdedup")
     val srcDir = base.resolve("in")
     val idxPath = base.resolve("digest_index").toString
-    val idxTable = "graft_sincr_digests"
+    // The catalog name is derived from the per-invocation scratch dir:
+    // two overlapping invocations (or a retry racing a hung stream)
+    // must not share — or drop — each other's index table.
+    val idxTable = "graft_sincr_" +
+      base.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9]", "")
     val outPath = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
-    spark.sql(s"DROP TABLE IF EXISTS $idxTable")
     val docsAll = graft.operators.Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    // Sketch capacity is fixed at rebuild time and shared with every
+    // per-batch add: mergeInPlace requires identical bit size and hash
+    // count, which BloomFilter.create derives from (capacity, fpp).
+    var bloomCapacity: Long = BloomMinCapacity
     lastBloomSplit = (0L, 0L)
     def dedupBatch(b: DataFrame): Unit = {
       val ss = b.sparkSession
@@ -349,11 +363,13 @@ object Streaming {
             ColumnBridge.expression(xxhash64(col("digest")))))
           val probed = firstPerDigest.withColumn("_maybe", maybeCol)
             .localCheckpoint(true) // one bloom probe feeds both branches
-          val sr = probed.agg(
-            count(when(!col("_maybe"), 1)).as("n_new"),
-            count(when(col("_maybe"), 1)).as("n_maybe")).head()
-          lastBloomSplit = (lastBloomSplit._1 + sr.getLong(0),
-            lastBloomSplit._2 + sr.getLong(1))
+          if (bloomCensusEnabled) {
+            val sr = probed.agg(
+              count(when(!col("_maybe"), 1)).as("n_new"),
+              count(when(col("_maybe"), 1)).as("n_maybe")).head()
+            lastBloomSplit = (lastBloomSplit._1 + sr.getLong(0),
+              lastBloomSplit._2 + sr.getLong(1))
+          }
           val checked = probed.filter(col("_maybe"))
             .join(ss.table(idxTable), Seq("digest"), "left_anti")
           probed.filter(!col("_maybe")).unionByName(checked).drop("_maybe")
@@ -371,7 +387,7 @@ object Streaming {
       // survivors; only the bloom's bytes cross for the OR-merge.
       if (bloom.isDefined) {
         val add = survivors.select(xxhash64(col("digest")).as("_h"))
-          .stat.bloomFilter("_h", BloomExpectedItems, BloomFpp)
+          .stat.bloomFilter("_h", bloomCapacity, BloomFpp)
         bloom = bloom.map { b0 => b0.mergeInPlace(add); b0 }
       }
     }
@@ -380,12 +396,19 @@ object Streaming {
       // in-memory copy): after a crash-and-replay the index is the only
       // truth, and "definitely new" must be exact w.r.t. it. The
       // engagement check is a parquet-metadata count — no data scan.
-      bloom = if (spark.catalog.tableExists(idxTable) &&
-          spark.table(idxTable).count() >= BloomMinIndexRows)
-        Some(spark.table(idxTable)
-          .select(xxhash64(col("digest")).as("_h"))
-          .stat.bloomFilter("_h", BloomExpectedItems, BloomFpp))
-      else None
+      bloom = if (spark.catalog.tableExists(idxTable)) {
+        val indexRows = spark.table(idxTable).count()
+        if (indexRows >= BloomMinIndexRows) {
+          // Size to the data, not a constant: a bloom built at a fixed
+          // capacity is oversaturated (fpp >> design) the moment the
+          // cost gate lets it engage. 2× headroom absorbs this run's
+          // own appends without re-sizing mid-run.
+          bloomCapacity = math.max(indexRows * 2, BloomMinCapacity)
+          Some(spark.table(idxTable)
+            .select(xxhash64(col("digest")).as("_h"))
+            .stat.bloomFilter("_h", bloomCapacity, BloomFpp))
+        } else None
+      } else None
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType)))
       val q = spark.readStream.schema(schema).parquet(srcDir.toString)
@@ -397,24 +420,27 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    // Run 1: the even-id half of the corpus has arrived.
-    landSingleFile(docsAll.filter(col("doc_id") % 2 === 0),
-      base, srcDir, "a.parquet")
-    run()
-    // Run 2 (fresh query, same checkpoint): a re-keyed copy of the FULL
-    // corpus lands — every even-half text is a cross-run duplicate the
-    // index must drop; odd-only texts are genuinely new and survive.
-    landSingleFile(docsAll.withColumn("doc_id",
-        graft.operators.Dedup.pinnedDocId(col("doc_id"))
-          + graft.operators.Dedup.ReKeyOffset),
-      base, srcDir, "b.parquet")
-    run()
-    // Materialize before dropping the index table (the catalog entry is
-    // per-query scratch; its files go with the Scratch dir at exit).
-    val out = spark.read.parquet(outPath).orderBy("doc_id")
-      .localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $idxTable")
-    out
+    try {
+      // Run 1: the even-id half of the corpus has arrived.
+      landSingleFile(docsAll.filter(col("doc_id") % 2 === 0),
+        base, srcDir, "a.parquet")
+      run()
+      // Run 2 (fresh query, same checkpoint): a re-keyed copy of the
+      // FULL corpus lands — every even-half text is a cross-run
+      // duplicate the index must drop; odd-only texts are genuinely
+      // new and survive.
+      landSingleFile(docsAll.withColumn("doc_id",
+          graft.operators.Dedup.pinnedDocId(col("doc_id"))
+            + graft.operators.Dedup.ReKeyOffset),
+        base, srcDir, "b.parquet")
+      run()
+    } finally {
+      // Per-invocation scratch: the catalog entry must not outlive the
+      // query, even on failure. The output below reads only the outPath
+      // parquet, which never depended on the table.
+      spark.sql(s"DROP TABLE IF EXISTS $idxTable")
+    }
+    spark.read.parquet(outPath).orderBy("doc_id")
   }
 
   /** Watermarked stream-stream interval join: purchases within

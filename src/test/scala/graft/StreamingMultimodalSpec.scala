@@ -65,10 +65,14 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     // paths; equality with the batch replay holds either way.
     val prevMin = Streaming.BloomMinIndexRows
     Streaming.BloomMinIndexRows = 0L
+    Streaming.bloomCensusEnabled = true // split census is spec-only
     val got =
       try Streaming.streamIncrementalDedupQuery(spark, sfDir)
         .as[Long].collect().toSeq
-      finally Streaming.BloomMinIndexRows = prevMin
+      finally {
+        Streaming.BloomMinIndexRows = prevMin
+        Streaming.bloomCensusEnabled = false
+      }
     // Replay the feed in batch: even half first-per-text, then the
     // re-keyed full copy contributes only texts the even half lacks.
     val docs = Relational.table(spark, sfDir, "documents")

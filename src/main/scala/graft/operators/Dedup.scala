@@ -33,9 +33,9 @@ object Dedup {
     * it (the oracle SQL keeps the plain `doc_id + 10000` literal, so
     * hashes are unchanged). */
   private[graft] def pinnedDocId(c: Column): Column =
-    when(c < ReKeyOffset, c).otherwise(raise_error(concat(
-      lit(s"fixture doc_id >= re-key offset $ReKeyOffset: "),
-      c.cast("string"))))
+    when(c >= 0 && c < ReKeyOffset, c).otherwise(raise_error(concat(
+      lit(s"fixture doc_id outside [0, $ReKeyOffset): "),
+      coalesce(c.cast("string"), lit("NULL")))))
 
   /** dedup_exact — keep the lowest doc_id per identical text. Grouping
     * key is sha2(text): the shuffle carries (hash, id), never the
@@ -948,7 +948,10 @@ object Dedup {
   /** The span-dedup core over any (doc_id, text) frame — per-chunk keep
     * marks, exposed for property tests; [[spanDedup]] aggregates it to
     * the per-document audit. Spans are grouped by a 128-bit fingerprint
-    * (two independent xxhash64 legs — the second leg salts the input),
+    * (two differently-seeded xxhash64 legs — the second prepends a
+    * literal, so the legs are distinct but not provably independent;
+    * a simultaneous collision of both is negligible in practice, and
+    * the text-grouped property-test oracle pins the behavior),
     * computed in the map-side projection so the shuffle rows carry 16
     * bytes of hash instead of the span text. */
   private[graft] def spanKeepMarks(docsDf: DataFrame, k: Int): DataFrame = {

@@ -70,7 +70,7 @@ object Packing {
     val blockTotals = withBlock
       .groupBy("_blk").agg(sum(col(valueCol)).as("_blk_total"))
     val blockOffsets = exclusiveScanRel(blockTotals, "_blk", "_blk_total",
-        fanIn, maxKeys = capacityIds / blockSize + 1, lvl = 0)
+        fanIn, maxKeys = (capacityIds + blockSize - 1) / blockSize, lvl = 0)
       .withColumnRenamed("_offset", "_blk_offset")
     withBlock
       .join(broadcast(blockOffsets), Seq("_blk"))
@@ -104,8 +104,11 @@ object Packing {
         .rowsBetween(Window.unboundedPreceding, -1)
       val groupTotals = grouped.groupBy(supKey)
         .agg(sum(col(totalCol)).as(s"_sup_total$lvl"))
+      // Exact ceiling: keys are in [0, maxKeys), so super-keys are in
+      // [0, ceil(maxKeys / fanIn)). An overshooting bound (`/ fanIn + 1`)
+      // would recurse one level deeper than the stated capacity needs.
       val groupOffsets = exclusiveScanRel(groupTotals, supKey,
-          s"_sup_total$lvl", fanIn, maxKeys / fanIn + 1, lvl + 1)
+          s"_sup_total$lvl", fanIn, (maxKeys + fanIn - 1) / fanIn, lvl + 1)
         .withColumnRenamed("_offset", s"_sup_offset$lvl")
       grouped.join(broadcast(groupOffsets), Seq(supKey))
         .select(col(keyCol),

@@ -590,13 +590,21 @@ object Similarity {
     * Output: the input columns with `embCol` replaced by (ma, codes) —
     * non-embedding columns (ids, cell assignments, metadata) pass
     * through untouched, so index builds quantize in the SAME scan that
-    * computed them, no re-join. `keepDouble` additionally keeps the
-    * double-cast original as `ed` (for callers that compare against
-    * the original in one plan). Dequantize with
+    * computed them, no re-join. `ed`, `ma` and `codes` are RESERVED
+    * output names: the input frame must not already contain them
+    * (asserted below — `withColumn` would silently clobber a
+    * pre-existing column of the same name). `keepDouble` additionally
+    * keeps the double-cast original as `ed` (for callers that compare
+    * against the original in one plan). Dequantize with
     * `transform(codes, c -> c * ma / 127.0)`. A zero vector (ma = 0)
     * quantizes to all-zero codes rather than dividing by zero. */
   def quantizeInt8(e: DataFrame, embCol: String = "embedding",
       keepDouble: Boolean = false): DataFrame = {
+    val reserved = Set("ed", "ma", "codes")
+    val clash = e.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"quantizeInt8 writes reserved columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.mkString(", ")}")
     // All arithmetic in DOUBLE with a fixed association
     // ((x * 127) / ma) so any engine replays the exact IEEE ops.
     val dbl = transform(col(embCol), v => v.cast("double"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, EqualNullSafe, Expression, GreaterThanOrEqual, If, LessThan, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, EqualNullSafe, Expression, GreaterThan, GreaterThanOrEqual, If, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -28,12 +28,16 @@ import graft.functions.CosineSimilarity
   *
   * Semantic requirements checked before rewriting: inner join, both
   * sides the SAME relation (`sameResult`), and the condition contains
-  * an `idL < idR` conjunct (int/long, one attribute per side, both
+  * a STRICT id-order conjunct (int/long, one attribute per side, both
   * sides' attribute the SAME underlying column — positional
-  * correspondence, not just side membership) plus a
-  * `cosine_sim(eL, eR) >= lit` conjunct over corresponding embedding
-  * columns. ADDITIONAL deterministic conjuncts are carried through the
-  * rewrite rather than blocking it:
+  * correspondence, not just side membership; any spelling of it:
+  * `a.id < b.id`, `b.id > a.id`, `a.id > b.id`, `b.id < a.id`) plus a
+  * cosine-threshold conjunct over corresponding embedding columns in
+  * any of its four spellings (`cos >= t`, `cos > t`, `t <= cos`,
+  * `t < cos`) — each of these used to fall back silently to the
+  * quadratic plan when written in a non-canonical form. ADDITIONAL
+  * deterministic conjuncts are carried through the rewrite rather
+  * than blocking it:
   *
   *  - SAME-COLUMN two-side equalities (`a.lang = b.lang`) fold into the
   *    block equi-join's keys — symmetric under the role swap, and at
@@ -64,7 +68,19 @@ import graft.functions.CosineSimilarity
 case class CosineBlockJoin(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val Blocks = 16
+  /** Block count B, read from `spark.graft.cosine.blocks` at every
+    * rule application (default 16). B caps the rewrite's parallelism
+    * at B(B+1)/2 cells and its per-cell memory at (n/B)·d — a fixed
+    * constant would pin an O(n²) workload to 136-way parallelism
+    * regardless of cluster size, so the knob the hand-built
+    * `Similarity.blockPairs` already exposes as a parameter is a
+    * session conf here (the rule rewrites user-written plans, where
+    * no parameter can reach). */
+  private def blocks: Int = {
+    val b = spark.conf.get(CosineBlockJoin.BlocksConfKey, "16").toInt
+    require(b >= 1, s"${CosineBlockJoin.BlocksConfKey} must be >= 1, got $b")
+    b
+  }
 
   private val SyntheticCols = Set("__gp", "__gq", "__gp2", "__gq2")
 
@@ -97,25 +113,52 @@ case class CosineBlockJoin(spark: SparkSession)
         conjuncts.exists(_.references.exists(a => SyntheticCols(a.name)))
       if (touchesOwnOutput || !conjuncts.forall(_.deterministic)) j
       else {
-        val idLt = conjuncts.collectFirst {
-          case lt @ LessThan(idL: Attribute, idR: Attribute)
-              if l.outputSet.contains(idL) && r.outputSet.contains(idR) &&
-                correspondingPair(l, r, idL, idR) &&
-                (idL.dataType == org.apache.spark.sql.types.LongType ||
-                  idL.dataType == org.apache.spark.sql.types.IntegerType) =>
-            lt
+        // Canonicalize any strict id-order spelling to
+        // (idL ∈ l, idR ∈ r, leftSmall): `a.id < b.id` and
+        // `b.id > a.id` assert the LEFT side is smaller; `a.id > b.id`
+        // and `b.id < a.id` assert it is larger. All four pin each
+        // unordered pair to exactly one output orientation, which is
+        // all the triangle blocking needs — only the final
+        // role-restoring projection cares which side wins.
+        def idOrder(x: Attribute, y: Attribute, xSmall: Boolean)
+            : Option[(Attribute, Attribute, Boolean)] = {
+          val ok = correspondingPair(l, r, x, y) &&
+            (x.dataType == org.apache.spark.sql.types.LongType ||
+              x.dataType == org.apache.spark.sql.types.IntegerType)
+          if (!ok) None
+          else if (l.outputSet.contains(x) && r.outputSet.contains(y))
+            Some((x, y, xSmall))
+          else if (r.outputSet.contains(x) && l.outputSet.contains(y))
+            Some((y, x, !xSmall))
+          else None
         }
+        val idLt = conjuncts.iterator.map {
+          case lt @ LessThan(x: Attribute, y: Attribute) =>
+            idOrder(x, y, xSmall = true).map { case (a, b, s) => (lt, a, b, s) }
+          case gt @ GreaterThan(x: Attribute, y: Attribute) =>
+            idOrder(x, y, xSmall = false).map { case (a, b, s) => (gt, a, b, s) }
+          case _ => None
+        }.collectFirst { case Some(m) => m }
+        // Either sidedness AND either literal position: cosine is
+        // symmetric, and `t <= cos` / `t < cos` / `cos > t` are the
+        // same predicate a user legitimately writes — each was a
+        // silent quadratic fallback when only `cos >= t` matched.
+        def cosPair(eL: Attribute, eR: Attribute): Boolean =
+          correspondingPair(l, r, eL, eR)
         val cosGte = conjuncts.collectFirst {
-          // Either sidedness: cosine is symmetric.
           case g @ GreaterThanOrEqual(CosineSimilarity(eL: Attribute,
-              eR: Attribute), Literal(_, _))
-              if correspondingPair(l, r, eL, eR) =>
-            g
+              eR: Attribute), Literal(_, _)) if cosPair(eL, eR) => g
+          case g @ GreaterThan(CosineSimilarity(eL: Attribute,
+              eR: Attribute), Literal(_, _)) if cosPair(eL, eR) => g
+          case g @ LessThanOrEqual(Literal(_, _), CosineSimilarity(
+              eL: Attribute, eR: Attribute)) if cosPair(eL, eR) => g
+          case g @ LessThan(Literal(_, _), CosineSimilarity(
+              eL: Attribute, eR: Attribute)) if cosPair(eL, eR) => g
         }
         (idLt, cosGte) match {
-          case (Some(lt), Some(g)) =>
+          case (Some((ltConj, idL, idR, leftSmall)), Some(g)) =>
             val residuals =
-              conjuncts.filterNot(c => (c eq lt) || (c eq g))
+              conjuncts.filterNot(c => (c eq ltConj) || (c eq g))
             // SAME-COLUMN equalities (a.lang = b.lang) join the block
             // keys — only those are symmetric under the role swap.
             // Everything else, including cross-column equalities
@@ -128,24 +171,25 @@ case class CosineBlockJoin(spark: SparkSession)
                 correspondingPair(l, r, x, y)
               case _ => false
             }
-            rewrite(j, l, r, lt.left.asInstanceOf[Attribute],
-              lt.right.asInstanceOf[Attribute], g, equiRes, otherRes)
+            rewrite(j, l, r, idL, idR, leftSmall, g, equiRes, otherRes)
           case _ => j
         }
       }
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-      idL: Attribute, idR: Attribute, cosGte: Expression,
+      idL: Attribute, idR: Attribute, leftSmall: Boolean,
+      cosGte: Expression,
       equiRes: Seq[Expression], otherRes: Seq[Expression]): LogicalPlan = {
+    val b = blocks
     def c(e: Expression) = ColumnBridge.column(e)
     val ldf = ColumnBridge.ofRows(spark, l)
     val rdf = ColumnBridge.ofRows(spark, r)
     val lhs = ldf
-      .withColumn("__gp", pmod(c(idL), lit(Blocks)).cast("int"))
-      .withColumn("__gq", explode(sequence(col("__gp"), lit(Blocks - 1))))
+      .withColumn("__gp", pmod(c(idL), lit(b)).cast("int"))
+      .withColumn("__gq", explode(sequence(col("__gp"), lit(b - 1))))
     val rhs = rdf
-      .withColumn("__gq2", pmod(c(idR), lit(Blocks)).cast("int"))
+      .withColumn("__gq2", pmod(c(idR), lit(b)).cast("int"))
       .withColumn("__gp2", explode(sequence(lit(0), col("__gq2"))))
     // Residual equalities ride in the join condition: Catalyst extracts
     // them as extra hash keys, so (block, block, key...) cells are both
@@ -154,16 +198,23 @@ case class CosineBlockJoin(spark: SparkSession)
       col("__gp") === col("__gp2") && col("__gq") === col("__gq2"))(
       (acc, e) => acc && c(e))
     val joined = lhs.join(rhs, joinCond)
-      // Same-block cells contain both orderings of a pair — keep one.
-      .filter(col("__gp") =!= col("__gq") || c(idL) < c(idR))
+      // Same-block cells contain both orderings of a pair — keep one
+      // (id-equal pairs drop here, preserving strictness; the
+      // orientation matches the user's conjunct so the projection
+      // below is the identity for these rows).
+      .filter(col("__gp") =!= col("__gq") ||
+        (if (leftSmall) c(idL) < c(idR) else c(idL) > c(idR)))
       // The threshold runs as the equi-join's post-filter (symmetric,
       // so role order does not matter).
       .filter(c(cosGte))
     // Distinct-block cells assign roles by BLOCK order, the original
     // join by ID order — restore it: for every output column pair,
-    // emit the smaller-id document's value on the left. Aliases reuse
-    // the original exprIds so parent operators keep resolving.
-    val ordered = LessThan(idL, idR)
+    // emit on the left the member the user's id-order conjunct puts
+    // there (the smaller id for `a.id < b.id` / `b.id > a.id`, the
+    // larger for the flipped spellings). Aliases reuse the original
+    // exprIds so parent operators keep resolving.
+    val ordered: Expression =
+      if (leftSmall) LessThan(idL, idR) else GreaterThan(idL, idR)
     val proj: Seq[NamedExpression] =
       l.output.zip(r.output).map { case (la, ra) =>
         Alias(If(ordered, la, ra), la.name)(exprId = la.exprId)
@@ -179,6 +230,13 @@ case class CosineBlockJoin(spark: SparkSession)
     if (otherRes.isEmpty) projected
     else Filter(otherRes.reduce(And), projected)
   }
+}
+
+object CosineBlockJoin {
+  /** Session conf for the rewrite's block count B (`int`, default 16).
+    * Size to the cluster: parallelism is B(B+1)/2 cells, per-cell
+    * memory ~(n/B)·d vectors per side. */
+  val BlocksConfKey = "spark.graft.cosine.blocks"
 }
 
 object CosineBlockJoinQuery {

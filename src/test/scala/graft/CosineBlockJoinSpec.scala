@@ -231,6 +231,89 @@ class CosineBlockJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("every spelling of the id-order and threshold conjuncts rewrites") {
+    // Each of these forms used to be a SILENT quadratic fallback: the
+    // matcher accepted only `a.id < b.id` and `cos >= t`. A user
+    // writing the strict threshold, the literal on the left, or the
+    // flipped id order means the same query and must get the same
+    // plan. For the flipped id order the expected SET differs (left
+    // column is the larger id) — correctness is vs the no-rule run of
+    // the same text, never vs the canonical form.
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cosAB = CosineSimilarity.asColumn(
+      col("a.embedding"), col("b.embedding"))
+    val spellings: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "strict threshold cos > t" ->
+        (col("a.vec_id") < col("b.vec_id") && cosAB > 0.46),
+      "literal-left t <= cos" ->
+        (col("a.vec_id") < col("b.vec_id") && lit(0.46) <= cosAB),
+      "literal-left strict t < cos" ->
+        (col("a.vec_id") < col("b.vec_id") && lit(0.46) < cosAB),
+      "flipped id b.id > a.id" ->
+        (col("b.vec_id") > col("a.vec_id") && cosAB >= 0.46),
+      "reversed id a.id > b.id" ->
+        (col("a.vec_id") > col("b.vec_id") && cosAB >= 0.46),
+      "reversed id b.id < a.id" ->
+        (col("b.vec_id") < col("a.vec_id") && cosAB >= 0.46),
+      "all flipped t < cos, a.id > b.id" ->
+        (col("a.vec_id") > col("b.vec_id") && lit(0.46) < cosAB))
+    spellings.foreach { case (name, cond) =>
+      def q = e.as("a").join(e.as("b"), cond)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val expected = q.as[(Long, Long)].collect().toSet
+      val (got, plan) = withRule {
+        val df = q
+        (df.as[(Long, Long)].collect().toSet,
+          df.queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"silent quadratic fallback for spelling: $name\n$plan")
+      assert(got == expected, s"result drift for spelling: $name")
+      assert(got.nonEmpty, s"vacuous case: $name")
+    }
+  }
+
+  test("block count is conf-driven; non-default B preserves results") {
+    // B caps the rewrite at B(B+1)/2 cells — it must be tunable to the
+    // cluster, not baked into the rule. Run the full conjunct grammar
+    // at B=5 and B=23 and require identical results and no quadratic
+    // operator; also check the knob actually changes the plan (the
+    // explode fan-out bound mentions B-1).
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def q(extra: org.apache.spark.sql.Column) = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          CosineSimilarity.asColumn(
+            col("a.embedding"), col("b.embedding")) >= 0.2 && extra)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val grammar: Seq[org.apache.spark.sql.Column] = Seq(
+      lit(true),
+      col("a.label") === col("b.label"),
+      col("b.vec_id") - col("a.vec_id") > 7)
+    for (b <- Seq(5, 23); extra <- grammar) {
+      val expected = q(extra).as[(Long, Long)].collect().toSet
+      spark.conf.set(CosineBlockJoin.BlocksConfKey, b.toString)
+      try {
+        val (got, plan) = withRule {
+          val df = q(extra)
+          (df.as[(Long, Long)].collect().toSet,
+            df.queryExecution.executedPlan.toString)
+        }
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"rule did not fire at B=$b:\n$plan")
+        // Only B=23 yields a digit string ("22", the explode upper
+        // bound) distinctive enough to witness in the plan text.
+        if (b == 23) assert(plan.contains("22"),
+          s"plan does not reflect B=$b:\n$plan")
+        assert(got == expected, s"result drift at B=$b, extra=$extra")
+        assert(got.nonEmpty)
+      } finally spark.conf.unset(CosineBlockJoin.BlocksConfKey)
+    }
+  }
+
   test("rule leaves non-matching joins untouched") {
     val e = Relational.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -121,6 +121,7 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => RelationalExt.sessionize(s, dir)),
     "multimodal_frame_sample" -> ((s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir)),
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
+    "multimodal_image_decode" -> ((s, dir) => graft.multimodal.Multimodal.imageDecodeQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -735,6 +736,28 @@ object SparkEntry {
                 CAST(max((n_chars + stride - 1)//stride) AS BIGINT)
                   AS max_resized
          FROM v GROUP BY media_type ORDER BY media_type""",
+    // Real javax.imageio round trip: the engine encodes gradient PNGs
+    // (gray(x,y) = base + 3x + 5y, base = doc_id % 128 — never
+    // wraps), decodes them, stride-2 nearest-neighbor downscales,
+    // re-encodes and decodes again; the oracle replays every decoded
+    // width/height/pixel-sum with closed-form integer arithmetic
+    // (resized pixel (x,y) = base + 6x + 10y over ⌈w/2⌉ × ⌈h/2⌉).
+    "multimodal_image_decode" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+                8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                doc_id % 128 AS base
+              FROM documents WHERE doc_id < 48),
+         r AS (SELECT media_id, w, h, base,
+                      (w + 1)//2 AS rw, (h + 1)//2 AS rh
+               FROM v)
+         SELECT media_id,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST((3*h*w*(w-1))//2 + (5*w*h*(h-1))//2 + w*h*base
+                     AS BIGINT) AS pixel_sum,
+                CAST(rw AS INT) AS r_width, CAST(rh AS INT) AS r_height,
+                CAST(3*rh*rw*(rw-1) + 5*rw*rh*(rh-1) + rw*rh*base
+                     AS BIGINT) AS r_pixel_sum
+         FROM r ORDER BY media_id""",
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

@@ -259,13 +259,76 @@ object Similarity {
     }.sorted.take(nProbe).map(_._2).toArray
   }
 
+  /** Test hook: the driver-side assignment loop, for parity checks
+    * against the in-plan expressions below. */
+  private[graft] def nearestCellsForTest(
+      cs: Array[Array[Double]], v: Seq[Float], nProbe: Int): Array[Int] =
+    nearestCells(cs, normalize(v), nProbe)
+
+  // ------------------------------------------------------------------
+  // In-plan cell assignment (codegen'd, no ScalaUDF)
+  // ------------------------------------------------------------------
+  // The quantizer is tiny (nCells × dim doubles) but the ASSIGNMENT
+  // runs over every corpus vector at every index (re)build — a per-row
+  // ScalaUDF there is opaque to codegen and serializes each row
+  // through the Scala closure. These helpers express the same argmin
+  // with higher-order array functions over a centroid LITERAL, so the
+  // whole assignment stays inside whole-stage codegen. Arithmetic
+  // replays [[normalize]]/[[nearestCells]] op-for-op (per-element
+  // square, sequential left-fold sum, sqrt, divide; squared-distance
+  // fold; (distance, index) tie-break), so in-plan and driver-side
+  // assignments are bit-identical and the static partition filter
+  // [[probedCellsOf]] computes can never disagree with the plan.
+
+  /** The centroid matrix shipped into the plan as an
+    * `array<array<double>>` literal. */
+  private def centroidLit(cs: Array[Array[Double]]): Column =
+    typedLit(cs.map(_.toSeq).toSeq)
+
+  /** L2-normalize an embedding column (double copy; zero vector passes
+    * through unscaled, mirroring [[normalize]]). */
+  private def normalizeCol(v: Column): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val nrm = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
+    when(nrm === 0.0, vd).otherwise(transform(vd, x => x / nrm))
+  }
+
+  /** Squared L2 distance from the (pre-normalized) vector column to
+    * every centroid — `array<double>`, one entry per cell. */
+  private def centroidDistsCol(cs: Array[Array[Double]], vn: Column): Column =
+    transform(centroidLit(cs), c =>
+      aggregate(zip_with(vn, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d))
+
+  /** Nearest-centroid cell id for an embedding column — the codegen'd
+    * twin of `nearestCells(cs, v, 1)(0)`. Ties resolve to the lowest
+    * index (`array_position` finds the first equal element, matching
+    * the driver loop's strict `<` keep-first). */
+  private[graft] def cellCol(cs: Array[Array[Double]], v: Column): Column = {
+    val d = centroidDistsCol(cs, normalizeCol(v))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** The `nProbe` nearest cell ids for an embedding column — the
+    * codegen'd twin of `nearestCells(cs, v, nProbe)`: (distance,
+    * index) structs sorted lexicographically = the driver's tuple
+    * sort, then the index field of the first `nProbe`. */
+  private[graft] def probeCellsCol(
+      cs: Array[Array[Double]], v: Column, nProbe: Int): Column = {
+    val d = centroidDistsCol(cs, normalizeCol(v))
+    val ranked = array_sort(zip_with(
+      d, sequence(lit(0), lit(cs.length - 1)),
+      (dd, i) => struct(dd.as("d"), i.as("i"))))
+    slice(transform(ranked, s => s.getField("i")), 1, nProbe)
+  }
+
   /** The query side of every IVF probe: bounded query set, each row
-    * exploded to its `nProbe` nearest cells. */
+    * exploded to its `nProbe` nearest cells (in-plan assignment). */
   private def probeQueries(e: DataFrame, nQueries: Long,
-      probesOf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+      cs: Array[Array[Double]], nProbe: Int): DataFrame =
     queriesDf(e, nQueries)
       .select(col("query_id"), col("qe"),
-        explode(probesOf(col("qe"))).as("cell"))
+        explode(probeCellsCol(cs, col("qe"), nProbe)).as("cell"))
 
   /** The probe join every IVF variant shares: corpus cells × broadcast
     * queries on the cell key, self-matches dropped, exact cosine
@@ -320,11 +383,9 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
-    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
-    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
     val corpus = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"), cellOf(col("embedding")).as("cell"))
-    topK(cellScores(corpus, probeQueries(e, nQueries, probesOf)), k)
+      col("embedding").as("ne"), cellCol(cs, col("embedding")).as("cell"))
+    topK(cellScores(corpus, probeQueries(e, nQueries, cs, nProbe)), k)
   }
 
   /** The "cell id is a partition column" claim as actual code: write
@@ -339,9 +400,8 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
-    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
-    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
-    e.select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
+    e.select(col("vec_id"), col("embedding"),
+        cellCol(cs, col("embedding")).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     // At query time the probe list is driver-known: nQueries is a
     // bounded set by definition and the quantizer is tiny, so the cell
@@ -351,7 +411,7 @@ object Similarity {
     // post-scan filter (verified by `ivfPartitionedQuery`).
     val corpus = indexCells(spark, indexPath,
       probedCellsOf(e, cs, nQueries, nProbe))
-    topK(cellScores(corpus, probeQueries(e, nQueries, probesOf)), k)
+    topK(cellScores(corpus, probeQueries(e, nQueries, cs, nProbe)), k)
   }
 
   /** Number of partition directories the plan's parquet scan over
@@ -427,11 +487,9 @@ object Similarity {
     val corpus = e.filter(col("vec_id") % 2 === 0)
     val batch = e.filter(col("vec_id") % 2 === 1)
     val cs = trainCentroids(corpus, nCells, seed)
-    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
-    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
     def cellified(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("embedding"),
-        cellOf(col("embedding")).as("cell"))
+        cellCol(cs, col("embedding")).as("cell"))
     cellified(corpus)
       .write.mode("overwrite").partitionBy("cell").parquet(idx)
     def fileStates(): Set[(String, Long, Long)] =
@@ -444,7 +502,7 @@ object Similarity {
     // Probe the combined on-disk index — static partition filter, same
     // shared helpers as [[ivfPartitionedTopK]], so the partitioned and
     // incremental probe semantics can never drift apart.
-    val queries = probeQueries(e, nQueries, probesOf)
+    val queries = probeQueries(e, nQueries, cs, nProbe)
     val fromIndex = topK(cellScores(
       indexCells(spark, idx, probedCellsOf(e, cs, nQueries, nProbe)),
       queries), k)
@@ -533,9 +591,7 @@ object Similarity {
     val idxQ = graft.util.Scratch.dir("ivf_q8").toString
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
-    val cellOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), 1)(0) }
-    val probesOf = udf { (v: Seq[Float]) => nearestCells(cs, normalize(v), nProbe) }
-    e.withColumn("cell", cellOf(col("embedding")))
+    e.withColumn("cell", cellCol(cs, col("embedding")))
       .write.mode("overwrite").partitionBy("cell").parquet(idxF)
     // Quantize the just-written float index rather than re-running the
     // quantizer-assignment scan: the cell column rides along through
@@ -547,7 +603,7 @@ object Similarity {
     // leg, and the static partition filter (checkpointed: the probe
     // set is O(nQueries·nProbe) rows, and rebuilding it means another
     // embeddings scan plus nearest-cell pass per use).
-    val probeQ = probeQueries(e, nQueries, probesOf).localCheckpoint(true)
+    val probeQ = probeQueries(e, nQueries, cs, nProbe).localCheckpoint(true)
     val probed = probeQ.select(col("cell")).distinct().as[Int].collect().toSeq
     // Query vectors cast to double so the codegen'd cosine runs on
     // (double, double) against the dequantized corpus side.

@@ -154,6 +154,39 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(over == 0)
   }
 
+  test("png round trip: real ImageIO decode recovers the encoded pixels") {
+    // The payloads are genuine PNGs: decode must recover exact
+    // dimensions and channel sums, and a second decode of the
+    // nearest-neighbor downscale must match the pixel law directly —
+    // the closed forms the DuckDB oracle replays.
+    val rows = Multimodal.imageDecodeQuery(spark, sfDir).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, base) = Multimodal.pngDims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val wantSum = 3L * h * w * (w - 1) / 2 + 5L * w * h * (h - 1) / 2 +
+        w.toLong * h * base
+      assert(r.getLong(3) == wantSum, s"pixel sum mismatch for $id")
+      val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getInt(4) == rw && r.getInt(5) == rh)
+      val wantR = 3L * rh * rw * (rw - 1) + 5L * rw * rh * (rh - 1) +
+        rw.toLong * rh * base
+      assert(r.getLong(6) == wantR, s"resized pixel sum mismatch for $id")
+    }
+    // The bytes really are PNG (magic header), and undecodable bytes
+    // fail loudly rather than passing as zeros.
+    val png = Multimodal.pngTable(spark, sfDir)
+      .select("png").as[Array[Byte]].head()
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte,
+      'N'.toByte, 'G'.toByte))
+    val boom = intercept[Exception] {
+      Multimodal.decodePng(Seq((1L, Array[Byte](1, 2, 3))).toDF(
+        "media_id", "png")).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("feature vectors are fixed-width") {
     val dims = Multimodal.decodeStub(Multimodal.mediaTable(spark, sfDir))
       .select(size(col("feature"))).distinct().as[Int].collect().toSeq

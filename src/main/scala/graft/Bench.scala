@@ -56,6 +56,18 @@ object Bench {
     val calibB = calibProbe()
     val pass2 = qlist.map { case (name, fn) => name -> time(fn) }
     val calibC = calibProbe()
+    // Normalize the run against a PINNED idle-host reference for the
+    // calib probe (q1_agg, sf0.1, local[32]; best-of-idle ≈ 0.40s
+    // across rounds 6-8). calib_ratio ≈ 1 means trustworthy timings;
+    // a contended host shows 1.5×+ and the JSON says so itself, so a
+    // cold reader never mistakes host noise for a perf regression.
+    // The reference only calibrates the default sf0.1 driver runs —
+    // at other SFs the ratio still shows RELATIVE drift between this
+    // run's probes.
+    val calibRef = 0.40
+    val calibMedian = Seq(calibA, calibB, calibC).sorted.apply(1)
+    val calibRatio = calibMedian / calibRef
+    val contended = calibRatio > 1.5
     val results = pass1.zip(pass2).map {
       case ((name, a), (_, b)) => name -> math.min(a, b)
     }
@@ -91,7 +103,7 @@ object Bench {
     val restSec = sorted.collect { case (k, v) if !keptKeys(k) => v }.sum
     val qs = entries.mkString("{", ",", "}")
     val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)}]"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_ratio":${f3(calibRatio)},"contended":$contended,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

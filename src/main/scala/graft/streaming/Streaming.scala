@@ -19,13 +19,13 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Bloom sizing floor for the streaming dedup index short-circuit.
-    * The sketch is sized to the COUNTED index rows at rebuild (×2
-    * headroom for within-run appends), never below this floor — a
-    * fixed capacity would be oversaturated the moment engagement
-    * triggers, running at far worse than the design fpp. Production
-    * shards one bloom per index bucket once a single sketch outgrows
-    * the driver. False positives only cost a wasted exact probe. */
+  /** Bloom sizing floor for the streaming dedup index short-circuit
+    * (TOTAL across shards — each of the nBuckets shards gets its
+    * 1/nBuckets cut). The sketches are sized to the COUNTED index rows
+    * at rebuild (×2 headroom for within-run appends), never below this
+    * floor — a fixed capacity would be oversaturated the moment
+    * engagement triggers, running at far worse than the design fpp.
+    * False positives only cost a wasted exact probe. */
   private val BloomMinCapacity = 500000L
   private val BloomFpp = 0.03
 
@@ -279,30 +279,42 @@ object Streaming {
     * corpus-sized stored side NEVER re-shuffles — only the O(batch)
     * probe side hashes into the bucket partitioning (the same
     * write-once-join-forever trade as `Skew.writeBucketed`, asserted
-    * in the spec).
+    * in the spec). `nBuckets` is a PARAMETER sized to the corpus at
+    * index creation (bucket count is fixed for a table's lifetime):
+    * it caps both the stored side's join parallelism and the per-shard
+    * bloom size, so size it for ~10^8 digests per bucket at the design
+    * corpus — e.g. 128 buckets for 10^10 documents — rather than
+    * accepting the fixture-scale default of 8.
     *
-    * A driver-held Bloom filter over the indexed digests short-circuits
-    * the join: bloom-NEGATIVE batch rows are definitely new and bypass
-    * the anti-join entirely; only the might-contain subset (true dups +
-    * fpp false positives) probes the index, so a mostly-novel feed pays
-    * the join on a sliver of each batch. The bloom is REBUILT from the
-    * index at every stream start (one distributed aggregate per
-    * restart, amortized over the run's batches) rather than persisted —
-    * a persisted sketch can lag the index after a crash between the two
+    * A driver-held set of PER-BUCKET Bloom filters over the indexed
+    * digests short-circuits the join: bloom-NEGATIVE batch rows are
+    * definitely new and bypass the anti-join entirely; only the
+    * might-contain subset (true dups + fpp false positives) probes the
+    * index, so a mostly-novel feed pays the join on a sliver of each
+    * batch. The sketch is SHARDED along the index's own bucket law
+    * (`pmod(hash(digest), nBuckets)` — the same Murmur3 law
+    * `bucketBy` applies), one bloom per bucket, and each batch row is
+    * probed against ONLY its bucket's shard
+    * ([[graft.functions.BucketedBloomMightContain]], codegen'd): this
+    * is what keeps the short-circuit viable past the point one sketch
+    * saturates — total capacity scales with nBuckets, each shard stays
+    * bounded, and at extreme corpus sizes shards can rebuild/refresh
+    * per bucket instead of as one monolith. All shards are REBUILT
+    * from the index at every stream start in ONE distributed aggregate
+    * (`BloomFilterAggregate` grouped by bucket id — partial aggregation
+    * means only sketch bytes ever shuffle) rather than persisted — a
+    * persisted sketch can lag the index after a crash between the two
     * writes, and a stale bloom turns "definitely new" into silent
-    * duplicates; rebuilt-at-start, it is exact w.r.t. the index by
-    * construction, and a false positive only costs a wasted exact
-    * probe, never a wrong answer. Within a run each batch's survivor
-    * sketch is built distributed and OR-merged into the driver copy
-    * (sketch-sized transfer, same shape as `Packing.hllStoreQuery`'s
-    * mergeable HLLs). Engagement is COST-BASED ([[BloomMinIndexRows]],
-    * the same idea as Spark's broadcast threshold): below it the
-    * anti-join is cheaper than sketch upkeep and the bloom stays off —
-    * fixture-scale runs take the plain path; the spec forces
-    * engagement to pin the split. At 10^10+ documents a single bloom
-    * outgrows the driver — the extension is one bloom per index
-    * bucket, probed only by that bucket's rows; the split logic below
-    * is unchanged.
+    * duplicates; rebuilt-at-start, the shards are exact w.r.t. the
+    * index by construction, and a false positive only costs a wasted
+    * exact probe, never a wrong answer. Within a run each batch's
+    * survivor shards are built distributed the same way and OR-merged
+    * into the driver copies (sketch-sized transfer, same shape as
+    * `Packing.hllStoreQuery`'s mergeable HLLs). Engagement is
+    * COST-BASED ([[BloomMinIndexRows]], the same idea as Spark's
+    * broadcast threshold): below it the anti-join is cheaper than
+    * sketch upkeep and the blooms stay off — fixture-scale runs take
+    * the plain path; the spec forces engagement to pin the split.
     *
     * Restart safety: the checkpoint's offset log decides which FILES
     * re-enter; a replayed batch re-probes the index, so its
@@ -318,7 +330,9 @@ object Streaming {
     * The oracle replays the feed in SQL: run 1 lands the even-id half
     * (first-per-text by min doc_id), run 2 lands a re-keyed FULL copy
     * (survivors = texts absent from the even half, at doc_id+10000). */
-  def streamIncrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+  def streamIncrementalDedupQuery(spark: SparkSession, dir: String,
+      nBuckets: Int = 8): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val base = graft.util.Scratch.dir("graft_sincrdedup")
     val srcDir = base.resolve("in")
     val idxPath = base.resolve("digest_index").toString
@@ -332,35 +346,52 @@ object Streaming {
     Files.createDirectories(srcDir)
     val docsAll = graft.operators.Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
-    // Sketch capacity is fixed at rebuild time and shared with every
-    // per-batch add: mergeInPlace requires identical bit size and hash
-    // count, which BloomFilter.create derives from (capacity, fpp).
-    var bloomCapacity: Long = BloomMinCapacity
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // The shard a digest belongs to — `functions.hash` IS the Murmur3
+    // law (seed 42) HashPartitioning gives bucketBy, so the bloom
+    // shards align 1:1 with the index's bucket files.
+    def bucketId(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(nBuckets))
+    // One distributed aggregate → one (bucket, serialized bloom) row
+    // per NON-EMPTY bucket. BloomFilterAggregate partial-aggregates
+    // map-side, so the shuffle carries at most nBuckets sketches per
+    // task, never digests; its serialized form is the sketch library's
+    // own (`BloomFilter.readFrom`-compatible, the same bytes
+    // `BloomFilterMightContain` probes).
+    def buildShards(df: DataFrame, est: Long, bits: Long): Map[Int, BloomFilter] =
+      df.groupBy(bucketId(col("digest")).as("_bkt"))
+        .agg(ColumnBridge.column(new BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("digest"))),
+            Literal(est), Literal(bits)).toAggregateExpression()).as("_bf"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          graft.functions.BucketedBloomMightContain.read(
+            r.getAs[Array[Byte]](1)))
+        .toMap
+    var blooms: Option[Array[BloomFilter]] = None
+    // Shard capacity/bits are fixed at rebuild time and shared with
+    // every per-batch add: mergeInPlace requires identical bit size
+    // and hash count, which follow from (capacity, numBits).
+    var shardCapacity: Long = BloomMinCapacity
+    var shardBits: Long = BloomFilter.optimalNumOfBits(shardCapacity, BloomFpp)
     lastBloomSplit = (0L, 0L)
     def dedupBatch(b: DataFrame): Unit = {
       val ss = b.sparkSession
       val firstPerDigest = b
         .withColumn("digest", sha2(col("text").cast("binary"), 256))
         .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-      val survivors = ((bloom, ss.catalog.tableExists(idxTable)) match {
-        case (Some(bf), true) =>
-          import org.apache.spark.sql.graftbridge.ColumnBridge
-          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-          // The probe is Spark's own BloomFilterMightContain over a
-          // CONSTANT bloom literal — codegen'd, no UDF in the hot path
-          // (same bridge as `Curation.bloomPrefilterDedup`; there the
-          // bloom is in-plan via ScalarSubquery, here it is driver-held
-          // so a Literal carries the bytes). Keyed by xxhash64 of the
-          // digest because the expression probes longs; a 64-bit
-          // collision is just a false positive → wasted exact probe.
-          val bytes = {
-            val bos = new java.io.ByteArrayOutputStream()
-            bf.writeTo(bos); bos.toByteArray
-          }
-          val maybeCol = ColumnBridge.column(BloomFilterMightContain(
-            Literal(bytes),
-            ColumnBridge.expression(xxhash64(col("digest")))))
+      val survivors = ((blooms, ss.catalog.tableExists(idxTable)) match {
+        case (Some(shards), true) =>
+          // The probe selects each row's OWN shard by bucket id and
+          // tests only that bloom — a codegen'd native expression, no
+          // UDF in the hot path, branch count independent of nBuckets.
+          // Keyed by xxhash64 of the digest because the sketch stores
+          // longs; a 64-bit collision is just a false positive →
+          // wasted exact probe.
+          val maybeCol = graft.functions.BucketedBloomMightContain(
+            shards, bucketId(col("digest")), xxhash64(col("digest")))
           val probed = firstPerDigest.withColumn("_maybe", maybeCol)
             .localCheckpoint(true) // one bloom probe feeds both branches
           if (bloomCensusEnabled) {
@@ -379,34 +410,44 @@ object Streaming {
       }).localCheckpoint(true) // one probe, two appends
       survivors.select("doc_id").write.mode("append").parquet(outPath)
       val idxWrite = survivors.select("digest").write.mode("append")
-        .bucketBy(8, "digest").sortBy("digest").format("parquet")
+        .bucketBy(nBuckets, "digest").sortBy("digest").format("parquet")
       if (ss.catalog.tableExists(idxTable)) idxWrite.saveAsTable(idxTable)
       else idxWrite.option("path", idxPath).saveAsTable(idxTable)
-      // Fold the appended digests into the driver bloom (engaged runs
-      // only): the sketch is built DISTRIBUTED over the (checkpointed)
-      // survivors; only the bloom's bytes cross for the OR-merge.
-      if (bloom.isDefined) {
-        val add = survivors.select(xxhash64(col("digest")).as("_h"))
-          .stat.bloomFilter("_h", bloomCapacity, BloomFpp)
-        bloom = bloom.map { b0 => b0.mergeInPlace(add); b0 }
+      // Fold the appended digests into the driver shards (engaged runs
+      // only): the add-sketches are built DISTRIBUTED over the
+      // (checkpointed) survivors, bucket by bucket; only bloom bytes
+      // cross for the OR-merge, and each add merges into its own
+      // shard — same (capacity, bits), so mergeInPlace is compatible.
+      blooms.foreach { shards =>
+        buildShards(survivors, shardCapacity, shardBits).foreach {
+          case (i, add) => shards(i).mergeInPlace(add)
+        }
       }
     }
     def run(): Unit = {
-      // Sync the bloom to the index ON DISK (not the previous run's
-      // in-memory copy): after a crash-and-replay the index is the only
-      // truth, and "definitely new" must be exact w.r.t. it. The
+      // Sync the shards to the index ON DISK (not the previous run's
+      // in-memory copies): after a crash-and-replay the index is the
+      // only truth, and "definitely new" must be exact w.r.t. it. The
       // engagement check is a parquet-metadata count — no data scan.
-      bloom = if (spark.catalog.tableExists(idxTable)) {
+      blooms = if (spark.catalog.tableExists(idxTable)) {
         val indexRows = spark.table(idxTable).count()
         if (indexRows >= BloomMinIndexRows) {
           // Size to the data, not a constant: a bloom built at a fixed
           // capacity is oversaturated (fpp >> design) the moment the
           // cost gate lets it engage. 2× headroom absorbs this run's
-          // own appends without re-sizing mid-run.
-          bloomCapacity = math.max(indexRows * 2, BloomMinCapacity)
-          Some(spark.table(idxTable)
-            .select(xxhash64(col("digest")).as("_h"))
-            .stat.bloomFilter("_h", bloomCapacity, BloomFpp))
+          // own appends without re-sizing mid-run; each shard takes
+          // its 1/nBuckets cut (hash-uniform digests split evenly).
+          shardCapacity = math.max(
+            indexRows * 2 / nBuckets,
+            math.max(BloomMinCapacity / nBuckets, 64L))
+          shardBits = BloomFilter.optimalNumOfBits(shardCapacity, BloomFpp)
+          val built =
+            buildShards(spark.table(idxTable), shardCapacity, shardBits)
+          // Empty buckets get fresh empty shards with the SAME sizing,
+          // so probes return false ("definitely new" — nothing indexed
+          // there) and later adds merge compatibly.
+          Some(Array.tabulate(nBuckets)(i =>
+            built.getOrElse(i, BloomFilter.create(shardCapacity, shardBits))))
         } else None
       } else None
       val schema = StructType(Seq(

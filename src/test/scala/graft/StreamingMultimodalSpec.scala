@@ -62,12 +62,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("stream incremental dedup: persisted index survives the restart") {
     // Force the bloom short-circuit to engage (the fixture index sits
     // far below the cost-based threshold) so run 2 pins BOTH split
-    // paths; equality with the batch replay holds either way.
+    // paths; equality with the batch replay holds either way. Run at a
+    // NON-DEFAULT bucket count: the bucket knob must not be baked in,
+    // and the per-bucket bloom shards must dedup correctly at any
+    // nBuckets (5 also exercises partially-empty shard creation).
     val prevMin = Streaming.BloomMinIndexRows
     Streaming.BloomMinIndexRows = 0L
     Streaming.bloomCensusEnabled = true // split census is spec-only
     val got =
-      try Streaming.streamIncrementalDedupQuery(spark, sfDir)
+      try Streaming.streamIncrementalDedupQuery(spark, sfDir, nBuckets = 5)
         .as[Long].collect().toSeq
       finally {
         Streaming.BloomMinIndexRows = prevMin
@@ -197,52 +200,117 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // Same table shape dedupBatch persists: single digest column,
-    // bucketed 8 ways. The per-batch anti-join must hash only the
+    // digest-bucketed. The per-batch anti-join must hash only the
     // O(batch) probe side into the bucket partitioning; the
     // corpus-sized stored side reads bucket-aligned, no exchange.
-    val base = graft.util.Scratch.dir("graft_sdedup_bucket_spec")
-    val docs = Relational.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    docs.withColumn("digest", sha2(col("text").cast("binary"), 256))
-      .select("digest")
-      .write.bucketBy(8, "digest").sortBy("digest").format("parquet")
-      .option("path", base.resolve("idx").toString)
-      .saveAsTable("spec_sdedup_idx")
-    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      // force sort-merge + a static plan so the shuffle census is exact
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val probe = docs.limit(100)
-        .withColumn("digest", sha2(col("text").cast("binary"), 256))
-        .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-      val j = probe.join(
-        spark.table("spec_sdedup_idx"), Seq("digest"), "left_anti")
-      j.collect()
-      val plan = j.queryExecution.executedPlan
-      val idxScans = plan.collect {
-        case f: FileSourceScanExec
-          if f.output.map(_.name) == Seq("digest") => f
-      }
-      assert(idxScans.nonEmpty, s"index scan missing: $plan")
-      assert(idxScans.forall(_.bucketedScan),
-        "stored side must read bucket-aligned")
-      val shuffledIdxScans = plan.collect {
-        case s: ShuffleExchangeExec => s.child.collect {
+    // Checked at the default AND a non-default bucket count — the
+    // zero-reshuffle property is the bucket layout's, not constant 8's.
+    for (nBuckets <- Seq(8, 5)) {
+      val base = graft.util.Scratch.dir(s"graft_sdedup_bucket_spec$nBuckets")
+      val tbl = s"spec_sdedup_idx_$nBuckets"
+      val docs = Relational.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.withColumn("digest", sha2(col("text").cast("binary"), 256))
+        .select("digest")
+        .write.bucketBy(nBuckets, "digest").sortBy("digest").format("parquet")
+        .option("path", base.resolve("idx").toString)
+        .saveAsTable(tbl)
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // force sort-merge + a static plan so the shuffle census is exact
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val probe = docs.limit(100)
+          .withColumn("digest", sha2(col("text").cast("binary"), 256))
+          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+        val j = probe.join(spark.table(tbl), Seq("digest"), "left_anti")
+        j.collect()
+        val plan = j.queryExecution.executedPlan
+        val idxScans = plan.collect {
           case f: FileSourceScanExec
             if f.output.map(_.name) == Seq("digest") => f
         }
-      }.flatten
-      assert(shuffledIdxScans.isEmpty,
-        s"stored side must never sit under an exchange: $plan")
-      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-      assert(shuffles.nonEmpty,
-        "probe side is unbucketed, so it alone should exchange")
+        assert(idxScans.nonEmpty, s"index scan missing at $nBuckets: $plan")
+        assert(idxScans.forall(_.bucketedScan),
+          s"stored side must read bucket-aligned at $nBuckets")
+        val shuffledIdxScans = plan.collect {
+          case s: ShuffleExchangeExec => s.child.collect {
+            case f: FileSourceScanExec
+              if f.output.map(_.name) == Seq("digest") => f
+          }
+        }.flatten
+        assert(shuffledIdxScans.isEmpty,
+          s"stored side must never sit under an exchange at $nBuckets: $plan")
+        val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+        assert(shuffles.nonEmpty,
+          "probe side is unbucketed, so it alone should exchange")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+    }
+  }
+
+  test("bucketed bloom shards: per-bucket routing, no false negatives") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.util.sketch.BloomFilter
+    // Build nBuckets shards over the even docs with the SAME bucket
+    // law dedupBatch uses, then probe every doc: every even doc must
+    // flag might-contain in ITS OWN shard (no false negatives through
+    // the sharding), some odd doc must come back definitely-new, and
+    // the probe must compile into whole-stage codegen.
+    val nBuckets = 5
+    // Make a codegen failure FATAL instead of a silent interpreted
+    // fallback — a bad doGenCode would otherwise pass every value
+    // assertion while quietly de-optimizing the hot path.
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+    val bkt = pmod(hash(col("digest")), lit(nBuckets))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .select(bkt.as("_b"), xxhash64(col("digest")).as("_h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val shards = Array.fill(nBuckets)(BloomFilter.create(10000L, 0.03))
+    even.foreach { case (b, h) => shards(b).putLong(h) }
+    val probed = docs.withColumn("_maybe",
+      graft.functions.BucketedBloomMightContain(
+        shards, bkt, xxhash64(col("digest"))))
+    val rows = probed.select("doc_id", "_maybe")
+      .as[(Long, Boolean)].collect()
+    assert(rows.filter(_._1 % 2 == 0).forall(_._2),
+      "a sharded probe must never lose an indexed digest")
+    assert(rows.exists(!_._2),
+      "some unindexed doc should be definitely-new")
+    // Cross-shard isolation: a key present ONLY in shard j must not
+    // turn rows of other buckets positive (beyond fpp). Deterministic
+    // check: empty shards answer false for every row they own.
+    val emptyIdx = 2
+    val lonely = Array.tabulate(nBuckets)(i =>
+      if (i == emptyIdx) BloomFilter.create(10000L, 0.03) else shards(i))
+    val iso = docs.withColumn("_b", bkt).withColumn("_maybe",
+        graft.functions.BucketedBloomMightContain(
+          lonely, col("_b"), xxhash64(col("digest"))))
+      .filter(col("_b") === emptyIdx)
+      .select("_maybe").as[Boolean].collect()
+    assert(iso.nonEmpty && iso.forall(_ == false),
+      "an empty shard must answer definitely-new for its whole bucket")
+    val codegenSpans = probed.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString
+    }
+    assert(codegenSpans.exists(_.contains("bucketed_bloom_might_contain")) ||
+      codegenSpans.exists(_.contains("BucketedBloomMightContain")),
+      s"sharded probe must sit inside a WholeStageCodegen span:\n" +
+        probed.queryExecution.executedPlan.toString.take(1200))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-      spark.conf.set("spark.sql.adaptive.enabled", prevA)
-      spark.sql("DROP TABLE IF EXISTS spec_sdedup_idx")
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.codegen.factoryMode", m)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
   }
 

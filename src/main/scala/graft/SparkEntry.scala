@@ -106,6 +106,7 @@ object SparkEntry {
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
     "similarity_ivf_quantized" -> ((s, dir) => Similarity.ivfQuantizedQuery(s, dir)),
+    "similarity_lsh_quantized" -> ((s, dir) => Similarity.lshQuantizedQuery(s, dir)),
     "pipeline_cs2_sensors" -> ((s, dir) => TransformQueries.pipelineCs2Sensors(s, dir)),
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
@@ -598,6 +599,15 @@ object SparkEntry {
     // and probe-side pruning are engine-asserted deterministic booleans
     // the oracle pins to true; n_results is k rows per query.
     "similarity_ivf_quantized" ->
+      """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
+                true AS recall_ge_bound,
+                true AS index_bytes_shrunk,
+                true AS scan_pruned
+         FROM embeddings WHERE vec_id < 2""",
+    // Quantized LSH index: same witness shape as the IVF variant —
+    // engine-asserted deterministic booleans pinned to true, k rows
+    // per query.
+    "similarity_lsh_quantized" ->
       """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
                 true AS recall_ge_bound,
                 true AS index_bytes_shrunk,

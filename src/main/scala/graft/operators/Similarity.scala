@@ -122,6 +122,49 @@ object Similarity {
   private[graft] def embeddingDim(e: DataFrame): Int =
     e.select(size(col("embedding")).as("d")).head().getInt(0)
 
+  /** All T sign-bucket keys for an embedding column, in-plan — an
+    * `array<int>` of length `tables`, entry t the `planes`-bit sign
+    * pattern of the dot products against table t's hyperplanes. The
+    * hyperplane tensor ships as a LITERAL (model constants, O(T·P·dim)
+    * doubles), and the whole computation is codegen'd higher-order
+    * array functions — no ScalaUDF on the corpus scan, same rationale
+    * as the IVF [[cellCol]] assignment. Arithmetic replays the
+    * driver-side loop ([[hyperplaneKeysForTest]]) op-for-op: each dot
+    * is a sequential left-fold of h(i)·(double)v(i), the sign check is
+    * strict `> 0`, so in-plan and driver-side keys are bit-identical. */
+  private[graft] def hyperplaneKeysCol(
+      hp: Array[Array[Array[Double]]], v: Column): Column = {
+    val planes = if (hp.isEmpty) 0 else hp(0).length
+    val hpLit = typedLit(hp.map(_.map(_.toSeq).toSeq).toSeq)
+    val bitLit = typedLit((0 until planes).map(p => 1 << p))
+    val vd = transform(v, x => x.cast("double"))
+    transform(hpLit, tbl =>
+      aggregate(
+        zip_with(tbl, bitLit, (plane, bit) =>
+          when(aggregate(zip_with(plane, vd, (h, x) => h * x),
+            lit(0.0), (acc, t) => acc + t) > 0.0, bit).otherwise(lit(0))),
+        lit(0), (acc, b) => acc + b))
+  }
+
+  /** Test hook: the driver-side key loop, for bit-parity checks
+    * against the in-plan [[hyperplaneKeysCol]]. */
+  private[graft] def hyperplaneKeysForTest(
+      hp: Array[Array[Array[Double]]], v: Seq[Float]): Array[Int] =
+    Array.tabulate(hp.length) { t =>
+      var b = 0
+      var p = 0
+      while (p < hp(t).length) {
+        var s = 0.0
+        var i = 0
+        val h = hp(t)(p)
+        val n = math.min(h.length, v.length)
+        while (i < n) { s += h(i) * v(i); i += 1 }
+        if (s > 0) b |= (1 << p)
+        p += 1
+      }
+      b
+    }
+
   /** similarity_ann_lsh — random-hyperplane LSH as a DataFrame plan:
     * each row's T sign-bucket keys are computed in ONE pass inside a
     * scalar function (no shuffle — signatures stream out of the scan),
@@ -143,25 +186,10 @@ object Similarity {
     val e = emb(spark, dir)
     val dim = embeddingDim(e)
     val hp = hyperplanes(tables, planes, dim, seed)
-    val keys = udf { (v: Seq[Float]) =>
-      Array.tabulate(tables) { t =>
-        var b = 0
-        var p = 0
-        while (p < planes) {
-          var s = 0.0
-          var i = 0
-          val h = hp(t)(p)
-          val n = math.min(dim, v.length)
-          while (i < n) { s += h(i) * v(i); i += 1 }
-          if (s > 0) b |= (1 << p)
-          p += 1
-        }
-        b
-      }
-    }
     def bucketed(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col(idAs), col(embAs),
-          posexplode(keys(col(embAs))).as(Seq("tbl", "key")))
+          posexplode(hyperplaneKeysCol(hp, col(embAs)))
+            .as(Seq("tbl", "key")))
     val corpus = bucketed(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
       "neighbor_id", "ne")
@@ -630,6 +658,98 @@ object Similarity {
       overlap.toDouble >= 0.8 * fromF.length,
       ratio <= 0.7,
       read <= nQueries * nProbe && read < onDisk))
+      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
+        "scan_pruned")
+  }
+
+  /** similarity_lsh_quantized — the quantized-storage trick applied to
+    * the OTHER ANN family: a persisted random-hyperplane LSH index,
+    * bucket id as the partition column, int8 codes + per-vector scale
+    * as the payload. LSH replicates every vector into T tables, so its
+    * index is T× the corpus — exactly where a 4× per-vector shrink
+    * matters most; the cut multiplies with the bucket partition
+    * pruning, same as the IVF variant ([[ivfQuantizedQuery]]). Bucket
+    * keys are assigned in-plan ([[hyperplaneKeysCol]], no ScalaUDF),
+    * the index build repartitions by bucket so each bucket directory
+    * is written by one task (bounded file count at any corpus size),
+    * and dequantization happens in-plan just before the exact-cosine
+    * re-rank.
+    *
+    * Emits one hash-checked row asserting (a) the quantized index's
+    * top-k overlaps the float index's top-k at ≥ 0.8 recall (int8
+    * keeps it at 1.0 in practice; both plans are seeded and
+    * deterministic), (b) the quantized index occupies at most 0.7× the
+    * float index's parquet bytes, and (c) the probe scan physically
+    * pruned to at most the probed buckets — strictly fewer directories
+    * than exist on disk. */
+  def lshQuantizedQuery(spark: SparkSession, dir: String,
+      nQueries: Long = 2, k: Int = 5,
+      tables: Int = 8, planes: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val idxF = graft.util.Scratch.dir("lsh_float_ref").toString
+    val idxQ = graft.util.Scratch.dir("lsh_q8").toString
+    val e = emb(spark, dir)
+    val dim = embeddingDim(e)
+    val hp = hyperplanes(tables, planes, dim, seed)
+    // One combined bucket id (tbl·2^planes + key) as the single
+    // partition column; named `cell` so the shared pruning witnesses
+    // ([[cellsRead]], [[cellDirsOnDisk]]) apply unchanged.
+    def withBuckets(df: DataFrame, embAs: String): DataFrame =
+      df.select(df.columns.map(col) :+
+          posexplode(hyperplaneKeysCol(hp, col(embAs)))
+            .as(Seq("tbl", "key")): _*)
+        .withColumn("cell",
+          (col("tbl") * lit(1 << planes) + col("key")).cast("int"))
+        .drop("tbl", "key")
+    // repartition by bucket: each of the T·2^planes bucket dirs is
+    // written by exactly one task — file count stays bounded while the
+    // replicated entry relation (T·n rows) shuffles once, the standard
+    // index-build shuffle.
+    withBuckets(e, "embedding")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxF)
+    // Quantize the just-written float index: the bucket column rides
+    // along through quantizeInt8, and the cell-partitioned read keeps
+    // the layout, so each bucket rewrites in place — no re-join, no
+    // second repartition.
+    quantizeInt8(spark.read.parquet(idxF))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
+    val probeF = withBuckets(queriesDf(e, nQueries), "qe")
+      .localCheckpoint(true)
+    val probed = probeF.select(col("cell")).distinct().as[Int].collect().toSeq
+    // A pair can collide in several buckets; keep max like lshTopK.
+    def scoredTopK(corpus: DataFrame, queries: DataFrame): DataFrame =
+      topK(corpus.join(broadcast(queries), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cos(col("qe"), col("ne")).as("sim"))
+        .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim")),
+        k)
+    val queriesD = probeF.select(col("query_id"),
+      transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
+    val corpusQ = spark.read.parquet(idxQ)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("codes"),
+          c => c.cast("double") * col("ma") / lit(127.0)).as("ne"),
+        col("cell"))
+    val fromQ = scoredTopK(corpusQ, queriesD)
+    val rowsQ = fromQ.collect()
+    val read = cellsRead(fromQ, idxQ)
+    val onDisk = cellDirsOnDisk(idxQ)
+    val corpusF = spark.read.parquet(idxF)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell"))
+    val fromF = scoredTopK(corpusF, probeF).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
+    val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
+    Seq((rowsQ.length.toLong,
+      overlap.toDouble >= 0.8 * fromF.length,
+      ratio <= 0.7,
+      read <= probed.size && read < onDisk))
       .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
         "scan_pruned")
   }

@@ -138,6 +138,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("in-plan lsh keys are codegen'd and match the driver loop") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dim = Similarity.embeddingDim(e)
+    val hp = Similarity.hyperplanes(tables = 6, planes = 4, dim, seed = 7L)
+    val keyed = e.select(col("vec_id"),
+      Similarity.hyperplaneKeysCol(hp, col("embedding")).as("keys"))
+    val udfs = keyed.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+    }.flatten
+    assert(udfs.isEmpty, s"ScalaUDF in the lsh key plan: $udfs")
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    keyed.collect().foreach { r =>
+      val want = Similarity.hyperplaneKeysForTest(hp, vecs(r.getLong(0)))
+      assert(r.getSeq[Int](1) == want.toSeq,
+        s"key mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("quantized LSH index: recall holds, bytes shrink, scan prunes") {
+    val row = Similarity.lshQuantizedQuery(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == 10L) // k=5 × 2 queries
+    assert(row.getBoolean(1), "quantized top-k must overlap float top-k >= 0.8")
+    assert(row.getBoolean(2), "int8 index must be <= 0.7x float index bytes")
+    assert(row.getBoolean(3), "probe must prune to the probed buckets")
+  }
+
   test("ivf ann reaches usable recall and is deterministic") {
     val ivfDf = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10)
     assertNoDriverMaterialization(ivfDf)

@@ -27,18 +27,42 @@ object Relational {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata `events` table carries TIMESTAMP(NANOS) parquet values,
-    // which Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read them as
-    // raw nanos (legacy conf) and normalize to a microsecond timestamp so
-    // every downstream operator sees a plain TimestampType column.
-    ensureNanosAsLong(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else d
+  /** Normalize an events-style `ts` column to plain `TimestampType`,
+    * keyed on the OBSERVED resolved dataType rather than an assumed
+    * parquet physical type. The driver's testdata has shipped the column
+    * as TIMESTAMP(NANOS) (resolves to raw Long under the legacy
+    * `nanosAsLong` conf) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (resolves to TIMESTAMP_NTZ), and could legally ship
+    * TIMESTAMP(MICROS, UTC) (resolves to TimestampType). Any other form
+    * fails LOUDLY with the observed type, so a future testdata
+    * regeneration yields one clear error instead of silently-shrunk
+    * timestamps. The NTZ→LTZ cast is value-preserving here because every
+    * session (Verify/Bench/specs) pins spark.sql.session.timeZone=UTC. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").fold(df) { f =>
+      f.dataType match {
+        case LongType => // epoch nanos (TIMESTAMP(NANOS) via legacy conf, or a raw long column)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other => sys.error(
+          s"events.ts resolved to unhandled type $other — expected epoch-nanos LONG, " +
+            "TIMESTAMP_NTZ, or TIMESTAMP. The testdata's parquet physical type has " +
+            "changed again; extend Relational.normalizeTs for the new form.")
+      }
     }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Older testdata generations carry `events.ts` as TIMESTAMP(NANOS),
+    // which Spark refuses by default (PARQUET_TYPE_ILLEGAL) — the legacy
+    // conf reads those as raw nanos Longs; newer generations carry
+    // TIMESTAMP(MICROS, NTZ). normalizeTs maps every observed form to one
+    // canonical TimestampType column.
+    ensureNanosAsLong(spark)
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** filter_predicate — "filter out cancelled flights" (CS1), ns==0 (CS3).

@@ -367,18 +367,17 @@ object SourceSinkQueries {
     * is absent in this environment, so the stream source is the events
     * parquet directory; the trigger/checkpoint mechanics are identical. */
   def scanMicroBatch(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); read as raw long nanos.
     Relational.ensureNanosAsLong(spark)
     val base = tmpDir("microbatch")
     val srcDir = base.resolve("in")
     Files.createDirectories(srcDir)
     Files.copy(Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val agg = spark.readStream.schema(schema).parquet(srcDir.toString)
+    // Schema derived from the copied file's own footer (physical ts form
+    // varies across testdata generations); normalizeTs canonicalizes it.
+    val agg = Relational.normalizeTs(
+        spark.readStream.schema(spark.read.parquet(srcDir.toString).schema)
+          .parquet(srcDir.toString))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))

@@ -46,17 +46,23 @@ object Streaming {
   @volatile private[graft] var bloomCensusEnabled: Boolean = false
   @volatile private[graft] var lastBloomSplit: (Long, Long) = (0L, 0L)
 
-  /** Events-table schema as a stream source (ts arrives as raw parquet
-    * nanos → normalized to a timestamp column). */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def eventsStream(spark: SparkSession, srcDir: String): DataFrame = {
+  /** Events-table stream source. A file stream needs a user-supplied
+    * schema BEFORE the query starts; deriving it from the footers of the
+    * files actually present (one batch read of the same directory) means
+    * the source tracks whatever physical `ts` form the fixture carries —
+    * nanos-Long, TIMESTAMP_NTZ micros, or TIMESTAMP — instead of baking
+    * one generation's shape into a hard-coded StructType. normalizeTs
+    * then canonicalizes `ts` to TimestampType exactly as the batch path
+    * does, so stream and batch oracle agree by construction. */
+  def eventsStream(
+      spark: SparkSession, srcDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     graft.operators.Relational.ensureNanosAsLong(spark)
-    spark.readStream.schema(EventsSchema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val observed = spark.read.parquet(srcDir).schema
+    val reader = options.foldLeft(spark.readStream.schema(observed)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    graft.operators.Relational.normalizeTs(reader.parquet(srcDir))
   }
 
   /** scan_kafka_batch core — run a streaming DataFrame to completion
@@ -556,8 +562,10 @@ object Streaming {
     Files.move(part, srcDir.resolve(name))
   }
 
-  /** The events table re-encoded for the stream source (raw nanos in
-    * `ts`), restricted to one event_id parity — the "half a feed has
+  /** The events table re-encoded for the stream source (`ts`
+    * deliberately as raw epoch-nanos Long, so the landed files exercise
+    * normalizeTs's nanos path regardless of the fixture's own physical
+    * form), restricted to one event_id parity — the "half a feed has
     * arrived" fixture for restart tests. */
   private def eventsHalf(
       spark: SparkSession, dir: String, parity: Int): DataFrame =
@@ -675,9 +683,8 @@ object Streaming {
     }
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val rows = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.toString)
+    val q = eventsStream(spark, srcDir.toString,
+        Map("maxFilesPerTrigger" -> "1"))
       .writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>

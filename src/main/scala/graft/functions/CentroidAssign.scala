@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for ANN bucket assignment — nearest
+  * centroid cell (IVF), nProbe-nearest cells, and random-hyperplane
+  * sign keys (LSH) — each a primitive loop over a constant matrix that
+  * ships via `ctx.addReferenceObj` and runs as ONE static call inside
+  * whole-stage codegen.
+  *
+  * Why an Expression and not `transform`/`zip_with`/`aggregate`:
+  * Spark's higher-order array functions evaluate INTERPRETED — a boxed
+  * per-element lambda dispatch; only their arguments are codegen'd.
+  * Round 8 shipped the assignment as nested HOFs over a `typedLit`
+  * matrix on that mistaken assumption, and every IVF index build got
+  * 10–23× slower than the ScalaUDF it replaced. This runs over every
+  * corpus vector at every index (re)build, so at 100 TB it IS the
+  * dominant ANN cost: the fix is the same toolbox as
+  * [[CosineSimilarity]]/[[BucketedBloomMightContain]] — `doGenCode`
+  * emitting a call to a static primitive loop, no boxing, no UDF
+  * serialization, no interpreted lambda.
+  *
+  * Bit-parity: the loops replay the driver-side reference
+  * (`Similarity.normalize`/`nearestCells`/`hyperplaneKeysForTest`)
+  * op-for-op — per-element square, sequential left-fold sums, sqrt,
+  * divide; squared-distance fold over min(dim, len); (distance, index)
+  * keep-first tie-break; strict `> 0` sign test over min(dim, len) —
+  * so in-plan assignment, driver-computed static partition filters, and
+  * the spec hooks can never disagree. Truncating to min(dim, len) on
+  * BOTH dot and distance also closes the round-8 advice note: a vector
+  * shorter/longer than the model constants scores over the shared
+  * prefix exactly as the driver loop does, instead of null-padding.
+  */
+object CentroidAssign {
+
+  // ---- static primitive kernels (called from generated code) ----
+
+  /** L2-normalized copy of a float-array column value (zero vector
+    * passes through unscaled, mirroring the driver-side normalize). */
+  def normalized(v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) { d(i) = v.getFloat(i).toDouble; i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += d(i) * d(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) { d(i) = d(i) / nrm; i += 1 }
+    }
+    d
+  }
+
+  private def sqDist(c: Array[Double], v: Array[Double]): Double = {
+    val n = math.min(c.length, v.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Index of the nearest centroid (strict `<` keeps the first of equal
+    * distances — the driver loop's tie-break). */
+  def nearestCell(cs: Array[Array[Double]], v: ArrayData): Int = {
+    val vn = normalized(v)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = sqDist(cs(c), vn)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest cell indices, ordered by (distance, index) —
+    * selection over the distance array, equal distances resolve to the
+    * lower index, matching the driver's tuple sort. */
+  def probeCells(cs: Array[Array[Double]], v: ArrayData, nProbe: Int): ArrayData = {
+    val vn = normalized(v)
+    val dists = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) { dists(c) = sqDist(cs(c), vn); c += 1 }
+    val k = math.min(nProbe, cs.length)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](cs.length)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < cs.length) {
+        if (!taken(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** All T sign-bucket keys for an embedding against T×P hyperplanes:
+    * key t = Σ_p (dot(plane, v) > 0 ? 1<<p : 0), dots over the shared
+    * prefix min(dim, len), raw floats promoted per-element. */
+  def hyperplaneKeys(hp: Array[Array[Array[Double]]], v: ArrayData): ArrayData = {
+    val len = v.numElements()
+    val keys = new Array[Int](hp.length)
+    var t = 0
+    while (t < hp.length) {
+      var b = 0
+      var p = 0
+      val tbl = hp(t)
+      while (p < tbl.length) {
+        val h = tbl(p)
+        val n = math.min(h.length, len)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += h(i) * v.getFloat(i); i += 1 }
+        if (s > 0) b |= (1 << p)
+        p += 1
+      }
+      keys(t) = b
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  // ---- the Column surface ----
+
+  private def requireFloatArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs array<float>, got ${other.simpleString}")
+    }
+
+  case class NearestCentroidCell(
+      centroids: Array[Array[Double]], child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid_cell"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      CentroidAssign.nearestCell(centroids, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CentroidAssign.nearestCell($cs, $c);")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): NearestCentroidCell = copy(child = newChild)
+  }
+
+  case class ProbeCells(
+      centroids: Array[Array[Double]], nProbe: Int, child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "probe_cells"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      CentroidAssign.probeCells(centroids, input.asInstanceOf[ArrayData], nProbe)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CentroidAssign.probeCells($cs, $c, $nProbe);")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): ProbeCells = copy(child = newChild)
+  }
+
+  case class HyperplaneKeys(
+      hp: Array[Array[Array[Double]]], child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "hyperplane_keys"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      CentroidAssign.hyperplaneKeys(hp, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplanes", hp, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CentroidAssign.hyperplaneKeys($ref, $c);")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): HyperplaneKeys = copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def nearestCellCol(cs: Array[Array[Double]], v: Column): Column =
+    ColumnBridge.column(NearestCentroidCell(cs, ColumnBridge.expression(v)))
+
+  def probeCellsCol(cs: Array[Array[Double]], nProbe: Int, v: Column): Column =
+    ColumnBridge.column(ProbeCells(cs, nProbe, ColumnBridge.expression(v)))
+
+  def hyperplaneKeysCol(hp: Array[Array[Array[Double]]], v: Column): Column =
+    ColumnBridge.column(HyperplaneKeys(hp, ColumnBridge.expression(v)))
+}

@@ -125,26 +125,18 @@ object Similarity {
   /** All T sign-bucket keys for an embedding column, in-plan — an
     * `array<int>` of length `tables`, entry t the `planes`-bit sign
     * pattern of the dot products against table t's hyperplanes. The
-    * hyperplane tensor ships as a LITERAL (model constants, O(T·P·dim)
-    * doubles), and the whole computation is codegen'd higher-order
-    * array functions — no ScalaUDF on the corpus scan, same rationale
-    * as the IVF [[cellCol]] assignment. Arithmetic replays the
-    * driver-side loop ([[hyperplaneKeysForTest]]) op-for-op: each dot
-    * is a sequential left-fold of h(i)·(double)v(i), the sign check is
-    * strict `> 0`, so in-plan and driver-side keys are bit-identical. */
+    * hyperplane tensor rides in a native Catalyst expression
+    * ([[graft.functions.CentroidAssign.HyperplaneKeys]]) whose codegen
+    * is one static primitive-loop call — NOT higher-order array
+    * functions, which evaluate interpreted (boxed per-element lambda
+    * dispatch) and cost 10–23× on a corpus-sized scan (measured, round
+    * 8). Arithmetic replays the driver-side loop
+    * ([[hyperplaneKeysForTest]]) op-for-op — dots over min(dim, len),
+    * strict `> 0` sign — so in-plan and driver-side keys are
+    * bit-identical even for length-mismatched vectors. */
   private[graft] def hyperplaneKeysCol(
-      hp: Array[Array[Array[Double]]], v: Column): Column = {
-    val planes = if (hp.isEmpty) 0 else hp(0).length
-    val hpLit = typedLit(hp.map(_.map(_.toSeq).toSeq).toSeq)
-    val bitLit = typedLit((0 until planes).map(p => 1 << p))
-    val vd = transform(v, x => x.cast("double"))
-    transform(hpLit, tbl =>
-      aggregate(
-        zip_with(tbl, bitLit, (plane, bit) =>
-          when(aggregate(zip_with(plane, vd, (h, x) => h * x),
-            lit(0.0), (acc, t) => acc + t) > 0.0, bit).otherwise(lit(0))),
-        lit(0), (acc, b) => acc + b))
-  }
+      hp: Array[Array[Array[Double]]], v: Column): Column =
+    graft.functions.CentroidAssign.hyperplaneKeysCol(hp, v)
 
   /** Test hook: the driver-side key loop, for bit-parity checks
     * against the in-plan [[hyperplaneKeysCol]]. */
@@ -294,61 +286,36 @@ object Similarity {
     nearestCells(cs, normalize(v), nProbe)
 
   // ------------------------------------------------------------------
-  // In-plan cell assignment (codegen'd, no ScalaUDF)
+  // In-plan cell assignment (native expression, no ScalaUDF, no HOFs)
   // ------------------------------------------------------------------
   // The quantizer is tiny (nCells × dim doubles) but the ASSIGNMENT
-  // runs over every corpus vector at every index (re)build — a per-row
-  // ScalaUDF there is opaque to codegen and serializes each row
-  // through the Scala closure. These helpers express the same argmin
-  // with higher-order array functions over a centroid LITERAL, so the
-  // whole assignment stays inside whole-stage codegen. Arithmetic
-  // replays [[normalize]]/[[nearestCells]] op-for-op (per-element
-  // square, sequential left-fold sum, sqrt, divide; squared-distance
-  // fold; (distance, index) tie-break), so in-plan and driver-side
-  // assignments are bit-identical and the static partition filter
-  // [[probedCellsOf]] computes can never disagree with the plan.
+  // runs over every corpus vector at every index (re)build. Neither of
+  // the obvious encodings survives that scan at scale: a per-row
+  // ScalaUDF serializes each row through a Scala closure, and Spark's
+  // higher-order array functions (transform/zip_with/aggregate)
+  // evaluate INTERPRETED — boxed per-element lambda dispatch; only
+  // their arguments codegen. Round 8 shipped the HOF form and every
+  // IVF index build got 10–23× slower. The fix is a native Catalyst
+  // expression ([[graft.functions.CentroidAssign]]): `doGenCode` emits
+  // one static call to a primitive loop, with the centroid matrix as a
+  // codegen reference object. Its kernels replay
+  // [[normalize]]/[[nearestCells]] op-for-op (per-element square,
+  // sequential left-fold sum, sqrt, divide; squared-distance fold over
+  // min(dim, len); (distance, index) keep-first tie-break), so in-plan
+  // and driver-side assignments are bit-identical and the static
+  // partition filter [[probedCellsOf]] computes can never disagree
+  // with the plan.
 
-  /** The centroid matrix shipped into the plan as an
-    * `array<array<double>>` literal. */
-  private def centroidLit(cs: Array[Array[Double]]): Column =
-    typedLit(cs.map(_.toSeq).toSeq)
-
-  /** L2-normalize an embedding column (double copy; zero vector passes
-    * through unscaled, mirroring [[normalize]]). */
-  private def normalizeCol(v: Column): Column = {
-    val vd = transform(v, x => x.cast("double"))
-    val nrm = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
-    when(nrm === 0.0, vd).otherwise(transform(vd, x => x / nrm))
-  }
-
-  /** Squared L2 distance from the (pre-normalized) vector column to
-    * every centroid — `array<double>`, one entry per cell. */
-  private def centroidDistsCol(cs: Array[Array[Double]], vn: Column): Column =
-    transform(centroidLit(cs), c =>
-      aggregate(zip_with(vn, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d))
-
-  /** Nearest-centroid cell id for an embedding column — the codegen'd
-    * twin of `nearestCells(cs, v, 1)(0)`. Ties resolve to the lowest
-    * index (`array_position` finds the first equal element, matching
-    * the driver loop's strict `<` keep-first). */
-  private[graft] def cellCol(cs: Array[Array[Double]], v: Column): Column = {
-    val d = centroidDistsCol(cs, normalizeCol(v))
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  /** Nearest-centroid cell id for an embedding column — the in-plan
+    * twin of `nearestCells(cs, v, 1)(0)`. */
+  private[graft] def cellCol(cs: Array[Array[Double]], v: Column): Column =
+    graft.functions.CentroidAssign.nearestCellCol(cs, v)
 
   /** The `nProbe` nearest cell ids for an embedding column — the
-    * codegen'd twin of `nearestCells(cs, v, nProbe)`: (distance,
-    * index) structs sorted lexicographically = the driver's tuple
-    * sort, then the index field of the first `nProbe`. */
+    * in-plan twin of `nearestCells(cs, v, nProbe)`. */
   private[graft] def probeCellsCol(
-      cs: Array[Array[Double]], v: Column, nProbe: Int): Column = {
-    val d = centroidDistsCol(cs, normalizeCol(v))
-    val ranked = array_sort(zip_with(
-      d, sequence(lit(0), lit(cs.length - 1)),
-      (dd, i) => struct(dd.as("d"), i.as("i"))))
-    slice(transform(ranked, s => s.getField("i")), 1, nProbe)
-  }
+      cs: Array[Array[Double]], v: Column, nProbe: Int): Column =
+    graft.functions.CentroidAssign.probeCellsCol(cs, nProbe, v)
 
   /** The query side of every IVF probe: bounded query set, each row
     * exploded to its `nProbe` nearest cells (in-plan assignment). */
@@ -596,6 +563,55 @@ object Similarity {
   /** Total bytes of parquet data files under `p`. */
   private def dirBytes(p: String): Long = parquetFiles(p).map(_.length()).sum
 
+  /** The scaffold BOTH quantized-index witnesses (IVF and LSH) share,
+    * so they can never drift apart under future edits: int8-quantize
+    * the just-written float index in place (the partition column rides
+    * along through [[quantizeInt8]], each cell rewrites without a
+    * re-join), dequantize IN-PLAN on the probed read, rank both legs
+    * with the caller's scoring, and emit the one-row
+    * (n_results, recall ≥ 0.8, bytes ≤ 0.7×, scan-pruned) witness.
+    *
+    * `readBound` must be the caller's INDEPENDENT driver-known cap on
+    * how many partition directories a probe may touch — nQueries·nProbe
+    * for IVF, nQueries·tables for LSH. An `isin(probed)` filter can
+    * only ever select probed directories, so comparing the read count
+    * against `probed.size` would be tautological; the external bound is
+    * what actually witnesses per-query probe discipline. */
+  private def quantizedIndexWitness(
+      spark: SparkSession, idxF: String, idxQ: String,
+      probe: DataFrame, readBound: Long,
+      score: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import spark.implicits._
+    quantizeInt8(spark.read.parquet(idxF))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
+    val probed = probe.select(col("cell")).distinct().as[Int].collect().toSeq
+    // Query vectors cast to double so the codegen'd cosine runs on
+    // (double, double) against the dequantized corpus side.
+    val queriesD = probe.select(col("query_id"),
+      transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
+    val corpusQ = spark.read.parquet(idxQ)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("codes"),
+          c => c.cast("double") * col("ma") / lit(127.0)).as("ne"),
+        col("cell"))
+    val fromQ = score(corpusQ, queriesD)
+    val rowsQ = fromQ.collect()
+    val read = cellsRead(fromQ, idxQ)
+    val onDisk = cellDirsOnDisk(idxQ)
+    val fromF = score(indexCells(spark, idxF, probed), probe).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
+    val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
+    Seq((rowsQ.length.toLong,
+      overlap.toDouble >= 0.8 * fromF.length,
+      ratio <= 0.7,
+      read <= readBound && read < onDisk))
+      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
+        "scan_pruned")
+  }
+
   /** similarity_ivf_quantized — the combined ANN storage shape for a
     * full-scale corpus: the cell-partitioned IVF index stores int8
     * CODES plus the per-vector scale instead of float vectors, probes
@@ -621,45 +637,14 @@ object Similarity {
     val cs = trainCentroids(e, nCells, seed)
     e.withColumn("cell", cellCol(cs, col("embedding")))
       .write.mode("overwrite").partitionBy("cell").parquet(idxF)
-    // Quantize the just-written float index rather than re-running the
-    // quantizer-assignment scan: the cell column rides along through
-    // quantizeInt8 (no re-join), and the cell-partitioned read keeps
-    // the layout, so each output partition rewrites in place.
-    quantizeInt8(spark.read.parquet(idxF))
-      .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
     // One probe build serves the quantized leg, the float-reference
     // leg, and the static partition filter (checkpointed: the probe
     // set is O(nQueries·nProbe) rows, and rebuilding it means another
     // embeddings scan plus nearest-cell pass per use).
     val probeQ = probeQueries(e, nQueries, cs, nProbe).localCheckpoint(true)
-    val probed = probeQ.select(col("cell")).distinct().as[Int].collect().toSeq
-    // Query vectors cast to double so the codegen'd cosine runs on
-    // (double, double) against the dequantized corpus side.
-    val queriesD = probeQ
-      .select(col("query_id"),
-        transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
-    val corpusQ = spark.read.parquet(idxQ)
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id").as("neighbor_id"),
-        transform(col("codes"),
-          c => c.cast("double") * col("ma") / lit(127.0)).as("ne"),
-        col("cell"))
-    val fromQ = topK(cellScores(corpusQ, queriesD), k)
-    val rowsQ = fromQ.collect()
-    val read = cellsRead(fromQ, idxQ)
-    val onDisk = cellDirsOnDisk(idxQ)
-    val fromF = topK(cellScores(indexCells(spark, idxF, probed),
-      probeQ), k).collect()
-    def pairs(rs: Array[org.apache.spark.sql.Row]) =
-      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
-    val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
-    val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
-    Seq((rowsQ.length.toLong,
-      overlap.toDouble >= 0.8 * fromF.length,
-      ratio <= 0.7,
-      read <= nQueries * nProbe && read < onDisk))
-      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
-        "scan_pruned")
+    quantizedIndexWitness(spark, idxF, idxQ, probeQ,
+      readBound = nQueries * nProbe,
+      score = (c, q) => topK(cellScores(c, q), k))
   }
 
   /** similarity_lsh_quantized — the quantized-storage trick applied to
@@ -708,15 +693,8 @@ object Similarity {
     withBuckets(e, "embedding")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxF)
-    // Quantize the just-written float index: the bucket column rides
-    // along through quantizeInt8, and the cell-partitioned read keeps
-    // the layout, so each bucket rewrites in place — no re-join, no
-    // second repartition.
-    quantizeInt8(spark.read.parquet(idxF))
-      .write.mode("overwrite").partitionBy("cell").parquet(idxQ)
     val probeF = withBuckets(queriesDf(e, nQueries), "qe")
       .localCheckpoint(true)
-    val probed = probeF.select(col("cell")).distinct().as[Int].collect().toSeq
     // A pair can collide in several buckets; keep max like lshTopK.
     def scoredTopK(corpus: DataFrame, queries: DataFrame): DataFrame =
       topK(corpus.join(broadcast(queries), Seq("cell"))
@@ -725,33 +703,9 @@ object Similarity {
           cos(col("qe"), col("ne")).as("sim"))
         .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim")),
         k)
-    val queriesD = probeF.select(col("query_id"),
-      transform(col("qe"), v => v.cast("double")).as("qe"), col("cell"))
-    val corpusQ = spark.read.parquet(idxQ)
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id").as("neighbor_id"),
-        transform(col("codes"),
-          c => c.cast("double") * col("ma") / lit(127.0)).as("ne"),
-        col("cell"))
-    val fromQ = scoredTopK(corpusQ, queriesD)
-    val rowsQ = fromQ.collect()
-    val read = cellsRead(fromQ, idxQ)
-    val onDisk = cellDirsOnDisk(idxQ)
-    val corpusF = spark.read.parquet(idxF)
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ne"), col("cell"))
-    val fromF = scoredTopK(corpusF, probeF).collect()
-    def pairs(rs: Array[org.apache.spark.sql.Row]) =
-      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
-    val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
-    val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
-    Seq((rowsQ.length.toLong,
-      overlap.toDouble >= 0.8 * fromF.length,
-      ratio <= 0.7,
-      read <= probed.size && read < onDisk))
-      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
-        "scan_pruned")
+    // readBound: each query probes exactly one bucket per table.
+    quantizedIndexWitness(spark, idxF, idxQ, probeF,
+      readBound = nQueries * tables, score = scoredTopK)
   }
 
   /** Per-vector symmetric int8 scalar quantization: scale =

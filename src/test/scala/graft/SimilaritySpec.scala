@@ -115,13 +115,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val assigned = e.select(col("vec_id"),
       Similarity.cellCol(cs, col("embedding")).as("cell"),
       Similarity.probeCellsCol(cs, col("embedding"), nProbe).as("probes"))
-    // (a) The index-build scan carries NO ScalaUDF — the assignment is
-    // a pure codegen expression tree (the 100×-build anti-pattern the
-    // round-7 verdict flagged).
-    val udfs = assigned.queryExecution.optimizedPlan.collect {
-      case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+    // (a) The index-build scan carries NO ScalaUDF (round-7 lesson) and
+    // NO higher-order array function (round-8 lesson: transform/
+    // zip_with/aggregate evaluate interpreted — boxed per-element
+    // lambda dispatch — and cost 10–23× on this corpus-sized scan).
+    // The assignment must be the native CentroidAssign expressions.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val slow = assigned.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u
+        case h: HigherOrderFunction => h
+      })
     }.flatten
-    assert(udfs.isEmpty, s"ScalaUDF in the cell-assignment plan: $udfs")
+    assert(slow.isEmpty,
+      s"interpreted evaluation in the cell-assignment plan: $slow")
+    val planStr = assigned.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("nearest_centroid_cell")
+      && planStr.contains("probe_cells"), planStr.take(1000))
     // (b) Bit-identical to the driver-side loop on every fixture
     // vector — argmin, tie-break, and nProbe ordering all agree, so
     // the static partition filter from probedCellsOf can never select
@@ -147,16 +157,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val hp = Similarity.hyperplanes(tables = 6, planes = 4, dim, seed = 7L)
     val keyed = e.select(col("vec_id"),
       Similarity.hyperplaneKeysCol(hp, col("embedding")).as("keys"))
-    val udfs = keyed.queryExecution.optimizedPlan.collect {
-      case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val slow = keyed.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u
+        case h: HigherOrderFunction => h
+      })
     }.flatten
-    assert(udfs.isEmpty, s"ScalaUDF in the lsh key plan: $udfs")
+    assert(slow.isEmpty, s"interpreted evaluation in the lsh key plan: $slow")
+    assert(keyed.queryExecution.optimizedPlan.toString
+      .contains("hyperplane_keys"))
     val vecs = e.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     keyed.collect().foreach { r =>
       val want = Similarity.hyperplaneKeysForTest(hp, vecs(r.getLong(0)))
       assert(r.getSeq[Int](1) == want.toSeq,
         s"key mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("length-mismatched vectors score over the shared prefix, like the driver loop") {
+    // Round-8 advice: the HOF form zip_with-null-padded a short vector,
+    // nulling the dot product and collapsing every key to 0 while the
+    // driver loop scored min(dim, len). The native expressions truncate
+    // to the shared prefix on BOTH dot and distance, so parity holds
+    // for non-uniform corpora too.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hp = Similarity.hyperplanes(tables = 3, planes = 4, dim = 8, seed = 11L)
+    val cs = Array(Array.fill(8)(0.5), Array.fill(8)(-0.5))
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(1f, -2f, 3f),              // shorter than dim
+      2L -> Seq.tabulate(12)(i => i - 5f), // longer than dim
+      3L -> Seq.fill(8)(0.25f))            // exact dim
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.hyperplaneKeysCol(hp, col("embedding")).as("keys"),
+        Similarity.cellCol(cs, col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getInt(2))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id)._1 == Similarity.hyperplaneKeysForTest(hp, v).toSeq,
+        s"keys mismatch for vec $id")
+      assert(got(id)._2 == Similarity.nearestCellsForTest(cs, v, 1).head,
+        s"cell mismatch for vec $id")
+      assert(got(id)._1.exists(_ != 0) || v.forall(_ == 0f),
+        s"vec $id keys all collapsed to 0")
     }
   }
 

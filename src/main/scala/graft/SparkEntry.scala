@@ -161,6 +161,7 @@ object SparkEntry {
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
     "stream_incremental_dedup" -> ((s, dir) => graft.streaming.Streaming.streamIncrementalDedupQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
+    "dedup_minhash_quantized" -> ((s, dir) => Dedup.minhashIndexQuantizedQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
     "optimizer_cosine_rewrite_residual" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.residualRewriteQuery(s, dir)),
@@ -606,7 +607,13 @@ object SparkEntry {
          FROM embeddings WHERE vec_id < 2""",
     // Quantized LSH index: same witness shape as the IVF variant —
     // engine-asserted deterministic booleans pinned to true, k rows
-    // per query.
+    // per query. NB the count(*)*5 pin assumes each of the nQueries=2
+    // queries collides with ≥ k=5 distinct neighbors somewhere across
+    // its 8 buckets (tables=8, planes=4) — a DATA-dependent property
+    // that holds at every supported scale factor (even sf0.001's 320
+    // vectors put ~20 in each of 16 sign buckets per table, so a query
+    // meets far more than 5 distinct candidates); a sparser corpus
+    // would need tables/planes retuned here AND in this pin.
     "similarity_lsh_quantized" ->
       """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
                 true AS recall_ge_bound,
@@ -1492,6 +1499,42 @@ object SparkEntry {
          JOIN szb sb ON sb.doc_id = doc_b
          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // Quantized (32-bit-key) persisted LSH dedup index: truncation can
+    // only merge buckets, so quantized candidates are a superset of the
+    // full-key candidates and exact verify makes the final pair sets
+    // identical — the oracle replays the exact Jaccard over the same
+    // corpus/batch fixture and pins the verified pair COUNT; the
+    // equality/superset/bytes witnesses are engine-asserted booleans.
+    "dedup_minhash_quantized" ->
+      """WITH co AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents WHERE doc_id % 2 = 0),
+         ba AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000, string_split(text, ' ')
+                FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+         shc AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM co, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         shb AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM ba, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         szc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         szb AS (SELECT doc_id, count(*) AS c FROM shb GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS i
+                FROM shc a JOIN shb b ON a.shingle = b.shingle
+                GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                true AS matches_full_index,
+                true AS candidates_superset,
+                true AS index_bytes_shrunk
+         FROM pr
+         JOIN szc sa ON sa.doc_id = doc_a
+         JOIN szb sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8""",
     // Upsampling factors r = min(4, ceil(max_count / count)); one row
     // per (lang, epoch<=r) with the stratum's doc count.
     "sample_repeat_factor" ->

@@ -900,6 +900,95 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_minhash_quantized — the int8-era storage trick applied to
+    * the persisted DEDUP index (the sibling of the similarity side's
+    * quantized IVF/LSH indexes): band keys in the on-disk index carry
+    * NO information beyond equality, so the 64-bit xxhash key column —
+    * the only high-entropy (incompressible) column in the index — can
+    * be stored as its upper 32 bits. Truncation can only MERGE buckets,
+    * never split them, so the candidate set from the quantized index is
+    * a provable superset of the full-key candidates, and the exact
+    * Jaccard verify removes every extra — the final pair set is
+    * IDENTICAL, while the index's dominant column halves. At 100 TB
+    * the banded index is `bands`× the corpus's doc count in rows;
+    * halving its hot column is the same lever as int8 codes on the
+    * vector side, and the extra verify work is bounded by the (tiny)
+    * 2^-32-per-bucket collision rate.
+    *
+    * Emits one row: `n_pairs` (the verified count — hash-checked
+    * against the oracle replaying exact Jaccard over the same fixture),
+    * `matches_full_index` (quantized-index pairs == full-index pairs),
+    * `candidates_superset` (no full-key candidate lost), and
+    * `index_bytes_shrunk` (quantized index ≤ 0.7× full bytes). */
+  def minhashIndexQuantizedQuery(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8, k: Int = 128): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir("graft_lshidx_q")
+    val idxF = base.resolve("full").toString
+    val idxQ = base.resolve("q32").toString
+    val d = docs(spark, dir)
+      .select(pinnedDocId(col("doc_id")).as("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val (bands, rows) = chooseBands(threshold, k)
+    // Upper 32 bits of the band key — shiftright keeps the value in
+    // int range, so the cast is ANSI-safe; equal 64-bit keys always
+    // truncate equal, which is what makes the superset claim a
+    // theorem rather than a measurement.
+    def quantizedKeys(keys: DataFrame): DataFrame =
+      keys.select(col("doc_id"), col("band").cast("smallint").as("band"),
+        shiftright(col("key"), 32).cast("int").as("key"))
+    lshBands(minHashSignaturesOfShingles(shingleArrays(corpus), k),
+        bands, rows)
+      .write.mode("overwrite").parquet(idxF)
+    // Derive the quantized index from the written full index — one
+    // signature pass, the quantization is a column projection.
+    quantizedKeys(spark.read.parquet(idxF))
+      .write.mode("overwrite").parquet(idxQ)
+    val probes = lshBands(
+        minHashSignaturesOfShingles(shingleArrays(batch), k), bands, rows)
+      .localCheckpoint(true)
+    def candsOf(idx: DataFrame, pr: DataFrame): DataFrame = idx
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(pr.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    val candsF = candsOf(spark.read.parquet(idxF), probes)
+      .localCheckpoint(true)
+    val candsQ = candsOf(spark.read.parquet(idxQ), quantizedKeys(probes))
+      .localCheckpoint(true)
+    val sh = shingleArrays(corpus.unionByName(batch)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairSet(cands: DataFrame): Set[(Long, Long)] =
+        jaccardVerifyShingled(sh, cands, threshold)
+          .select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pairsF = pairSet(candsF)
+      val pairsQ = pairSet(candsQ)
+      val lostCandidates =
+        candsF.join(candsQ, Seq("doc_a", "doc_b"), "left_anti").count()
+      val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
+      Seq((pairsQ.size.toLong,
+        pairsQ == pairsF,
+        lostCandidates == 0L,
+        ratio <= 0.7))
+        .toDF("n_pairs", "matches_full_index", "candidates_superset",
+          "index_bytes_shrunk")
+    } finally sh.unpersist(false)
+  }
+
+  /** Total bytes of parquet data files under `p` (recursive). */
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(p))
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+  }
+
   // ------------------------------------------------------------------
   // Sub-document span dedup
   // ------------------------------------------------------------------

@@ -616,8 +616,9 @@ object Similarity {
     * full-scale corpus: the cell-partitioned IVF index stores int8
     * CODES plus the per-vector scale instead of float vectors, probes
     * read only the probed cell directories, and dequantization happens
-    * IN-PLAN (a codegen'd `transform`) just before the exact-cosine
-    * re-rank. Vector bytes are what an ANN probe's I/O scales with, so
+    * IN-PLAN (a `transform` — an interpreted HOF, fine here because it
+    * runs only over the pruned probe read, never the corpus) just
+    * before the exact-cosine re-rank. Vector bytes are what an ANN probe's I/O scales with, so
     * quantized cells cut the probe's physical read on top of the
     * partition pruning — the two multiply.
     *
@@ -714,8 +715,15 @@ object Similarity {
     * 4× smaller than `array<float>` (and 8× smaller than double),
     * which cuts shuffle bytes, parquet footprint, and ANN probe I/O
     * alike, while cosine against the dequantized vectors stays within
-    * a fraction of a percent. Everything is a codegen'd higher-order
-    * function over the array column — one scan, no UDF, no shuffle.
+    * a fraction of a percent. Everything is higher-order array
+    * functions over the array column — one scan, no UDF, no shuffle.
+    * NB Spark evaluates higher-order functions INTERPRETED (the
+    * round-8 lesson behind [[graft.functions.CentroidAssign]]); the
+    * oracle replays this exact HOF arithmetic per element, so the form
+    * is kept here where the quantize pass runs once per index build —
+    * if profiling ever shows it hot at real corpus scale, the same
+    * native-expression rewrite applies (emit (ma, codes) from one
+    * primitive loop) with the oracle unchanged.
     *
     * Output: the input columns with `embCol` replaced by (ma, codes) —
     * non-embedding columns (ids, cell assignments, metadata) pass

@@ -212,6 +212,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantized LSH index: identical pairs, superset candidates, smaller bytes") {
+    val row = Dedup.minhashIndexQuantizedQuery(spark, sfDir).head()
+    assert(row.getLong(0) > 0, "no verified pairs at sf0.001")
+    assert(row.getBoolean(1), "quantized-index pairs must equal full-index pairs")
+    assert(row.getBoolean(2), "32-bit truncation must never lose a candidate")
+    assert(row.getBoolean(3), "quantized index must be <= 0.7x full-index bytes")
+  }
+
   test("span dedup: one kept occurrence per distinct span, first wins") {
     val k = 10
     val rows = Dedup.spanDedup(spark, sfDir, k)

@@ -146,20 +146,18 @@ object Dedup {
     * is the 31-bit Mersenne prime so a·h ≤ 2⁶² never overflows a Long —
     * Spark 4 runs ANSI arithmetic by default and would raise on
     * overflow. */
-  private val MersennePrime = (1L << 31) - 1
-  private def perms(n: Int, seed: Long): Array[(Long, Long)] = {
+  private val MersennePrime = graft.functions.TextSketch.MersennePrime
+  private[graft] def perms(n: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(n)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
   /** 64-bit string hash from two 32-bit murmur passes (deterministic,
-    * seed-fixed; used for signatures only — never oracle-compared). */
-  private def hash64(s: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
-  }
+    * seed-fixed; used for signatures only — never oracle-compared).
+    * Shared with the native sketch expressions. */
+  private def hash64(s: String): Long =
+    graft.functions.TextSketch.hash64(s)
 
   /** Choose an LSH banding (bands, rowsPerBand) for a queried Jaccard
     * threshold: the most selective banding (largest r, fewest random
@@ -185,11 +183,15 @@ object Dedup {
   }
 
   /** MinHash signatures: k permutations over the document's shingle set,
-    * computed in ONE pass per row inside a scalar function — no explode,
-    * no shuffle: signatures stream out of the scan at full parallelism.
+    * computed in ONE pass per row inside a native expression
+    * ([[graft.functions.TextSketch.MinHashSignature]]) — no explode, no
+    * shuffle: signatures stream out of the scan at full parallelism.
     * (A k-column conditional-min hash aggregate over exploded shingles
     * computes the same thing but pays an explode + shuffle + a janino
-    * codegen blowup; per-row JVM code is ~10× faster here.) */
+    * codegen blowup; and the ScalaUDF this replaced paid a per-row
+    * Seq[String] materialization through the catalyst→Scala converter
+    * before its loop even ran. Arithmetic is unchanged — spec-pinned
+    * against the former UDF's formula.) */
   def minHashSignatures(
       docsDf: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame =
     minHashSignaturesOfShingles(shingleArrays(docsDf), k, seed)
@@ -199,20 +201,9 @@ object Dedup {
   def minHashSignaturesOfShingles(
       sh: DataFrame, k: Int = 128, seed: Long = 42L): DataFrame = {
     val ps = perms(k, seed)
-    val mh = udf { (shingles: Seq[String]) =>
-      val sig = Array.fill(k)(MersennePrime)
-      shingles.foreach { s =>
-        val h = java.lang.Math.floorMod(hash64(s), MersennePrime)
-        var i = 0
-        while (i < k) {
-          val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
-    }
-    sh.select(col("doc_id"), mh(col("shg")).as("mh"))
+    sh.select(col("doc_id"),
+      graft.functions.TextSketch
+        .minHashCol(ps.map(_._1), ps.map(_._2), col("shg")).as("mh"))
   }
 
   /** LSH band keys from the signature array: b bands of r rows; same
@@ -491,7 +482,8 @@ object Dedup {
 
   /** 64-bit SimHash over word k-shingles: bit i is the sign of
     * Σ_shingles (±1 by bit i of hash64(shingle)). One pass per row in a
-    * scalar function — no explode, no shuffle (same rationale as
+    * native expression ([[graft.functions.TextSketch.SimHash64]]) — no
+    * explode, no shuffle, no per-row UDF converter (same rationale as
     * minHashSignatures). Shingles, not single tokens: documents drawn
     * from a shared vocabulary have near-identical token DISTRIBUTIONS,
     * which collapses token-level simhashes together; 3-gram features
@@ -501,24 +493,9 @@ object Dedup {
     simHashOfShingles(shingleArrays(df))
 
   /** SimHash from a precomputed (doc_id, shg) shingle relation. */
-  def simHashOfShingles(shingled: DataFrame): DataFrame = {
-    val sh = udf { (shingles: Seq[String]) =>
-      val counts = new Array[Int](64)
-      shingles.foreach { s =>
-        val h = hash64(s)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-    shingled.select(col("doc_id"), sh(col("shg")).as("simhash"))
-  }
+  def simHashOfShingles(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"),
+      graft.functions.TextSketch.simHashCol(col("shg")).as("simhash"))
 
   /** SimHash band candidates: 8×8-bit keys over the 64-bit fingerprint.
     * By pigeonhole, any pair within hamming distance 7 shares ≥1 band —

@@ -90,6 +90,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
+    "stream_state_rocksdb" -> ((s, dir) => graft.streaming.Streaming.rocksDbStateQuery(s, dir)),
     "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
     "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
@@ -709,6 +710,18 @@ object SparkEntry {
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS n_purchases
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // RocksDB-state windowed aggregate: results are provider-independent
+    // (same batch replay as stream_windowed_agg, collapsed to totals);
+    // the rocksdb_state_used boolean is the engine-asserted physical
+    // witness that the checkpoint carries the RocksDB layout.
+    "stream_state_rocksdb" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                true AS rocksdb_state_used
+         FROM w""",
     "multimodal_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'

@@ -78,15 +78,31 @@ object Streaming {
     * faster at 8 stores than at 32. A large cluster deployment passes a
     * cores-proportional value instead. The conf is set scoped — saved
     * and restored around the run — never left mutated on the session. */
+  /** Fully-qualified class name of Spark's RocksDB state store provider
+    * (ships in spark-sql + rocksdbjni — no extra dependency). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def runAvailableNow(
       df: DataFrame, checkpoint: String,
       outputMode: String = "complete",
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateProvider: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProvider = spark.conf.getOption(providerKey)
     val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    // Scoped like statePartitions: the provider class is ALSO pinned
+    // into the checkpoint at first batch. The default HDFS-backed
+    // provider keeps every store's working set on the executor heap —
+    // fine for bounded fixtures, a ceiling for 100 TB-scale keyed
+    // state (large dedup indexes, wide session maps), where the
+    // RocksDB provider ([[RocksDbProvider]]) spills state to local SST
+    // files and bounds memory per store.
+    stateProvider.foreach(p => spark.conf.set(providerKey, p))
     try {
       val q = df.writeStream
         .outputMode(outputMode)
@@ -95,7 +111,15 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally statePartitions.foreach(_ => spark.conf.set(key, prev))
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set(key, prev))
+      stateProvider.foreach { _ =>
+        prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
     // Materialize the sink contents, then DROP the memory-sink temp
     // view: without this, every micro-batch run leaves a mb_* catalog
     // entry (and its rows) behind for the life of the session.
@@ -717,6 +741,50 @@ object Streaming {
           .as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** stream_state_rocksdb driver query — the stream_windowed_agg
+    * aggregation executed on RocksDB state stores instead of the
+    * default HDFS-backed in-memory provider. Results must be provider-
+    * independent (the oracle is the same batch windowed aggregate), so
+    * the interesting part is the WITNESS: the checkpoint's state
+    * directory must carry the RocksDB layout — versioned .zip/.changelog
+    * artifacts, and none of the HDFS-backed provider's .delta/.snapshot
+    * files — proving the run actually exercised the spill-capable
+    * provider rather than silently falling back. At 100 TB-scale keyed
+    * state (a streaming dedup index, wide session maps) this provider
+    * is the difference between state bounded by local disk and state
+    * bounded by executor heap. */
+  def rocksDbStateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir("graft_rocks")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val ckpt = base.resolve("ckpt")
+    val counts = runAvailableNow(
+      windowedCounts(eventsStream(spark, srcDir.toString)),
+      ckpt.toString, statePartitions = Some(8),
+      stateProvider = Some(RocksDbProvider))
+    def stateFiles(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val stateDir = ckpt.resolve("state").toFile
+      if (stateDir.exists()) walk(stateDir).map(_.getName) else Seq.empty
+    }
+    val names = stateFiles()
+    val rocksArtifacts = names.count(n =>
+      n.endsWith(".zip") || n.endsWith(".changelog"))
+    val hdfsArtifacts = names.count(n =>
+      n.endsWith(".delta") || n.endsWith(".snapshot"))
+    val agg = counts
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_events")).cast("bigint").as("n_events"))
+      .head()
+    Seq((agg.getLong(0), agg.getLong(1),
+      rocksArtifacts > 0 && hdfsArtifacts == 0))
+      .toDF("n_windows", "n_events", "rocksdb_state_used")
   }
 
   /** stream_stateful driver query — run the custom-state counters over

@@ -21,6 +21,18 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("rocksdb state store: provider-independent results, rocksdb layout on disk") {
+    val row = Streaming.rocksDbStateQuery(spark, sfDir).head()
+    val want = Relational.table(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum(col("n"))).head()
+    assert(row.getLong(0) == want.getLong(0), "window count differs from batch")
+    assert(row.getLong(1) == want.getLong(1), "event total differs from batch")
+    assert(row.getBoolean(2),
+      "checkpoint state dir must carry the RocksDB layout (no .delta files)")
+  }
+
   test("stateful counters equal batch per-user totals") {
     val got = Streaming.statefulQuery(spark, sfDir)
       .as[(Long, Long, Long)].collect().toSet

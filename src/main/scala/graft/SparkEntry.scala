@@ -104,6 +104,7 @@ object SparkEntry {
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.45)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
+    "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
     "similarity_ivf_quantized" -> ((s, dir) => Similarity.ivfQuantizedQuery(s, dir)),
@@ -595,6 +596,17 @@ object SparkEntry {
       """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
                 true AS matches_full_index,
                 true AS corpus_files_untouched,
+                true AS scan_pruned
+         FROM embeddings WHERE vec_id < 2""",
+    // IVF-PQ: recall vs exact brute force, PQ-vs-int8 byte shrinkage,
+    // and probe pruning are engine-asserted deterministic booleans the
+    // oracle pins to true; n_results is k rows per query. (Both plans
+    // are seeded — codebooks, coarse cells, and ADC shortlist are all
+    // deterministic functions of the data.)
+    "similarity_ann_pq" ->
+      """SELECT CAST(count(*) * 5 AS BIGINT) AS n_results,
+                true AS recall_ge_bound,
+                true AS pq_bytes_vs_int8,
                 true AS scan_pruned
          FROM embeddings WHERE vec_id < 2""",
     // Quantized IVF index: recall vs the float index, byte shrinkage,

@@ -205,6 +205,59 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pq encode matches a naive driver loop; adc sums the right table cells") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PqOps
+    val e = Relational.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(64)
+    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, seed = 42L)
+    def naiveNormalize(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0.0) d else d.map(_ / n)
+    }
+    def naiveEncode(v: Seq[Float]): Seq[Byte] = {
+      val vn = naiveNormalize(v)
+      cbs.indices.map { s =>
+        val sub = cbs(s)(0).length
+        val off = s * sub
+        cbs(s).zipWithIndex.map { case (cw, j) =>
+          val d = cw.indices.map { i =>
+            val x = if (off + i < vn.length) vn(off + i) else 0.0
+            (x - cw(i)) * (x - cw(i))
+          }.sum
+          (d, j)
+        }.min._2.toByte
+      }
+    }
+    val rows = e.select(col("vec_id"),
+        PqOps.pqEncodeCol(cbs, col("embedding")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(rows(id) == naiveEncode(v), s"codes mismatch for vec $id")
+    }
+    // ADC: the expression must sum exactly the LUT cells the codes name.
+    val (id0, v0) = vecs.head
+    val lut = PqOps.lutFor(cbs, naiveNormalize(v0))
+    val ksub = cbs(0).length
+    val expected = rows(id0).zipWithIndex
+      .map { case (c, s) => lut(s * ksub + (c.toInt & 0xFF)) }.sum
+    import spark.implicits._
+    val got = Seq((lut.toSeq, rows(id0)))
+      .toDF("lut", "codes")
+      .select(PqOps.pqAdcCol(ksub, col("lut"), col("codes"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("pq witness query holds at the test scale factor") {
+    val row = Similarity.pqQuery(spark, sfDir).head()
+    assert(row.getLong(0) == 10L)
+    assert(row.getBoolean(1), "pq recall below bound")
+    assert(row.getBoolean(2), "pq index not smaller than int8 index")
+    assert(row.getBoolean(3), "pq probe scan not pruned")
+  }
+
   test("quantized LSH index: recall holds, bytes shrink, scan prunes") {
     val row = Similarity.lshQuantizedQuery(spark, sfDir).collect()(0)
     assert(row.getLong(0) == 10L) // k=5 × 2 queries

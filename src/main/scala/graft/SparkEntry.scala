@@ -996,17 +996,18 @@ object SparkEntry {
            min(CASE WHEN rn = ceil(0.95 * n) THEN l_extendedprice END) AS p95
          FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Heavy hitters: the MG sketch only proposes candidates; the final
-    // output is the exact count of every token above the integer
-    // threshold count*k >= n — a pure function of the data the replay
-    // computes with a plain GROUP BY/HAVING. A sketch that dropped a
-    // true heavy hitter would show up as a missing row here.
+    // output is the exact count of every token STRICTLY above the
+    // integer threshold count*k > n (strict because the MG guarantee
+    // covers only count > n/k) — a pure function of the data the
+    // replay computes with a plain GROUP BY/HAVING. A sketch that
+    // dropped a true heavy hitter would show up as a missing row here.
     "sketch_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                       FROM documents),
          tot AS (SELECT count(*) AS n FROM tok)
          SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
          FROM tok GROUP BY token
-         HAVING count(*) * 64 >= (SELECT n FROM tot)
+         HAVING count(*) * 64 > (SELECT n FROM tot)
          ORDER BY token""",
     "vocab_topk" ->
       """WITH tok AS (SELECT DISTINCT doc_id,

@@ -84,7 +84,10 @@ object CentroidAssign {
 
   /** The `nProbe` nearest cell indices, ordered by (distance, index) —
     * selection over the distance array, equal distances resolve to the
-    * lower index, matching the driver's tuple sort. */
+    * lower index, matching the driver's tuple sort. NaN distances (a
+    * NaN component in the vector) rank LAST with index tie-break, the
+    * same total order Scala's default Double ordering gives the
+    * driver-side `Seq.sorted` — never a crash, never a parity break. */
   def probeCells(cs: Array[Array[Double]], v: ArrayData, nProbe: Int): ArrayData = {
     val vn = normalized(v)
     val dists = new Array[Double](cs.length)
@@ -96,10 +99,15 @@ object CentroidAssign {
     var r = 0
     while (r < k) {
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = Double.NaN
       c = 0
       while (c < cs.length) {
-        if (!taken(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        // best<0 seeds with the first untaken; java.lang.Double.compare
+        // is the NaN-greatest total order of the driver's tuple sort.
+        if (!taken(c) &&
+            (best < 0 || java.lang.Double.compare(dists(c), bestD) < 0)) {
+          bestD = dists(c); best = c
+        }
         c += 1
       }
       taken(best) = true

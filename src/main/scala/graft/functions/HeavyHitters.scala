@@ -105,11 +105,19 @@ case class HeavyHittersSketch(
     new GenericArrayData(
       buf.keys.toSeq.sorted.map(UTF8String.fromString))
 
+  // Length-prefixed UTF-8, not writeUTF: tracked keys are arbitrary
+  // corpus tokens, and writeUTF throws past 64 KiB — a single giant
+  // "token" (minified blob, base64 run) must not kill the shuffle.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -119,7 +127,14 @@ case class HeavyHittersSketch(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) =
+        in.readLong()
+      i += 1
+    }
     buf
   }
 
@@ -138,17 +153,22 @@ object HeavyHittersSketch {
     ColumnBridge.column(
       HeavyHittersSketch(ColumnBridge.expression(c), k).toAggregateExpression())
 
-  /** sketch_heavy_hitters driver query — tokens occurring in more than
+  /** sketch_heavy_hitters driver query — tokens occurring in MORE than
     * 1/k of all token positions across the corpus: MG(k) over one
-    * token scan proposes ≤ k candidate tokens; a bounded second pass
+    * token scan proposes ≤ k candidate tokens (the same pass also
+    * computes n — one job, one traversal); a bounded second pass
     * recounts ONLY the candidates exactly (broadcast isin — |cands| ≤
-    * k rows drive it) and the integer comparison count·k ≥ n keeps the
-    * true heavy hitters. MG guarantees the candidate set contains
-    * every token above threshold, so the output equals the full exact
-    * groupBy's answer — which IS the oracle: a missed heavy hitter
-    * would surface as a missing row against the DuckDB replay. At
-    * 100 TB the second pass touches ≤ k keys while the exact groupBy
-    * this replaces would shuffle the whole key set. */
+    * k rows drive it) and the STRICT integer comparison count·k > n
+    * keeps the true heavy hitters. Strictness matters: the MG
+    * guarantee covers items with count > n/k — an item at exactly n/k
+    * may legitimately be evicted — so a ≥ filter could emit a set the
+    * sketch is not guaranteed to have proposed. With >, the candidate
+    * set provably contains every qualifying token and the output
+    * equals the full exact groupBy's answer — which IS the oracle: a
+    * missed heavy hitter would surface as a missing row against the
+    * DuckDB replay. At 100 TB the second pass touches ≤ k keys while
+    * the exact groupBy this replaces would shuffle the whole key
+    * set. */
   def heavyHittersQuery(
       spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val toks = graft.operators.Relational.table(spark, dir, "documents")
@@ -156,15 +176,16 @@ object HeavyHittersSketch {
     val cached = toks.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = cached.count()
-      val cands = cached
-        .agg(asColumn(col("token"), k).as("cands"))
-        .head().getSeq[String](0)
+      val head = cached
+        .agg(count(lit(1)).as("n"), asColumn(col("token"), k).as("cands"))
+        .head()
+      val n = head.getLong(0)
+      val cands = head.getSeq[String](1)
       cached
         .filter(col("token").isin(cands: _*))
         .groupBy("token")
         .agg(count(lit(1)).as("n_occurrences"))
-        .filter(col("n_occurrences") * k >= n)
+        .filter(col("n_occurrences") * k > n)
         .orderBy("token")
         .localCheckpoint(true)
     } finally cached.unpersist(false)

@@ -959,12 +959,7 @@ object Dedup {
   }
 
   /** Total bytes of parquet data files under `p` (recursive). */
-  private def dirBytes(p: String): Long = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(new java.io.File(p))
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-  }
+  private def dirBytes(p: String): Long = graft.util.FsWalk.parquetBytes(p)
 
   // ------------------------------------------------------------------
   // Sub-document span dedup

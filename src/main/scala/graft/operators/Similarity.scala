@@ -554,14 +554,11 @@ object Similarity {
   /** All parquet data files under `p` (recursive) — shared by the
     * bytes-shrunk and files-untouched witnesses so their notion of
     * "the index's files" can never drift apart. */
-  private def parquetFiles(p: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
-  }
+  private def parquetFiles(p: String): Seq[java.io.File] =
+    graft.util.FsWalk.files(p).filter(_.getName.endsWith(".parquet"))
 
   /** Total bytes of parquet data files under `p`. */
-  private def dirBytes(p: String): Long = parquetFiles(p).map(_.length()).sum
+  private def dirBytes(p: String): Long = graft.util.FsWalk.parquetBytes(p)
 
   /** The scaffold BOTH quantized-index witnesses (IVF and LSH) share,
     * so they can never drift apart under future edits: int8-quantize
@@ -843,6 +840,11 @@ object Similarity {
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
     val cbs = trainPqCodebooks(e, m, ksub, seed)
+    // LUT stride = ACTUAL codebook size: kmeans can return fewer than
+    // the requested ksub centroids when the training sample is smaller,
+    // and an ADC stride of the requested ksub would then index past
+    // each subspace's LUT segment — silently-wrong scores.
+    val ksubEff = if (cbs.isEmpty) 0 else cbs(0).length
     // ONE corpus scan computes coarse cell + fine codes (both native
     // expressions); the float vector itself never reaches the index.
     e.select(col("vec_id"),
@@ -874,7 +876,7 @@ object Similarity {
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.PqOps.pqAdcCol(ksub, col("lut"), col("codes"))
+        graft.functions.PqOps.pqAdcCol(ksubEff, col("lut"), col("codes"))
           .as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)

@@ -53,7 +53,14 @@ object Streaming {
     * nanos-Long, TIMESTAMP_NTZ micros, or TIMESTAMP — instead of baking
     * one generation's shape into a hard-coded StructType. normalizeTs
     * then canonicalizes `ts` to TimestampType exactly as the batch path
-    * does, so stream and batch oracle agree by construction. */
+    * does, so stream and batch oracle agree by construction.
+    *
+    * PRECONDITION the hard-coded schema did not have: at least one file
+    * must already be in `srcDir` when the stream is DEFINED (the batch
+    * read infers from it — an empty dir throws UNABLE_TO_INFER_SCHEMA).
+    * Every caller lands its first file before calling this; a source
+    * that genuinely starts empty should pass an explicit schema via
+    * `spark.readStream.schema(...)` instead. */
   def eventsStream(
       spark: SparkSession, srcDir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
@@ -767,13 +774,8 @@ object Streaming {
       windowedCounts(eventsStream(spark, srcDir.toString)),
       ckpt.toString, statePartitions = Some(8),
       stateProvider = Some(RocksDbProvider))
-    def stateFiles(): Seq[String] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      val stateDir = ckpt.resolve("state").toFile
-      if (stateDir.exists()) walk(stateDir).map(_.getName) else Seq.empty
-    }
-    val names = stateFiles()
+    val names = graft.util.FsWalk
+      .files(ckpt.resolve("state").toString).map(_.getName)
     val rocksArtifacts = names.count(n =>
       n.endsWith(".zip") || n.endsWith(".changelog"))
     val hdfsArtifacts = names.count(n =>

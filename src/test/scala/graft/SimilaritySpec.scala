@@ -205,6 +205,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NaN components: cell assignment matches the driver sort, never crashes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cs = Array(Array(0.5, 0.5), Array(-0.5, -0.5), Array(0.5, -0.5))
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(Float.NaN, 1f),   // NaN poisons every distance
+      2L -> Seq(1f, Float.NaN),
+      3L -> Seq(1f, 1f))          // control: finite
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.cellCol(cs, col("embedding")).as("cell"),
+        Similarity.probeCellsCol(cs, col("embedding"), 2).as("probes"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val want = Similarity.nearestCellsForTest(cs, v, 2)
+      assert(got(id)._1 == want.head, s"vec $id cell")
+      assert(got(id)._2 == want.toSeq, s"vec $id probes")
+    }
+    // All-NaN distances: deterministic index order, not a crash.
+    assert(got(1L)._2 == Seq(0, 1))
+  }
+
   test("pq encode matches a naive driver loop; adc sums the right table cells") {
     import org.apache.spark.sql.functions._
     import graft.functions.PqOps

@@ -91,6 +91,7 @@ object SparkEntry {
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
     "stream_state_rocksdb" -> ((s, dir) => graft.streaming.Streaming.rocksDbStateQuery(s, dir)),
+    "stream_transform_with_state" -> ((s, dir) => graft.streaming.Streaming.transformWithStateQuery(s, dir)),
     "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
     "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
@@ -719,6 +720,13 @@ object SparkEntry {
          FROM events GROUP BY 1, 2
          ORDER BY window_start, event_type""",
     "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // transformWithState (arbitrary-state V2): same per-user totals as
+    // stream_stateful — two custom-state APIs, one batch replay.
+    "stream_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS n_purchases

@@ -750,6 +750,67 @@ object Streaming {
       .orderBy("window_start", "event_type")
   }
 
+  /** Per-user counters as a Spark-4 [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the arbitrary-state V2 API (transformWithState): NAMED typed
+    * state slots fetched from a handle (here one ValueState; ListState/
+    * MapState and per-key timers are the same handle), TTL-capable, and
+    * required to run on the RocksDB state store provider. The modern
+    * successor to mapGroupsWithState for custom streaming state. */
+  private class UserCounterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSession]("counts",
+        org.apache.spark.sql.Encoders.product[UserSession], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSession] = {
+      val prev =
+        if (state.exists()) state.get() else UserSession(key, 0L, 0L)
+      var n = prev.n_events
+      var p = prev.n_purchases
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+      }
+      val cur = UserSession(key, n, p)
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** stream_transform_with_state driver query — the same per-user
+    * counters as stream_stateful, on transformWithState instead of
+    * mapGroupsWithState: two state APIs, one batch oracle. Runs on the
+    * RocksDB provider (the V2 API requires it — its state layout is
+    * column-family-per-slot, which the HDFS-backed provider cannot
+    * host). Final per-user totals equal the batch groupBy. */
+  def transformWithStateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val base = graft.util.Scratch.dir("graft_tws")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val evs = eventsStream(spark, srcDir.toString)
+      .select(col("user_id"), col("event_type")).as[UserEvent]
+    val counted = evs.groupByKey(_.user_id)
+      .transformWithState(new UserCounterProcessor,
+        TimeMode.None(), OutputMode.Update())
+    runAvailableNow(counted.toDF(),
+      base.resolve("ckpt").toString, outputMode = "update",
+      statePartitions = Some(8),
+      stateProvider = Some(RocksDbProvider))
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("n_purchases").as("n_purchases"))
+      .orderBy("user_id")
+  }
+
   /** stream_state_rocksdb driver query — the stream_windowed_agg
     * aggregation executed on RocksDB state stores instead of the
     * default HDFS-backed in-memory provider. Results must be provider-

@@ -33,6 +33,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
       "checkpoint state dir must carry the RocksDB layout (no .delta files)")
   }
 
+  test("transformWithState counters equal the mapGroupsWithState path and the batch") {
+    val v2 = Streaming.transformWithStateQuery(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val v1 = Streaming.statefulQuery(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(v2 == v1, "the two custom-state APIs disagree")
+    assert(v2.nonEmpty)
+  }
+
   test("stateful counters equal batch per-user totals") {
     val got = Streaming.statefulQuery(spark, sfDir)
       .as[(Long, Long, Long)].collect().toSet

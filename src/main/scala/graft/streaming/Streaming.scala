@@ -789,22 +789,36 @@ object Streaming {
     * column-family-per-slot, which the HDFS-backed provider cannot
     * host). Final per-user totals equal the batch groupBy. */
   def transformWithStateQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val base = graft.util.Scratch.dir("graft_tws")
+    userCounterQuery(spark, dir, "graft_tws",
+      evs => {
+        import evs.sparkSession.implicits._
+        evs.groupByKey(_.user_id)
+          .transformWithState(new UserCounterProcessor,
+            TimeMode.None(), OutputMode.Update()).toDF()
+      },
+      stateProvider = Some(RocksDbProvider))
+  }
+
+  /** The scaffold BOTH per-user-counter queries share (scratch source
+    * dir, events stream, update-mode run, final max-per-user collapse),
+    * so the "two state APIs, one batch oracle" parity the spec asserts
+    * cannot drift through an edit to one copy. */
+  private def userCounterQuery(
+      spark: SparkSession, dir: String, scratch: String,
+      counters: Dataset[UserEvent] => DataFrame,
+      stateProvider: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir(scratch)
     val srcDir = base.resolve("in")
     Files.createDirectories(srcDir)
     Files.copy(Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"))
     val evs = eventsStream(spark, srcDir.toString)
       .select(col("user_id"), col("event_type")).as[UserEvent]
-    val counted = evs.groupByKey(_.user_id)
-      .transformWithState(new UserCounterProcessor,
-        TimeMode.None(), OutputMode.Update())
-    runAvailableNow(counted.toDF(),
+    runAvailableNow(counters(evs),
       base.resolve("ckpt").toString, outputMode = "update",
-      statePartitions = Some(8),
-      stateProvider = Some(RocksDbProvider))
+      statePartitions = Some(8), stateProvider = stateProvider)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         max("n_purchases").as("n_purchases"))
@@ -853,21 +867,7 @@ object Streaming {
   /** stream_stateful driver query — run the custom-state counters over
     * the events stream to completion; final per-user totals equal the
     * batch groupBy, which is the oracle. */
-  def statefulQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = graft.util.Scratch.dir("graft_state")
-    val srcDir = base.resolve("in")
-    Files.createDirectories(srcDir)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    val evs = eventsStream(spark, srcDir.toString)
-      .select(col("user_id"), col("event_type")).as[UserEvent]
-    runAvailableNow(userCounters(evs).toDF(),
-      base.resolve("ckpt").toString, outputMode = "update",
-      statePartitions = Some(8))
-      .groupBy("user_id")
-      .agg(max("n_events").as("n_events"),
-        max("n_purchases").as("n_purchases"))
-      .orderBy("user_id")
-  }
+  def statefulQuery(spark: SparkSession, dir: String): DataFrame =
+    userCounterQuery(spark, dir, "graft_state",
+      evs => userCounters(evs).toDF())
 }

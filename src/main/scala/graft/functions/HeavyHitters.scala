@@ -68,10 +68,12 @@ case class HeavyHittersSketch(
       case Some(c) => buf(s) = c + 1
       case None if buf.size < k - 1 => buf(s) = 1L
       case None =>
-        val dead = buf.iterator.flatMap { case (key, c) =>
-          if (c == 1L) Some(key) else { buf(key) = c - 1; None }
-        }.toList
-        dead.foreach(buf.remove)
+        // Snapshot before mutating: HashMap iterators are undefined
+        // under concurrent modification; the buffer is O(k) so the
+        // copy is free.
+        buf.toList.foreach { case (key, c) =>
+          if (c == 1L) buf.remove(key) else buf(key) = c - 1
+        }
     }
 
   override def update(
@@ -93,10 +95,10 @@ case class HeavyHittersSketch(
     b2.foreach { case (key, c) => b1(key) = b1.getOrElse(key, 0L) + c }
     if (b1.size > k - 1) {
       val kth = b1.values.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
-      val dead = b1.iterator.flatMap { case (key, c) =>
-        if (c - kth <= 0L) Some(key) else { b1(key) = c - kth; None }
-      }.toList
-      dead.foreach(b1.remove)
+      // Snapshot before mutating (same rationale as add()).
+      b1.toList.foreach { case (key, c) =>
+        if (c - kth <= 0L) b1.remove(key) else b1(key) = c - kth
+      }
     }
     b1
   }

@@ -43,6 +43,24 @@ object Relational {
     df.schema.find(_.name == "ts").fold(df) { f =>
       f.dataType match {
         case LongType => // epoch nanos (TIMESTAMP(NANOS) via legacy conf, or a raw long column)
+          // Magnitude guard: modern epoch-nanos are ~1.7e18; epoch-micros
+          // (~1.7e15) or -millis (~1.7e12) shipped as raw Longs would be
+          // silently divided into the 1970s. Fail loudly at read time
+          // instead of waiting for a downstream year-range probe. A
+          // streaming DataFrame cannot run the probe action (collect on
+          // a stream throws); those sources land files this engine
+          // itself wrote from already-normalized timestamps, so the
+          // batch-side probe has always vetted the same values.
+          if (!df.isStreaming) {
+            val probe = df.select(col("ts")).filter(col("ts").isNotNull)
+              .limit(1).collect()
+            probe.headOption.map(_.getLong(0)).filter(_ < 100000000000000000L)
+              .foreach { v => sys.error(
+                s"events.ts is a raw LONG but value $v is too small for " +
+                  "epoch-nanos (expected >= 1e17). The testdata likely ships " +
+                  "epoch-micros or -millis now; extend Relational.normalizeTs.")
+              }
+          }
           df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType =>
           df.withColumn("ts", col("ts").cast(TimestampType))

@@ -26,7 +26,9 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     val k = 16
     val data = stream(heavy = 5, heavyCount = 200, light = 2000)
     val n = data.size
-    val trueHeavy = data.groupBy(identity).filter(_._2.size * k >= n).keySet
+    // Strict >: the MG guarantee only covers items strictly above n/k
+    // (an item at exactly n/k may legitimately be evicted).
+    val trueHeavy = data.groupBy(identity).filter(_._2.size * k > n).keySet
     assert(trueHeavy.size == 5, s"fixture: ${trueHeavy.size} heavy items")
     for (parts <- Seq(1, 3, 8, 32)) {
       val cands = data.toDF("s").repartition(parts)
@@ -45,7 +47,7 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
       .select(explode(split(col("text"), " ")).as("token"))
     val n = toks.count()
     val want = toks.groupBy("token").agg(count(lit(1)).as("c"))
-      .filter(col("c") * 64 >= n)
+      .filter(col("c") * 64 > n)
       .orderBy("token")
       .as[(String, Long)].collect().toSeq
     assert(got == want)

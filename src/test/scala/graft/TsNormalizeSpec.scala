@@ -56,6 +56,16 @@ class TsNormalizeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a raw-Long ts too small for epoch-nanos fails loudly (micros/millis trap)") {
+    import spark.implicits._
+    // 2024-01-01 as epoch-MICROS shipped in a Long column: dividing by
+    // 1000 as if nanos would silently land in 1970 — must throw instead.
+    val micros = Seq((1L, 1704067200000000L)).toDF("event_id", "ts")
+    val e = intercept[RuntimeException](
+      Relational.normalizeTs(micros).collect())
+    assert(e.getMessage.contains("too small for"), e.getMessage)
+  }
+
   test("an unhandled ts type fails loudly naming the observed type") {
     import spark.implicits._
     val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")

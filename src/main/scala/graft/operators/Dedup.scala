@@ -940,17 +940,25 @@ object Dedup {
     val sh = shingleArrays(corpus.unionByName(batch)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def pairSet(cands: DataFrame): Set[(Long, Long)] =
+      // Pair-set equality witnessed DISTRIBUTED: two symmetric anti-join
+      // counts (the lostCandidates pattern) instead of collecting both
+      // verified pair sets to the driver — the dup-pair count grows with
+      // the corpus, so at 100 TB only these counts may land driver-side.
+      def pairsOf(cands: DataFrame): DataFrame =
         jaccardVerifyShingled(sh, cands, threshold)
-          .select(col("doc_a"), col("doc_b")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val pairsF = pairSet(candsF)
-      val pairsQ = pairSet(candsQ)
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .localCheckpoint(true)
+      val pairsF = pairsOf(candsF)
+      val pairsQ = pairsOf(candsQ)
+      val onlyInFull =
+        pairsF.join(pairsQ, Seq("doc_a", "doc_b"), "left_anti").count()
+      val onlyInQuant =
+        pairsQ.join(pairsF, Seq("doc_a", "doc_b"), "left_anti").count()
       val lostCandidates =
         candsF.join(candsQ, Seq("doc_a", "doc_b"), "left_anti").count()
       val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
-      Seq((pairsQ.size.toLong,
-        pairsQ == pairsF,
+      Seq((pairsQ.count(),
+        onlyInFull == 0L && onlyInQuant == 0L,
         lostCandidates == 0L,
         ratio <= 0.7))
         .toDF("n_pairs", "matches_full_index", "candidates_superset",

@@ -69,8 +69,13 @@ object CentroidAssign {
 
   /** Index of the nearest centroid (strict `<` keeps the first of equal
     * distances — the driver loop's tie-break). */
-  def nearestCell(cs: Array[Array[Double]], v: ArrayData): Int = {
-    val vn = normalized(v)
+  def nearestCell(cs: Array[Array[Double]], v: ArrayData): Int =
+    nearestCellOfNormalized(cs, normalized(v))
+
+  /** Same argmin over an already-normalized double vector — shared with
+    * [[PqOps.pqEncode]] so the cell a residual subtracts can never
+    * disagree with the `cell` partition column. */
+  def nearestCellOfNormalized(cs: Array[Array[Double]], vn: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

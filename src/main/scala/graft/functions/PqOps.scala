@@ -19,26 +19,46 @@ import org.apache.spark.sql.types._
   * decode, no float math per candidate beyond the adds.
   *
   * Both hot paths are the [[CentroidAssign]] pattern: constants
-  * (codebooks) ride as codegen reference objects, `doGenCode` emits
-  * one static call to a primitive loop over `ArrayData`, nothing is
-  * interpreted per element. Encoding normalizes the vector first
-  * (same L2 normalization as the IVF cell assignment, so one
-  * normalized geometry serves coarse cells and fine codes); parity
-  * with the driver-side reference loop is spec-pinned.
+  * (codebooks + coarse centroids) ride as codegen reference objects,
+  * `doGenCode` emits one static call to a primitive loop over
+  * `ArrayData`, nothing is interpreted per element. Encoding is
+  * RESIDUAL (classic IVFPQ): the vector is L2-normalized, its coarse
+  * cell's centroid subtracted — the same normalize + argmin kernels as
+  * the cell assignment itself, so code and partition column can never
+  * disagree — and the residual is what the codebooks quantize.
+  * Residuals concentrate near zero, so the same 8 bytes carry more
+  * precision than raw-vector codes and ADC ranks candidates better;
+  * the price is a per-(query, probed-cell) LUT instead of per-query.
+  * Parity with the driver-side reference loop is spec-pinned.
   */
 object PqOps {
 
   // ---- static primitive kernels (called from generated code) ----
 
-  /** PQ-encode a float vector: L2-normalize, split into
+  /** The residual a vector PQ-encodes as — its normalized form minus
+    * its coarse cell's centroid (classic IVFPQ, Jégou et al. 2011 §III:
+    * residuals carry far less variance than raw vectors, so the same m
+    * bytes rank candidates better). Dims past the centroid's length
+    * pass through unshifted — same shared-prefix law as
+    * [[CentroidAssign]]'s distance fold. */
+  def residual(centroid: Array[Double], vn: Array[Double]): Array[Double] = {
+    val r = new Array[Double](vn.length)
+    val n = math.min(centroid.length, vn.length)
+    var i = 0
+    while (i < n) { r(i) = vn(i) - centroid(i); i += 1 }
+    while (i < vn.length) { r(i) = vn(i); i += 1 }
+    r
+  }
+
+  /** Encode an (already residual) double vector: split into
     * `codebooks.length` contiguous subvectors, emit each subvector's
     * nearest codeword index (strict `<` keeps the first of equal
     * distances). codebooks(s)(j) is codeword j of subspace s; subspace
     * s covers dims [s·sub, (s+1)·sub) where sub = dim/m — vectors
     * shorter than (s+1)·sub contribute only their present dims, same
     * truncation law as [[CentroidAssign]]. */
-  def pqEncode(codebooks: Array[Array[Array[Double]]], v: ArrayData): ArrayData = {
-    val vn = CentroidAssign.normalized(v)
+  def encodeResidual(
+      codebooks: Array[Array[Array[Double]]], r: Array[Double]): Array[Byte] = {
     val m = codebooks.length
     val codes = new Array[Byte](m)
     var s = 0
@@ -51,10 +71,10 @@ object PqOps {
       var j = 0
       while (j < cb.length) {
         val cw = cb(j)
-        val n = math.min(cw.length, math.max(0, vn.length - off))
+        val n = math.min(cw.length, math.max(0, r.length - off))
         var d = 0.0
         var i = 0
-        while (i < n) { val t = vn(off + i) - cw(i); d += t * t; i += 1 }
+        while (i < n) { val t = r(off + i) - cw(i); d += t * t; i += 1 }
         // Dims the vector lacks score as distance to the codeword's
         // remaining mass — keeps argmin well-defined on short vectors.
         var i2 = n
@@ -65,7 +85,21 @@ object PqOps {
       codes(s) = best.toByte
       s += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(codes)
+    codes
+  }
+
+  /** PQ-encode a float vector against its coarse cell: L2-normalize,
+    * subtract the nearest centroid (the SAME normalize + argmin kernels
+    * as [[CentroidAssign.nearestCell]], so the cell this subtracts is
+    * bit-identical to the `cell` partition column written next to the
+    * codes), then encode the residual. */
+  def pqEncode(
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], v: ArrayData): ArrayData = {
+    val vn = CentroidAssign.normalized(v)
+    val cell = CentroidAssign.nearestCellOfNormalized(centroids, vn)
+    UnsafeArrayData.fromPrimitiveArray(
+      encodeResidual(codebooks, residual(centroids(cell), vn)))
   }
 
   /** ADC score: Σ_s lut[s·ksub + codes(s)] — the flattened per-query
@@ -83,9 +117,11 @@ object PqOps {
     d
   }
 
-  /** Driver-side LUT for one (already normalized) query vector against
-    * the codebooks, flattened as m·ksub doubles — O(m·ksub·sub) work
-    * per query, computed once per probe on the bounded query set. */
+  /** Driver-side LUT for one query RESIDUAL (normalized query minus the
+    * probed cell's centroid — residual encoding makes the LUT
+    * per-(query, probed cell)) against the codebooks, flattened as
+    * m·ksub doubles — O(nProbe·m·ksub·sub) work per query, computed on
+    * the bounded query set only. */
   def lutFor(codebooks: Array[Array[Array[Double]]], qn: Array[Double]): Array[Double] = {
     val m = codebooks.length
     val ksub = if (m == 0) 0 else codebooks(0).length
@@ -113,7 +149,8 @@ object PqOps {
   }
 
   case class PqEncode(
-      codebooks: Array[Array[Array[Double]]], child: Expression)
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
     override def prettyName: String = "pq_encode"
@@ -123,12 +160,13 @@ object PqOps {
         s"pq_encode needs array<float>, got ${other.simpleString}")
     }
     override def nullSafeEval(input: Any): Any =
-      PqOps.pqEncode(codebooks, input.asInstanceOf[ArrayData])
+      PqOps.pqEncode(codebooks, centroids, input.asInstanceOf[ArrayData])
     override protected def doGenCode(
         ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.PqOps.pqEncode($cb, $c);")
+        s"${ev.value} = graft.functions.PqOps.pqEncode($cb, $cs, $c);")
     }
     override protected def withNewChildInternal(
         newChild: Expression): PqEncode = copy(child = newChild)
@@ -161,8 +199,10 @@ object PqOps {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  def pqEncodeCol(codebooks: Array[Array[Array[Double]]], v: Column): Column =
-    ColumnBridge.column(PqEncode(codebooks, ColumnBridge.expression(v)))
+  def pqEncodeCol(codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], v: Column): Column =
+    ColumnBridge.column(
+      PqEncode(codebooks, centroids, ColumnBridge.expression(v)))
 
   def pqAdcCol(ksub: Int, lut: Column, codes: Column): Column =
     ColumnBridge.column(PqAdcScore(ksub,

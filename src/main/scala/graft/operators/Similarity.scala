@@ -359,9 +359,12 @@ object Similarity {
 
   /** Cell partition directories present on disk under `idx` — the
     * denominator for the scan-pruning witness. */
-  private def cellDirsOnDisk(idx: String): Int =
-    new java.io.File(idx).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+  private def cellDirsOnDisk(idx: String): Int = {
+    val dirs = Option(new java.io.File(idx).listFiles()).getOrElse(
+      sys.error(s"IVF index directory missing or unreadable: $idx — " +
+        "the index build must run before the pruning witness"))
+    dirs.count(f => f.isDirectory && f.getName.startsWith("cell="))
+  }
 
   /** similarity_ann_ivf — inverted-file ANN as a DataFrame plan: a
     * k-means coarse quantizer (trained on a bounded sample) assigns
@@ -781,17 +784,25 @@ object Similarity {
   // IVF-PQ: product-quantized index + ADC probe
   // ------------------------------------------------------------------
 
-  /** Per-subspace PQ codebooks: the normalized bounded sample is split
-    * into `m` contiguous dim/m-wide subvectors and each subspace gets
-    * its own `ksub`-entry k-means codebook (seeded per subspace).
+  /** Per-subspace PQ codebooks, trained on RESIDUALS (classic IVFPQ):
+    * each sample vector is normalized, its nearest coarse centroid
+    * subtracted ([[graft.functions.PqOps.residual]] — the same law the
+    * in-plan encoder applies), and the residuals are split into `m`
+    * contiguous dim/m-wide subvectors, each subspace getting its own
+    * `ksub`-entry k-means codebook (seeded per subspace). Residuals
+    * cluster near zero with far less variance than raw vectors, so the
+    * codebooks spend their ksub entries where candidates actually live.
     * O(m·ksub·dim/m) doubles of model constants — driver-trainable at
     * any corpus size, like [[trainCentroids]]. */
   private[graft] def trainPqCodebooks(
-      e: DataFrame, m: Int, ksub: Int, seed: Long,
+      e: DataFrame, cs: Array[Array[Double]], m: Int, ksub: Int, seed: Long,
       sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
     val sample = e.orderBy(col("vec_id")).limit(sampleCap)
       .select(col("embedding")).collect()
-      .map(r => normalize(r.getSeq[Float](0)))
+      .map { r =>
+        val vn = normalize(r.getSeq[Float](0))
+        graft.functions.PqOps.residual(cs(nearestCells(cs, vn, 1)(0)), vn)
+      }
     val dim = if (sample.isEmpty) 0 else sample(0).length
     require(m > 0 && dim % m == 0,
       s"embedding dim $dim not divisible by m=$m subspaces")
@@ -809,11 +820,17 @@ object Similarity {
     * payload PRODUCT-QUANTIZED to m=8 single-byte codes — 32× smaller
     * than the float vectors and 8× smaller than the int8 scalar codes,
     * which is what makes a trillion-vector index fit a disk budget.
-    * Probing is partition pruning (probed cells only) + ASYMMETRIC
-    * DISTANCE: each query ships a driver-computed m×ksub lookup table
-    * of exact subvector→codeword distances in the broadcast join, and
-    * a candidate scores as m table lookups inside a native codegen'd
-    * expression ([[graft.functions.PqOps.PqAdcScore]]) — no decode, no
+    * Codes are RESIDUAL-encoded (Jégou §III): each vector quantizes
+    * `vn − centroid(cell(vn))`, not vn itself — residuals concentrate
+    * near zero, so the same 8 bytes reconstruct tighter and ADC ranks
+    * better. Probing is partition pruning (probed cells only) +
+    * ASYMMETRIC DISTANCE: each (query, probed cell) pair ships a
+    * driver-computed m×ksub lookup table of exact
+    * query-residual→codeword distances in the broadcast join — the
+    * join key IS the cell, so a candidate meets exactly the LUT built
+    * against its own cell's centroid — and a candidate scores as m
+    * table lookups inside a native codegen'd expression
+    * ([[graft.functions.PqOps.PqAdcScore]]) — no decode, no
     * per-candidate float vector I/O. The ADC shortlist (refine = 64·k
     * per query — a fixed per-query budget, NOT a corpus fraction) is
     * then re-ranked EXACTLY by joining the shortlist ids back to the
@@ -839,7 +856,7 @@ object Similarity {
     val idx8 = graft.util.Scratch.dir("ivf_pq_int8ref").toString
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
-    val cbs = trainPqCodebooks(e, m, ksub, seed)
+    val cbs = trainPqCodebooks(e, cs, m, ksub, seed)
     // LUT stride = ACTUAL codebook size: kmeans can return fewer than
     // the requested ksub centroids when the training sample is smaller,
     // and an ADC stride of the requested ksub would then index past
@@ -848,7 +865,7 @@ object Similarity {
     // ONE corpus scan computes coarse cell + fine codes (both native
     // expressions); the float vector itself never reaches the index.
     e.select(col("vec_id"),
-        graft.functions.PqOps.pqEncodeCol(cbs, col("embedding")).as("codes"),
+        graft.functions.PqOps.pqEncodeCol(cbs, cs, col("embedding")).as("codes"),
         cellCol(cs, col("embedding")).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxPq)
     // int8 scalar index as the bytes reference (the tier PQ supersedes).
@@ -861,15 +878,19 @@ object Similarity {
     val qRows = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val qSide = qRows.map { case (id, v) =>
+    // Residual encoding makes the LUT per-(query, probed cell): the
+    // query's residual to THAT cell's centroid is what ADC compares
+    // against the candidates' residual codes. O(nQueries·nProbe·m·ksub)
+    // driver doubles — still bounded by the query set, not the corpus.
+    val qSide = qRows.flatMap { case (id, v) =>
       val vn = normalize(v)
-      (id, graft.functions.PqOps.lutFor(cbs, vn).toSeq,
-        nearestCells(cs, vn, nProbe).toSeq)
+      nearestCells(cs, vn, nProbe).map { cell =>
+        val rq = graft.functions.PqOps.residual(cs(cell), vn)
+        (id, cell, graft.functions.PqOps.lutFor(cbs, rq).toSeq)
+      }
     }.toSeq
-    val probed = qSide.flatMap(_._3).distinct
-    val queries = qSide.toDF("query_id", "lut", "cells")
-      .select(col("query_id"), col("lut"),
-        explode(col("cells")).as("cell"))
+    val probed = qSide.map(_._2).distinct
+    val queries = qSide.toDF("query_id", "cell", "lut")
     val refine = 64 * k
     val adc = spark.read.parquet(idxPq)
       .filter(col("cell").isin(probed: _*))

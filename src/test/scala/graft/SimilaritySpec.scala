@@ -227,25 +227,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L)._2 == Seq(0, 1))
   }
 
-  test("pq encode matches a naive driver loop; adc sums the right table cells") {
+  test("pq residual-encode matches a naive driver loop; adc sums the right table cells") {
     import org.apache.spark.sql.functions._
     import graft.functions.PqOps
     val e = Relational.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(64)
-    val cbs = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, seed = 42L)
+    val cs = Similarity.trainCentroids(e, nCells = 16, seed = 42L)
+    val cbs = Similarity.trainPqCodebooks(e, cs, m = 8, ksub = 16, seed = 42L)
     def naiveNormalize(v: Seq[Float]): Array[Double] = {
       val d = v.map(_.toDouble).toArray
       val n = math.sqrt(d.map(x => x * x).sum)
       if (n == 0.0) d else d.map(_ / n)
     }
-    def naiveEncode(v: Seq[Float]): Seq[Byte] = {
+    // Fully independent residual reference: naive normalize, naive
+    // nearest-centroid argmin, naive subtraction — none of the engine's
+    // kernels — so a drift in ANY stage of the in-plan encoder shows.
+    def naiveResidual(v: Seq[Float]): Array[Double] = {
       val vn = naiveNormalize(v)
+      val cell = cs.indices.minBy { c =>
+        cs(c).indices.take(vn.length)
+          .map(i => (vn(i) - cs(c)(i)) * (vn(i) - cs(c)(i))).sum
+      }
+      vn.indices.map(i =>
+        vn(i) - (if (i < cs(cell).length) cs(cell)(i) else 0.0)).toArray
+    }
+    def naiveEncode(v: Seq[Float]): Seq[Byte] = {
+      val r = naiveResidual(v)
       cbs.indices.map { s =>
         val sub = cbs(s)(0).length
         val off = s * sub
         cbs(s).zipWithIndex.map { case (cw, j) =>
           val d = cw.indices.map { i =>
-            val x = if (off + i < vn.length) vn(off + i) else 0.0
+            val x = if (off + i < r.length) r(off + i) else 0.0
             (x - cw(i)) * (x - cw(i))
           }.sum
           (d, j)
@@ -253,15 +266,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       }
     }
     val rows = e.select(col("vec_id"),
-        PqOps.pqEncodeCol(cbs, col("embedding")).as("codes"))
+        PqOps.pqEncodeCol(cbs, cs, col("embedding")).as("codes"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     vecs.foreach { case (id, v) =>
       assert(rows(id) == naiveEncode(v), s"codes mismatch for vec $id")
     }
-    // ADC: the expression must sum exactly the LUT cells the codes name.
+    // ADC: the expression must sum exactly the LUT cells the codes
+    // name; the LUT for a candidate's own cell is built from the query
+    // residual to that same cell.
     val (id0, v0) = vecs.head
-    val lut = PqOps.lutFor(cbs, naiveNormalize(v0))
+    val lut = PqOps.lutFor(cbs, naiveResidual(v0))
     val ksub = cbs(0).length
     val expected = rows(id0).zipWithIndex
       .map { case (c, s) => lut(s * ksub + (c.toInt & 0xFF)) }.sum

@@ -92,6 +92,8 @@ object SparkEntry {
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
     "stream_state_rocksdb" -> ((s, dir) => graft.streaming.Streaming.rocksDbStateQuery(s, dir)),
     "stream_transform_with_state" -> ((s, dir) => graft.streaming.Streaming.transformWithStateQuery(s, dir)),
+    "stream_state_timers" -> ((s, dir) => graft.streaming.Streaming.timerExpiryQuery(s, dir)),
+    "stream_state_ttl" -> ((s, dir) => graft.streaming.Streaming.ttlLapseQuery(s, dir)),
     "multimodal_features" -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_metadata" -> ((s, dir) => graft.multimodal.Multimodal.metadataQuery(s, dir)),
     "similarity_cosine_expr" -> ((s, dir) => graft.functions.CosineSimilarity.pairsQuery(s, dir)),
@@ -730,6 +732,25 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS n_purchases
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // Event-time timers (V2 state API): a user's session closes BY
+    // TIMER iff its armed expiry (last event + 1h, in floor-ms) is <=
+    // the final watermark (global max event time − 30min, floor-ms) —
+    // Spark's `<=` fire rule and ms arithmetic replayed exactly.
+    "stream_state_timers" ->
+      """WITH g AS (SELECT epoch_ms(max(ts)) AS gmax FROM events)
+         SELECT user_id, count(*) AS n_events,
+                (epoch_ms(max(ts)) + 3600000 <= g.gmax - 1800000)
+                  AS expired_by_timer
+         FROM events, g GROUP BY user_id, g.gmax ORDER BY user_id""",
+    // State TTL (V2 state API): two micro-batches by event_id parity;
+    // the 1 ms-TTL slot lapses on every call (= batches the user
+    // appears in), the durable control slot exactly once.
+    "stream_state_ttl" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_calls,
+         CAST(count(DISTINCT event_id % 2) AS BIGINT) AS ttl_lapses,
+         CAST(1 AS BIGINT) AS durable_lapses
          FROM events GROUP BY user_id ORDER BY user_id""",
     // RocksDB-state windowed aggregate: results are provider-independent
     // (same batch replay as stream_windowed_agg, collapsed to totals);

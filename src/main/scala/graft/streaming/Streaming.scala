@@ -94,14 +94,25 @@ object Streaming {
       df: DataFrame, checkpoint: String,
       outputMode: String = "complete",
       statePartitions: Option[Int] = None,
-      stateProvider: Option[String] = None): DataFrame = {
+      stateProvider: Option[String] = None,
+      noDataBatches: Option[Boolean] = None): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(key)
     val prevProvider = spark.conf.getOption(providerKey)
+    val prevNoData = spark.conf.getOption(noDataKey)
     val table = "mb_" + java.util.UUID.randomUUID.toString.replace("-", "")
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    // Scoped like the others. Needed because TimeMode.ProcessingTime's
+    // shouldRunAnotherBatch is unconditionally true (processing time
+    // always advances), so AvailableNow + no-data batches = an
+    // infinite watermark-batch loop (measured: the TTL query never
+    // terminated). A query that needs nothing from no-data batches
+    // turns them off; event-time queries MUST leave them on (the
+    // watermark-advance batch is what fires timers / closes windows).
+    noDataBatches.foreach(b => spark.conf.set(noDataKey, b.toString))
     // Scoped like statePartitions: the provider class is ALSO pinned
     // into the checkpoint at first batch. The default HDFS-backed
     // provider keeps every store's working set on the executor heap —
@@ -124,6 +135,12 @@ object Streaming {
         prevProvider match {
           case Some(p) => spark.conf.set(providerKey, p)
           case None => spark.conf.unset(providerKey)
+        }
+      }
+      noDataBatches.foreach { _ =>
+        prevNoData match {
+          case Some(p) => spark.conf.set(noDataKey, p)
+          case None => spark.conf.unset(noDataKey)
         }
       }
     }
@@ -798,6 +815,193 @@ object Streaming {
             TimeMode.None(), OutputMode.Update()).toDF()
       },
       stateProvider = Some(RocksDbProvider))
+  }
+
+  final case class TimedEvent(
+      user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  final case class SessionVerdict(
+      user_id: Long, n_events: Long, expired_by_timer: Boolean)
+
+  /** Per-user session expiry driven by REGISTERED EVENT-TIME TIMERS —
+    * the V2 state API capability the counter twins don't exercise.
+    * Each key counts its events and (re)arms a timer at
+    * lastEventMs + gapMs; when the event-time watermark passes a
+    * timer, [[handleExpiredTimer]] fires in the watermark-advance
+    * micro-batch, emits the closed session with `expired_by_timer =
+    * true`, and evicts the key's state — sessions idle longer than the
+    * gap close THEMSELVES, without waiting for another event on the
+    * key (the thing mapGroupsWithState timeouts did, now as explicit
+    * per-key timers). Keys whose timer outruns the final watermark
+    * stay open and emit only their running count.
+    *
+    * Determinism (what makes this batch-oracle-checkable): with one
+    * source file there is one data batch, so every key arms exactly
+    * one final timer at maxTsMs(key) + gapMs; the single
+    * watermark-advance batch then fires timers with
+    * expiry <= maxTsMs(all) − delayMs (Spark's fire rule is `<=`, its
+    * watermark arithmetic is floor-to-ms — both replayed exactly by
+    * the DuckDB oracle's epoch_ms()). */
+  private class SessionExpiryProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, SessionVerdict] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var counts: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getValueState[Long]("counts",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[TimedEvent], tv: TimerValues)
+        : Iterator[SessionVerdict] = {
+      var n = if (counts.exists()) counts.get() else 0L
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        val ms = e.ts.getTime
+        if (ms > maxMs) maxMs = ms
+      }
+      counts.update(n)
+      // One armed timer per key: later events push the expiry out.
+      val at = maxMs + gapMs
+      val prev = if (armed.exists()) armed.get() else Long.MinValue
+      if (at > prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      Iterator.single(SessionVerdict(key, n, expired_by_timer = false))
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionVerdict] = {
+      val n = if (counts.exists()) counts.get() else 0L
+      counts.clear()
+      armed.clear()
+      Iterator.single(SessionVerdict(key, n, expired_by_timer = true))
+    }
+  }
+
+  /** stream_state_timers driver query — event-time timers on
+    * transformWithState: users idle ≥ 1 h before the stream's end
+    * (watermark 30 min) are closed BY TIMER; the rest stay open. The
+    * oracle replays the fire rule arithmetically per user. */
+  def timerExpiryQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val base = graft.util.Scratch.dir("graft_timers")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val evs = eventsStream(spark, srcDir.toString)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("event_type"), col("ts")).as[TimedEvent]
+    runAvailableNow(
+      evs.groupByKey(_.user_id)
+        .transformWithState(new SessionExpiryProcessor(gapMs = 3600000L),
+          TimeMode.EventTime(), OutputMode.Update()).toDF(),
+      base.resolve("ckpt").toString, outputMode = "update",
+      statePartitions = Some(8), stateProvider = Some(RocksDbProvider))
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("expired_by_timer").as("expired_by_timer"))
+      .orderBy("user_id")
+  }
+
+  final case class TtlProbe(
+      user_id: Long, n_events: Long, n_calls: Long,
+      ttl_lapses: Long, durable_lapses: Long)
+
+  /** Per-user state-lifetime census for the TTL witness: `recent` (1 ms
+    * TTL) ALWAYS lapses between micro-batches, `total` (no TTL) never
+    * does — every counter is cumulative, so the query's final
+    * max-collapse is batch-order-independent. */
+  private class TtlLapseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, TtlProbe] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var recent: ValueState[Long] = _
+    @transient private var total: ValueState[Long] = _
+    @transient private var census: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // The witness pair: identical update pattern, one slot TTL'd.
+      recent = getHandle.getValueState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(1)))
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      census = getHandle.getValueState[(Long, Long, Long)]("census",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent], tv: TimerValues)
+        : Iterator[TtlProbe] = {
+      val (calls0, ttlLapses0, durLapses0) =
+        if (census.exists()) census.get() else (0L, 0L, 0L)
+      val ttlLapses = ttlLapses0 + (if (recent.exists()) 0L else 1L)
+      val durLapses = durLapses0 + (if (total.exists()) 0L else 1L)
+      val calls = calls0 + 1L
+      val batchN = rows.size.toLong
+      recent.update(batchN)
+      val totalN = (if (total.exists()) total.get() else 0L) + batchN
+      total.update(totalN)
+      census.update((calls, ttlLapses, durLapses))
+      Iterator.single(TtlProbe(key, totalN, calls, ttlLapses, durLapses))
+    }
+  }
+
+  /** stream_state_ttl driver query — state TTL on transformWithState,
+    * witnessed by CONTRAST: the events feed is split into two files /
+    * two micro-batches (`event_id` parity — the deterministic split
+    * streamBatchedCapQuery uses), and each per-user call censuses
+    * which of its two state slots survived since the previous batch.
+    * The TTL'd slot lapses on EVERY call (first call: never written;
+    * later calls: the 1 ms TTL expired between batches, wall-clock
+    * batch spacing being orders of magnitude larger) while the
+    * durable slot lapses exactly once (its first write), so a user
+    * seen in both batches reports ttl_lapses = 2 > durable_lapses = 1
+    * — TTL expiry observed inside one processor, against an identical
+    * un-TTL'd control. TTL requires TimeMode.ProcessingTime (Spark
+    * rejects it otherwise); in that mode shouldRunAnotherBatch is
+    * always true, so no-data batches are disabled for the run (or
+    * AvailableNow never terminates — measured) — nothing here needs
+    * them, every counter lives on data batches. */
+  def ttlLapseQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val base = graft.util.Scratch.dir("graft_ttl")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    val ev = graft.operators.Relational.table(spark, dir, "events")
+    (0 until 2).foreach { i =>
+      landSingleFile(
+        ev.filter(col("event_id") % 2 === i)
+          .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props")),
+        base, srcDir, s"part$i.parquet")
+    }
+    val evs = eventsStream(spark, srcDir.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id"), col("event_type")).as[UserEvent]
+    runAvailableNow(
+      evs.groupByKey(_.user_id)
+        .transformWithState(new TtlLapseProcessor,
+          TimeMode.ProcessingTime(), OutputMode.Update()).toDF(),
+      base.resolve("ckpt").toString, outputMode = "update",
+      statePartitions = Some(8), stateProvider = Some(RocksDbProvider),
+      noDataBatches = Some(false))
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_calls").as("n_calls"),
+        max("ttl_lapses").as("ttl_lapses"),
+        max("durable_lapses").as("durable_lapses"))
+      .orderBy("user_id")
   }
 
   /** The scaffold BOTH per-user-counter queries share (scratch source

@@ -42,6 +42,41 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(v2.nonEmpty)
   }
 
+  test("event-time timers close exactly the sessions the fire-rule arithmetic says") {
+    val got = Streaming.timerExpiryQuery(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // Replay Spark's fire rule: timer (max-event-ms + gap) fires iff
+    // <= final watermark (global max-event-ms − delay), floor-ms.
+    val ev = Relational.table(spark, sfDir, "events")
+    val gmax = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val want = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(unix_millis(col("ts"))).as("mx"))
+      .select(col("user_id"), col("n"),
+        (col("mx") + 3600000L <= gmax - 1800000L).as("expired"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == want)
+    // Both verdicts must occur, or the fixture proves nothing.
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "fixture must contain both timer-expired and still-open sessions")
+  }
+
+  test("ttl'd state lapses every batch while the durable control survives") {
+    val got = Streaming.ttlLapseQuery(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Relational.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id") % 2).as("calls"))
+      .select(col("user_id"), col("n"), col("calls"),
+        col("calls").as("ttl_lapses"), lit(1L).as("durable_lapses"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // The contrast that witnesses TTL: users seen in both batches
+    // lapsed the TTL slot twice but the durable slot once.
+    assert(got.exists(r => r._4 == 2L && r._5 == 1L),
+      "fixture must contain a user seen in both micro-batches")
+  }
+
   test("stateful counters equal batch per-user totals") {
     val got = Streaming.statefulQuery(spark, sfDir)
       .as[(Long, Long, Long)].collect().toSet

@@ -374,11 +374,19 @@ object Similarity {
     * top k. The cell id is the structure that scales: written as a
     * partition column (`ivfPartitionedTopK`), probing becomes partition
     * pruning and a query physically reads only nProbe/nCells of the
-    * corpus. */
+    * corpus.
+    *
+    * Default nProbe=12/16 is tuned for recall@10 ≥ 0.90 on the
+    * UNIFORMLY RANDOM testdata embeddings (measured 0.96/0.94/0.94 at
+    * sf0.001/0.01/0.1) — the worst case for any space partitioner,
+    * where true neighbors sit barely closer than random and spread
+    * across cells. Clustered real-world embeddings reach the same
+    * recall at far lower nProbe; the pruning-witness queries below keep
+    * nProbe=4 to exercise the physical-pruning path. */
   def ivfTopK(
       spark: SparkSession, dir: String,
       nQueries: Long = 5, k: Int = 10,
-      nCells: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 12, seed: Long = 42L): DataFrame = {
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
     val corpus = e.select(col("vec_id").as("neighbor_id"),
@@ -569,7 +577,21 @@ object Similarity {
     * along through [[quantizeInt8]], each cell rewrites without a
     * re-join), dequantize IN-PLAN on the probed read, rank both legs
     * with the caller's scoring, and emit the one-row
-    * (n_results, recall ≥ 0.8, bytes ≤ 0.7×, scan-pruned) witness.
+    * (n_queries, results = Σ least(k, collisions), recall ≥ 0.8,
+    * bytes ≤ 0.7×, scan-pruned) witness.
+    *
+    * `results_cover_collisions` replaces the old raw `n_results`
+    * count: pinning n_results = nQueries·k in the external oracle
+    * silently assumed every query collides with ≥ k distinct
+    * candidates — true at every supported scale factor but
+    * data-dependent, so a sparser corpus would have broken the oracle
+    * rather than the engine. The witness now counts the distinct
+    * collided candidates per query in a SEPARATE distributed pass over
+    * the same probed index read (not the scored relation the result
+    * came from) and asserts `n_results == Σ_q least(k, candidates_q)`
+    * — the result is complete w.r.t. what the index can physically
+    * yield, at ANY sparsity, and the oracle pins only the boolean plus
+    * the corpus-derivable query count.
     *
     * `readBound` must be the caller's INDEPENDENT driver-known cap on
     * how many partition directories a probe may touch — nQueries·nProbe
@@ -579,7 +601,7 @@ object Similarity {
     * what actually witnesses per-query probe discipline. */
   private def quantizedIndexWitness(
       spark: SparkSession, idxF: String, idxQ: String,
-      probe: DataFrame, readBound: Long,
+      probe: DataFrame, readBound: Long, k: Int,
       score: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import spark.implicits._
     quantizeInt8(spark.read.parquet(idxF))
@@ -604,12 +626,24 @@ object Similarity {
       rs.map(r => (r.getLong(0), r.getLong(2))).toSet
     val overlap = pairs(rowsQ).intersect(pairs(fromF)).size
     val ratio = dirBytes(idxQ).toDouble / dirBytes(idxF)
-    Seq((rowsQ.length.toLong,
+    // Distinct collided candidates per query, counted over the probed
+    // quantized read (a pair can collide in several LSH buckets —
+    // distinct collapses that); only the Σ least(k, count) scalar and
+    // the bounded query count reach the driver.
+    val expected = corpusQ.join(broadcast(queriesD), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("c"))), lit(0L)))
+      .head().getLong(0)
+    val nQueries = probe.select("query_id").distinct().count()
+    Seq((nQueries,
+      rowsQ.length.toLong == expected,
       overlap.toDouble >= 0.8 * fromF.length,
       ratio <= 0.7,
       read <= readBound && read < onDisk))
-      .toDF("n_results", "recall_ge_bound", "index_bytes_shrunk",
-        "scan_pruned")
+      .toDF("n_queries", "results_cover_collisions", "recall_ge_bound",
+        "index_bytes_shrunk", "scan_pruned")
   }
 
   /** similarity_ivf_quantized — the combined ANN storage shape for a
@@ -644,7 +678,7 @@ object Similarity {
     // embeddings scan plus nearest-cell pass per use).
     val probeQ = probeQueries(e, nQueries, cs, nProbe).localCheckpoint(true)
     quantizedIndexWitness(spark, idxF, idxQ, probeQ,
-      readBound = nQueries * nProbe,
+      readBound = nQueries * nProbe, k = k,
       score = (c, q) => topK(cellScores(c, q), k))
   }
 
@@ -706,7 +740,7 @@ object Similarity {
         k)
     // readBound: each query probes exactly one bucket per table.
     quantizedIndexWitness(spark, idxF, idxQ, probeF,
-      readBound = nQueries * tables, score = scoredTopK)
+      readBound = nQueries * tables, k = k, score = scoredTopK)
   }
 
   /** Per-vector symmetric int8 scalar quantization: scale =
@@ -920,12 +954,22 @@ object Similarity {
       rs.map(r => (r.getLong(0), r.getLong(2))).toSet
     val overlap = pairs(rows).intersect(pairs(bf)).size
     val ratio = dirBytes(idxPq).toDouble / dirBytes(idx8)
-    Seq((rows.length.toLong,
+    // Same robust completeness contract as [[quantizedIndexWitness]]:
+    // result rows must equal Σ_q least(k, ADC candidates for q) — each
+    // corpus row lives in exactly one cell, so the adc relation is
+    // already pair-distinct, and refine = 64·k ≥ k keeps the shortlist
+    // truncation above the least() cap.
+    val expected = adc.select(col("query_id"), col("neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("c"))), lit(0L)))
+      .head().getLong(0)
+    Seq((qRows.length.toLong,
+      rows.length.toLong == expected,
       overlap.toDouble >= 0.5 * bf.length,
       ratio <= 0.5,
       read <= nQueries * nProbe && read < onDisk))
-      .toDF("n_results", "recall_ge_bound", "pq_bytes_vs_int8",
-        "scan_pruned")
+      .toDF("n_queries", "results_cover_collisions", "recall_ge_bound",
+        "pq_bytes_vs_int8", "scan_pruned")
   }
 
   // ------------------------------------------------------------------
@@ -937,8 +981,9 @@ object Similarity {
     * the correctness driver can oracle-check the ANN paths: both plans
     * are seeded and deterministic, so recall is a fixed function of the
     * data, and the bound is chosen below the measured floor across
-    * scale factors (LSH ≥ 0.70, IVF ≥ 0.45 on the uniform-random
-    * testdata — see SimilaritySpec for the measured values). */
+    * scale factors (LSH ≥ 0.70 with measured 0.98 everywhere; IVF
+    * ≥ 0.90 with measured 0.96/0.94/0.94 at nProbe=12 on the
+    * uniform-random testdata — see SimilaritySpec). */
   def annRecallQuery(
       spark: SparkSession, dir: String, method: String,
       bound: Double, nQueries: Long = 5, k: Int = 10): DataFrame = {

@@ -9,10 +9,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("quantized IVF index: recall holds, bytes shrink, scan prunes") {
     val row = Similarity.ivfQuantizedQuery(spark, sfDir).collect()(0)
-    assert(row.getLong(0) == 10L) // k=5 × 2 queries
-    assert(row.getBoolean(1), "quantized top-k must overlap float top-k >= 0.8")
-    assert(row.getBoolean(2), "int8 index must be <= 0.7x float index bytes")
-    assert(row.getBoolean(3), "probe must prune to the probed cells")
+    assert(row.getLong(0) == 2L) // nQueries=2
+    assert(row.getBoolean(1), "n_results must equal sum of least(k, collisions)")
+    assert(row.getBoolean(2), "quantized top-k must overlap float top-k >= 0.8")
+    assert(row.getBoolean(3), "int8 index must be <= 0.7x float index bytes")
+    assert(row.getBoolean(4), "probe must prune to the probed cells")
   }
 
   test("int8 quantization: exact codes, code range, round-trip cosine") {
@@ -289,18 +290,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   test("pq witness query holds at the test scale factor") {
     val row = Similarity.pqQuery(spark, sfDir).head()
-    assert(row.getLong(0) == 10L)
-    assert(row.getBoolean(1), "pq recall below bound")
-    assert(row.getBoolean(2), "pq index not smaller than int8 index")
-    assert(row.getBoolean(3), "pq probe scan not pruned")
+    assert(row.getLong(0) == 2L) // nQueries=2
+    assert(row.getBoolean(1), "n_results must equal sum of least(k, candidates)")
+    assert(row.getBoolean(2), "pq recall below bound")
+    assert(row.getBoolean(3), "pq index not smaller than int8 index")
+    assert(row.getBoolean(4), "pq probe scan not pruned")
   }
 
   test("quantized LSH index: recall holds, bytes shrink, scan prunes") {
     val row = Similarity.lshQuantizedQuery(spark, sfDir).collect()(0)
-    assert(row.getLong(0) == 10L) // k=5 × 2 queries
-    assert(row.getBoolean(1), "quantized top-k must overlap float top-k >= 0.8")
-    assert(row.getBoolean(2), "int8 index must be <= 0.7x float index bytes")
-    assert(row.getBoolean(3), "probe must prune to the probed buckets")
+    assert(row.getLong(0) == 2L) // nQueries=2
+    assert(row.getBoolean(1), "n_results must equal sum of least(k, collisions)")
+    assert(row.getBoolean(2), "quantized top-k must overlap float top-k >= 0.8")
+    assert(row.getBoolean(3), "int8 index must be <= 0.7x float index bytes")
+    assert(row.getBoolean(4), "probe must prune to the probed buckets")
   }
 
   test("ivf ann reaches usable recall and is deterministic") {
@@ -311,7 +314,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val ivf = ivfDf.as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     info(s"ivf recall@10 = $recall")
-    assert(recall >= 0.45, s"recall=$recall")
+    // nProbe=12 default — measured 0.96/0.94/0.94 at sf0.001/0.01/0.1.
+    assert(recall >= 0.90, s"recall=$recall")
     val again = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10)
       .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
     assert(ivf == again)
@@ -323,12 +327,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.length == 1)
     val (nq, hits, total, ok) = lsh(0)
     assert(nq == 5L && total == 50L && ok && hits >= 35L && hits <= 50L)
-    val ivf = Similarity.annRecallQuery(spark, sfDir, "ivf", bound = 0.45)
+    val ivf = Similarity.annRecallQuery(spark, sfDir, "ivf", bound = 0.90)
       .as[(Long, Long, Long, Boolean)].collect()
     assert(ivf.length == 1)
     val (nq2, hits2, total2, ok2) = ivf(0)
     assert(nq2 == 5L && total2 == 50L && ok2 &&
-      hits2 >= 23L && hits2 <= 50L)
+      hits2 >= 45L && hits2 <= 50L)
   }
 
   test("ivf incremental append: parity, untouched files, pruned scan") {

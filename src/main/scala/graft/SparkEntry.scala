@@ -129,6 +129,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir)),
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "multimodal_image_decode" -> ((s, dir) => graft.multimodal.Multimodal.imageDecodeQuery(s, dir)),
+    "multimodal_jpeg_roundtrip" -> ((s, dir) => graft.multimodal.Multimodal.jpegRoundtripQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -839,6 +840,19 @@ object SparkEntry {
                 CAST(3*rh*rw*(rw-1) + 5*rw*rh*(rh-1) + rw*rh*base
                      AS BIGINT) AS r_pixel_sum
          FROM r ORDER BY media_id""",
+    // The LOSSY codec leg: JPEG decode can't pin pixel sums, so the
+    // oracle checks decoded dims against the generator's closed form
+    // (true only if a real decode ran), the SOI container marker, and
+    // the engine-computed gradient-error bound (measured max 2 at
+    // quality 0.85; bound 16 — a non-decoding implementation is >= 100
+    // off).
+    "multimodal_jpeg_roundtrip" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 + doc_id % 9 AS INT) AS width,
+                CAST(8 + doc_id % 7 AS INT) AS height,
+                true AS is_jpeg,
+                true AS err_le_bound
+         FROM documents WHERE doc_id < 48 ORDER BY media_id""",
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

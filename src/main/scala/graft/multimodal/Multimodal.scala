@@ -196,8 +196,8 @@ object Multimodal {
   private[graft] def pngDims(id: Long): (Int, Int, Int) =
     ((8 + id % 9).toInt, (8 + id % 7).toInt, (id % 128).toInt)
 
-  /** Encode one gradient image as a real PNG (JDK ImageIO). */
-  private[graft] def encodePng(id: Long): Array[Byte] = {
+  /** The gradient bitmap shared by the PNG and JPEG encoders. */
+  private def gradientImage(id: Long): java.awt.image.BufferedImage = {
     val (w, h, base) = pngDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -211,8 +211,32 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode one gradient image as a real PNG (JDK ImageIO). */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(gradientImage(id), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode one gradient image as a real JPEG at an EXPLICIT quality —
+    * the default-param path leaves quality writer-defined, which is the
+    * kind of silent nondeterminism a data pipeline can't carry. */
+  private[graft] def encodeJpeg(id: Long, quality: Float): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(gradientImage(id), null, null), param)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -312,6 +336,68 @@ object Multimodal {
         col("height").as("r_height"), col("pixel_sum").as("r_pixel_sum"))
     full.join(resized, Seq("media_id")).orderBy("media_id")
   }
+
+  final case class JpegStats(
+      media_id: Long, width: Int, height: Int, is_jpeg: Boolean,
+      max_abs_err: Int)
+
+  /** Per-image JPEG encode→decode roundtrip stats, computed on the
+    * executors in one mapPartitions pass: dimensions as decoded, a
+    * JFIF/SOI container check on the raw bytes, and the maximum
+    * per-pixel absolute error of the decoded blue channel against the
+    * closed-form gradient law gray(x, y) = base + 3x + 5y. */
+  def jpegRoundtrip(
+      spark: SparkSession, dir: String,
+      n: Long = 48L, quality: Float = 0.85f): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = encodeJpeg(id, quality)
+          val isJpeg = bytes.length > 2 &&
+            (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"jpeg payload for id=$id not decodable")
+          val (_, _, base) = pngDims(id)
+          var maxErr = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val got = img.getRGB(x, y) & 0xFF
+              val want = base + 3 * x + 5 * y
+              val e = math.abs(got - want)
+              if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+          JpegStats(id, img.getWidth, img.getHeight, isJpeg, maxErr)
+        }
+      }.toDF()
+  }
+
+  /** multimodal_jpeg_roundtrip driver query — the LOSSY leg of the real
+    * codec path (the PNG query is lossless, so it can pin exact pixel
+    * sums; JPEG can't). The oracle checks what lossy decode leaves
+    * checkable: decoded dimensions equal the closed-form generator
+    * dims (only true if a real decode ran), the payload is an actual
+    * JPEG container (SOI marker), and the decoded gradient stays
+    * within a deterministic pixel-error bound — the measured max error
+    * at quality 0.85 on the smooth ramp is 2 (and ≥ 1 on every image:
+    * the path is genuinely lossy); 16 leaves margin for a different
+    * JDK's libjpeg tables while still refuting any not-actually-
+    * decoding implementation (a zeroed bitmap is ≥ 100 off). */
+  def jpegRoundtripQuery(
+      spark: SparkSession, dir: String, errBound: Int = 16): DataFrame =
+    jpegRoundtrip(spark, dir)
+      .select(col("media_id"), col("width"), col("height"),
+        col("is_jpeg"),
+        (col("max_abs_err") <= errBound).as("err_le_bound"))
+      .orderBy("media_id")
 
   /** multimodal_metadata driver query — metadata-only column pruning:
     * reading the meta struct must not deserialize the payload bytes. */

@@ -246,6 +246,29 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage != null)
   }
 
+  test("jpeg roundtrip: lossy decode within bound, real JPEG container") {
+    val rows = Multimodal.jpegRoundtrip(spark, sfDir).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, _) = Multimodal.pngDims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h,
+        s"decoded dims mismatch for $id")
+      assert(r.getBoolean(3), s"payload for $id lacks the JPEG SOI marker")
+      val err = r.getInt(4)
+      // Genuinely lossy (err >= 1 on this JDK) yet far inside the
+      // witness bound of 16.
+      assert(err >= 1 && err <= 16, s"max_abs_err=$err for $id")
+    }
+    // Explicit quality matters: a lower quality must not decode
+    // byte-identically to the default leg (the writer really honors
+    // the compression parameter).
+    val hi = Multimodal.encodeJpeg(0L, 0.85f)
+    val lo = Multimodal.encodeJpeg(0L, 0.1f)
+    assert(!java.util.Arrays.equals(hi, lo))
+    assert(lo.length < hi.length, "q=0.1 should compress harder than q=0.85")
+  }
+
   test("feature vectors are fixed-width") {
     val dims = Multimodal.decodeStub(Multimodal.mediaTable(spark, sfDir))
       .select(size(col("feature"))).distinct().as[Int].collect().toSeq

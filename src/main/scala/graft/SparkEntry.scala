@@ -704,12 +704,65 @@ object SparkEntry {
                      AS DOUBLE)
                   / len(string_split(text, ' ')) AS avg_word_len
          FROM documents ORDER BY doc_id""",
-    "text_lang_id" ->
-      """SELECT doc_id, 'en' AS lang_pred,
-                CAST(len(list_filter(string_split(text, ' '),
+    // Cavnar–Trenkle replayed WHOLESALE: the oracle rebuilds the
+    // language profiles from the same embedded training text
+    // (interpolated below from LangProfile.TrainingText so the two
+    // engines can never drift), re-ranks every document's 1–3-grams,
+    // and recomputes the out-of-place argmin — no data-dependent pin,
+    // no trusted engine assertion; prediction AND distance must match
+    // integer-for-integer.
+    "text_lang_id" -> {
+      val trainValues = graft.functions.LangProfile.TrainingText
+        .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+      s"""WITH train(lang, ttext) AS (VALUES $trainValues),
+         corpus AS (
+           SELECT CAST(doc_id AS BIGINT) AS did,
+                  CAST(NULL AS VARCHAR) AS lang, text FROM documents
+           UNION ALL
+           SELECT CAST(NULL AS BIGINT), lang, ttext FROM train),
+         norm AS (SELECT did, lang,
+                  ' ' || trim(lower(regexp_replace(text, '[^a-zA-Z]+',
+                                                   ' ', 'g'))) || ' ' AS t
+                  FROM corpus),
+         pos AS (SELECT did, lang, t,
+                        unnest(generate_series(1, length(t))) AS i
+                 FROM norm),
+         g0 AS (
+           SELECT did, lang, substring(t, i, 1) AS g FROM pos
+           UNION ALL SELECT did, lang, substring(t, i, 2) FROM pos
+             WHERE i + 1 <= length(t)
+           UNION ALL SELECT did, lang, substring(t, i, 3) FROM pos
+             WHERE i + 2 <= length(t)),
+         grams AS (SELECT did, lang, g, count(*) AS c FROM g0
+                   WHERE regexp_matches(g, '[a-z]')
+                   GROUP BY did, lang, g),
+         ranked AS (SELECT did, lang, g,
+                      row_number() OVER (PARTITION BY did, lang
+                                         ORDER BY c DESC, g ASC) AS r
+                    FROM grams QUALIFY r <= 80),
+         docp AS (SELECT did, g, r FROM ranked WHERE did IS NOT NULL),
+         langp AS (SELECT lang, g, r FROM ranked WHERE lang IS NOT NULL),
+         dist AS (
+           SELECT d.did, l.lang,
+                  sum(CASE WHEN lp.r IS NULL THEN 80
+                           ELSE abs(d.r - lp.r) END) AS dist
+           FROM docp d
+           CROSS JOIN (SELECT DISTINCT lang FROM langp) l
+           LEFT JOIN langp lp ON lp.lang = l.lang AND lp.g = d.g
+           GROUP BY d.did, l.lang),
+         best AS (SELECT did, lang, dist,
+                    row_number() OVER (PARTITION BY did
+                                       ORDER BY dist ASC, lang ASC) AS rn
+                  FROM dist)
+         SELECT b.did AS doc_id, b.lang AS lang_pred,
+                CAST(b.dist AS BIGINT) AS ct_dist,
+                CAST(len(list_filter(string_split(d.text, ' '),
                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                  / len(string_split(text, ' ')) AS en_ratio
-         FROM documents ORDER BY doc_id""",
+                  / len(string_split(d.text, ' ')) AS en_ratio
+         FROM best b JOIN documents d ON d.doc_id = b.did
+         WHERE b.rn = 1
+         ORDER BY doc_id"""
+    },
     "doc_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),

@@ -77,17 +77,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Marker words per language for the n-gram/stopword language-ID
-    * heuristic. Public-knowledge closed-class words. */
+  /** Marker words per language for the stopword language-ID
+    * heuristic — kept as the cheap cross-check against the
+    * profile-based classifier below. Public-knowledge closed-class
+    * words. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  /** lang_id — score each language by its marker-word hit ratio, take the
-    * argmax (first language wins ties, so the result is deterministic). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** The original marker-word classifier: score each language by its
+    * marker-word hit ratio, take the argmax (first language wins ties).
+    * Retained as the spec's cross-check for [[langId]]'s upgraded
+    * n-gram-profile path — on English-like text both must agree. */
+  def markerLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(spark, dir, "documents")
     val nTok = size(tokens(col("text")))
     val scores = LangMarkers.map { case (lang, markers) =>
@@ -104,6 +108,30 @@ object TextOps {
       col("doc_id"),
       best.getField("lang").as("lang_pred"),
       scores.head._2.as("en_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** lang_id — Cavnar–Trenkle n-gram-profile language ID
+    * ([[graft.functions.LangProfile]]): character-1–3-gram rank
+    * profiles compared by out-of-place distance, one native-expression
+    * call per row (codegen'd static call; profile maps ride as
+    * reference objects — no UDF on the corpus scan). `ct_dist` is the
+    * winning profile's integer distance, so a ranking change anywhere
+    * in the pipeline is a hash-visible diff, and `en_ratio` keeps the
+    * marker-word signal in the checked output. The DuckDB oracle
+    * replays the ENTIRE classification — profile construction
+    * included — from the same embedded training text. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val nTok = size(tokens(col("text")))
+    val enMarkers = LangMarkers.head._2
+    val ct = graft.functions.LangProfile.ctLangIdCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      ct.getField("lang_pred").as("lang_pred"),
+      ct.getField("ct_dist").as("ct_dist"),
+      (size(filter(tokens(col("text")),
+        w => w.isin(enMarkers: _*))).cast("double") / nTok).as("en_ratio"))
       .orderBy("doc_id")
   }
 

@@ -749,15 +749,14 @@ object Similarity {
     * 4× smaller than `array<float>` (and 8× smaller than double),
     * which cuts shuffle bytes, parquet footprint, and ANN probe I/O
     * alike, while cosine against the dequantized vectors stays within
-    * a fraction of a percent. Everything is higher-order array
-    * functions over the array column — one scan, no UDF, no shuffle.
-    * NB Spark evaluates higher-order functions INTERPRETED (the
-    * round-8 lesson behind [[graft.functions.CentroidAssign]]); the
-    * oracle replays this exact HOF arithmetic per element, so the form
-    * is kept here where the quantize pass runs once per index build —
-    * if profiling ever shows it hot at real corpus scale, the same
-    * native-expression rewrite applies (emit (ma, codes) from one
-    * primitive loop) with the oracle unchanged.
+    * a fraction of a percent. The (ma, codes) pair comes from ONE
+    * native-expression pass ([[graft.functions.Int8Quantize]], codegen
+    * static call) — the four-HOF chain this replaces evaluated
+    * interpreted on every index build (the round-8 CentroidAssign
+    * lesson); the kernel replays that chain's IEEE arithmetic
+    * op-for-op, so the oracle and every spec pin hold unchanged
+    * (Int8QuantizeSpec asserts bit parity against the HOF form
+    * directly).
     *
     * Output: the input columns with `embCol` replaced by (ma, codes) —
     * non-embedding columns (ids, cell assignments, metadata) pass
@@ -779,16 +778,15 @@ object Similarity {
         s"input already has: ${clash.mkString(", ")}")
     // All arithmetic in DOUBLE with a fixed association
     // ((x * 127) / ma) so any engine replays the exact IEEE ops.
-    val dbl = transform(col(embCol), v => v.cast("double"))
-    val q = e.withColumn("ed", dbl)
-      .withColumn("ma", array_max(transform(col("ed"), v => abs(v))))
-      .withColumn("codes",
-        when(col("ma") === 0d,
-          transform(col("ed"), _ => lit(0).cast("tinyint")))
-        .otherwise(transform(col("ed"),
-          v => round(v * lit(127.0) / col("ma")).cast("tinyint"))))
+    val q8 = graft.functions.Int8Quantize.int8Col(col(embCol))
+    val base =
+      if (keepDouble)
+        e.withColumn("ed", transform(col(embCol), v => v.cast("double")))
+      else e
+    base
+      .withColumn("ma", q8.getField("ma"))
+      .withColumn("codes", q8.getField("codes"))
       .drop(embCol)
-    if (keepDouble) q else q.drop("ed")
   }
 
   /** embedding_quantize driver query — int8-quantize a bounded id

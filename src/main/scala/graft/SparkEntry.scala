@@ -109,6 +109,7 @@ object SparkEntry {
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
+    "ivf_train_distributed" -> ((s, dir) => Similarity.ivfTrainDistributedQuery(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
     "similarity_ivf_quantized" -> ((s, dir) => Similarity.ivfQuantizedQuery(s, dir)),
     "similarity_lsh_quantized" -> ((s, dir) => Similarity.lshQuantizedQuery(s, dir)),
@@ -603,6 +604,18 @@ object SparkEntry {
                 true AS corpus_files_untouched,
                 true AS scan_pruned
          FROM embeddings WHERE vec_id < 2""",
+    // Full-corpus distributed Lloyd training: convergence (monotone,
+    // improved-over-init inertia) and total assignment are engine-
+    // asserted deterministic booleans (seeded init, fixed iterations);
+    // the oracle computes the corpus count and dimension directly.
+    "ivf_train_distributed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(max(len(embedding)) AS INT) AS dim,
+                true AS assigned_eq_n,
+                true AS cells_nonempty,
+                true AS inertia_monotone,
+                true AS inertia_improved
+         FROM embeddings""",
     // IVF-PQ: recall vs exact brute force, PQ-vs-int8 byte shrinkage,
     // and probe pruning are engine-asserted deterministic booleans the
     // oracle pins to true. (Both plans are seeded — codebooks, coarse

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -148,6 +149,36 @@ object CentroidAssign {
     UnsafeArrayData.fromPrimitiveArray(keys)
   }
 
+  /** Assignment + training statistics in ONE pass: `struct(cell: int,
+    * dist: double, vn: array<double>)` — the nearest cell, the squared
+    * distance to it, and the L2-normalized vector. This is the per-row
+    * work of a distributed Lloyd iteration
+    * ([[graft.operators.Similarity.kmeansDistributed]]): cell feeds the
+    * groupBy key, dist the inertia sum, vn the centroid-mean numerator.
+    * Emitting all three from one kernel call keeps the per-iteration
+    * corpus scan at exactly one normalize + one argmin — the same loops
+    * as [[nearestCell]], so training-time assignment is bit-identical
+    * to index-build/probe-time assignment. */
+  def assignStats(cs: Array[Array[Double]], v: ArrayData): InternalRow = {
+    val vn = normalized(v)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = sqDist(cs(c), vn)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](
+      best, bestD, UnsafeArrayData.fromPrimitiveArray(vn)))
+  }
+
+  val AssignStatsType: StructType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false),
+    StructField("vn", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
   // ---- the Column surface ----
 
   private def requireFloatArray(e: Expression, name: String): TypeCheckResult =
@@ -214,7 +245,29 @@ object CentroidAssign {
         newChild: Expression): HyperplaneKeys = copy(child = newChild)
   }
 
+  case class CellAssignStats(
+      centroids: Array[Array[Double]], child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = AssignStatsType
+    override def prettyName: String = "cell_assign_stats"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      CentroidAssign.assignStats(centroids, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CentroidAssign.assignStats($cs, $c);")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): CellAssignStats = copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def assignStatsCol(cs: Array[Array[Double]], v: Column): Column =
+    ColumnBridge.column(CellAssignStats(cs, ColumnBridge.expression(v)))
 
   def nearestCellCol(cs: Array[Array[Double]], v: Column): Column =
     ColumnBridge.column(NearestCentroidCell(cs, ColumnBridge.expression(v)))

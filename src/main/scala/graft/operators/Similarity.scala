@@ -267,6 +267,104 @@ object Similarity {
     kmeans(sample, nCells, iters = 10, seed = seed)
   }
 
+  /** Full-corpus Lloyd's k-means where each iteration is ONE Catalyst
+    * pass — the training path for corpora whose distribution a bounded
+    * driver sample cannot represent (the 100 TB case: a 4096-row sample
+    * of a trillion vectors misses whole modes, and the resulting cells
+    * skew probe I/O). Per iteration: [[graft.functions.CentroidAssign
+    * .assignStatsCol]] computes (cell, squared distance, normalized
+    * vector) in one codegen'd kernel call per row, then
+    * `groupBy(cell).agg(count, sum(dist), vector_sum(vn))` — the
+    * elementwise vector sum is a `TypedImperativeAggregate`
+    * ([[graft.functions.VectorSumAgg]]), so map-side PARTIAL
+    * aggregation folds every partition to ≤ nCells O(dim) buffers
+    * before the shuffle. The driver collects nCells rows per iteration
+    * (O(nCells·dim), corpus-independent), divides sums by counts, and
+    * broadcasts the next centroid matrix inside the next iteration's
+    * expression. Empty cells keep their previous centroid, matching the
+    * driver-side [[kmeans]] update rule.
+    *
+    * Init is a deterministic seeded pick: the nCells lowest
+    * `xxhash64(vec_id, seed)` rows (a TakeOrdered of nCells rows — no
+    * full sort materializes). Returns (centroids, inertia per
+    * iteration, inertia measured under that iteration's INCOMING
+    * centroids) — Lloyd's guarantees the sequence non-increasing, which
+    * the training query asserts. Double summation order is partition-
+    * dependent, so centroids are deterministic only up to last-ULP
+    * noise; every consumer compares with a tolerance. */
+  private[graft] def kmeansDistributed(
+      e: DataFrame, nCells: Int, iters: Int, seed: Long, dim: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    var centroids: Array[Array[Double]] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nCells).select(col("embedding")).collect()
+      .map(r => normalize(r.getSeq[Float](0)))
+    val inertia = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val s = emb2(e)
+        .select(graft.functions.CentroidAssign
+          .assignStatsCol(centroids, col("embedding")).as("s"))
+      val stats = s
+        .select(col("s.cell").as("cell"), col("s.dist").as("dist"),
+          col("s.vn").as("vn"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), sum(col("dist")).as("d"),
+          graft.functions.VectorSumAgg.asColumn(col("vn"), dim).as("vsum"))
+        .collect()
+      inertia(it) = stats.map(_.getAs[Double]("d")).sum
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        next(r.getAs[Int]("cell")) =
+          r.getSeq[Double](r.fieldIndex("vsum")).map(_ / cnt).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    (centroids, inertia)
+  }
+
+  // kmeansDistributed is embedding-schema-agnostic; this hook keeps its
+  // projection explicit (and lets a test feed a synthetic frame).
+  private def emb2(e: DataFrame): DataFrame = e.select(col("embedding"))
+
+  /** ivf_train_distributed — the coarse quantizer trained on the FULL
+    * corpus instead of the bounded driver sample, with the training
+    * loop's convergence and the trained quantizer's assignment both
+    * witnessed in one row. The booleans are deterministic functions of
+    * the data (seeded init, fixed iterations): Σ per-cell counts under
+    * the trained centroids equals the corpus count (every vector lands
+    * in exactly one cell), ≥ 2 cells are nonempty (the quantizer
+    * actually partitions), the inertia sequence is non-increasing
+    * (Lloyd's invariant, tolerance for partition-order double sums),
+    * and the final inertia strictly improves on the seeded init. The
+    * oracle pins the booleans and computes n_vectors/dim directly. */
+  def ivfTrainDistributedQuery(
+      spark: SparkSession, dir: String,
+      nCells: Int = 16, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = e.agg(max(size(col("embedding")))).collect()(0).getInt(0)
+    val (cs, inertia) = kmeansDistributed(e, nCells, iters, seed, dim)
+    val byCell = e
+      .groupBy(cellCol(cs, col("embedding")).as("cell"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val nTotal = e.count()
+    val mono = inertia.toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
+      case _ => true
+    }
+    Seq((nTotal, dim,
+      byCell.map(_.getAs[Long]("cnt")).sum == nTotal,
+      byCell.length >= 2,
+      mono,
+      inertia.last < inertia.head))
+      .toDF("n_vectors", "dim", "assigned_eq_n", "cells_nonempty",
+        "inertia_monotone", "inertia_improved")
+  }
+
   private def nearestCells(
       cs: Array[Array[Double]], v: Array[Double], nProbe: Int): Array[Int] = {
     cs.indices.map { c =>

@@ -87,6 +87,7 @@ object SparkEntry {
     "text_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "text_compression_ratio" -> ((s, dir) => TextOps.compressionRatioQuery(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
@@ -717,6 +718,16 @@ object SparkEntry {
                      AS DOUBLE)
                   / len(string_split(text, ' ')) AS avg_word_len
          FROM documents ORDER BY doc_id""",
+    // DEFLATE byte counts are zlib-build-specific, so the engine ships
+    // ratio-derived booleans (validity, universal compression of >=200
+    // char word-salad docs, repetitive-literal-ranks-lower) the oracle
+    // pins true, plus the filter count it computes directly.
+    "text_compression_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                true AS ratios_valid,
+                true AS all_compress,
+                true AS repetition_ranks_lower
+         FROM documents WHERE length(text) >= 200""",
     // Cavnar–Trenkle replayed WHOLESALE: the oracle rebuilds the
     // language profiles from the same embedded training text
     // (interpolated below from LangProfile.TrainingText so the two

@@ -224,4 +224,42 @@ object TextOps {
         sum(qlp).as("q_logprob_sum"))
       .orderBy("doc_id")
   }
+
+  /** text_compression_ratio — the DEFLATE-ratio quality signal
+    * ([[graft.functions.DeflateRatio]]): compressed/raw byte ratio per
+    * document, the standard curation filter for boilerplate (ratio
+    * near 0) and entropy noise (ratio near 1). The compressed length
+    * is zlib-build-specific, so the query ships ratio-derived BOOLEANS
+    * plus an oracle-computable count, aggregated over every document
+    * of ≥ 200 chars: ratios all in (0, 1 + overhead], every such
+    * document strictly compresses (word-salad text sits at ~0.4–0.64
+    * across all SFs), and the signal DISCRIMINATES — a fully
+    * repetitive literal compresses strictly below a distinct-token
+    * literal of the same length (computed with the same kernel,
+    * driver-side, O(1)). One corpus scan, no shuffle, partial agg. */
+  def compressionRatioQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Relational.table(spark, dir, "documents")
+      .filter(length(col("text")) >= 200)
+    val stats = docs.select(
+      octet_length(col("text")).as("raw"),
+      graft.functions.DeflateRatio.deflateLenCol(col("text")).as("clen"))
+    val row = stats.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("clen") <= 0 ||
+        col("clen") > col("raw") + 64, 1L).otherwise(0L)).as("invalid"),
+      sum(when(col("clen") >= col("raw"), 1L).otherwise(0L)).as("inc"))
+      .collect()(0)
+    val rep = "spark " * 80
+    val div = (0 until 80).map(i => f"w$i%04x").mkString(" ") + " "
+    require(rep.length == div.length, "literal legs must be same length")
+    val repLen = graft.functions.DeflateRatio.deflateLenOf(rep)
+    val divLen = graft.functions.DeflateRatio.deflateLenOf(div)
+    Seq((row.getAs[Long]("n"),
+      row.getAs[Long]("invalid") == 0L,
+      row.getAs[Long]("inc") == 0L,
+      repLen < divLen))
+      .toDF("n_docs", "ratios_valid", "all_compress",
+        "repetition_ranks_lower")
+  }
 }

@@ -179,6 +179,7 @@ object SparkEntry {
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
+    "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
     "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
   )
@@ -1830,6 +1831,18 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem""",
+    // Z-order layout: file-range pruning under a date slice is a
+    // deterministic function of the data and the seeded layout — the
+    // engine measures per-file min/max from the written files and
+    // asserts the booleans; the oracle proves the rewrite conserved
+    // rows and values.
+    "sink_zorder_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS both_layouts_full,
+                true AS zorder_prunes,
+                true AS zorder_beats_linear
+         FROM orders""",
     // The observed in-flight metrics must equal a direct aggregate —
     // validation counters piggybacked on the write scan, no re-read.
     "observe_quality_metrics" ->

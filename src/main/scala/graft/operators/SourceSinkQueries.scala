@@ -171,6 +171,74 @@ object SourceSinkQueries {
         col("n_rows"), col("sum_price"))
   }
 
+  /** sink_zorder_layout — multi-dimensional file clustering via a
+    * Morton key ([[graft.functions.ZOrder]]): orders written twice,
+    * once range-partitioned + sorted by `o_custkey` (the linear
+    * layout) and once by the z-interleave of scaled (custkey, order
+    * day). Then the layout claim is MEASURED, not asserted: per-file
+    * min/max of both dimensions come from one read-back scan grouped
+    * by `input_file_name`, and a mid-range 5%-of-days date slice is
+    * tested against each file's range. The linear layout's files each
+    * span the full date range (its sort key says nothing about dates),
+    * so the slice prunes little or nothing; the z-ordered files hold
+    * bounded ranges in BOTH dimensions, so the same slice skips most
+    * files. At 100 TB this is the difference between reading every
+    * file and reading the slice — min/max pruning over file footers is
+    * exactly what a real scan planner does with these layouts. Scaling
+    * bounds come from one O(1) agg; the z-value is dropped before the
+    * write (a layout key, not data). Rows and value sums are proven
+    * conserved from the read-back, oracle-checked against the source
+    * table. */
+  def sinkZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFiles = 16
+    val root = tmpDir("zorder")
+    val zPath = root.resolve("z").toString
+    val linPath = root.resolve("lin").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1995-01-01"))).as("d"))
+    val b = orders.agg(
+      min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
+      min(col("d")).as("d0"), max(col("d")).as("d1")).collect()(0)
+    val (c0, c1) = (b.getAs[Long]("c0"), b.getAs[Long]("c1"))
+    val (d0, d1) = (b.getAs[Int]("d0"), b.getAs[Int]("d1"))
+    def scale(c: org.apache.spark.sql.Column, lo: Long,
+        hi: Long): org.apache.spark.sql.Column =
+      ((c.cast("long") - lo) * 1023L / math.max(hi - lo, 1L)).cast("int")
+    val z = graft.functions.ZOrder.zorderCol(
+      scale(col("o_custkey"), c0, c1), scale(col("d"), d0.toLong, d1.toLong))
+    orders.withColumn("z", z)
+      .repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
+      .drop("z").write.parquet(zPath)
+    orders
+      .repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey")).write.parquet(linPath)
+    // One read-back scan per layout: per-file min/max of both dims —
+    // the same statistics a parquet footer carries.
+    def fileRanges(p: String): Array[(Int, Int)] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"))
+        .collect().map(r => (r.getAs[Int]("dLo"), r.getAs[Int]("dHi")))
+    val span = (d1 - d0).max(1)
+    val (lo, hi) = (d0 + span / 2, d0 + span / 2 + span / 20)
+    def candidates(rs: Array[(Int, Int)]): Int =
+      rs.count { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+    val zRanges = fileRanges(zPath)
+    val linRanges = fileRanges(linPath)
+    val conserved = spark.read.parquet(zPath).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("o_totalprice")), 2).as("sum_price"))
+    conserved.select(col("n_rows"), col("sum_price"),
+      lit(zRanges.length == nFiles && linRanges.length == nFiles)
+        .as("both_layouts_full"),
+      lit(candidates(zRanges) < zRanges.length).as("zorder_prunes"),
+      lit(candidates(zRanges) < candidates(linRanges))
+        .as("zorder_beats_linear"))
+  }
+
   /** observe_quality_metrics — inline data-quality counters via
     * `Dataset.observe`: null counts, domain violations, and row totals
     * accumulate AS THE JOB RUNS (metric expressions evaluate inside

@@ -111,6 +111,7 @@ object SparkEntry {
     "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
     "ivf_train_distributed" -> ((s, dir) => Similarity.ivfTrainDistributedQuery(s, dir)),
+    "pq_train_distributed" -> ((s, dir) => Similarity.pqTrainDistributedQuery(s, dir)),
     "embedding_quantize" -> ((s, dir) => Similarity.quantizeInt8Query(s, dir)),
     "similarity_ivf_quantized" -> ((s, dir) => Similarity.ivfQuantizedQuery(s, dir)),
     "similarity_lsh_quantized" -> ((s, dir) => Similarity.lshQuantizedQuery(s, dir)),
@@ -615,6 +616,16 @@ object SparkEntry {
                 CAST(max(len(embedding)) AS INT) AS dim,
                 true AS assigned_eq_n,
                 true AS cells_nonempty,
+                true AS inertia_monotone,
+                true AS inertia_improved
+         FROM embeddings""",
+    // Distributed PQ codebook training: same witness scheme as the
+    // coarse quantizer above, per-subspace Lloyd sharing one corpus
+    // pass per iteration.
+    "pq_train_distributed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(8 AS INT) AS m,
+                true AS assigned_eq_n,
                 true AS inertia_monotone,
                 true AS inertia_improved
          FROM embeddings""",

@@ -148,6 +148,89 @@ object PqOps {
     out
   }
 
+  /** Per-subspace training statistics for one vector, in ONE kernel
+    * call: normalize, subtract the coarse centroid (the same kernels as
+    * [[pqEncode]], so training sees exactly the residuals encoding will
+    * see), then for each subspace emit (code, squared distance to it,
+    * the subvector itself). The caller explodes the m-entry array and
+    * aggregates per (subspace, code) — the per-row work of a
+    * distributed PQ Lloyd iteration
+    * ([[graft.operators.Similarity.trainPqCodebooksDistributed]]).
+    * Argmin replays [[encodeResidual]] op-for-op (strict `<` keep-first
+    * tie-break, missing-dims-score-codeword-mass), so training-time
+    * assignment is bit-identical to encode-time assignment. Subvectors
+    * are emitted at full `sub` width, zero-padded past the vector's
+    * length — the padding contributes nothing to the mean numerator
+    * beyond what the distance law already charged. */
+  def pqAssignStats(
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], v: ArrayData): ArrayData = {
+    val vn = CentroidAssign.normalized(v)
+    val cell = CentroidAssign.nearestCellOfNormalized(centroids, vn)
+    val r = residual(centroids(cell), vn)
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val sub = if (cb.isEmpty) 0 else cb(0).length
+      val off = s * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        val n = math.min(cw.length, math.max(0, r.length - off))
+        var d = 0.0
+        var i = 0
+        while (i < n) { val t = r(off + i) - cw(i); d += t * t; i += 1 }
+        var i2 = n
+        while (i2 < cw.length) { d += cw(i2) * cw(i2); i2 += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      val sv = new Array[Double](sub)
+      val n = math.min(sub, math.max(0, r.length - off))
+      var i = 0
+      while (i < n) { sv(i) = r(off + i); i += 1 }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(
+        s, best, bestD, UnsafeArrayData.fromPrimitiveArray(sv))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  val PqAssignStatsType: DataType = ArrayType(StructType(Seq(
+    StructField("sub", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false),
+    StructField("sv", ArrayType(DoubleType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  case class PqAssignStats(
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = PqAssignStatsType
+    override def prettyName: String = "pq_assign_stats"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_assign_stats needs array<float>, got ${other.simpleString}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      PqOps.pqAssignStats(codebooks, centroids, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.PqOps.pqAssignStats($cb, $cs, $c);")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): PqAssignStats = copy(child = newChild)
+  }
+
   case class PqEncode(
       codebooks: Array[Array[Array[Double]]],
       centroids: Array[Array[Double]], child: Expression)
@@ -198,6 +281,11 @@ object PqOps {
   }
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def pqAssignStatsCol(codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], v: Column): Column =
+    ColumnBridge.column(
+      PqAssignStats(codebooks, centroids, ColumnBridge.expression(v)))
 
   def pqEncodeCol(codebooks: Array[Array[Array[Double]]],
       centroids: Array[Array[Double]], v: Column): Column =

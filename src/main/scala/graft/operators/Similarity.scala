@@ -944,6 +944,101 @@ object Similarity {
     }
   }
 
+  /** PQ codebooks trained on the FULL corpus — the [[kmeansDistributed]]
+    * pattern applied per subspace, all m subspaces sharing each
+    * iteration's single corpus pass: [[graft.functions.PqOps
+    * .pqAssignStats]] emits (subspace, code, distance, subvector) × m
+    * per row from one kernel call (normalize + coarse argmin + residual
+    * + m fine argmins), the m-entry array explodes, and `groupBy(sub,
+    * code)` reduces with count/sum/[[graft.functions.VectorSumAgg]] —
+    * partial aggregation folds every partition to ≤ m·ksub O(dim/m)
+    * buffers before the shuffle. Driver state per iteration is the
+    * m·ksub×(dim/m) codebook tensor (= one codebook's worth of doubles,
+    * corpus-independent). Init: the ksub lowest `xxhash64(vec_id,
+    * seed)` rows' residual slices seed every subspace. Returns
+    * (codebooks, total inertia per iteration — non-increasing by
+    * Lloyd's invariant, which the training query asserts). */
+  private[graft] def trainPqCodebooksDistributed(
+      e: DataFrame, cs: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int, seed: Long)
+      : (Array[Array[Array[Double]]], Array[Double]) = {
+    val dim = e.agg(max(size(col("embedding")))).collect()(0).getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"embedding dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val initRows = e
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(ksub).select(col("embedding")).collect()
+      .map { r =>
+        val vn = normalize(r.getSeq[Float](0))
+        graft.functions.PqOps.residual(cs(nearestCells(cs, vn, 1)(0)), vn)
+      }
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+    val inertia = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val stats = e
+        .select(explode(graft.functions.PqOps
+          .pqAssignStatsCol(cbs, cs, col("embedding"))).as("st"))
+        .select(col("st.sub").as("sub"), col("st.code").as("code"),
+          col("st.dist").as("dist"), col("st.sv").as("sv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as("cnt"), sum(col("dist")).as("d"),
+          graft.functions.VectorSumAgg.asColumn(col("sv"), subDim).as("vs"))
+        .collect()
+      inertia(it) = stats.map(_.getAs[Double]("d")).sum
+      val next = cbs.map(_.map(_.clone()))
+      stats.foreach { r =>
+        val cnt = r.getAs[Long]("cnt").toDouble
+        next(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+          r.getSeq[Double](r.fieldIndex("vs")).map(_ / cnt).toArray
+      }
+      cbs = next
+      it += 1
+    }
+    (cbs, inertia)
+  }
+
+  /** pq_train_distributed — the PQ codebooks' full-corpus training run
+    * with its convergence witnessed, completing the pair with
+    * [[ivfTrainDistributedQuery]]: every learned model in the ANN
+    * stack (coarse quantizer, fine codebooks) now has a training path
+    * whose driver state is corpus-independent. Booleans are
+    * deterministic (seeded init, fixed iterations): every vector
+    * contributes exactly one code per subspace under the trained
+    * codebooks (m·n assignments), the total-inertia sequence is
+    * non-increasing, and the final inertia strictly improves on the
+    * seeded init. */
+  def pqTrainDistributedQuery(
+      spark: SparkSession, dir: String,
+      nCells: Int = 16, m: Int = 8, ksub: Int = 32,
+      iters: Int = 4, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cs = trainCentroids(e, nCells, seed)
+    val (cbs, inertia) =
+      trainPqCodebooksDistributed(e, cs, m, ksub, iters, seed)
+    val bySub = e
+      .select(explode(graft.functions.PqOps
+        .pqAssignStatsCol(cbs, cs, col("embedding"))).as("st"))
+      .groupBy(col("st.sub").as("sub")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getAs[Long]("cnt"))
+    val nTotal = e.count()
+    val mono = inertia.toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
+      case _ => true
+    }
+    Seq((nTotal, m,
+      bySub.length == m && bySub.forall(_ == nTotal),
+      mono,
+      inertia.last < inertia.head))
+      .toDF("n_vectors", "m", "assigned_eq_n",
+        "inertia_monotone", "inertia_improved")
+  }
+
   /** similarity_ann_pq — the full billion-scale ANN storage ladder
     * (IVF-PQ, Jégou et al. 2011; the FAISS default at 100 TB of
     * vectors): coarse IVF cell as the partition column, and the vector

@@ -160,6 +160,7 @@ object SparkEntry {
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
     "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
     "stream_batched_cap" -> ((s, dir) => graft.streaming.Streaming.streamBatchedCapQuery(s, dir)),
+    "stream_exactly_once" -> ((s, dir) => graft.streaming.Streaming.streamExactlyOnceQuery(s, dir)),
     "dedup_incremental" -> ((s, dir) => Curation.incrementalDedupQuery(s, dir)),
     "quality_funnel" -> ((s, dir) => Curation.qualityFunnelQuery(s, dir)),
     "token_budget_pack" -> ((s, dir) => Packing.tokenBudgetPack(s, dir)),
@@ -1455,6 +1456,19 @@ object SparkEntry {
            ('never_runs', 2, 'skipped', false))
            t(step_name, ord, status, has_error)
          ORDER BY ord""",
+    // Exactly-once proof under an INJECTED sink failure: batch 0's
+    // replay under its original batchId is engine-observed, the
+    // idempotent leg's totals equal the direct aggregate over events,
+    // and the naive append leg measurably duplicates the replayed
+    // batch. The oracle computes the true totals and pins the
+    // mechanism booleans.
+    "stream_exactly_once" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS sum_value,
+                true AS replay_occurred,
+                true AS idempotent_exactly_once,
+                true AS append_at_least_once
+         FROM events""",
     // Cap proof: 3 files with maxFilesPerTrigger=1 -> exactly 3
     // micro-batches; row total proves nothing was dropped between them.
     "stream_batched_cap" ->

@@ -709,6 +709,74 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** stream_exactly_once — the reference's "exactly-once into Bronze"
+    * claim (offsets commit only after a successful sink write,
+    * `dag_generator.py:454`) made FALSIFIABLE by injecting the exact
+    * failure the design defends against: the sink dies AFTER batch 0's
+    * data is written but BEFORE its offsets commit. The stream restarts
+    * from the same checkpoint and batch 0 REPLAYS under the same
+    * batchId (the offset WAL planned it before the crash). Two sink
+    * legs process the identical feed and diverge only on replay
+    * discipline: the idempotent leg writes each batch to its own
+    * `batch=<id>` directory with overwrite — the replay rewrites the
+    * same directory and the final table is exactly-once; the naive leg
+    * appends — the replay duplicates batch 0 and the final table is
+    * at-least-once. Both outcomes are measured from the written files,
+    * so the query witnesses the MECHANISM (stable batchId + idempotent
+    * write ⇒ exactly-once), not just the happy path. Totals and value
+    * sums come from the idempotent leg and must equal the batch
+    * oracle's direct aggregate over events. */
+  def streamExactlyOnceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir("graft_sxo")
+    val srcDir = base.resolve("in")
+    val outIdem = base.resolve("idem").toString
+    val outApp = base.resolve("app").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    (0 until 2).foreach { i =>
+      landSingleFile(eventsHalf(spark, dir, i), base, srcDir,
+        s"part$i.parquet")
+    }
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val batchRows = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+    val failInjected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def sinkBatch(b: DataFrame, id: Long): Unit = {
+      attempts.merge(id, 1, (x, y) => x + y)
+      val rows = b.select(col("event_id"), col("user_id"), col("value"))
+        .localCheckpoint(true)
+      batchRows.putIfAbsent(id, rows.count())
+      rows.write.mode("overwrite").parquet(s"$outIdem/batch=$id")
+      rows.write.mode("append").parquet(outApp)
+      if (id == 0L && failInjected.compareAndSet(false, true))
+        sys.error("injected sink failure: data written, offsets uncommitted")
+    }
+    def run(): Unit = {
+      val q = eventsStream(spark, srcDir.toString,
+          Map("maxFilesPerTrigger" -> "1"))
+        .writeStream.outputMode("append")
+        .foreachBatch((b: DataFrame, id: Long) => sinkBatch(b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val firstRunFailed = scala.util.Try(run()).isFailure
+    run() // resume: batch 0 replays under its original id, then batch 1
+    val idem = spark.read.parquet(outIdem)
+    val stats = idem.agg(count(lit(1)).as("n"),
+      round(sum(col("value")), 2).as("s")).collect()(0)
+    val nEvents =
+      graft.operators.Relational.table(spark, dir, "events").count()
+    val appCount = spark.read.parquet(outApp).count()
+    Seq((stats.getAs[Long]("n"), stats.getAs[Double]("s"),
+      firstRunFailed && attempts.getOrDefault(0L, 0).intValue() >= 2,
+      stats.getAs[Long]("n") == nEvents,
+      appCount == nEvents + batchRows.getOrDefault(0L, 0L).longValue()))
+      .toDF("n_events", "sum_value", "replay_occurred",
+        "idempotent_exactly_once", "append_at_least_once")
+  }
+
   /** stream_batched_cap — the reference's max_messages ingestion cap
     * (`dag_generator.py:414-416`): a bounded amount of input per
     * micro-batch. On the file source the cap is `maxFilesPerTrigger`;

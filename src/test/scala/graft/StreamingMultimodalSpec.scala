@@ -164,6 +164,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("injected sink failure: replay is exactly-once only under idempotent writes") {
+    val row = Streaming.streamExactlyOnceQuery(spark, sfDir).collect()(0)
+    val want = graft.operators.Relational.table(spark, sfDir, "events").count()
+    assert(row.getLong(0) == want, "idempotent leg must hold every event once")
+    assert(row.getBoolean(2), "the injected failure must force a replay")
+    assert(row.getBoolean(3), "idempotent leg must be exactly-once")
+    assert(row.getBoolean(4), "append leg must duplicate the replayed batch")
+  }
+
   test("micro-batch runs leave no memory-sink tables in the catalog") {
     graft.operators.SourceSinkQueries.scanMicroBatch(spark, sfDir).count()
     val leaked = spark.catalog.listTables().collect()

@@ -119,6 +119,7 @@ object SparkEntry {
     "pipeline_cs3_editors" -> ((s, dir) => TransformQueries.pipelineCs3Editors(s, dir)),
     "dedup_cluster_collapse" -> ((s, dir) => Dedup.clusterCollapse(s, dir)),
     "split_train_holdout" -> ((s, dir) => Sampling.trainHoldout(s, dir)),
+    "sample_weighted" -> ((s, dir) => Sampling.sampleWeighted(s, dir)),
     "column_quantiles" -> ((s, dir) => RelationalExt.columnQuantiles(s, dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "sketch_heavy_hitters" -> ((s, dir) => graft.functions.HeavyHittersSketch.heavyHittersQuery(s, dir)),
@@ -1107,6 +1108,22 @@ object SparkEntry {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                   AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY split""",
+    // A-ES weighted sampling replayed WHOLESALE: the uniform is an
+    // exact dyadic sum of md5 hex digits (bit-identical across
+    // engines), and the ln-based key is quantized to integer
+    // micro-units so a last-ulp libm difference cannot reorder the
+    // top-k; ties resolve by doc_id.
+    "sample_weighted" -> {
+      val u = (1 to 8).map { j =>
+        s"(instr('0123456789abcdef', substring(h, $j, 1)) - 1)" +
+          s" / ${math.pow(16.0, j).toLong}.0"
+      }.mkString(" + ") + " + 0.5 / 4294967296.0"
+      s"""WITH d AS (SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         SELECT doc_id, n_chars AS weight,
+                CAST(floor(ln($u) / n_chars * 1e6) AS BIGINT) AS key_q
+         FROM d ORDER BY key_q DESC, doc_id ASC LIMIT 64"""
+    },
     "pipeline_corpus_curation" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 10000, text FROM documents),

@@ -25,6 +25,52 @@ object Sampling {
     when(substring(md5(id.cast("string")), 1, 2) < boundaryHex, "train")
       .otherwise("holdout")
 
+  /** Deterministic uniform in (0, 1) from a stable id: the first 8 hex
+    * digits of md5, folded digit-by-digit as an EXPLICIT fixed-order
+    * sum — every term is exact in binary (digit · 16^-j), so the value
+    * is bit-identical in any engine that evaluates the same expression
+    * tree, with none of `conv`'s portability problems. Range
+    * [2^-33, 1): the +0.5 offset keeps u strictly positive so ln(u) is
+    * finite. */
+  private[graft] def hashUniform(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = md5(id.cast("string"))
+    val digits = (1 to 8).map { j =>
+      (instr(lit("0123456789abcdef"), substring(h, j, 1)) - 1)
+        .cast("double") * math.pow(16.0, -j)
+    }
+    digits.reduce(_ + _) + math.pow(16.0, -8) / 2
+  }
+
+  /** sample_weighted — weighted sampling WITHOUT replacement as one
+    * top-k pass (Efraimidis–Spirakis A-ES, 2006): each row draws a
+    * deterministic uniform u from its id and keys itself with
+    * ln(u)/w — taking the k LARGEST keys samples without replacement
+    * with inclusion probability increasing in the weight w (here
+    * document length: a token-budget-shaped mixture draw). The whole
+    * operator is a scan + TakeOrdered: per-partition heaps of k, a
+    * driver merge of k·P rows, NO corpus shuffle or global sort — the
+    * sampling pattern that holds at any corpus size.
+    *
+    * Engine-neutrality: u is an exact fixed-order binary sum
+    * ([[hashUniform]]), but ln() is libm-dependent in the last ulp, so
+    * the emitted key is QUANTIZED to integer micro-units (the
+    * unigram-logprob millinat trick applied to an ordering key): a
+    * cross-engine mismatch now needs two candidates within 1e-6 of
+    * each other AND of the k-th boundary, and ties resolve by doc_id.
+    * The spec checks the sample's mean weight sits above the corpus
+    * mean — the property that makes it a WEIGHTED sample. */
+  def sampleWeighted(
+      spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val keyQ = floor(log(hashUniform(col("doc_id"))) / col("n_chars")
+      * 1e6).cast("bigint")
+    docs.select(col("doc_id"), col("n_chars").as("weight"),
+        keyQ.as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** split_train_holdout — deterministic ~90/10 split of the documents
     * corpus with per-split volume accounting (doc and token sums), the
     * numbers a dataset card reports. */

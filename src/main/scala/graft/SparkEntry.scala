@@ -88,6 +88,7 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_compression_ratio" -> ((s, dir) => TextOps.compressionRatioQuery(s, dir)),
+    "text_chunk_windows" -> ((s, dir) => TextOps.chunkWindows(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
@@ -732,6 +733,20 @@ object SparkEntry {
                      AS DOUBLE)
                   / len(string_split(text, ' ')) AS avg_word_len
          FROM documents ORDER BY doc_id""",
+    // Overlapping-window chunking replayed WHOLESALE: split, stride
+    // walk, slice, rejoin, md5 — full per-chunk fingerprint parity.
+    "text_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT doc_id, ws,
+                         unnest(range(0, len(ws), 96)) AS start FROM t)
+         SELECT doc_id, CAST(start // 96 AS INT) AS chunk_id,
+                CAST(len(list_slice(ws, start + 1, start + 128)) AS INT)
+                  AS n_tokens,
+                md5(array_to_string(
+                  list_slice(ws, start + 1, start + 128), ' '))
+                  AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_id""",
     // DEFLATE byte counts are zlib-build-specific, so the engine ships
     // ratio-derived booleans (validity, universal compression of >=200
     // char word-salad docs, repetitive-literal-ranks-lower) the oracle

@@ -225,6 +225,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** text_chunk_windows — documents exploded into fixed-size
+    * overlapping token windows (chunk=128, stride=96 ⇒ 32-token
+    * overlap), the standard pre-training / RAG chunking op: every
+    * token belongs to ≥ 1 window, boundaries never lose context. Pure
+    * scan + explode — the token array materializes ONCE per doc in its
+    * own projection (the [[shinglesOfTokens]] lesson), window starts
+    * come from `sequence`, windows from `slice`; no shuffle at any
+    * corpus size, output grows ~n_tokens/stride per doc. Chunks ship
+    * as md5 fingerprints (bounded output, and the oracle replays the
+    * whole construction — split, stride walk, slice, rejoin, md5 —
+    * in SQL). */
+  def chunkWindows(spark: SparkSession, dir: String,
+      chunk: Int = 128, stride: Int = 96): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        slice(col("ws"), col("start") + 1, lit(chunk)).as("w"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).as("n_tokens"),
+        md5(array_join(col("w"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** text_compression_ratio — the DEFLATE-ratio quality signal
     * ([[graft.functions.DeflateRatio]]): compressed/raw byte ratio per
     * document, the standard curation filter for boilerplate (ratio

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, TextOps}
+
+class TextChunkSpec extends AnyFunSuite with SparkTestBase {
+
+  private val chunk = 128
+  private val stride = 96
+
+  test("chunk windows replay a sequential slicer: ids, sizes, fingerprints") {
+    val got = TextOps.chunkWindows(spark, sfDir, chunk, stride)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var nChunks = 0
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val starts = 0 until ws.length by stride
+      starts.zipWithIndex.foreach { case (s, ci) =>
+        val w = ws.slice(s, s + chunk)
+        nChunks += 1
+        assert(got((id, ci)) == ((w.length, md5hex(w.mkString(" ")))),
+          s"chunk mismatch doc $id chunk $ci")
+      }
+    }
+    assert(got.size == nChunks, "no extra chunks")
+  }
+
+  test("windows cover every token and overlap by chunk minus stride") {
+    val rows = TextOps.chunkWindows(spark, sfDir, chunk, stride)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tok"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lens = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.foreach { case (id, n) =>
+      val (nc, sumTok) = rows(id)
+      assert(nc == (n + stride - 1) / stride, s"chunk count for doc $id")
+      // Covered token positions = n; overlap tokens are counted twice:
+      // each non-final window shares min(chunk - stride, tokens left
+      // after its stride) with its successor.
+      val overlaps = (0 until n by stride).dropRight(1)
+        .map(s => math.min(chunk - stride, n - (s + stride))).sum
+      assert(sumTok == n + overlaps, s"coverage accounting for doc $id")
+    }
+  }
+}

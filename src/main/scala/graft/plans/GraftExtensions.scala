@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BottomKStrings, CosineSimilarity, SortedIntersectSize}
+import graft.functions.{BottomKStrings, CosineSimilarity, DeflateRatio, SortedIntersectSize, VectorSumAgg, ZOrder}
 
 /** SQL-surface registration of graft's native Catalyst functions, so
   * `spark.sql("... cosine_sim(a, b) ...")` works exactly like the
@@ -49,7 +49,17 @@ object GraftFunctions {
     (FunctionIdentifier("bottom_k"),
       info("bottom_k", "bottom_k(s, k) - k smallest distinct strings (KMV sketch with hashed input)"),
       (args: Seq[Expression]) =>
-        BottomKStrings(args(0), intLit(args(1), "bottom_k k"))))
+        BottomKStrings(args(0), intLit(args(1), "bottom_k k"))),
+    (FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(s) - DEFLATE-compressed byte length of a string (level 6, raw stream)"),
+      (args: Seq[Expression]) => DeflateRatio.DeflateLen(args(0))),
+    (FunctionIdentifier("zorder_value"),
+      info("zorder_value", "zorder_value(x, y) - 2-D Morton interleave of two pre-scaled 16-bit ints"),
+      (args: Seq[Expression]) => ZOrder.ZOrderValue(args(0), args(1))),
+    (FunctionIdentifier("vector_sum"),
+      info("vector_sum", "vector_sum(v, dim) - elementwise sum of array<double> rows into one dim-length vector"),
+      (args: Seq[Expression]) =>
+        VectorSumAgg(args(0), intLit(args(1), "vector_sum dim"))))
 
   /** Register on a live session (idempotent: re-registration replaces
     * the same identifiers). */

@@ -33,6 +33,28 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.catalog.dropTempView("bk_in")
   }
 
+  test("deflate_len, zorder_value, vector_sum work from pure SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT deflate_len(repeat('spark ', 80)) AS rep,
+                deflate_len(uuid()) AS _ignore,
+                zorder_value(1, 0) AS zx,
+                zorder_value(0, 1) AS zy,
+                zorder_value(3, 3) AS zb
+      """).head()
+    assert(r.getAs[Int]("rep") ==
+      graft.functions.DeflateRatio.deflateLenOf("spark " * 80))
+    assert(r.getAs[Long]("zx") == 1L && r.getAs[Long]("zy") == 2L &&
+      r.getAs[Long]("zb") == 15L)
+    Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("v")
+      .createOrReplaceTempView("vs_in")
+    try {
+      val s = spark.sql("SELECT vector_sum(v, 2) AS s FROM vs_in")
+        .as[Seq[Double]].head()
+      assert(s == Seq(4.0, 6.0))
+    } finally spark.catalog.dropTempView("vs_in")
+  }
+
   test("registerAll is idempotent and the extension injector wires up") {
     GraftFunctions.registerAll(spark)
     GraftFunctions.registerAll(spark) // replaces, must not throw

@@ -184,6 +184,7 @@ object SparkEntry {
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
+    "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
     "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
   )
@@ -1888,6 +1889,25 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem""",
+    // Manifest-style skipping index: the pruned read (stats-selected
+    // files + residual filter) must equal the full-table filter; the
+    // oracle recomputes the data-derived window and the true
+    // aggregates, and pins the engine-measured pruning booleans.
+    "source_file_stats_index" ->
+      """WITH o AS (SELECT o_totalprice,
+                  datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS d
+                FROM orders),
+         b AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+         w AS (SELECT d0 + greatest(d1 - d0, 1) // 2 AS lo,
+                      d0 + greatest(d1 - d0, 1) // 2
+                         + greatest(d1 - d0, 1) // 10 AS hi FROM b)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS pruned_equals_full,
+                true AS files_skipped,
+                true AS stats_complete
+         FROM o, w WHERE d >= lo AND d <= hi""",
     // Z-order layout: file-range pruning under a date slice is a
     // deterministic function of the data and the seeded layout — the
     // engine measures per-file min/max from the written files and

@@ -239,6 +239,63 @@ object SourceSinkQueries {
         .as("zorder_beats_linear"))
   }
 
+  /** source_file_stats_index — the manifest/skipping-index pattern
+    * (the lakehouse table formats' core read optimization, expressed
+    * directly): one scan of a written table builds a per-file
+    * min/max stats table; a point-in-time query consults the STATS
+    * TABLE first, reads only the files whose [min, max] intersect its
+    * predicate, and applies the residual filter — provably equal to
+    * the full-table filter while physically opening a fraction of the
+    * files. At 100 TB the stats table is the difference between
+    * listing+reading every file and reading the predicate's slice;
+    * here the mechanism is end-to-end real: the pruned read is a
+    * different `spark.read.parquet(files…)` relation, not a filter
+    * that Spark happened to push down. The layout is date-sorted (the
+    * case where footer stats are tight); stats stay O(nFiles), the
+    * pruned file list is driver-bounded by the file count, never the
+    * rows. */
+  def sourceFileStatsIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFiles = 16
+    val root = tmpDir("fstats")
+    val tbl = root.resolve("orders").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1995-01-01"))).as("d"))
+    orders.repartitionByRange(nFiles, col("d"))
+      .sortWithinPartitions(col("d")).write.parquet(tbl)
+    // The stats index: one scan, O(nFiles) rows.
+    val stats = spark.read.parquet(tbl)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"))
+      .collect()
+    // Query: a 10%-of-days window in the middle of the range.
+    val (d0, d1) = (stats.map(_.getAs[Int]("dLo")).min,
+      stats.map(_.getAs[Int]("dHi")).max)
+    val span = (d1 - d0).max(1)
+    val (lo, hi) = (d0 + span / 2, d0 + span / 2 + span / 10)
+    val picked = stats
+      .filter(r => r.getAs[Int]("dHi") >= lo && r.getAs[Int]("dLo") <= hi)
+      .map(_.getAs[String]("f"))
+    // The pruned read: ONLY the picked files, residual filter on top.
+    val pruned = spark.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col("d") >= lo && col("d") <= hi)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .collect()(0)
+    val full = spark.read.parquet(tbl)
+      .filter(col("d") >= lo && col("d") <= hi)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .collect()(0)
+    Seq((full.getAs[Long]("n"), full.getAs[Double]("s"),
+      pruned.getAs[Long]("n") == full.getAs[Long]("n") &&
+        pruned.getAs[Double]("s") == full.getAs[Double]("s"),
+      picked.length < stats.length,
+      stats.length == nFiles))
+      .toDF("n_rows", "sum_price", "pruned_equals_full",
+        "files_skipped", "stats_complete")
+  }
+
   /** observe_quality_metrics — inline data-quality counters via
     * `Dataset.observe`: null counts, domain violations, and row totals
     * accumulate AS THE JOB RUNS (metric expressions evaluate inside

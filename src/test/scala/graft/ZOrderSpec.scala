@@ -59,6 +59,14 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("file stats index: pruned read equals full filter, files skipped") {
+    val row = SourceSinkQueries.sourceFileStatsIndex(spark, sfDir).collect()(0)
+    assert(row.getLong(0) > 0, "window must be non-empty")
+    assert(row.getBoolean(2), "pruned read must equal the full filter")
+    assert(row.getBoolean(3), "stats must skip files on a date-sorted layout")
+    assert(row.getBoolean(4), "stats index must cover every file")
+  }
+
   test("sink_zorder_layout: conserved and pruning-positive at this SF") {
     val row = SourceSinkQueries.sinkZorderLayout(spark, sfDir).collect()(0)
     val want = Relational.table(spark, sfDir, "orders").count()

@@ -135,6 +135,7 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "multimodal_image_decode" -> ((s, dir) => graft.multimodal.Multimodal.imageDecodeQuery(s, dir)),
     "multimodal_jpeg_roundtrip" -> ((s, dir) => graft.multimodal.Multimodal.jpegRoundtripQuery(s, dir)),
+    "multimodal_audio_decode" -> ((s, dir) => graft.multimodal.Multimodal.audioDecodeQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -960,6 +961,26 @@ object SparkEntry {
                 true AS is_jpeg,
                 true AS err_le_bound
          FROM documents WHERE doc_id < 48 ORDER BY media_id""",
+    // Real WAV codec roundtrip: every statistic is a closed-form
+    // integer function of media_id (waveform law replayed over a
+    // generated series), reachable by the engine only through the
+    // actual RIFF encode -> decode.
+    "multimodal_audio_decode" -> {
+      val s = "(base + 7 * i) % 2003 - 1001"
+      s"""WITH ids AS (SELECT doc_id AS media_id,
+                     4000 + doc_id % 997 AS n,
+                     doc_id % 1999 AS base
+              FROM documents WHERE doc_id < 48),
+         sm AS (SELECT media_id, n, base, unnest(range(0, n)) AS i
+                FROM ids)
+         SELECT media_id,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(max(n) AS INT) AS n_samples,
+                CAST(max(n) // 8 AS INT) AS duration_ms,
+                CAST(sum($s) AS BIGINT) AS sum_samples,
+                CAST(sum(abs($s)) AS BIGINT) AS sum_abs
+         FROM sm GROUP BY media_id ORDER BY media_id"""
+    },
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

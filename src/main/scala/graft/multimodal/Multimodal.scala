@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * IMAGES are decoded FOR REAL: `javax.imageio` ships in the JDK and
   * decodes PNG/JPEG with zero external dependencies (see the
   * png/decode/resize path below — encode, decode, nearest-neighbor
-  * downscale, re-encode, all over genuine codec bytes). Audio
-  * resampling and video keyframing remain clearly-marked
-  * deterministic STUBS (no audio/video codec ships with the JDK and
-  * this environment has no external libraries); swapping a stub for a
-  * real decoder (javacv/JNI) changes no schema or plumbing.
+  * downscale, re-encode, all over genuine codec bytes). AUDIO is
+  * decoded FOR REAL too: `javax.sound.sampled` ships a PCM WAV
+  * reader/writer (see the wav path below — RIFF container encode,
+  * decode, per-sample statistics). Video keyframing and COMPRESSED
+  * audio (mp3/aac) remain clearly-marked deterministic STUBS — those
+  * codecs genuinely don't ship with the JDK and this environment has
+  * no external libraries; swapping a stub for a real decoder
+  * (javacv/JNI) changes no schema or plumbing.
   *
   * Scale notes: bytes stay columnar in parquet (no base64 inflation);
   * decode runs in `mapPartitions` so per-partition setup (codec init,
@@ -398,6 +401,114 @@ object Multimodal {
         col("is_jpeg"),
         (col("max_abs_err") <= errBound).as("err_le_bound"))
       .orderBy("media_id")
+
+  // ------------------------------------------------------------------
+  // Real audio codec path (javax.sound.sampled — JDK built-in)
+  // ------------------------------------------------------------------
+  // The payloads here are REAL RIFF/WAVE files: PCM16 mono clips
+  // encoded through AudioSystem on the executors and decoded back
+  // sample-by-sample. The waveform is an integer law
+  // s_i = ((base + 7i) mod 2003) − 1001 with base = id % 1999 and
+  // n = 4000 + id % 997 samples at 8 kHz — every per-clip statistic
+  // (sample sum, absolute sum, duration) has a CLOSED FORM the DuckDB
+  // oracle replays with integer arithmetic over a generated series, so
+  // the engine only matches by running the actual container encode →
+  // decode round trip (the header comment above is now precise: the
+  // JDK ships no COMPRESSED audio/video codec — PCM WAV it does).
+
+  final case class WavClip(media_id: Long, wav: Array[Byte])
+  final case class WavStats(
+      media_id: Long, sample_rate: Int, n_samples: Int,
+      duration_ms: Int, sum_samples: Long, sum_abs: Long)
+
+  /** Deterministic clip law shared by the encoder, the decoder spec,
+    * and the oracle. */
+  private[graft] def wavLaw(id: Long): (Int, Int) =
+    ((4000 + id % 997).toInt, (id % 1999).toInt)
+
+  private[graft] def sampleAt(base: Int, i: Int): Int =
+    ((base + 7 * i) % 2003) - 1001
+
+  /** Encode one clip as a real WAV (PCM16 LE mono, 8 kHz) through
+    * `AudioSystem.write` — genuine RIFF container bytes. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val (n, base) = wavLaw(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(base, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode one WAV payload: format checks + per-sample statistics.
+    * Fails loudly on undecodable bytes or an unexpected format. */
+  private[graft] def decodeOneWav(bytes: Array[Byte]): WavStatsRaw = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+      s"unexpected wav format: $fmt")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var sum = 0L
+    var sumAbs = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((data(2 * i + 1).toInt) << 8) | (data(2 * i) & 0xFF)
+      sum += s
+      sumAbs += math.abs(s)
+      i += 1
+    }
+    WavStatsRaw(fmt.getSampleRate.toInt, n, sum, sumAbs)
+  }
+
+  final case class WavStatsRaw(
+      sampleRate: Int, n: Int, sum: Long, sumAbs: Long)
+
+  /** Bounded table of REAL WAV payloads, generated distributed (same
+    * per-partition codec shape as [[pngTable]]). */
+  def wavTable(spark: SparkSession, dir: String, n: Long = 48L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(it => it.map(id => WavClip(id, encodeWav(id))))
+      .toDF()
+  }
+
+  /** Real per-partition WAV decode over a (media_id, wav) frame. */
+  def decodeWav(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("media_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val r = decodeOneWav(bytes)
+          WavStats(id, r.sampleRate, r.n, r.n / 8, r.sum, r.sumAbs)
+        }
+      }.toDF()
+  }
+
+  /** multimodal_audio_decode driver query — the WAV round trip as one
+    * hash-checked relation: every column is a closed-form integer
+    * function of media_id that the engine must reach through the real
+    * codec both ways. */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeWav(wavTable(spark, dir)).orderBy("media_id")
 
   /** multimodal_metadata driver query — metadata-only column pruning:
     * reading the meta struct must not deserialize the payload bytes. */

@@ -180,6 +180,33 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(leaked.isEmpty, s"leaked memory-sink tables: ${leaked.toSeq}")
   }
 
+  test("wav roundtrip: genuine RIFF bytes, sample-exact decode, query law") {
+    // Container check + sample-exact roundtrip on a few ids.
+    Seq(0L, 7L, 41L).foreach { id =>
+      val bytes = Multimodal.encodeWav(id)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val r = Multimodal.decodeOneWav(bytes)
+      val (n, base) = Multimodal.wavLaw(id)
+      assert(r.sampleRate == 8000 && r.n == n)
+      val samples = (0 until n).map(Multimodal.sampleAt(base, _))
+      assert(r.sum == samples.map(_.toLong).sum)
+      assert(r.sumAbs == samples.map(s => math.abs(s).toLong).sum)
+    }
+    // The distributed query must reach the same closed forms.
+    val rows = Multimodal.audioDecodeQuery(spark, sfDir).collect()
+    assert(rows.length == 48)
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      val (n, base) = Multimodal.wavLaw(id)
+      val samples = (0 until n).map(Multimodal.sampleAt(base, _))
+      assert(row.getInt(1) == 8000 && row.getInt(2) == n)
+      assert(row.getInt(3) == n / 8)
+      assert(row.getLong(4) == samples.map(_.toLong).sum)
+      assert(row.getLong(5) == samples.map(s => math.abs(s).toLong).sum)
+    }
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

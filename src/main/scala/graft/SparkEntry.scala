@@ -136,6 +136,8 @@ object SparkEntry {
     "multimodal_image_decode" -> ((s, dir) => graft.multimodal.Multimodal.imageDecodeQuery(s, dir)),
     "multimodal_jpeg_roundtrip" -> ((s, dir) => graft.multimodal.Multimodal.jpegRoundtripQuery(s, dir)),
     "multimodal_audio_decode" -> ((s, dir) => graft.multimodal.Multimodal.audioDecodeQuery(s, dir)),
+    "multimodal_audio_resample" -> ((s, dir) => graft.multimodal.Multimodal.audioResampleQuery(s, dir)),
+    "multimodal_decode_quarantine" -> ((s, dir) => graft.multimodal.Multimodal.decodeQuarantineQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -980,6 +982,50 @@ object SparkEntry {
                 CAST(sum($s) AS BIGINT) AS sum_samples,
                 CAST(sum(abs($s)) AS BIGINT) AS sum_abs
          FROM sm GROUP BY media_id ORDER BY media_id"""
+    },
+    // Decimation-by-2 resample: the law at even indices, n' = ceil(n/2)
+    // samples at 4 kHz — codec run twice each way to match.
+    "multimodal_audio_resample" -> {
+      val s = "(base + 14 * j) % 2003 - 1001"
+      s"""WITH ids AS (SELECT doc_id AS media_id,
+                     4000 + doc_id % 997 AS n,
+                     doc_id % 1999 AS base
+              FROM documents WHERE doc_id < 48),
+         sm AS (SELECT media_id, n, base,
+                       unnest(range(0, (n + 1) // 2)) AS j
+                FROM ids)
+         SELECT media_id,
+                CAST(4000 AS INT) AS sample_rate,
+                CAST(max((n + 1) // 2) AS INT) AS n_samples,
+                CAST(sum($s) AS BIGINT) AS sum_samples,
+                CAST(sum(abs($s)) AS BIGINT) AS sum_abs
+         FROM sm GROUP BY media_id ORDER BY media_id"""
+    },
+    // Quarantine: every 7th payload is corrupted (header stripped);
+    // good rows decode to their closed forms, bad rows carry the
+    // codec's typed reason, and the row count is conserved.
+    "multimodal_decode_quarantine" -> {
+      val s = "(base + 7 * i) % 2003 - 1001"
+      s"""WITH ids AS (SELECT doc_id AS media_id,
+                     4000 + doc_id % 997 AS n,
+                     doc_id % 1999 AS base
+              FROM documents WHERE doc_id < 48),
+         sm AS (SELECT media_id, n, base, unnest(range(0, n)) AS i
+                FROM ids),
+         good AS (SELECT media_id, CAST(max(n) AS INT) AS n_samples,
+                         CAST(sum($s) AS BIGINT) AS sum_samples
+                  FROM sm GROUP BY media_id)
+         SELECT i.media_id,
+                i.media_id % 7 <> 3 AS decoded,
+                CASE WHEN i.media_id % 7 = 3 THEN -1
+                     ELSE g.n_samples END AS n_samples,
+                CASE WHEN i.media_id % 7 = 3 THEN CAST(-1 AS BIGINT)
+                     ELSE g.sum_samples END AS sum_samples,
+                CASE WHEN i.media_id % 7 = 3
+                     THEN 'UnsupportedAudioFileException'
+                     ELSE '' END AS reason
+         FROM ids i JOIN good g ON i.media_id = g.media_id
+         ORDER BY i.media_id"""
     },
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

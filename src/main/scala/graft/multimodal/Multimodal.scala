@@ -510,6 +510,92 @@ object Multimodal {
   def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame =
     decodeWav(wavTable(spark, dir)).orderBy("media_id")
 
+  /** Real audio resample: decode, keep every `factor`-th sample
+    * (decimation at exact source indices — deterministic, no
+    * interpolation ambiguity, the audio twin of [[resizePng]]'s
+    * nearest-neighbor law), re-encode as WAV at rate/factor. */
+  def resampleWav(clips: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"resample factor must be >= 1, got $factor")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("media_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val rn = (n + factor - 1) / factor
+          val out = new Array[Byte](rn * 2)
+          var j = 0
+          while (j < rn) {
+            out(2 * j) = data(2 * j * factor)
+            out(2 * j + 1) = data(2 * j * factor + 1)
+            j += 1
+          }
+          val rFmt = new javax.sound.sampled.AudioFormat(
+            fmt.getSampleRate / factor, 16, 1, true, false)
+          val rAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), rFmt, rn.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(rAis,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavClip(id, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** multimodal_audio_resample driver query — decode → decimate-by-2 →
+    * re-encode → decode AGAIN; the resampled statistics follow from
+    * the waveform law at even indices, so the oracle pins every value
+    * while the engine runs the codec twice each way. */
+  def audioResampleQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeWav(resampleWav(wavTable(spark, dir), 2))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("sum_samples"), col("sum_abs"))
+      .orderBy("media_id")
+
+  /** Quarantine decode: the production shape for corrupt media rows —
+    * decode what decodes, route the rest to a tagged side channel,
+    * lose nothing. Catches ONLY the codec's typed failure
+    * (`UnsupportedAudioFileException` — a stable, meaningful reason
+    * tag), never a blanket Throwable: an OOM or a bug must still fail
+    * the job, not land in quarantine. */
+  def decodeWavQuarantine(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("media_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val r = decodeOneWav(bytes)
+            (id, true, r.n, r.sum, "")
+          } catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              (id, false, -1, -1L, e.getClass.getSimpleName)
+          }
+        }
+      }.toDF("media_id", "decoded", "n_samples", "sum_samples", "reason")
+  }
+
+  /** multimodal_decode_quarantine driver query — a feed where every
+    * 7th payload (media_id % 7 == 3) is deterministically corrupted
+    * (RIFF header stripped): good rows must decode to their closed
+    * forms, corrupt rows must land in quarantine with the codec's
+    * typed reason, and no row may vanish. */
+  def decodeQuarantineQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clips = wavTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .map { case (id, wav) =>
+        WavClip(id, if (id % 7 == 3) wav.drop(8) else wav)
+      }.toDF()
+    decodeWavQuarantine(clips).orderBy("media_id")
+  }
+
   /** multimodal_metadata driver query — metadata-only column pruning:
     * reading the meta struct must not deserialize the payload bytes. */
   def metadataQuery(spark: SparkSession, dir: String): DataFrame =

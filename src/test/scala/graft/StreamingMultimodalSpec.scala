@@ -207,6 +207,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("wav resample halves the rate at even-index samples; quarantine loses nothing") {
+    val rs = Multimodal.audioResampleQuery(spark, sfDir).collect()
+    assert(rs.length == 48)
+    rs.foreach { row =>
+      val id = row.getLong(0)
+      val (n, base) = Multimodal.wavLaw(id)
+      val rn = (n + 1) / 2
+      val samples = (0 until rn).map(j => Multimodal.sampleAt(base, 2 * j))
+      assert(row.getInt(1) == 4000 && row.getInt(2) == rn)
+      assert(row.getLong(3) == samples.map(_.toLong).sum)
+      assert(row.getLong(4) == samples.map(s => math.abs(s).toLong).sum)
+    }
+    val q = Multimodal.decodeQuarantineQuery(spark, sfDir).collect()
+    assert(q.length == 48, "no row may vanish")
+    q.foreach { row =>
+      val id = row.getLong(0)
+      if (id % 7 == 3) {
+        assert(!row.getBoolean(1) && row.getInt(2) == -1)
+        assert(row.getString(4) == "UnsupportedAudioFileException")
+      } else {
+        val (n, base) = Multimodal.wavLaw(id)
+        assert(row.getBoolean(1) && row.getInt(2) == n)
+        assert(row.getLong(3) ==
+          (0 until n).map(i => Multimodal.sampleAt(base, i).toLong).sum)
+        assert(row.getString(4).isEmpty)
+      }
+    }
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

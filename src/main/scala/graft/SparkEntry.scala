@@ -138,6 +138,7 @@ object SparkEntry {
     "multimodal_audio_decode" -> ((s, dir) => graft.multimodal.Multimodal.audioDecodeQuery(s, dir)),
     "multimodal_audio_resample" -> ((s, dir) => graft.multimodal.Multimodal.audioResampleQuery(s, dir)),
     "multimodal_decode_quarantine" -> ((s, dir) => graft.multimodal.Multimodal.decodeQuarantineQuery(s, dir)),
+    "multimodal_video_frames" -> ((s, dir) => graft.multimodal.Multimodal.videoFramesQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -1027,6 +1028,27 @@ object SparkEntry {
          FROM ids i JOIN good g ON i.media_id = g.media_id
          ORDER BY i.media_id"""
     },
+    // Keyframe sampling over a real multi-frame container (animated
+    // GIF): every kept frame's pixel sum is the indexed-gray law
+    // replayed over an x x y grid — only a genuine container decode
+    // matches.
+    "multimodal_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+                    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                    doc_id % 128 AS base, 3 + doc_id % 4 AS nf
+             FROM documents WHERE doc_id < 48),
+         fr AS (SELECT media_id, w, h, base, unnest(range(0, nf)) AS f
+                FROM ids),
+         px AS (SELECT media_id, f, w, h, base, unnest(range(0, w)) AS x
+                FROM fr WHERE f % 2 = 0),
+         pxy AS (SELECT media_id, f, w, h, base, x,
+                        unnest(range(0, h)) AS y FROM px)
+         SELECT media_id, CAST(f AS INT) AS frame,
+                CAST(max(w) AS INT) AS width,
+                CAST(max(h) AS INT) AS height,
+                CAST(sum((base + 11 * f + 3 * x + 5 * y) % 256) AS BIGINT)
+                  AS pixel_sum
+         FROM pxy GROUP BY media_id, f ORDER BY media_id, frame""",
     "similarity_cosine_expr" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

@@ -596,6 +596,124 @@ object Multimodal {
     decodeWavQuarantine(clips).orderBy("media_id")
   }
 
+  // ------------------------------------------------------------------
+  // Real multi-frame container path (animated GIF via javax.imageio)
+  // ------------------------------------------------------------------
+  // Video keyframe sampling over a REAL container: animated GIF is the
+  // one multi-frame format the JDK can both write (writeToSequence)
+  // and read (getNumImages/read(i)). Frames are TYPE_BYTE_INDEXED over
+  // an explicit 256-gray palette, so the frame law
+  // g(f, x, y) = (base + 11f + 3x + 5y) mod 256 survives the palette
+  // roundtrip EXACTLY — per-frame pixel sums have closed forms the
+  // oracle replays, and the engine only matches by decoding the actual
+  // container. Frame count F = 3 + id % 4; dims reuse [[pngDims]].
+
+  final case class GifClip(media_id: Long, gif: Array[Byte])
+  final case class GifFrameStats(
+      media_id: Long, frame: Int, width: Int, height: Int, pixel_sum: Long)
+
+  private[graft] def gifFrames(id: Long): Int = (3 + id % 4).toInt
+
+  private[graft] def gifPixel(base: Int, f: Int, x: Int, y: Int): Int =
+    (base + 11 * f + 3 * x + 5 * y) % 256
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode one animated GIF (all frames full-size, indexed gray). */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    val (w, h, base) = pngDims(id)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    require(writer.canWriteSequence, "JDK gif writer must support sequences")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until gifFrames(id)).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, gifPixel(base, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF payload: per-frame (w, h, gray sum).
+    * Sums read the palette-resolved RGB blue channel, so a lossy
+    * palette would be caught, not masked. */
+  private[graft] def decodeGifFrames(
+      bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += img.getRGB(x, y) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        (f, img.getWidth, img.getHeight, sum)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Bounded table of REAL animated-GIF payloads. */
+  def gifTable(spark: SparkSession, dir: String, n: Long = 48L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(it => it.map(id => GifClip(id, encodeGif(id))))
+      .toDF()
+  }
+
+  /** multimodal_video_frames driver query — keyframe sampling over the
+    * real container: decode EVERY other frame (stride 2 — the
+    * keyframe-sample law) of each clip; one output row per kept frame
+    * with its closed-form pixel sum. */
+  def videoFramesQuery(
+      spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    val clips = gifTable(spark, dir)
+    val sparkS = clips.sparkSession
+    import sparkS.implicits._
+    clips.select(col("media_id"), col("gif"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGifFrames(bytes).collect {
+            case (f, w, h, sum) if f % stride == 0 =>
+              GifFrameStats(id, f, w, h, sum)
+          }
+        }
+      }.toDF().orderBy("media_id", "frame")
+  }
+
   /** multimodal_metadata driver query — metadata-only column pruning:
     * reading the meta struct must not deserialize the payload bytes. */
   def metadataQuery(spark: SparkSession, dir: String): DataFrame =

@@ -236,6 +236,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gif container: lossless indexed roundtrip, stride-2 keyframes match law") {
+    // Container + all-frames roundtrip on a few ids.
+    Seq(1L, 6L, 47L).foreach { id =>
+      val bytes = Multimodal.encodeGif(id)
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF")
+      val frames = Multimodal.decodeGifFrames(bytes)
+      assert(frames.length == Multimodal.gifFrames(id))
+      val (w, h, base) = Multimodal.pngDims(id)
+      frames.foreach { case (f, fw, fh, sum) =>
+        assert(fw == w && fh == h)
+        val want = (for (x <- 0 until w; y <- 0 until h)
+          yield Multimodal.gifPixel(base, f, x, y).toLong).sum
+        assert(sum == want, s"frame $f of clip $id")
+      }
+    }
+    // The distributed keyframe query keeps exactly the even frames.
+    val rows = Multimodal.videoFramesQuery(spark, sfDir).collect()
+    val wantRows = (0L until 48L).map(id => (Multimodal.gifFrames(id) + 1) / 2).sum
+    assert(rows.length == wantRows)
+    rows.foreach { r =>
+      val (w, h, base) = Multimodal.pngDims(r.getLong(0))
+      val f = r.getInt(1)
+      assert(f % 2 == 0)
+      val want = (for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.gifPixel(base, f, x, y).toLong).sum
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getLong(4) == want)
+    }
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

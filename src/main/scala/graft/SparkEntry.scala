@@ -183,6 +183,7 @@ object SparkEntry {
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
     "optimizer_cosine_rewrite_residual" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.residualRewriteQuery(s, dir)),
     "pipeline_pack_release" -> ((s, dir) => Packing.packReleaseQuery(s, dir, budget = 5000L)),
+    "pipeline_chunk_release" -> ((s, dir) => Packing.chunkReleaseQuery(s, dir)),
     "custom_topk_exec" -> ((s, dir) => graft.plans.TopKPerKey.topkQuery(s, dir)),
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
@@ -1640,6 +1641,35 @@ object SparkEntry {
          ORDER BY stage""",
     // The two-level distributed prefix sum must equal the single
     // global running-total window (which IS the oracle's form).
+    // Chunk-level release cut replayed WHOLESALE: gate, disjoint
+    // 128-token chunking, min-gid dedup per chunk hash, exclusive
+    // running sum in gid order, budget sharding — all integer
+    // arithmetic, window-function replay.
+    "pipeline_chunk_release" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(text) >= 200),
+         c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 128)) AS start
+               FROM d),
+         ch AS (SELECT doc_id * 1024 + start // 128 AS gid,
+                       len(list_slice(ws, start + 1, start + 128)) AS n_tok,
+                       md5(array_to_string(
+                         list_slice(ws, start + 1, start + 128), ' ')) AS h
+                FROM c),
+         k AS (SELECT gid, n_tok,
+                      row_number() OVER (PARTITION BY h ORDER BY gid) AS rn
+               FROM ch),
+         p AS (SELECT gid, n_tok,
+                      CAST(COALESCE(sum(n_tok) OVER (ORDER BY gid
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS prior
+               FROM k WHERE rn = 1)
+         SELECT CAST(prior // 1000 AS BIGINT) AS shard,
+                count(*) AS n_chunks,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                min(gid) AS first_gid,
+                max(gid) AS last_gid
+         FROM p GROUP BY 1 ORDER BY shard""",
     "token_budget_pack" ->
       """WITH t AS (SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

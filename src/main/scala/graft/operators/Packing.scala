@@ -204,6 +204,49 @@ object Packing {
       .orderBy("shard")
   }
 
+  /** pipeline_chunk_release — the CHUNK-level release cut, composing
+    * the chunking operator into the release chain as ONE Catalyst
+    * plan:
+    *
+    *   quality gate (≥ 200 chars) →
+    *   non-overlapping 128-token chunking ([[TextOps.chunkRelation]],
+    *   stride = chunk — training shards want disjoint windows) →
+    *   exact cross-document chunk dedup (lowest global chunk id per
+    *   chunk_md5 — the digest shuffles, never the tokens) →
+    *   token-budget shard packing over the kept chunks
+    *   ([[exclusivePrefixSum]] in global chunk order).
+    *
+    * The global chunk id is doc_id · 1024 + chunk_id, with a loud
+    * in-plan guard on the 1024-chunks-per-doc bound (the
+    * `pinnedDocId`/prefix-sum convention: fail, never silently
+    * misorder). Integer arithmetic end to end, so the oracle replays
+    * the whole chain with window functions. */
+  def chunkReleaseQuery(
+      spark: SparkSession, dir: String, budget: Long = 1000L): DataFrame = {
+    val chunkCap = 1024L
+    val docs = Relational.table(spark, dir, "documents")
+      .filter(length(col("text")) >= 200)
+    val chunks = TextOps.chunkRelation(docs, chunk = 128, stride = 128)
+    val guardedChunk = when(col("chunk_id") < chunkCap, col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit(s"chunk_id exceeds the $chunkCap-per-doc id bound: "),
+        col("chunk_id").cast("string"))))
+    val gids = chunks.select(
+      (col("doc_id") * chunkCap + guardedChunk).cast("bigint").as("gid"),
+      col("n_tokens").cast("bigint").as("n_tok"), col("chunk_md5"))
+    val deduped = Dedup.exactDedup(gids, "gid", "chunk_md5")
+      .select(col("gid"), col("n_tok"))
+    exclusivePrefixSum(deduped, "gid", "n_tok")
+      .select(col("gid"), col("n_tok"),
+        floor(col("prior") / budget).cast("bigint").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col("gid")).as("first_gid"),
+        max(col("gid")).as("last_gid"))
+      .orderBy("shard")
+  }
+
   /** token_budget_pack — greedy fixed-budget shard assignment: walking
     * the corpus in doc_id order, a document lands in shard
     * ⌊prior_tokens / budget⌋. Shards are contiguous doc_id ranges of

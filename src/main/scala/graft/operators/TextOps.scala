@@ -236,11 +236,12 @@ object TextOps {
     * as md5 fingerprints (bounded output, and the oracle replays the
     * whole construction — split, stride walk, slice, rejoin, md5 —
     * in SQL). */
-  def chunkWindows(spark: SparkSession, dir: String,
-      chunk: Int = 128, stride: Int = 96): DataFrame = {
-    val docs = Relational.table(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+  /** The chunk relation itself — (doc_id, chunk_id, n_tokens,
+    * chunk_md5), unordered, composable into larger plans
+    * ([[graft.operators.Packing]]'s chunk-release capstone). */
+  def chunkRelation(docs: DataFrame, chunk: Int, stride: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
           .as("start"))
@@ -250,8 +251,11 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("w")).as("n_tokens"),
         md5(array_join(col("w"), " ")).as("chunk_md5"))
+
+  def chunkWindows(spark: SparkSession, dir: String,
+      chunk: Int = 128, stride: Int = 96): DataFrame =
+    chunkRelation(Relational.table(spark, dir, "documents"), chunk, stride)
       .orderBy("doc_id", "chunk_id")
-  }
 
   /** text_compression_ratio — the DEFLATE-ratio quality signal
     * ([[graft.functions.DeflateRatio]]): compressed/raw byte ratio per

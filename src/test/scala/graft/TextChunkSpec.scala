@@ -35,6 +35,53 @@ class TextChunkSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == nChunks, "no extra chunks")
   }
 
+  test("chunk release: shards partition the deduped chunks in gid order") {
+    val rows = graft.operators.Packing.chunkReleaseQuery(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // Shards are contiguous, budget-bounded in the greedy sense
+    // (every shard but the last crosses the budget with its final
+    // chunk but never by more than one chunk's tokens), and gid spans
+    // never overlap.
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, "gid spans must not overlap")
+      case _ =>
+    }
+    val budget = 1000L
+    rows.init.foreach { case (_, _, sumTok, _, _) =>
+      assert(sumTok + 128 >= budget, "non-final shard must near the budget")
+    }
+    // Sequential reference over the same gate/chunk/dedup chain.
+    val docs = Relational.table(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seen = scala.collection.mutable.Set.empty[String]
+    var prior = 0L
+    val shardAgg = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long)]
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length by 128).foreach { s =>
+        val w = ws.slice(s, s + 128)
+        if (seen.add(md5hex(w.mkString(" ")))) {
+          val shard = prior / budget
+          val (n, t) = shardAgg.getOrElse(shard, (0L, 0L))
+          shardAgg(shard) = (n + 1, t + w.length)
+          prior += w.length
+        }
+      }
+    }
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      shardAgg.toSeq.map { case (s, (n, t)) => (s, n, t) },
+      "manifest must replay the sequential chain")
+  }
+
   test("windows cover every token and overlap by chunk minus stride") {
     val rows = TextOps.chunkWindows(spark, sfDir, chunk, stride)
       .groupBy("doc_id")

@@ -139,6 +139,7 @@ object SparkEntry {
     "multimodal_audio_resample" -> ((s, dir) => graft.multimodal.Multimodal.audioResampleQuery(s, dir)),
     "multimodal_decode_quarantine" -> ((s, dir) => graft.multimodal.Multimodal.decodeQuarantineQuery(s, dir)),
     "multimodal_video_frames" -> ((s, dir) => graft.multimodal.Multimodal.videoFramesQuery(s, dir)),
+    "dedup_image_phash" -> ((s, dir) => graft.multimodal.Multimodal.imagePhashDedupQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -1029,6 +1030,41 @@ object SparkEntry {
          FROM ids i JOIN good g ON i.media_id = g.media_id
          ORDER BY i.media_id"""
     },
+    // Perceptual-hash image near-dup: the oracle recomputes every
+    // 63-bit aHash FROM THE PIXEL LAW (grid sample, integer mean
+    // threshold, sum of powers) and replays the pairwise Hamming <= 3
+    // set; the engine only matches by decoding the real PNGs.
+    "dedup_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+         img AS (SELECT CASE WHEN v = 1 THEN doc_id + 1000
+                             ELSE doc_id END AS media_id,
+                        v, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                        3 + doc_id % 29 AS a, 5 + doc_id % 23 AS b,
+                        1 + doc_id % 19 AS c, doc_id % 128 AS d
+                 FROM ids, (SELECT unnest([0, 1]) AS v)),
+         pts AS (SELECT *, unnest(range(0, 7)) AS j FROM img),
+         pts2 AS (SELECT *, unnest(range(0, 9)) AS k FROM pts),
+         px AS (SELECT media_id, j * 9 + k AS idx,
+                       (d + a * ((k * w) // 9) + b * ((j * h) // 7)
+                        + c * ((k * w) // 9) * ((j * h) // 7)) % 251
+                       + CASE WHEN v = 1
+                              AND (((k * w) // 9) + 5 * ((j * h) // 7))
+                                  % 11 = 0
+                              THEN 2 ELSE 0 END AS val
+                FROM pts2),
+         m AS (SELECT media_id, sum(val) // 63 AS mean
+               FROM px GROUP BY media_id),
+         hs AS (SELECT px.media_id,
+                       CAST(sum(CASE WHEN val > mean
+                                THEN (CAST(1 AS BIGINT) << idx)
+                                ELSE 0 END) AS BIGINT) AS ph
+                FROM px JOIN m ON px.media_id = m.media_id
+                GROUP BY px.media_id)
+         SELECT x.media_id AS id_a, y.media_id AS id_b,
+                CAST(bit_count(xor(x.ph, y.ph)) AS INT) AS hamming
+         FROM hs x JOIN hs y ON x.media_id < y.media_id
+         WHERE bit_count(xor(x.ph, y.ph)) <= 3
+         ORDER BY id_a, id_b""",
     // Keyframe sampling over a real multi-frame container (animated
     // GIF): every kept frame's pixel sum is the indexed-gray law
     // replayed over an x x y grid — only a genuine container decode

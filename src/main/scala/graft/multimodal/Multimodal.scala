@@ -597,6 +597,127 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Image near-duplicate detection (perceptual hash over real decode)
+  // ------------------------------------------------------------------
+  // The image leg of the dedup family: a 63-bit average-hash (aHash —
+  // the classic perceptual fingerprint: sample a fixed 9×7 grid,
+  // threshold each sample against the grid mean) computed from REAL
+  // decoded PNG pixels, then the minhash-LSH pattern applied to
+  // Hamming space: band the hash into 4 × 16-bit keys (pigeonhole —
+  // any pair within Hamming ≤ 3 shares at least one untouched band),
+  // equi-join on band keys, and verify candidates exactly with
+  // bit_count(xor). At corpus scale the banding join is the whole
+  // story: candidates ∝ collisions, never n². The fixture is 48
+  // originals + 48 noise-perturbed copies of a varied modular pixel
+  // law — integer arithmetic end to end, so the oracle recomputes
+  // every hash FROM THE LAW and replays the pair set, while the
+  // engine must reach the same hashes through the codec.
+
+  final case class PhashImage(media_id: Long, png: Array[Byte])
+  final case class PhashRow(media_id: Long, phash: Long)
+
+  private[graft] def phashPixel(id: Long, noisy: Boolean, x: Int, y: Int): Int = {
+    val a = (3 + id % 29).toInt
+    val b = (5 + id % 23).toInt
+    val c = (1 + id % 19).toInt
+    val d = (id % 128).toInt
+    val base = (d + a * x + b * y + c * x * y) % 251
+    base + (if (noisy && (x + 5 * y) % 11 == 0) 2 else 0)
+  }
+
+  private[graft] def encodePhashPng(id: Long, noisy: Boolean): Array[Byte] = {
+    val (w, h, _) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = phashPixel(id, noisy, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 63-bit aHash of a decoded image: 9×7 sample grid at integer
+    * stride coordinates, mean-thresholded. 63 bits (not 64) keeps the
+    * hash — and the oracle's sum-of-powers reconstruction — inside a
+    * signed 64-bit integer. */
+  private[graft] def aHash63(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val vals = new Array[Int](63)
+    var j = 0
+    while (j < 7) {
+      var k = 0
+      while (k < 9) {
+        vals(j * 9 + k) = img.getRGB(k * w / 9, j * h / 7) & 0xFF
+        k += 1
+      }
+      j += 1
+    }
+    val mean = vals.sum / 63
+    var hash = 0L
+    var idx = 0
+    while (idx < 63) {
+      if (vals(idx) > mean) hash |= (1L << idx)
+      idx += 1
+    }
+    hash
+  }
+
+  /** 96 real PNG payloads: originals (media_id = doc_id) and
+    * noise-perturbed copies (media_id = doc_id + 1000). */
+  def phashTable(spark: SparkSession, dir: String, n: Long = 48L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions(it => it.flatMap(id => Seq(
+        PhashImage(id, encodePhashPng(id, noisy = false)),
+        PhashImage(id + 1000, encodePhashPng(id, noisy = true)))))
+      .toDF()
+  }
+
+  /** dedup_image_phash — decode, hash, band, join, verify. Returns the
+    * (id_a, id_b, hamming) pairs within Hamming ≤ 3. */
+  def imagePhashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxHam = 3
+    val hashes = phashTable(spark, dir)
+      .select(col("media_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, "payload is not a decodable image")
+          PhashRow(id, aHash63(img))
+        }
+      }.toDF()
+    // 4 bands × 16 bits: Hamming ≤ 3 ⇒ ≥ 1 band is identical.
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+    pairs.orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
   // Real multi-frame container path (animated GIF via javax.imageio)
   // ------------------------------------------------------------------
   // Video keyframe sampling over a REAL container: animated GIF is the

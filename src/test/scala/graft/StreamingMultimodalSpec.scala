@@ -265,6 +265,44 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("image phash: codec hash equals law hash; banded join finds every noisy twin") {
+    def lawHash(id: Long, noisy: Boolean): Long = {
+      val (w, h, _) = Multimodal.pngDims(id)
+      val vals = for (j <- 0 until 7; k <- 0 until 9)
+        yield Multimodal.phashPixel(id, noisy, k * w / 9, j * h / 7)
+      val mean = vals.sum / 63
+      vals.zipWithIndex.foldLeft(0L) { case (acc, (v, idx)) =>
+        if (v > mean) acc | (1L << idx) else acc
+      }
+    }
+    // Decode-side hash must equal the law-side hash (lossless roundtrip).
+    Seq(0L, 13L, 47L).foreach { id =>
+      Seq(false, true).foreach { noisy =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            Multimodal.encodePhashPng(id, noisy)))
+        assert(Multimodal.aHash63(img) == lawHash(id, noisy),
+          s"hash mismatch id=$id noisy=$noisy")
+      }
+    }
+    // The banded join must deliver exactly the law-replayed pair set.
+    val got = Multimodal.imagePhashDedupQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = (0L until 48L).flatMap(id => Seq(
+      id -> lawHash(id, noisy = false),
+      (id + 1000) -> lawHash(id, noisy = true))).toMap
+    val want = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(got == want, s"pair set mismatch: got ${got.size}, want ${want.size}")
+    // Every noisy twin is found (the semantic point of the operator).
+    (0L until 48L).foreach { id =>
+      assert(got.exists(p => p._1 == id && p._2 == id + 1000),
+        s"twin pair missing for $id")
+    }
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

@@ -718,6 +718,101 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Audio near-duplicate detection (energy fingerprint over real decode)
+  // ------------------------------------------------------------------
+  // The audio leg of the dedup family, completing modality coverage
+  // (text: minhash/simhash; embeddings: cosine; images: aHash): a
+  // 63-bit energy fingerprint — per-window absolute-amplitude sums,
+  // mean-thresholded — computed from REAL decoded WAV samples, then
+  // the same banded Hamming join as [[imagePhashDedupQuery]]. Clips
+  // are amplitude-modulated per window so fingerprints separate;
+  // noisy twins (+1 on every 13th sample) leave every window's energy
+  // rank untouched, so twin pairs sit at Hamming 0. Integer law end
+  // to end: the oracle recomputes every fingerprint from the waveform
+  // law over a generated series and replays the pair set.
+
+  private[graft] def fpSample(n: Int, base: Int, i: Int, noisy: Boolean): Int = {
+    val w = (i.toLong * 63 / n).toInt
+    val m = 1 + ((w + base) * (1 + base % 7)) % 5
+    val v = (((base + 7 * i) % 2003) - 1001) * m
+    v + (if (noisy && i % 13 == 0) 1 else 0)
+  }
+
+  private[graft] def encodeFpWav(id: Long, noisy: Boolean): Array[Byte] = {
+    val (n, base) = wavLaw(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = fpSample(n, base, i, noisy)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 63-bit energy fingerprint of decoded PCM16: 63 contiguous
+    * windows (sample i → window ⌊i·63/n⌋), absolute-amplitude sums,
+    * mean-thresholded. */
+  private[graft] def audioFp63(bytes: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val sums = new Array[Long](63)
+    var i = 0
+    while (i < n) {
+      val s = ((data(2 * i + 1).toInt) << 8) | (data(2 * i) & 0xFF)
+      sums((i.toLong * 63 / n).toInt) += math.abs(s)
+      i += 1
+    }
+    val mean = sums.sum / 63
+    var hash = 0L
+    var idx = 0
+    while (idx < 63) {
+      if (sums(idx) > mean) hash |= (1L << idx)
+      idx += 1
+    }
+    hash
+  }
+
+  /** dedup_audio_fingerprint — decode, fingerprint, band, join,
+    * verify; 48 originals + 48 noisy twins (media_id = doc_id + 1000). */
+  def audioFingerprintDedupQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxHam = 3
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 48)
+      .as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        Seq(
+          PhashRow(id, audioFp63(encodeFpWav(id, noisy = false))),
+          PhashRow(id + 1000, audioFp63(encodeFpWav(id, noisy = true))))
+      }).toDF()
+    val banded = fps.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
   // Real multi-frame container path (animated GIF via javax.imageio)
   // ------------------------------------------------------------------
   // Video keyframe sampling over a REAL container: animated GIF is the

@@ -303,6 +303,41 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audio fingerprint: codec fp equals law fp; every noisy twin at Hamming 0") {
+    def lawFp(id: Long, noisy: Boolean): Long = {
+      val (n, base) = Multimodal.wavLaw(id)
+      val sums = new Array[Long](63)
+      (0 until n).foreach { i =>
+        sums((i.toLong * 63 / n).toInt) +=
+          math.abs(Multimodal.fpSample(n, base, i, noisy))
+      }
+      val mean = sums.sum / 63
+      sums.zipWithIndex.foldLeft(0L) { case (acc, (e, w)) =>
+        if (e > mean) acc | (1L << w) else acc
+      }
+    }
+    Seq(2L, 19L, 47L).foreach { id =>
+      Seq(false, true).foreach { noisy =>
+        assert(Multimodal.audioFp63(Multimodal.encodeFpWav(id, noisy)) ==
+          lawFp(id, noisy), s"fp mismatch id=$id noisy=$noisy")
+      }
+    }
+    val got = Multimodal.audioFingerprintDedupQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = (0L until 48L).flatMap(id => Seq(
+      id -> lawFp(id, noisy = false),
+      (id + 1000) -> lawFp(id, noisy = true))).toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      ham = java.lang.Long.bitCount(fps(a) ^ fps(b)) if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(got == want, s"pair set mismatch: got ${got.size}, want ${want.size}")
+    (0L until 48L).foreach { id =>
+      assert(got.contains((id, id + 1000, 0)),
+        s"twin pair missing or nonzero for $id")
+    }
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

@@ -107,6 +107,7 @@ object SparkEntry {
     "topk_orderby_limit" -> ((s, dir) => RelationalExt.topKOrderByLimit(s, dir)),
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
+    "sketch_count_min" -> ((s, dir) => RelationalExt.countMinQuery(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.90)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
@@ -1190,6 +1191,19 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                 true AS approx_within_5pct
          FROM lineitem""",
+    // Count-Min point frequencies: exact counts oracle-computed per
+    // probe key; the CM no-undercount / eps-N / exact-merge guarantees
+    // are engine-asserted deterministic booleans (fixed seed).
+    "sketch_count_min" ->
+      """WITH p AS (SELECT CAST(unnest([1, 2, 3, 5, 8, 13, 21, 34])
+                      AS BIGINT) AS l_partkey)
+         SELECT p.l_partkey,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 WHERE l.l_partkey = p.l_partkey) AS exact_cnt,
+                true AS no_undercount,
+                true AS within_eps_n,
+                true AS merge_exact
+         FROM p ORDER BY l_partkey""",
     "json_flatten" ->
       """SELECT event_id, event_type, CAST(props->>'k' AS INT) AS prop_k
          FROM events ORDER BY event_id""",

@@ -97,6 +97,50 @@ object RelationalExt {
           .cast("double") / col("exact_parts") < 0.05)
           .as("approx_within_5pct"))
 
+  /** sketch_count_min — point-frequency estimation from Spark's own
+    * mergeable Count-Min sketch (`count_min_sketch` aggregate — a
+    * built-in exists, so no custom aggregate; one partial-aggregated
+    * corpus pass, O(w·d) state per partition). Sketch BYTES are
+    * engine-specific, so the driver-checked row carries the exact
+    * frequencies (oracle-computable) plus the two CM guarantees as
+    * engine-asserted booleans over a bounded probe-key set: estimates
+    * never undercount (structural), and stay within εN above the truth
+    * (holds deterministically for the fixed seed). Mergeability — THE
+    * property that makes the sketch usable as a stored daily partial à
+    * la [[graft.operators.Packing.hllStoreQuery]] — is witnessed by
+    * building per-half sketches, merging, and asserting every probe
+    * estimate equals the whole-corpus sketch's (CM merge is exact
+    * cell-wise addition, so for a fixed seed the equality is exact). */
+  def countMinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.001
+    val conf = 0.99
+    val seed = 42
+    val li = Relational.table(spark, dir, "lineitem")
+      .select(col("l_partkey"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      df.stat.countMinSketch(col("l_partkey"), eps, conf, seed)
+    val whole = sketchOf(li)
+    val merged = sketchOf(li.filter(col("l_partkey") % 2 === 0))
+    merged.mergeInPlace(sketchOf(li.filter(col("l_partkey") % 2 =!= 0)))
+    val n = whole.totalCount()
+    val probes = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+    val exact = li.filter(col("l_partkey").isin(probes: _*))
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    probes.map { k =>
+      val est = whole.estimateCount(k)
+      val ex = exact.getOrElse(k, 0L)
+      (k, ex,
+        est >= ex,
+        est <= ex + (eps * n).toLong,
+        merged.estimateCount(k) == est)
+    }.toDF("l_partkey", "exact_cnt", "no_undercount",
+      "within_eps_n", "merge_exact")
+      .orderBy("l_partkey")
+  }
+
   /** approx_quantile — percentile_approx (GK sketch) with a
     * self-asserted error bound against the exact discrete median:
     * sketch internals differ across engines, so the oracle checks the

@@ -51,4 +51,22 @@ class BottomKSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(est - exact) / exact < 0.5, s"est=$est exact=$exact")
     } else assert(hs.size == exact)
   }
+
+  test("count-min: guarantees hold and exact counts match a direct groupBy") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.RelationalExt.countMinQuery(spark, sfDir)
+      .collect()
+    assert(rows.length == 8)
+    val want = graft.operators.Relational.table(spark, sfDir, "lineitem")
+      .filter(col("l_partkey") <= 34)
+      .groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == want.getOrElse(r.getLong(0), 0L),
+        s"exact count for key ${r.getLong(0)}")
+      assert(r.getBoolean(2), "CM must never undercount")
+      assert(r.getBoolean(3), "CM must stay within eps*N")
+      assert(r.getBoolean(4), "merged halves must equal the whole sketch")
+    }
+  }
 }

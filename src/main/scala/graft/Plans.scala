@@ -33,7 +33,10 @@ object Plans {
       "optimizer_cosine_rewrite_residual",
       "pipeline_pack_release", "sketch_hll_store",
       "sink_partition_backfill", "observe_quality_metrics",
-      "embedding_quantize")
+      "embedding_quantize",
+      // round-10 additions with an auditable plan shape
+      "text_chunk_windows", "pipeline_chunk_release", "sample_weighted",
+      "text_compression_ratio")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

@@ -142,6 +142,7 @@ object SparkEntry {
     "multimodal_video_frames" -> ((s, dir) => graft.multimodal.Multimodal.videoFramesQuery(s, dir)),
     "dedup_image_phash" -> ((s, dir) => graft.multimodal.Multimodal.imagePhashDedupQuery(s, dir)),
     "dedup_audio_fingerprint" -> ((s, dir) => graft.multimodal.Multimodal.audioFingerprintDedupQuery(s, dir)),
+    "pipeline_media_release" -> ((s, dir) => graft.multimodal.Multimodal.mediaReleaseQuery(s, dir)),
     "pipeline_corpus_curation" -> ((s, dir) => Sampling.corpusCuration(s, dir)),
     "text_normalize" -> ((s, dir) => TextOps.normalize(s, dir)),
     "bucketed_join" -> ((s, dir) => graft.operators.Skew.bucketedJoinQuery(s, dir)),
@@ -1066,6 +1067,47 @@ object SparkEntry {
          FROM hs x JOIN hs y ON x.media_id < y.media_id
          WHERE bit_count(xor(x.ph, y.ph)) <= 3
          ORDER BY id_a, id_b""",
+    // The media-curation funnel replayed WHOLESALE from the waveform
+    // law: corrupt rows quarantined by media_id, fingerprints
+    // recomputed per surviving clip (noise included for twins), exact-
+    // fingerprint collapse counted.
+    "pipeline_media_release" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+         img AS (SELECT CASE WHEN vvar = 1 THEN doc_id + 1000
+                             ELSE doc_id END AS media_id,
+                        vvar, 4000 + doc_id % 997 AS n,
+                        doc_id % 1999 AS base
+                 FROM ids, (SELECT unnest([0, 1]) AS vvar)),
+         sm AS (SELECT media_id, vvar, n, base, unnest(range(0, n)) AS i
+                FROM img),
+         wn AS (SELECT media_id, (i * 63) // n AS w,
+                       abs(((base + 7 * i) % 2003 - 1001)
+                           * (1 + ((((i * 63) // n) + base)
+                                   * (1 + base % 7)) % 5)
+                           + CASE WHEN vvar = 1 AND i % 13 = 0
+                                  THEN 1 ELSE 0 END) AS av
+                FROM sm),
+         ws AS (SELECT media_id, w, CAST(sum(av) AS BIGINT) AS e
+                FROM wn GROUP BY media_id, w),
+         m AS (SELECT media_id, sum(e) // 63 AS mean
+               FROM ws GROUP BY media_id),
+         hs AS (SELECT ws.media_id,
+                       CAST(sum(CASE WHEN e > mean
+                                THEN (CAST(1 AS BIGINT) << w)
+                                ELSE 0 END) AS BIGINT) AS ph
+                FROM ws JOIN m ON ws.media_id = m.media_id
+                GROUP BY ws.media_id),
+         dec AS (SELECT media_id, ph FROM hs WHERE media_id % 7 <> 3),
+         g AS (SELECT ph, count(*) AS nc FROM dec GROUP BY ph)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_input,
+                (SELECT CAST(count(*) AS BIGINT) FROM hs
+                 WHERE media_id % 7 = 3) AS n_quarantined,
+                (SELECT CAST(count(*) AS BIGINT) FROM dec) AS n_decoded,
+                (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_kept,
+                (SELECT CAST(sum(nc) AS BIGINT) FROM g)
+                  AS n_collapsed_from,
+                (SELECT CAST(count(*) AS BIGINT) FROM g WHERE nc > 1)
+                  AS n_dup_groups""",
     // Perceptual-hash image near-dup: the oracle recomputes every
     // 63-bit aHash FROM THE PIXEL LAW (grid sample, integer mean
     // threshold, sum of powers) and replays the pairwise Hamming <= 3

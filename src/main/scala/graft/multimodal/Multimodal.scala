@@ -812,6 +812,53 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** pipeline_media_release — the media-curation chain end to end:
+    * a feed of 96 real WAV payloads (48 originals + 48 noisy twins)
+    * with every 7th media_id's payload corrupted, pushed through
+    * quarantine decode → fingerprint → exact-fingerprint collapse
+    * (min media_id wins; noisy twins land at IDENTICAL fingerprints
+    * by construction, so the collapse is the dedup) → one release
+    * manifest row. Every number is a closed-form function of the
+    * waveform law, so the oracle replays the whole funnel; the engine
+    * must reach it through real codec decode with the corrupt rows
+    * surviving as quarantine counts, never as crashes or silent
+    * drops. */
+  def mediaReleaseQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clips = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 48)
+      .as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        Seq((id, encodeFpWav(id, noisy = false)),
+          (id + 1000, encodeFpWav(id, noisy = true)))
+      }).map { case (mid, wav) =>
+        WavClip(mid, if (mid % 7 == 3) wav.drop(8) else wav)
+      }.toDF()
+    val routed = clips.select(col("media_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try (id, true, audioFp63(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              (id, false, 0L)
+          }
+        }
+      }.toDF("media_id", "decoded", "fp")
+    val decoded = routed.filter(col("decoded"))
+    val kept = decoded.groupBy("fp")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    routed.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("decoded"), 0L).otherwise(1L)).as("n_quarantined"),
+      sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+      .crossJoin(kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_copies")).as("n_collapsed_from"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+          .as("n_dup_groups")))
+  }
+
   // ------------------------------------------------------------------
   // Real multi-frame container path (animated GIF via javax.imageio)
   // ------------------------------------------------------------------

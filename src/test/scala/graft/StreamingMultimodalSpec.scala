@@ -338,6 +338,18 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("media release funnel: quarantine, decode, collapse counts all law-exact") {
+    val r = Multimodal.mediaReleaseQuery(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == 96, "n_input")
+    // media_id % 7 == 3 among {0..47} ∪ {1000..1047}
+    val wantQ = ((0L until 48L) ++ (1000L until 1048L)).count(_ % 7 == 3)
+    assert(r.getLong(1) == wantQ, "n_quarantined")
+    assert(r.getLong(2) == 96 - wantQ, "n_decoded")
+    assert(r.getLong(4) == r.getLong(2), "collapse accounts for every decoded clip")
+    assert(r.getLong(3) < r.getLong(2), "twins must collapse")
+    assert(r.getLong(5) > 0, "dup groups must exist")
+  }
+
   test("media table matches the declared multimodal schema") {
     val schema = Multimodal.mediaTable(spark, sfDir).schema
     assert(schema.fieldNames.toSeq

@@ -89,6 +89,7 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_compression_ratio" -> ((s, dir) => TextOps.compressionRatioQuery(s, dir)),
     "text_chunk_windows" -> ((s, dir) => TextOps.chunkWindows(s, dir)),
+    "text_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
@@ -743,6 +744,27 @@ object SparkEntry {
                      AS DOUBLE)
                   / len(string_split(text, ' ')) AS avg_word_len
          FROM documents ORDER BY doc_id""",
+    // TF-IDF replayed WHOLESALE: tf and df from the same token
+    // relation, ln-based score quantized to integer micro-units so a
+    // last-ulp libm difference cannot reorder ranks; ties by term.
+    "text_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM tk GROUP BY doc_id, tok),
+         dfr AS (SELECT tok, count(DISTINCT doc_id) AS df
+                 FROM tf GROUP BY tok),
+         sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+                       CAST(floor(tf.tf * ln(
+                         (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                           / dfr.df) * 1e6) AS BIGINT) AS score_q
+                FROM tf JOIN dfr ON tf.tok = dfr.tok),
+         r AS (SELECT doc_id, tok, tf, score_q,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_q DESC, tok ASC) AS INT) AS rank
+               FROM sc)
+         SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, score_q
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     // Overlapping-window chunking replayed WHOLESALE: split, stride
     // walk, slice, rejoin, md5 — full per-chunk fingerprint parity.
     "text_chunk_windows" ->

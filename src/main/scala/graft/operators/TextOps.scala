@@ -257,6 +257,38 @@ object TextOps {
     chunkRelation(Relational.table(spark, dir, "documents"), chunk, stride)
       .orderBy("doc_id", "chunk_id")
 
+  /** text_tfidf_topk — the classic keyword extractor: top-3 terms per
+    * document by tf·idf, idf = ln(N/df). One shuffle computes per-doc
+    * term frequencies, one computes document frequencies, and the two
+    * join on the term — the IDF relation is a function of the
+    * vocabulary, so at 100 TB it shuffles vocabulary-sized data, never
+    * the corpus (no driver-side vocabulary, no broadcast assumption).
+    * The ranking key is quantized to integer micro-units (the
+    * [[graft.operators.Sampling.sampleWeighted]] libm discipline — a
+    * last-ulp ln() difference cannot reorder ranks), ties resolve by
+    * term; the oracle replays the whole computation. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Relational.table(spark, dir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(dfRel, Seq("tok"))
+      .withColumn("score_q",
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6)
+          .cast("bigint"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("score_q"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** text_compression_ratio — the DEFLATE-ratio quality signal
     * ([[graft.functions.DeflateRatio]]): compressed/raw byte ratio per
     * document, the standard curation filter for boilerplate (ratio

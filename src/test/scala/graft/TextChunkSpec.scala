@@ -82,6 +82,39 @@ class TextChunkSpec extends AnyFunSuite with SparkTestBase {
       "manifest must replay the sequential chain")
   }
 
+  test("tfidf top-k replays a sequential reference and prefers rare terms") {
+    val got = TextOps.tfidfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Relational.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, ws) =>
+        (id, w, ws.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).map { case (w, rows) =>
+      w -> rows.map(_._1).distinct.length
+    }
+    val want = tf.map { case (id, w, f) =>
+      (id, w, f, math.floor(f * math.log(n / df(w)) * 1e6).toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      rows.sortBy { case (_, w, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((_, w, f, s), i) => (id, i + 1, w, f, s) }
+    }.toSet
+    assert(got.toSet == want, s"got ${got.size} vs want ${want.size}")
+    // Discriminativeness: the typical rank-1 term is rarer than the
+    // corpus's most common term (a strict per-doc claim fails on this
+    // tiny fixture vocabulary, where one doc's high-tf common word can
+    // legitimately win — majority is the honest property).
+    val maxDf = df.values.max
+    val r1 = got.filter(_._2 == 1)
+    assert(r1.count(r => df(r._3) < maxDf) * 2 > r1.length,
+      "most rank-1 terms must be rarer than the most common term")
+  }
+
   test("windows cover every token and overlap by chunk minus stride") {
     val rows = TextOps.chunkWindows(spark, sfDir, chunk, stride)
       .groupBy("doc_id")

@@ -85,12 +85,21 @@ object Bench {
     // its own contention victims instead of presenting them as
     // regressions.
     val refFile = new java.io.File("BENCH_LOCAL_LAST.json")
+    // The reference is only comparable at the SAME scale factor: an
+    // sf0.01 sweep overwriting the sf0.1 reference would make the next
+    // default run flag nearly everything as a suspect (and an sf0.001
+    // run could never flag anything). The file carries an "__sf__"
+    // stamp; a stamp mismatch (or a legacy unstamped file) discards
+    // the reference rather than comparing across scales.
     val refTimes: Map[String, Double] =
       if (refFile.isFile)
         try {
           val s = scala.io.Source.fromFile(refFile)
           val txt = try s.mkString finally s.close()
-          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          val stamp = """"__sf__":"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          if (!stamp.contains(sfDir)) Map.empty
+          else """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } catch { case _: Throwable => Map.empty }
       else Map.empty
@@ -107,7 +116,8 @@ object Bench {
     if (only.isEmpty) {
       // Persist this run's full map as the next run's reference (only
       // for full sweeps — a targeted subset must not shrink it).
-      val body = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      val body = (("\"__sf__\":\"" + sfDir + "\"") +:
+        results.map { case (k, v) => "\"" + k + "\":" + f3(v) })
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter(refFile)
       try w.println(body) finally w.close()

@@ -839,13 +839,21 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY did
                                        ORDER BY dist ASC, lang ASC) AS rn
                   FROM dist)
-         SELECT b.did AS doc_id, b.lang AS lang_pred,
-                CAST(b.dist AS BIGINT) AS ct_dist,
+         SELECT d.doc_id AS doc_id,
+                -- A doc with no letter grams has distance 0 to every
+                -- profile; the engine's strict-< argmin then keeps the
+                -- first (alphabetically least) language. LEFT JOIN +
+                -- COALESCE keeps one row per document either way,
+                -- matching the engine's one-row-per-doc contract.
+                COALESCE(b.lang,
+                  (SELECT min(lang) FROM langp)) AS lang_pred,
+                CAST(COALESCE(b.dist, 0) AS BIGINT) AS ct_dist,
                 CAST(len(list_filter(string_split(d.text, ' '),
                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
                   / len(string_split(d.text, ' ')) AS en_ratio
-         FROM best b JOIN documents d ON d.doc_id = b.did
-         WHERE b.rn = 1
+         FROM documents d
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           ON b.did = d.doc_id
          ORDER BY doc_id"""
     },
     "doc_fingerprint" ->
@@ -2171,7 +2179,7 @@ object SparkEntry {
                       d0 + greatest(d1 - d0, 1) // 2
                          + greatest(d1 - d0, 1) // 10 AS hi FROM b)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                round(COALESCE(sum(o_totalprice), 0), 2) AS sum_price,
                 true AS pruned_equals_full,
                 true AS files_skipped,
                 true AS stats_complete

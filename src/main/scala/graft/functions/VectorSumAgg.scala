@@ -62,7 +62,17 @@ case class VectorSumAgg(
       val arr = v.asInstanceOf[ArrayData]
       val n = math.min(dim, arr.numElements())
       var i = 0
-      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        // A NULL element would read as 0.0 through getDouble — a
+        // silently wrong sum. Fail loudly (the Int8Quantize NaN-guard
+        // convention); whole-row nulls above are skipped as usual.
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"vector_sum: NULL element at index $i — refusing to treat " +
+              "it as 0.0; filter or coalesce the array first")
+        buf(i) += arr.getDouble(i)
+        i += 1
+      }
     }
     buf
   }

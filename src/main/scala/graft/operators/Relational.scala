@@ -38,6 +38,11 @@ object Relational {
     * regeneration yields one clear error instead of silently-shrunk
     * timestamps. The NTZ→LTZ cast is value-preserving here because every
     * session (Verify/Bench/specs) pins spark.sql.session.timeZone=UTC. */
+  /** File sets whose raw-Long ts magnitude has already been vetted
+    * this JVM (the files are immutable testdata). */
+  private val tsProbedFiles =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.find(_.name == "ts").fold(df) { f =>
@@ -51,15 +56,23 @@ object Relational {
           // a stream throws); those sources land files this engine
           // itself wrote from already-normalized timestamps, so the
           // batch-side probe has always vetted the same values.
+          // The probe is one tiny Spark job, but this path sits under
+          // dozens of hot queries (several read the events table more
+          // than once) and the files are immutable — so each distinct
+          // file set is probed ONCE per JVM. A non-file source (empty
+          // inputFiles) still probes every time.
           if (!df.isStreaming) {
-            val probe = df.select(col("ts")).filter(col("ts").isNotNull)
-              .limit(1).collect()
-            probe.headOption.map(_.getLong(0)).filter(_ < 100000000000000000L)
-              .foreach { v => sys.error(
-                s"events.ts is a raw LONG but value $v is too small for " +
-                  "epoch-nanos (expected >= 1e17). The testdata likely ships " +
-                  "epoch-micros or -millis now; extend Relational.normalizeTs.")
-              }
+            val key = df.inputFiles.headOption.getOrElse("")
+            if (key.isEmpty || tsProbedFiles.add(key)) {
+              val probe = df.select(col("ts")).filter(col("ts").isNotNull)
+                .limit(1).collect()
+              probe.headOption.map(_.getLong(0)).filter(_ < 100000000000000000L)
+                .foreach { v => sys.error(
+                  s"events.ts is a raw LONG but value $v is too small for " +
+                    "epoch-nanos (expected >= 1e17). The testdata likely ships " +
+                    "epoch-micros or -millis now; extend Relational.normalizeTs.")
+                }
+            }
           }
           df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType =>

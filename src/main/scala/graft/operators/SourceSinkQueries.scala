@@ -279,17 +279,30 @@ object SourceSinkQueries {
       .filter(r => r.getAs[Int]("dHi") >= lo && r.getAs[Int]("dLo") <= hi)
       .map(_.getAs[String]("f"))
     // The pruned read: ONLY the picked files, residual filter on top.
-    val pruned = spark.read.parquet(picked.toIndexedSeq: _*)
-      .filter(col("d") >= lo && col("d") <= hi)
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
-      .collect()(0)
+    // An empty pick list (no file range intersects the window — a
+    // sparse date domain could do it) is a valid zero-row answer, not
+    // a crash: spark.read.parquet with zero paths can't infer a
+    // schema, so the empty case short-circuits to (0, 0.0).
+    val pruned: (Long, Double) =
+      if (picked.isEmpty) (0L, 0.0)
+      else {
+        val r = spark.read.parquet(picked.toIndexedSeq: _*)
+          .filter(col("d") >= lo && col("d") <= hi)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("s"))
+          .collect()(0)
+        // sum() over zero rows is null — normalize to 0.0 so the
+        // empty-window case compares equal on both legs.
+        (r.getAs[Long]("n"), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+      }
     val full = spark.read.parquet(tbl)
       .filter(col("d") >= lo && col("d") <= hi)
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
       .collect()(0)
-    Seq((full.getAs[Long]("n"), full.getAs[Double]("s"),
-      pruned.getAs[Long]("n") == full.getAs[Long]("n") &&
-        pruned.getAs[Double]("s") == full.getAs[Double]("s"),
+    val fullN = full.getAs[Long]("n")
+    val fullS = if (full.isNullAt(1)) 0.0 else full.getDouble(1)
+    Seq((fullN, fullS,
+      pruned == ((fullN, fullS)),
       picked.length < stats.length,
       stats.length == nFiles))
       .toDF("n_rows", "sum_price", "pruned_equals_full",

@@ -2192,7 +2192,7 @@ object SparkEntry {
     "sink_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 round(sum(o_totalprice), 2) AS sum_price,
-                true AS both_layouts_full,
+                true AS layouts_nonempty,
                 true AS zorder_prunes,
                 true AS zorder_beats_linear
          FROM orders""",

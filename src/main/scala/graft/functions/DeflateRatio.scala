@@ -34,9 +34,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DeflateRatio {
 
-  private val deflaters = new ThreadLocal[Deflater] {
-    override def initialValue(): Deflater =
-      new Deflater(6, /* nowrap = */ true)
+  // A Deflater holds NATIVE zlib buffers that only end() releases; a
+  // plain ThreadLocal[Deflater] would pin them for the JVM's lifetime on
+  // every thread that ever evaluated the expression. The holder object is
+  // what the ThreadLocal map references, so when its thread dies the
+  // holder becomes unreachable and the Cleaner end()s the Deflater — the
+  // lambda captures only `d`, never the holder, or it would never run.
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  private final class Holder {
+    val d = new Deflater(6, /* nowrap = */ true)
+  }
+
+  private val deflaters = new ThreadLocal[Holder] {
+    override def initialValue(): Holder = {
+      val h = new Holder
+      val d = h.d
+      cleaner.register(h, () => d.end())
+      h
+    }
   }
 
   /** Static kernel (called from generated code): compressed byte count
@@ -44,7 +60,7 @@ object DeflateRatio {
     * header — the count is pure payload). */
   def deflateLen(s: UTF8String): Int = {
     val bytes = s.getBytes
-    val d = deflaters.get()
+    val d = deflaters.get().d
     d.reset()
     d.setInput(bytes)
     d.finish()

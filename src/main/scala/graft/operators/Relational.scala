@@ -62,7 +62,16 @@ object Relational {
           // file set is probed ONCE per JVM. A non-file source (empty
           // inputFiles) still probes every time.
           if (!df.isStreaming) {
-            val key = df.inputFiles.headOption.getOrElse("")
+            // Cache key carries size+mtime of the first file, not just its
+            // path: regenerating testdata IN PLACE (same path, new values)
+            // within one JVM must re-probe — the magnitude guard exists
+            // precisely to catch that regression. Unresolvable paths
+            // (non-local filesystems) fall back to path-only keying.
+            val key = df.inputFiles.headOption.map { p =>
+              val f = try new java.io.File(new java.net.URI(p))
+                      catch { case _: Exception => new java.io.File(p) }
+              if (f.isFile) s"$p:${f.length}:${f.lastModified}" else p
+            }.getOrElse("")
             if (key.isEmpty || tsProbedFiles.add(key)) {
               val probe = df.select(col("ts")).filter(col("ts").isNotNull)
                 .limit(1).collect()

@@ -134,7 +134,10 @@ object RelationalExt {
       val ex = exact.getOrElse(k, 0L)
       (k, ex,
         est >= ex,
-        est <= ex + (eps * n).toLong,
+        // ceil, not truncate: the CM guarantee is est <= ex + eps*N; a
+        // floor'd bound is STRICTER than the sketch promises and could
+        // flip deterministically on a data regeneration or SF change.
+        est <= ex + math.ceil(eps * n).toLong,
         merged.estimateCount(k) == est)
     }.toDF("l_partkey", "exact_cnt", "no_undercount",
       "within_eps_n", "merge_exact")

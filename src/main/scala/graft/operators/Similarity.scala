@@ -356,11 +356,15 @@ object Similarity {
       case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
       case _ => true
     }
+    // Non-strict with the monotone check's tolerance: a corpus already
+    // converged at the seeded init (nCells >= distinct vectors, or
+    // duplicate-heavy embeddings) legitimately yields equality, and the
+    // oracle pins this boolean — strict `<` would flip it at such an SF.
     Seq((nTotal, dim,
       byCell.map(_.getAs[Long]("cnt")).sum == nTotal,
       byCell.length >= 2,
       mono,
-      inertia.last < inertia.head))
+      inertia.last <= inertia.head * (1 + 1e-9) + 1e-9))
       .toDF("n_vectors", "dim", "assigned_eq_n", "cells_nonempty",
         "inertia_monotone", "inertia_improved")
   }
@@ -1031,10 +1035,12 @@ object Similarity {
       case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
       case _ => true
     }
+    // Non-strict for the same reason as ivfTrainDistributedQuery: an
+    // init-converged corpus yields equality, not improvement.
     Seq((nTotal, m,
       bySub.length == m && bySub.forall(_ == nTotal),
       mono,
-      inertia.last < inertia.head))
+      inertia.last <= inertia.head * (1 + 1e-9) + 1e-9))
       .toDF("n_vectors", "m", "assigned_eq_n",
         "inertia_monotone", "inertia_improved")
   }

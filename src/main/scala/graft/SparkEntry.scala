@@ -920,14 +920,53 @@ object SparkEntry {
                 CAST(sum(n) AS BIGINT) AS n_events,
                 true AS rocksdb_state_used
          FROM w""",
+    // Real-codec decode→feature dispatch: image/audio/video rows carry
+    // REAL PNG/WAV/GIF payloads whose pixel/sample/frame laws the
+    // oracle replays in closed form; the audio_mp3 rows are the ONE
+    // labeled stub leg (no JDK codec) — byte count replayable,
+    // feature_sum pinned to the −1 stub sentinel.
     "multimodal_features" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS media_type,
-         count(*) AS n_items,
-         CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-         8 AS feature_dim
-         FROM documents GROUP BY 1 ORDER BY media_type""",
+      """WITH ids AS (SELECT doc_id, n_chars FROM documents
+                      WHERE doc_id < 48),
+         img AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+                        8 + doc_id % 7 AS h, doc_id % 128 AS base
+                 FROM ids WHERE doc_id % 3 = 0),
+         imf AS (SELECT media_id, CAST(w * h AS BIGINT) AS n_units,
+                        CAST((3*h*w*(w-1))//2 + (5*w*h*(h-1))//2
+                             + w*h*base AS BIGINT) AS fsum
+                 FROM img),
+         aud AS (SELECT doc_id AS media_id, 4000 + doc_id % 997 AS n,
+                        doc_id % 1999 AS base
+                 FROM ids WHERE doc_id % 3 = 1),
+         asm AS (SELECT media_id, n, base, unnest(range(0, n)) AS i
+                 FROM aud),
+         auf AS (SELECT media_id, CAST(max(n) AS BIGINT) AS n_units,
+                        CAST(sum(abs((base + 7*i) % 2003 - 1001))
+                             AS BIGINT) AS fsum
+                 FROM asm GROUP BY media_id),
+         vid AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+                        8 + doc_id % 7 AS h, doc_id % 128 AS base,
+                        3 + doc_id % 4 AS nf
+                 FROM ids WHERE doc_id % 3 = 2),
+         vfr AS (SELECT *, unnest(range(0, nf)) AS f FROM vid),
+         vx AS (SELECT *, unnest(range(0, w)) AS x FROM vfr),
+         vxy AS (SELECT *, unnest(range(0, h)) AS y FROM vx),
+         vf AS (SELECT media_id, CAST(max(nf) AS BIGINT) AS n_units,
+                       CAST(sum((base + 11*f + 3*x + 5*y) % 256)
+                            AS BIGINT) AS fsum
+                FROM vxy GROUP BY media_id),
+         stub AS (SELECT doc_id + 2000 AS media_id,
+                         CAST(n_chars AS BIGINT) AS n_units,
+                         CAST(-1 AS BIGINT) AS fsum
+                  FROM ids WHERE doc_id < 12)
+         SELECT media_id, media_type, n_units, fsum AS feature_sum
+         FROM (SELECT media_id, 'image' AS media_type, n_units, fsum
+                 FROM imf
+               UNION ALL SELECT media_id, 'audio', n_units, fsum FROM auf
+               UNION ALL SELECT media_id, 'video', n_units, fsum FROM vf
+               UNION ALL SELECT media_id, 'audio_mp3', n_units, fsum
+                 FROM stub)
+         ORDER BY media_id""",
     "multimodal_metadata" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio'
@@ -949,21 +988,67 @@ object SparkEntry {
                      THEN ((nc + 3)//4 - 1) * 256 + (n_chars - (nc - 1) * 256)
                      ELSE ((nc + 3)//4) * 256 END AS BIGINT) AS sampled_bytes
          FROM v ORDER BY media_id""",
+    // Real-codec downscale dispatch: resized pixel law base + 6x + 10y
+    // over ⌈w/2⌉ × ⌈h/2⌉ (PNG both ways), decimated waveform law at
+    // even indices (WAV both ways), even frames of the GIF law; the
+    // audio_mp3 stub leg keeps the stride-sampling size contract with
+    // the −1 content sentinel.
     "multimodal_resize" ->
-      """WITH v AS (SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio'
-                     ELSE 'video' END AS media_type,
-                n_chars,
-                greatest(1, (n_chars + 1023)//1024) AS stride
-              FROM documents)
-         SELECT media_type, count(*) AS n_items,
-                CAST(sum(n_chars) AS BIGINT) AS sum_orig,
-                CAST(sum((n_chars + stride - 1)//stride) AS BIGINT)
-                  AS sum_resized,
-                CAST(max((n_chars + stride - 1)//stride) AS BIGINT)
-                  AS max_resized
-         FROM v GROUP BY media_type ORDER BY media_type""",
+      """WITH ids AS (SELECT doc_id, n_chars FROM documents
+                      WHERE doc_id < 48),
+         img AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+                        8 + doc_id % 7 AS h, doc_id % 128 AS base,
+                        (8 + doc_id % 9 + 1)//2 AS rw,
+                        (8 + doc_id % 7 + 1)//2 AS rh
+                 FROM ids WHERE doc_id % 3 = 0),
+         imf AS (SELECT media_id, CAST(w * h AS BIGINT) AS o_units,
+                        CAST(rw * rh AS BIGINT) AS r_units,
+                        CAST(3*rh*rw*(rw-1) + 5*rw*rh*(rh-1)
+                             + rw*rh*base AS BIGINT) AS rsum
+                 FROM img),
+         aud AS (SELECT doc_id AS media_id, 4000 + doc_id % 997 AS n,
+                        doc_id % 1999 AS base
+                 FROM ids WHERE doc_id % 3 = 1),
+         asm AS (SELECT media_id, n, base,
+                        unnest(range(0, (n + 1)//2)) AS j
+                 FROM aud),
+         auf AS (SELECT media_id, CAST(max(n) AS BIGINT) AS o_units,
+                        CAST(max((n + 1)//2) AS BIGINT) AS r_units,
+                        CAST(sum(abs((base + 14*j) % 2003 - 1001))
+                             AS BIGINT) AS rsum
+                 FROM asm GROUP BY media_id),
+         vid AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+                        8 + doc_id % 7 AS h, doc_id % 128 AS base,
+                        3 + doc_id % 4 AS nf
+                 FROM ids WHERE doc_id % 3 = 2),
+         vfr AS (SELECT *, unnest(range(0, nf)) AS f FROM vid
+                 ),
+         vx AS (SELECT *, unnest(range(0, w)) AS x FROM vfr
+                WHERE f % 2 = 0),
+         vxy AS (SELECT *, unnest(range(0, h)) AS y FROM vx),
+         vf AS (SELECT media_id, CAST(max(nf) AS BIGINT) AS o_units,
+                       CAST(max((nf + 1)//2) AS BIGINT) AS r_units,
+                       CAST(sum((base + 11*f + 3*x + 5*y) % 256)
+                            AS BIGINT) AS rsum
+                FROM vxy GROUP BY media_id),
+         stub AS (SELECT doc_id + 2000 AS media_id,
+                         CAST(n_chars AS BIGINT) AS o_units,
+                         CAST((n_chars + greatest(1, (n_chars + 1023)//1024)
+                               - 1) // greatest(1, (n_chars + 1023)//1024)
+                              AS BIGINT) AS r_units,
+                         CAST(-1 AS BIGINT) AS rsum
+                  FROM ids WHERE doc_id < 12)
+         SELECT media_id, media_type, o_units AS orig_units,
+                r_units AS resized_units, rsum AS resized_sum
+         FROM (SELECT media_id, 'image' AS media_type, o_units, r_units,
+                      rsum FROM imf
+               UNION ALL SELECT media_id, 'audio', o_units, r_units,
+                      rsum FROM auf
+               UNION ALL SELECT media_id, 'video', o_units, r_units,
+                      rsum FROM vf
+               UNION ALL SELECT media_id, 'audio_mp3', o_units, r_units,
+                      rsum FROM stub)
+         ORDER BY media_id""",
     // Real javax.imageio round trip: the engine encodes gradient PNGs
     // (gray(x,y) = base + 3x + 5y, base = doc_id % 128 — never
     // wraps), decodes them, stride-2 nearest-neighbor downscales,

@@ -53,10 +53,9 @@ object Multimodal {
       media_id: Long, media_type: String, n_bytes: Long,
       feature: Array[Float])
 
-  /** STUB decoder — stands in for audio resample / video frame-sample
-    * (real IMAGE decode lives in the `javax.imageio` path below; this
-    * stub's payloads are text bytes, kept because its byte-arithmetic
-    * outputs are SQL-verifiable). Deterministic: "features" are a
+  /** STUB decoder — the codec-less fallback (mp3/aac have no JDK
+    * decoder; real PNG/WAV/GIF decode lives below and feeds the
+    * flagship feature/resize queries). Deterministic: "features" are a
     * fixed-width vector derived from byte statistics. A real
     * implementation replaces ONLY the body of `decodeOne`; the
     * mapPartitions batching, schema and callers stay as-is. */
@@ -91,17 +90,91 @@ object Multimodal {
     out.toDF()
   }
 
-  /** multimodal_features driver query — media table → per-partition
-    * decode → per-type aggregate. The byte-length path is verifiable in
-    * SQL (features are stub-internal). */
-  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(mediaTable(spark, dir))
-      .groupBy("media_type")
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        min(size(col("feature"))).as("feature_dim"))
-      .orderBy("media_type")
+  // ------------------------------------------------------------------
+  // Real-codec media table + decode→feature / resize dispatch
+  // ------------------------------------------------------------------
+  // The flagship decode queries run on REAL payloads for every type the
+  // JDK can encode: image → PNG (javax.imageio), audio → PCM WAV
+  // (javax.sound.sampled), video → animated GIF (ImageIO sequences).
+  // The byte-statistics stub survives in exactly ONE labeled branch —
+  // `audio_mp3`, the compressed-audio leg the JDK genuinely cannot
+  // decode — so the dispatch shape a production pipeline needs (decode
+  // what decodes, a typed fallback for codec-less media) is the shape
+  // under test. Payload laws are the ones the codec queries above pin,
+  // so every feature value has a closed form the oracle replays.
+
+  final case class RealMedia(
+      media_id: Long, media_type: String, bytes: Array[Byte])
+
+  /** media_id offset and count for the labeled stub rows. */
+  private[graft] val StubOffset = 2000L
+  private[graft] val StubIds = 12L
+
+  /** One REAL encoded payload per doc_id < n (type by doc_id % 3), plus
+    * `StubIds` text-byte payloads tagged `audio_mp3` — the codec-less
+    * leg that must route through the labeled stub branch. */
+  def realMediaTable(
+      spark: SparkSession, dir: String, n: Long = 48L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < n)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val real = (id % 3) match {
+            case 0 => RealMedia(id, "image", encodePng(id))
+            case 1 => RealMedia(id, "audio", encodeWav(id))
+            case _ => RealMedia(id, "video", encodeGif(id))
+          }
+          if (id < StubIds)
+            Seq(real, RealMedia(id + StubOffset, "audio_mp3",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          else Seq(real)
+        }
+      }.toDF()
+  }
+
+  final case class MediaUnits(
+      media_id: Long, media_type: String, n_units: Long, feature_sum: Long)
+
+  /** multimodal_features driver query — decode dispatch by media_type
+    * over REAL codec payloads: image → pixel count + pixel sum (PNG
+    * decode), audio → sample count + absolute-amplitude sum (WAV
+    * decode), video → frame count + all-frame pixel sum (GIF container
+    * decode). The `audio_mp3` leg is the ONE labeled stub branch (no
+    * JDK codec exists): its only externally-replayable feature is the
+    * byte count; feature_sum carries the −1 sentinel marking the value
+    * as stub-internal. Every non-sentinel number is a closed-form
+    * integer function of media_id the oracle replays — the engine only
+    * matches by running the actual decoders. */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = realMediaTable(spark, dir)
+    val spark2 = media.sparkSession
+    import spark2.implicits._
+    media.select(col("media_id"), col("media_type"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, tpe, bytes) =>
+          tpe match {
+            case "image" =>
+              val (w, h, sum) = decodeOnePng(bytes)
+              MediaUnits(id, tpe, w.toLong * h, sum)
+            case "audio" =>
+              val r = decodeOneWav(bytes)
+              MediaUnits(id, tpe, r.n.toLong, r.sumAbs)
+            case "video" =>
+              val frames = decodeGifFrames(bytes)
+              MediaUnits(id, tpe, frames.length.toLong,
+                frames.map(_._4).sum)
+            case _ =>
+              // The labeled STUB branch — compressed audio (mp3/aac) has
+              // no JDK codec; byte count is the only replayable feature,
+              // the sentinel marks feature_sum as stub-internal.
+              MediaUnits(id, tpe, bytes.length.toLong, -1L)
+          }
+        }
+      }.toDF().orderBy("media_id")
+  }
 
   final case class Frame(
       media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
@@ -162,18 +235,53 @@ object Multimodal {
         sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
       .orderBy("media_id")
 
-  /** multimodal_resize driver query — per-type resized byte volumes;
-    * every row must respect the target cap. */
-  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
-    resizeStub(mediaTable(spark, dir))
-      .select(col("media_id"), col("media_type"), col("orig_bytes"),
-        length(col("resized")).cast("long").as("resized_bytes"))
-      .groupBy("media_type")
-      .agg(count(lit(1)).as("n_items"),
-        sum(col("orig_bytes")).as("sum_orig"),
-        sum(col("resized_bytes")).as("sum_resized"),
-        max(col("resized_bytes")).as("max_resized"))
-      .orderBy("media_type")
+  final case class MediaResize(
+      media_id: Long, media_type: String, orig_units: Long,
+      resized_units: Long, resized_sum: Long)
+
+  /** multimodal_resize driver query — REAL downscale dispatch by
+    * media_type: image → nearest-neighbor ÷2 through the PNG codec both
+    * ways (decode → stride-sample → re-encode → decode again), audio →
+    * decimate-by-2 through the WAV codec both ways, video → frame
+    * stride 2 over the real GIF container. The `audio_mp3` leg keeps
+    * the labeled stride-sampling stub (byte-level resize is all a
+    * codec-less payload admits) with the −1 sentinel on resized_sum.
+    * Units are pixels / samples / frames / bytes respectively; all
+    * non-sentinel values follow from the payload laws in closed form. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = realMediaTable(spark, dir)
+    val spark2 = media.sparkSession
+    import spark2.implicits._
+    media.select(col("media_id"), col("media_type"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, tpe, bytes) =>
+          tpe match {
+            case "image" =>
+              val (w, h, _) = decodeOnePng(bytes)
+              val (rw, rh, rsum) = decodeOnePng(resizeOnePng(bytes, 2))
+              MediaResize(id, tpe, w.toLong * h, rw.toLong * rh, rsum)
+            case "audio" =>
+              val r = decodeOneWav(bytes)
+              val rr = decodeOneWav(resampleOneWav(bytes, 2))
+              MediaResize(id, tpe, r.n.toLong, rr.n.toLong, rr.sumAbs)
+            case "video" =>
+              val frames = decodeGifFrames(bytes)
+              val kept = frames.filter(_._1 % 2 == 0)
+              MediaResize(id, tpe, frames.length.toLong,
+                kept.length.toLong, kept.map(_._4).sum)
+            case _ =>
+              // Labeled STUB branch: stride-sample the opaque payload
+              // down to ≤1024 bytes — the integer size contract is the
+              // replayable part, the content sentinel −1.
+              val len = bytes.length
+              val stride = math.max(1, (len + 1023) / 1024)
+              MediaResize(id, tpe, len.toLong,
+                ((len + stride - 1) / stride).toLong, -1L)
+          }
+        }
+      }.toDF().orderBy("media_id")
+  }
 
   // ------------------------------------------------------------------
   // Real image codec path (javax.imageio — JDK built-in, zero deps)
@@ -292,6 +400,30 @@ object Multimodal {
     * each axis (nearest-neighbor at exact source coordinates —
     * deterministic on any JVM, unlike interpolated scalers), re-encode
     * as PNG. Output dims are ⌈w/factor⌉ × ⌈h/factor⌉. */
+  /** One-payload kernel of [[resizePng]]: decode, keep every
+    * `factor`-th pixel in each axis, re-encode as PNG. */
+  private[graft] def resizeOnePng(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "payload is not a decodable image")
+    val rw = (src.getWidth + factor - 1) / factor
+    val rh = (src.getHeight + factor - 1) / factor
+    val out = new java.awt.image.BufferedImage(
+      rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        out.setRGB(x, y, src.getRGB(x * factor, y * factor))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   def resizePng(images: DataFrame, factor: Int = 2): DataFrame = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val spark = images.sparkSession
@@ -299,27 +431,7 @@ object Multimodal {
     images.select(col("media_id"), col("png"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val src = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(src != null, "payload is not a decodable image")
-          val rw = (src.getWidth + factor - 1) / factor
-          val rh = (src.getHeight + factor - 1) / factor
-          val out = new java.awt.image.BufferedImage(
-            rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < rh) {
-            var x = 0
-            while (x < rw) {
-              out.setRGB(x, y, src.getRGB(x * factor, y * factor))
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          PngImage(id, bos.toByteArray)
-        }
+        it.map { case (id, bytes) => PngImage(id, resizeOnePng(bytes, factor)) }
       }.toDF()
   }
 
@@ -514,6 +626,32 @@ object Multimodal {
     * (decimation at exact source indices — deterministic, no
     * interpolation ambiguity, the audio twin of [[resizePng]]'s
     * nearest-neighbor law), re-encode as WAV at rate/factor. */
+  /** One-payload kernel of [[resampleWav]]: decode, keep every
+    * `factor`-th sample, re-encode as WAV at rate/factor. */
+  private[graft] def resampleOneWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val rn = (n + factor - 1) / factor
+    val out = new Array[Byte](rn * 2)
+    var j = 0
+    while (j < rn) {
+      out(2 * j) = data(2 * j * factor)
+      out(2 * j + 1) = data(2 * j * factor + 1)
+      j += 1
+    }
+    val rFmt = new javax.sound.sampled.AudioFormat(
+      fmt.getSampleRate / factor, 16, 1, true, false)
+    val rAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(out), rFmt, rn.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(rAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def resampleWav(clips: DataFrame, factor: Int = 2): DataFrame = {
     require(factor >= 1, s"resample factor must be >= 1, got $factor")
     val spark = clips.sparkSession
@@ -521,29 +659,7 @@ object Multimodal {
     clips.select(col("media_id"), col("wav"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val fmt = ais.getFormat
-          val data = ais.readAllBytes()
-          val n = data.length / 2
-          val rn = (n + factor - 1) / factor
-          val out = new Array[Byte](rn * 2)
-          var j = 0
-          while (j < rn) {
-            out(2 * j) = data(2 * j * factor)
-            out(2 * j + 1) = data(2 * j * factor + 1)
-            j += 1
-          }
-          val rFmt = new javax.sound.sampled.AudioFormat(
-            fmt.getSampleRate / factor, 16, 1, true, false)
-          val rAis = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(out), rFmt, rn.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(rAis,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          WavClip(id, bos.toByteArray)
-        }
+        it.map { case (id, bytes) => WavClip(id, resampleOneWav(bytes, factor)) }
       }.toDF()
   }
 

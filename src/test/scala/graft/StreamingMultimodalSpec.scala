@@ -454,6 +454,62 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(dims == Seq(8))
   }
 
+  test("real-codec feature dispatch matches every payload law per type") {
+    val rows = Multimodal.featuresQuery(spark, sfDir).collect()
+    assert(rows.length == 48 + Multimodal.StubIds)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      (r.getString(1), r.getLong(2), r.getLong(3)) match {
+        case ("image", units, fsum) =>
+          val (w, h, base) = Multimodal.pngDims(id)
+          assert(units == w.toLong * h)
+          assert(fsum == 3L * h * w * (w - 1) / 2 +
+            5L * w * h * (h - 1) / 2 + w.toLong * h * base)
+        case ("audio", units, fsum) =>
+          val (n, base) = Multimodal.wavLaw(id)
+          assert(units == n.toLong)
+          val want = (0 until n).map(i =>
+            math.abs(Multimodal.sampleAt(base, i)).toLong).sum
+          assert(fsum == want)
+        case ("video", units, fsum) =>
+          val (w, h, base) = Multimodal.pngDims(id)
+          val nf = Multimodal.gifFrames(id)
+          assert(units == nf.toLong)
+          val want = (for { f <- 0 until nf; x <- 0 until w; y <- 0 until h }
+            yield Multimodal.gifPixel(base, f, x, y).toLong).sum
+          assert(fsum == want)
+        case ("audio_mp3", _, fsum) =>
+          // The one labeled stub branch: content sentinel only.
+          assert(id >= Multimodal.StubOffset)
+          assert(fsum == -1L)
+        case other => fail(s"unexpected media_type row: $other")
+      }
+    }
+    // The stub branch is exercised, and ONLY by the offset rows.
+    assert(rows.count(_.getString(1) == "audio_mp3") == Multimodal.StubIds)
+  }
+
+  test("real-codec resize dispatch halves units per each type's law") {
+    val rows = Multimodal.resizeQuery(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (o, ru) = (r.getLong(2), r.getLong(3))
+      r.getString(1) match {
+        case "image" =>
+          val (w, h, _) = Multimodal.pngDims(id)
+          assert(o == w.toLong * h)
+          assert(ru == ((w + 1) / 2).toLong * ((h + 1) / 2))
+        case "audio" =>
+          assert(ru == (o + 1) / 2)
+        case "video" =>
+          assert(ru == (o + 1) / 2)
+        case "audio_mp3" =>
+          assert(ru <= 1024, "stub resize must respect the byte cap")
+          assert(r.getLong(4) == -1L)
+      }
+    }
+  }
+
   test("stream dedup index: bucketed stored side probes shuffle-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -194,6 +194,7 @@ object SparkEntry {
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
+    "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
     "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
@@ -2280,6 +2281,17 @@ object SparkEntry {
                 true AS layouts_nonempty,
                 true AS zorder_prunes,
                 true AS zorder_beats_linear
+         FROM orders""",
+    // 3-D Z-order: the two-predicate (day × price) slice prunes the
+    // 3-ary layout harder than the 2-ary one — booleans are the
+    // engine's measured per-file range checks; the oracle proves the
+    // rewrite conserved rows and values.
+    "sink_zorder_3d" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS layouts_nonempty,
+                true AS zorder3d_prunes,
+                true AS zorder3d_beats_2d
          FROM orders""",
     // The observed in-flight metrics must equal a direct aggregate —
     // validation counters piggybacked on the write scan, no re-read.

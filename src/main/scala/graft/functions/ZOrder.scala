@@ -2,28 +2,83 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** 2-D Morton (Z-order) interleave as a native codegen'd expression —
+/** N-ary Morton (Z-order) interleave as native codegen'd expressions —
   * the clustering key behind multi-dimensional data layout: sorting
-  * files by the interleaved bits of two scaled dimensions gives every
-  * file a bounded min/max range in BOTH dimensions, so a predicate on
-  * either (or both) prunes files, where a linear sort serves only its
+  * files by the interleaved bits of N scaled dimensions gives every
+  * file a bounded min/max range in ALL N dimensions, so a predicate on
+  * any subset prunes files, where a linear sort serves only its
   * leading column. This is the standard lakehouse Z-ORDER layout
   * technique, applied at write time by
-  * [[graft.operators.SourceSinkQueries.sinkZorderLayout]].
+  * [[graft.operators.SourceSinkQueries.sinkZorderLayout]] (2-D) and
+  * its 3-D sibling (custkey × day × price bucket).
   *
-  * The kernel is the textbook bit-spread: each 16-bit input fans out
-  * to alternating bit positions via the classic magic-mask doubling
-  * sequence, x taking even bits and y odd — a handful of shifts and
-  * masks per row, inside whole-stage codegen. Inputs are expected
-  * pre-scaled to [0, 65535]; out-of-range bits are masked, never
+  * The 2-D kernel is the textbook bit-spread: each 16-bit input fans
+  * out to alternating bit positions via the classic magic-mask
+  * doubling sequence, x taking even bits and y odd. The N-ary kernel
+  * (N = 3, 4) places bit j of dimension i at position j·N + i; bits
+  * per dimension shrink to ⌊63/N⌋ capped at 16 (21 → 16 at N = 3,
+  * 15 at N = 4) so the key never reaches the sign bit — a negative
+  * key would invert the ordering at the top of the range. All inputs
+  * are expected pre-scaled; out-of-range bits are masked, never
   * thrown, because the z-value is a LAYOUT key, not data.
   */
 object ZOrder {
+
+  /** Usable bits per dimension for an N-ary interleave: the key must
+    * stay inside a non-negative Long. */
+  def bitsPerDim(n: Int): Int = math.min(16, 63 / n)
+
+  /** Spread the low `bitsPerDim(n)` bits of `v` to positions
+    * 0, n, 2n, … (a loop, not magic masks — runs once per row per
+    * dimension inside codegen; ~16 shift-or ops). */
+  def spreadBits(v: Int, n: Int): Long = {
+    val bits = bitsPerDim(n)
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      out |= ((v >> j) & 1L) << (j * n)
+      j += 1
+    }
+    out
+  }
+
+  /** N-ary Morton code: bit j of vals(i) lands at position j·N + i. */
+  def mortonN(vals: Array[Int]): Long = {
+    val n = vals.length
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      out |= spreadBits(vals(i), n) << i
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[mortonN]] for dimension `i` — the test/witness-side
+    * round-trip check. */
+  def collapseN(z: Long, n: Int, i: Int): Int = {
+    val bits = bitsPerDim(n)
+    var out = 0
+    var j = 0
+    while (j < bits) {
+      out |= (((z >> (j * n + i)) & 1L) << j).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** Static 3-/4-ary entry points for generated code (one call per
+    * row — argument arrays would defeat codegen). */
+  def morton3(x: Int, y: Int, z: Int): Long =
+    spreadBits(x, 3) | (spreadBits(y, 3) << 1) | (spreadBits(z, 3) << 2)
+  def morton4(a: Int, b: Int, c: Int, d: Int): Long =
+    spreadBits(a, 4) | (spreadBits(b, 4) << 1) |
+      (spreadBits(c, 4) << 2) | (spreadBits(d, 4) << 3)
 
   /** Spread the low 16 bits of `v` to even bit positions (0,2,4,…30). */
   def spread16(v: Int): Long = {
@@ -61,7 +116,64 @@ object ZOrder {
       copy(left = newLeft, right = newRight)
   }
 
+  case class ZOrderValue3(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "zorder_value3"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (int, int, int), got " +
+          children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+    override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+      ZOrder.morton3(x.asInstanceOf[Int], y.asInstanceOf[Int],
+        z.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y, z) =>
+        s"${ev.value} = graft.functions.ZOrder.morton3($x, $y, $z);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ZOrderValue3 =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class ZOrderValue4(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "zorder_value4"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (int, int, int, int), got " +
+          children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+    override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      ZOrder.morton4(a.asInstanceOf[Int], b.asInstanceOf[Int],
+        c.asInstanceOf[Int], d.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+        s"${ev.value} = graft.functions.ZOrder.morton4($a, $b, $c, $d);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression,
+        q: Expression): ZOrderValue4 =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
   def zorderCol(x: Column, y: Column): Column =
     ColumnBridge.column(ZOrderValue(
       ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** N-ary dispatch (N = 2, 3, 4) — one codegen'd expression per arity. */
+  def zorderColN(cols: Seq[Column]): Column = {
+    val es = cols.map(ColumnBridge.expression)
+    es.length match {
+      case 2 => ColumnBridge.column(ZOrderValue(es(0), es(1)))
+      case 3 => ColumnBridge.column(ZOrderValue3(es(0), es(1), es(2)))
+      case 4 => ColumnBridge.column(ZOrderValue4(es(0), es(1), es(2), es(3)))
+      case n => throw new IllegalArgumentException(
+        s"zorder supports 2-4 dimensions, got $n")
+    }
+  }
 }

@@ -249,6 +249,96 @@ object SourceSinkQueries {
       lit(beats).as("zorder_beats_linear"))
   }
 
+  /** sink_zorder_3d — the N-ary generalization of [[sinkZorderLayout]]:
+    * real layout tuning wants 3-4 clustering dimensions, and a 2-D key
+    * cannot serve a slice on a dimension it never interleaved. Orders
+    * are written twice through the SAME Morton machinery, once with the
+    * 3-ary key z(custkey, order day, total price) and once with the
+    * 2-ary z(custkey, order day); a TWO-predicate slice (mid-range day
+    * window × mid-range price window) is then tested against each
+    * file's measured (day, price) min/max ranges. The 2-D layout's
+    * files each span essentially the whole price range (price never
+    * entered its key), so the price predicate prunes nothing there; the
+    * 3-D files hold bounded ranges in all three dimensions, so the same
+    * slice skips more files. 64 files (vs 16 in the 2-D query) because
+    * N-way interleaving spends the file-count budget across N
+    * dimensions — with too few files each 3-D file spans half of every
+    * dimension and the comparison degenerates. Strictness is guarded
+    * exactly like the 2-D query: `<` only when both layouts
+    * materialized every file, `<=` otherwise. */
+  def sinkZorder3d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmpDir("zorder3d")
+    val z3Path = root.resolve("z3").toString
+    val z2Path = root.resolve("z2").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1995-01-01"))).as("d"))
+    // File count derived from the data size (~600 rows/file, clamped):
+    // the 3-vs-2-D comparison needs enough files that each 3-D file's
+    // per-dimension extent is meaningfully smaller than the slice —
+    // with a fixed small count, large corpora leave every file spanning
+    // a quarter of each axis and the measured margin collapses into
+    // boundary noise (observed at sf0.1 with 64 files).
+    val nFiles = math.min(256L, math.max(64L, orders.count() / 600L)).toInt
+    val b = orders.agg(
+      min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
+      min(col("d")).as("d0"), max(col("d")).as("d1"),
+      min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"))
+      .collect()(0)
+    val (c0, c1) = (b.getAs[Long]("c0"), b.getAs[Long]("c1"))
+    val (d0, d1) = (b.getAs[Int]("d0"), b.getAs[Int]("d1"))
+    val (p0, p1) = (b.getAs[Double]("p0"), b.getAs[Double]("p1"))
+    def scale(c: org.apache.spark.sql.Column, lo: Long,
+        hi: Long): org.apache.spark.sql.Column =
+      ((c.cast("long") - lo) * 1023L / math.max(hi - lo, 1L)).cast("int")
+    // Price is continuous: bucket it to the same 0..1023 integer domain
+    // before interleaving (the "price bucket" clustering dimension).
+    val pScaled = (((col("o_totalprice") - p0) * 1023.0 /
+      math.max(p1 - p0, 1e-9)).cast("int"))
+    val cCol = scale(col("o_custkey"), c0, c1)
+    val dCol = scale(col("d"), d0.toLong, d1.toLong)
+    val z3 = graft.functions.ZOrder.zorderColN(Seq(cCol, dCol, pScaled))
+    val z2 = graft.functions.ZOrder.zorderColN(Seq(cCol, dCol))
+    orders.withColumn("z", z3)
+      .repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
+      .drop("z").write.parquet(z3Path)
+    orders.withColumn("z", z2)
+      .repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
+      .drop("z").write.parquet(z2Path)
+    // Per-file min/max of BOTH sliced dimensions — one read-back scan
+    // per layout, the same statistics a parquet footer carries.
+    def fileRanges(p: String): Array[(Int, Int, Double, Double)] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"),
+          min(col("o_totalprice")).as("pLo"),
+          max(col("o_totalprice")).as("pHi"))
+        .collect().map(r => (r.getAs[Int]("dLo"), r.getAs[Int]("dHi"),
+          r.getAs[Double]("pLo"), r.getAs[Double]("pHi")))
+    val dSpan = (d1 - d0).max(1)
+    val (dLo, dHi) = (d0 + dSpan / 2, d0 + dSpan / 2 + dSpan / 10)
+    val pSpan = math.max(p1 - p0, 1e-9)
+    val (pLo, pHi) = (p0 + pSpan / 2, p0 + pSpan / 2 + pSpan / 10)
+    def candidates(rs: Array[(Int, Int, Double, Double)]): Int =
+      rs.count { case (fdLo, fdHi, fpLo, fpHi) =>
+        fdHi >= dLo && fdLo <= dHi && fpHi >= pLo && fpLo <= pHi }
+    val r3 = fileRanges(z3Path)
+    val r2 = fileRanges(z2Path)
+    val bothFull = r3.length == nFiles && r2.length == nFiles
+    val beats =
+      if (bothFull) candidates(r3) < candidates(r2)
+      else candidates(r3) <= candidates(r2)
+    spark.read.parquet(z3Path).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("n_rows"), col("sum_price"),
+        lit(r3.nonEmpty && r2.nonEmpty).as("layouts_nonempty"),
+        lit(candidates(r3) < r3.length).as("zorder3d_prunes"),
+        lit(beats).as("zorder3d_beats_2d"))
+  }
+
   /** source_file_stats_index — the manifest/skipping-index pattern
     * (the lakehouse table formats' core read optimization, expressed
     * directly): one scan of a written table builds a per-file

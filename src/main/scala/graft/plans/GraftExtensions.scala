@@ -56,6 +56,13 @@ object GraftFunctions {
     (FunctionIdentifier("zorder_value"),
       info("zorder_value", "zorder_value(x, y) - 2-D Morton interleave of two pre-scaled 16-bit ints"),
       (args: Seq[Expression]) => ZOrder.ZOrderValue(args(0), args(1))),
+    (FunctionIdentifier("zorder_value3"),
+      info("zorder_value3", "zorder_value3(x, y, z) - 3-D Morton interleave of three pre-scaled 16-bit ints"),
+      (args: Seq[Expression]) => ZOrder.ZOrderValue3(args(0), args(1), args(2))),
+    (FunctionIdentifier("zorder_value4"),
+      info("zorder_value4", "zorder_value4(a, b, c, d) - 4-D Morton interleave of four pre-scaled 15-bit ints"),
+      (args: Seq[Expression]) =>
+        ZOrder.ZOrderValue4(args(0), args(1), args(2), args(3))),
     (FunctionIdentifier("vector_sum"),
       info("vector_sum", "vector_sum(v, dim) - elementwise sum of array<double> rows into one dim-length vector"),
       (args: Seq[Expression]) =>

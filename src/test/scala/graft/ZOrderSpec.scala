@@ -71,8 +71,82 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     val row = SourceSinkQueries.sinkZorderLayout(spark, sfDir).collect()(0)
     val want = Relational.table(spark, sfDir, "orders").count()
     assert(row.getLong(0) == want, "rows conserved")
-    assert(row.getBoolean(2), "both layouts produced all files")
+    assert(row.getBoolean(2), "both layouts must materialize")
     assert(row.getBoolean(3), "zorder must prune the date slice")
     assert(row.getBoolean(4), "zorder must beat the custkey-linear layout")
+  }
+
+  test("N-ary morton: bit interleave round-trips for N in {2,3,4}") {
+    val rnd = new scala.util.Random(13)
+    for (n <- 2 to 4) {
+      val bits = ZOrder.bitsPerDim(n)
+      assert(bits * n <= 63, s"key must stay non-negative at N=$n")
+      (0 until 300).foreach { _ =>
+        val vals = Array.fill(n)(rnd.nextInt(1 << bits))
+        val z = ZOrder.mortonN(vals)
+        assert(z >= 0, s"N=$n key went negative")
+        (0 until n).foreach { i =>
+          assert(ZOrder.collapseN(z, n, i) == vals(i),
+            s"round-trip failed at N=$n dim $i")
+        }
+      }
+      // Max values round-trip too (the sign-bit edge).
+      val maxVals = Array.fill(n)((1 << bits) - 1)
+      val zMax = ZOrder.mortonN(maxVals)
+      assert(zMax >= 0)
+      (0 until n).foreach(i =>
+        assert(ZOrder.collapseN(zMax, n, i) == maxVals(i)))
+    }
+    // The static 3-/4-ary entry points equal the generic kernel.
+    assert(ZOrder.morton3(5, 9, 1023) == ZOrder.mortonN(Array(5, 9, 1023)))
+    assert(ZOrder.morton4(5, 9, 1023, 77) ==
+      ZOrder.mortonN(Array(5, 9, 1023, 77)))
+    // 2-D magic-mask path and generic loop agree.
+    assert(ZOrder.morton(123, 456) == ZOrder.mortonN(Array(123, 456)))
+  }
+
+  test("zorder_value3/4 expressions match the kernels in-plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 128).map(i => (i % 8, (i / 8) % 4, i / 32, i % 5))
+      .toDF("a", "b", "c", "d")
+    val got = df.select(col("a"), col("b"), col("c"), col("d"),
+      ZOrder.zorderColN(Seq(col("a"), col("b"), col("c"))).as("z3"),
+      ZOrder.zorderColN(Seq(col("a"), col("b"), col("c"), col("d"))).as("z4"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(4) == ZOrder.morton3(r.getInt(0), r.getInt(1), r.getInt(2)))
+      assert(r.getLong(5) == ZOrder.morton4(
+        r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+  }
+
+  test("3-D z-sorted files bound all three dims; 2-D leaves the third full-range") {
+    // 16x16x16 grid cut into 64 contiguous z-runs: 3-ary runs bound
+    // every axis; the same grid sorted by the 2-ary key leaves axis 3
+    // spanning the full domain in every run — the physical reason the
+    // price predicate can only prune the 3-D layout.
+    val pts = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x, y, z)
+    val runs3 = pts.sortBy { case (x, y, z) => ZOrder.morton3(x, y, z) }
+      .grouped(64).toSeq
+    runs3.foreach { f =>
+      assert(f.map(_._1).max - f.map(_._1).min <= 8)
+      assert(f.map(_._2).max - f.map(_._2).min <= 8)
+      assert(f.map(_._3).max - f.map(_._3).min <= 8)
+    }
+    val runs2 = pts.sortBy { case (x, y, _) => ZOrder.morton(x, y) }
+      .grouped(64).toSeq
+    assert(runs2.forall(f => f.map(_._3).max - f.map(_._3).min == 15),
+      "2-D runs must span the full third axis")
+  }
+
+  test("sink_zorder_3d: conserved, prunes, and beats the 2-D layout") {
+    val row = SourceSinkQueries.sinkZorder3d(spark, sfDir).collect()(0)
+    val want = Relational.table(spark, sfDir, "orders").count()
+    assert(row.getLong(0) == want, "rows conserved")
+    assert(row.getBoolean(2), "both layouts must materialize")
+    assert(row.getBoolean(3), "3-D zorder must prune the 2-predicate slice")
+    assert(row.getBoolean(4), "3-D must beat 2-D on the price-carrying slice")
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "silver_schema_handoff" -> ((s, dir) => TransformQueries.silverSchemaHandoff(s, dir)),
     "dedup_exact" -> ((s, dir) => Dedup.exactDedupQuery(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
+    "dedup_lsh_hotbucket" -> ((s, dir) => Dedup.lshHotBucketQuery(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir, 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashDedup(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosinePairs(s, dir)),
@@ -522,6 +523,32 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // Hot-bucket cap witness: the verified pair count must equal the
+    // exact-Jaccard replay (the cap is a no-op on this corpus — its
+    // bucket maximum sits under the cap), and the accounting columns
+    // pin that nothing was capped or excluded; set equality with the
+    // uncapped join is the engine's anti-join witness.
+    "dedup_lsh_hotbucket" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                true AS matches_uncapped,
+                true AS max_bucket_le_cap,
+                CAST(0 AS BIGINT) AS n_buckets_capped,
+                CAST(0 AS BIGINT) AS rows_excluded
+         FROM pr
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8""",
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),

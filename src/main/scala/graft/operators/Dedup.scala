@@ -222,10 +222,36 @@ object Dedup {
         xxhash64(col("band"),
           slice(col("mh"), col("band") * rows + 1, lit(rows))).as("key"))
 
-  /** Candidate pairs from shared LSH buckets. */
-  def lshCandidates(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+  /** Default per-(band, key) bucket cap for LSH candidate joins. At web
+    * scale a degenerate band key (a boilerplate shingle pattern shared
+    * by millions of documents) makes the bucket self-join QUADRATIC in
+    * that bucket's size; production MinHash dedup (the SlimPajama /
+    * RefinedWeb discipline) caps or drops oversized buckets. A bucket
+    * at the cap still admits cap² ≈ 16M candidate rows — far above any
+    * genuine near-dup cluster this engine has measured (duplicate
+    * groups are tens of documents), so on non-adversarial corpora the
+    * cap excludes nothing; on adversarial ones it bounds the join. */
+  private[graft] val DefaultLshBucketCap = 4096
+
+  /** Candidate pairs from shared LSH buckets, with buckets larger than
+    * `bucketCap` EXCLUDED from the self-join (dropped, not truncated —
+    * a truncated bucket would make the candidate set depend on row
+    * order). The bucket-size aggregate groups on the same (band, key)
+    * the self-join shuffles on, so the exclusion adds one partial-
+    * aggregated pass, not a new shuffle layout. */
+  def lshCandidates(
+      banded: DataFrame, bucketCap: Int = DefaultLshBucketCap): DataFrame = {
+    val keep =
+      if (bucketCap == Int.MaxValue) banded
+      else {
+        val ok = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= bucketCap)
+          .select("band", "key")
+        banded.join(ok, Seq("band", "key"), "left_semi")
+      }
+    val l = keep.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = keep.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -314,6 +340,55 @@ object Dedup {
       jaccardVerifyShingled(sh,
           minHashCandidatesOfShingles(sh, threshold), threshold)
         .orderBy("doc_a", "doc_b")
+    } finally sh.unpersist(false)
+  }
+
+  /** dedup_lsh_hotbucket — the bucket-cap discipline witnessed in-query:
+    * the minhash banding is built once, its bucket-size distribution is
+    * measured, and the SAME banded relation is joined twice — capped at
+    * `cap` and uncapped — with both candidate sets exact-verified. On
+    * this corpus the cap sits above the max bucket (dup groups are tens
+    * of documents), so the witness proves the cap machinery is a no-op
+    * exactly when it should be: zero buckets capped, zero rows
+    * excluded, and the verified pair sets IDENTICAL (two symmetric
+    * anti-join counts — nothing corpus-sized lands on the driver). The
+    * adversarial leg (a synthetic hot bucket that MUST be excluded,
+    * with accounting) is spec-covered in DedupSpec, where the fixture
+    * can be made degenerate on purpose. */
+  def lshHotBucketQuery(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8, cap: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val sh = shingleArrays(docs(spark, dir)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (bands, rows) = chooseBands(threshold, 128)
+      val banded =
+        lshBands(minHashSignaturesOfShingles(sh, 128), bands, rows)
+          .localCheckpoint(true)
+      val acct = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bsz"))
+        .agg(max(col("bsz")).as("mx"),
+          sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("capped"),
+          sum(when(col("bsz") > cap, col("bsz")).otherwise(0L)).as("excl"))
+        .head()
+      val pairsCapped = jaccardVerifyShingled(
+        sh, lshCandidates(banded, cap), threshold)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val pairsFull = jaccardVerifyShingled(
+        sh, lshCandidates(banded, Int.MaxValue), threshold)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val onlyFull =
+        pairsFull.join(pairsCapped, Seq("doc_a", "doc_b"), "left_anti").count()
+      val onlyCapped =
+        pairsCapped.join(pairsFull, Seq("doc_a", "doc_b"), "left_anti").count()
+      Seq((pairsCapped.count(),
+        onlyFull == 0L && onlyCapped == 0L,
+        acct.getAs[Long]("mx") <= cap,
+        acct.getAs[Long]("capped"),
+        acct.getAs[Long]("excl")))
+        .toDF("n_pairs", "matches_uncapped", "max_bucket_le_cap",
+          "n_buckets_capped", "rows_excluded")
     } finally sh.unpersist(false)
   }
 

@@ -245,4 +245,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // none did, the dedup would be vacuous and the test too weak.
     assert(rows.map(_._4).sum == allSpans.length - allSpans.distinct.length)
   }
+
+  test("hot-bucket cap excludes a synthetic degenerate bucket with accounting") {
+    import org.apache.spark.sql.functions._
+    // 60 IDENTICAL documents (every band bucket holds all 60 — the
+    // boilerplate-key degeneracy) plus one genuine near-dup pair and
+    // two unrelated docs. An uncapped join pays 60²-scale candidate
+    // rows; the capped join must drop the hot buckets entirely while
+    // keeping the small-bucket near-dup pair.
+    val hot = (0 until 60).map(i =>
+      (100L + i, "the same boilerplate sentence repeated everywhere always"))
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota NU"))
+    val other = Seq(
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red orange yellow green blue indigo violet white black gray"))
+    val docsDf = (hot ++ near ++ other).toDF("doc_id", "text")
+    val sh = docsDf.select(col("doc_id"),
+      array_sort(graft.operators.TextOps.shinglesOfTokens(
+        graft.operators.TextOps.tokens(col("text")), 3)).as("shg"))
+    val (bands, rows) = Dedup.chooseBands(0.8, 128)
+    val banded = Dedup.lshBands(
+      Dedup.minHashSignaturesOfShingles(sh, 128), bands, rows)
+      .localCheckpoint(true)
+    val cap = 32
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+    val mx = sizes.agg(max("bsz")).head().getLong(0)
+    assert(mx >= 60, "the synthetic hot bucket must exist")
+    val excluded = sizes.filter(col("bsz") > cap)
+      .agg(count(lit(1)), sum("bsz")).head()
+    assert(excluded.getLong(0) >= bands.toLong,
+      "every band's hot bucket must be over the cap")
+    val capped = Dedup.lshCandidates(banded, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidates(banded, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The hot-bucket pairs (100..159 × 100..159) are in the uncapped
+    // set and MUST be gone from the capped one; the near-dup pair
+    // (bucket size 2) survives both.
+    assert(full.exists { case (a, b) => a >= 100 && b >= 100 })
+    assert(!capped.exists { case (a, b) => a >= 100 && b >= 100 },
+      "capped join must exclude the degenerate bucket's pairs")
+    assert(capped.contains((1L, 2L)), "small-bucket near-dups must survive")
+    assert(full.contains((1L, 2L)))
+    assert(capped.size < full.size)
+  }
 }

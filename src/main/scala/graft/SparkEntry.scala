@@ -184,6 +184,7 @@ object SparkEntry {
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
     "stream_incremental_dedup" -> ((s, dir) => graft.streaming.Streaming.streamIncrementalDedupQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
+    "dedup_index_compact" -> ((s, dir) => Dedup.lshIndexCompactQuery(s, dir)),
     "dedup_minhash_quantized" -> ((s, dir) => Dedup.minhashIndexQuantizedQuery(s, dir)),
     "sample_repeat_factor" -> ((s, dir) => Curation.repeatFactorQuery(s, dir)),
     "optimizer_cosine_rewrite" -> ((s, dir) => graft.plans.CosineBlockJoinQuery.rewriteQuery(s, dir)),
@@ -2116,6 +2117,41 @@ object SparkEntry {
          JOIN szb sb ON sb.doc_id = doc_b
          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // Index compaction: the verified pair count over the compacted
+    // index must equal the exact cross-set Jaccard replay (identical
+    // fixture to dedup_minhash_incremental); candidate-set invariance
+    // across the rewrite, row conservation, and file shrinkage are
+    // engine-asserted booleans.
+    "dedup_index_compact" ->
+      """WITH co AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents WHERE doc_id % 2 = 0),
+         ba AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 10000, string_split(text, ' ')
+                FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+         shc AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM co, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         shb AS (SELECT DISTINCT doc_id,
+                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                 FROM ba, (SELECT unnest(generate_series(1, 2000)) AS i)
+                 WHERE i <= len(ws) - 2),
+         szc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+         szb AS (SELECT doc_id, count(*) AS c FROM shb GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS i
+                FROM shc a JOIN shb b ON a.shingle = b.shingle
+                GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                true AS probe_invariant,
+                true AS rows_conserved,
+                true AS files_shrunk
+         FROM pr
+         JOIN szc sa ON sa.doc_id = doc_a
+         JOIN szb sb ON sb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8""",
     // Quantized (32-bit-key) persisted LSH dedup index: truncation can
     // only merge buckets, so quantized candidates are a superset of the
     // full-key candidates and exact verify makes the final pair sets

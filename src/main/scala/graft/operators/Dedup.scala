@@ -1041,6 +1041,79 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** dedup_index_compact — COMPACTION applied to the persisted LSH
+    * index itself: the incremental-ingest pattern
+    * ([[minhashIndexIncrementalQuery]]) appends O(batch) band-key files
+    * per arrival forever, so the index accumulates the same small-file
+    * residue `sink_compact_small_files` fixes for tables — at 100 TB an
+    * index touched nightly for a year is thousands of files, and every
+    * probe pays the open/footer cost of all of them. The query builds
+    * the index as EIGHT small appends (the residue), probes it, then
+    * rewrites the whole index to a bounded file count and probes AGAIN
+    * with the same batch: candidate sets must be identical (two
+    * symmetric anti-join counts — pair-set invariance across
+    * compaction is the property that lets an operator compact a live
+    * index without a correctness sign-off), rows conserved, and the
+    * file count strictly shrunk. The verified pair count is the
+    * oracle-replayable number; file counts depend on the writer's
+    * parallelism, so they surface as booleans. */
+  def lshIndexCompactQuery(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8, k: Int = 128): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Scratch.dir("graft_lshidx_compact")
+    val idx = base.resolve("index").toString
+    val idxC = base.resolve("compacted").toString
+    val d = docs(spark, dir)
+      .select(pinnedDocId(col("doc_id")).as("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val (bands, rows) = chooseBands(threshold, k)
+    // Eight small appends — each a separate write, the micro-batch
+    // residue a nightly ingest leaves behind.
+    (0 until 8).foreach { s =>
+      val slice = corpus.filter((col("doc_id") / 2) % 8 === s)
+      lshBands(minHashSignaturesOfShingles(shingleArrays(slice), k),
+          bands, rows)
+        .write.mode("append").parquet(idx)
+    }
+    def parquetFiles(p: String): Long =
+      graft.util.FsWalk.parquetFileCount(p)
+    val filesBefore = parquetFiles(idx)
+    val rowsBefore = spark.read.parquet(idx).count()
+    val probes = lshBands(
+        minHashSignaturesOfShingles(shingleArrays(batch), k), bands, rows)
+      .localCheckpoint(true)
+    def candsOf(p: String): DataFrame = spark.read.parquet(p)
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(probes.select(col("band"), col("key"),
+        col("doc_id").as("doc_b")), Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint(true)
+    val candsBefore = candsOf(idx)
+    // THE COMPACTION: one rewrite of the index to a bounded file
+    // count. (A size-thresholded variant would rewrite only oversized
+    // bucket groups; the whole-index rewrite is the general case and
+    // the invariance witness is identical.)
+    spark.read.parquet(idx).repartition(4).write.parquet(idxC)
+    val filesAfter = parquetFiles(idxC)
+    val rowsAfter = spark.read.parquet(idxC).count()
+    val candsAfter = candsOf(idxC)
+    val lost =
+      candsBefore.join(candsAfter, Seq("doc_a", "doc_b"), "left_anti").count()
+    val gained =
+      candsAfter.join(candsBefore, Seq("doc_a", "doc_b"), "left_anti").count()
+    val sh = shingleArrays(corpus.unionByName(batch))
+    val nPairs = jaccardVerifyShingled(sh, candsAfter, threshold).count()
+    Seq((nPairs,
+      lost == 0L && gained == 0L,
+      rowsAfter == rowsBefore,
+      filesAfter < filesBefore))
+      .toDF("n_pairs", "probe_invariant", "rows_conserved", "files_shrunk")
+  }
+
   /** Total bytes of parquet data files under `p` (recursive). */
   private def dirBytes(p: String): Long = graft.util.FsWalk.parquetBytes(p)
 

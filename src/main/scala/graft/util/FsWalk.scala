@@ -22,4 +22,9 @@ object FsWalk {
     * denominator of every index bytes-shrunk witness. */
   def parquetBytes(p: String): Long =
     files(p).filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
+  /** Number of parquet data files under `p` — the small-file-residue
+    * measure the compaction witnesses compare. */
+  def parquetFileCount(p: String): Long =
+    files(p).count(_.getName.endsWith(".parquet")).toLong
 }

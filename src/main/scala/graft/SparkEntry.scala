@@ -76,6 +76,7 @@ object SparkEntry {
     "preview_limit" -> ((s, dir) => TransformQueries.previewLimit(s, dir)),
     "count_records" -> ((s, dir) => TransformQueries.countRecords(s, dir)),
     "pipeline_medallion" -> ((s, dir) => TransformQueries.pipelineMedallion(s, dir)),
+    "pipeline_schema_evolution" -> ((s, dir) => TransformQueries.pipelineSchemaEvolution(s, dir)),
     "silver_schema_handoff" -> ((s, dir) => TransformQueries.silverSchemaHandoff(s, dir)),
     "dedup_exact" -> ((s, dir) => Dedup.exactDedupQuery(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
@@ -500,6 +501,26 @@ object SparkEntry {
            ('c_custkey', 'bigint'), ('c_name', 'string'),
            ('doubled_bal', 'double')) t(column_name, dtype)
          ORDER BY column_name""",
+    // Write-path schema evolution: generation 1 lacks the priority
+    // column (surfaces as the '<v1>' sentinel through the registry's
+    // v2 silver step), generation 2 carries the renamed field; the
+    // min/max generation stamps prove the groups separate cleanly.
+    "pipeline_schema_evolution" ->
+      """WITH m AS (
+           SELECT o_totalprice, CAST(NULL AS VARCHAR) AS priority,
+                  1 AS gen
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_totalprice, o_orderpriority, 2
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+                  AS band,
+                coalesce(priority, '<v1>') AS priority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(min(gen) AS INT) AS min_gen,
+                CAST(max(gen) AS INT) AS max_gen
+         FROM m GROUP BY 1, 2 ORDER BY band, priority""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM (SELECT doc_id, text FROM documents

@@ -241,6 +241,74 @@ object TransformQueries {
       .orderBy("project", "layer", "file_name")
   }
 
+  /** pipeline_schema_evolution — schema evolution exercised on the
+    * WRITE path through the medallion chain (the read-side twin is
+    * scan_parquet_evolving): bronze generation 1 lands
+    * (o_orderkey, o_totalprice) stamped _schema_version = 1; a later
+    * ingest adds a new source field with a field OVERRIDE applied
+    * (o_orderpriority renamed to `priority` — the registry's v2
+    * schema) and appends into the SAME bronze table. The evolving read
+    * (mergeSchema) surfaces v1 rows with the new column null; the
+    * transform registry then carries the evolution in code: the silver
+    * step's v1 knew nothing of `priority`, its re-confirmed v2
+    * normalizes the null generation with a sentinel, and
+    * `Chain.run(reg.activeChain)` folds BOTH generations through the
+    * active version. Gold aggregates per (band, priority), so a read
+    * that dropped either generation, failed to merge footers, or ran
+    * the archived v1 step breaks the oracle. */
+  def pipelineSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.types.{FieldOverride, FieldSpec}
+    import graft.types.LogicalType._
+    val bronze = graft.util.Scratch.dir("graft_evolve_write")
+      .resolve("bronze").toString
+    val orders = Relational.table(spark, dir, "orders")
+    val stampD = java.sql.Date.valueOf("2026-01-01")
+    def stamp(df: DataFrame, v: Int) = graft.operators.Bronze.metadataStamp(
+      df, stampD, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      "evolve", v)
+    // Generation 1: the narrow schema.
+    stamp(orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice"), 1)
+      .write.mode("append").parquet(bronze)
+    // Generation 2: the feed added o_orderpriority; the registry's v2
+    // schema renames it via a field override before landing.
+    val v2Fields = Seq(FieldSpec("o_orderkey", TLong),
+      FieldSpec("o_totalprice", TDouble),
+      FieldSpec("o_orderpriority", TString))
+    val gen2 = graft.operators.Bronze.applyOverrides(
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      v2Fields,
+      Seq(FieldOverride("o_orderpriority", newName = Some("priority"))))
+    stamp(gen2, 2).write.mode("append").parquet(bronze)
+    // The evolving read: both generations, one frame, v1 rows null.
+    val merged = spark.read.option("mergeSchema", "true").parquet(bronze)
+    require(merged.schema.fieldNames.contains("priority"),
+      "mergeSchema must surface the evolved column")
+    // The registry carries the code-side evolution: v2 supersedes v1.
+    val reg = new TransformRegistry
+    reg.confirm("classify", SqlTransforms.step(spark, "classify",
+      """SELECT o_orderkey, o_totalprice,
+            CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+              AS band
+         FROM __input__""").fn)
+    reg.confirm("classify", SqlTransforms.step(spark, "classify",
+      """SELECT o_orderkey, o_totalprice, _schema_version,
+            CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+              AS band,
+            coalesce(priority, '<v1>') AS priority
+         FROM __input__""").fn)
+    val (silverOut, results) = Chain.run(merged, reg.activeChain)
+    require(results.forall(_.status == "success"),
+      results.map(r => s"${r.name}:${r.status}").mkString(","))
+    silverOut.groupBy("band", "priority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        min(col("_schema_version")).as("min_gen"),
+        max(col("_schema_version")).as("max_gen"))
+      .orderBy("band", "priority")
+  }
+
   /** silver_schema_handoff — gold's input schema is re-read from the
     * silver OUTPUT files, not the declared schema. */
   def silverSchemaHandoff(spark: SparkSession, dir: String): DataFrame = {

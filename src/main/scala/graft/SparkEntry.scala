@@ -166,6 +166,7 @@ object SparkEntry {
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
+    "pipeline_sql_curation" -> ((s, dir) => graft.plans.GraftFunctions.sqlCurationQuery(s, dir)),
     "text_pii_redact" -> ((s, dir) => Curation.piiRedactQuery(s, dir)),
     "approx_quantile" -> ((s, dir) => RelationalExt.approxQuantile(s, dir)),
     "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
@@ -1796,6 +1797,32 @@ object SparkEntry {
            CAST(len(list_intersect(['a','b','c'], ['b','c','d'])) AS INT)
              AS isect,
            (SELECT min(md5(c_name)) FROM customer) AS min_hash""",
+    // The SQL-expressed curation funnel: every count replays
+    // relationally; the compression-ratio floor is the one
+    // engine-asserted boolean (zlib byte counts are not cross-engine).
+    "pipeline_sql_curation" ->
+      """WITH tok AS (SELECT doc_id, text,
+                  len(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+         kept AS (SELECT * FROM tok WHERE n_tokens >= 5),
+         exact AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                   FROM kept GROUP BY 1),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         dup AS (SELECT DISTINCT b.vec_id
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.e, b.e) >= 0.46),
+         final AS (SELECT e.doc_id FROM exact e
+                   WHERE NOT EXISTS (SELECT 1 FROM dup d
+                                     WHERE d.vec_id = e.doc_id))
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact)
+             AS n_exact_unique,
+           (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_released,
+           true AS ratio_floor_ok,
+           (SELECT min(md5(text)) FROM kept) AS corpus_min_fp""",
     "text_pii_redact" ->
       """WITH d AS (SELECT doc_id,
                   text || ' contact user' || CAST(doc_id AS VARCHAR)

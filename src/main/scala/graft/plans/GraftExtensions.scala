@@ -75,6 +75,56 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 
+  /** pipeline_sql_curation driver query — a FULL curation funnel as ONE
+    * multi-CTE SQL string, proving the registered SQL surface is
+    * load-bearing rather than decorative: token-count quality filter →
+    * compression-ratio floor (`deflate_len`, surfaced as an
+    * engine-asserted boolean since exact zlib byte counts are not
+    * cross-engine-replayable) → exact dedup on content fingerprints →
+    * semantic near-dup drop via `cosine_sim` over the embeddings →
+    * release manifest with the corpus-minimum fingerprint via the
+    * `bottom_k` KMV sketch. Every non-boolean output replays
+    * relationally in DuckDB. The whole funnel is one Catalyst plan —
+    * the CTEs are inlined, filters/pruning reach the scans exactly as
+    * the DataFrame-composed release pipelines' plans do. */
+  def sqlCurationQuery(spark: SparkSession, dir: String): DataFrame = {
+    registerAll(spark)
+    graft.operators.Relational.table(spark, dir, "documents")
+      .createOrReplaceTempView("docs_sqlcur")
+    graft.operators.Relational.table(spark, dir, "embeddings")
+      .createOrReplaceTempView("emb_sqlcur")
+    try spark.sql(
+      """WITH tok AS (
+           SELECT doc_id, text,
+                  size(split(text, ' ')) AS n_tokens,
+                  deflate_len(text) / CAST(octet_length(text) AS DOUBLE)
+                    AS ratio
+           FROM docs_sqlcur),
+         kept AS (SELECT * FROM tok WHERE n_tokens >= 5),
+         exact AS (SELECT md5(CAST(text AS BINARY)) AS fp,
+                          min(doc_id) AS doc_id
+                   FROM kept GROUP BY 1),
+         dup AS (SELECT DISTINCT b.vec_id
+                 FROM emb_sqlcur a JOIN emb_sqlcur b
+                   ON a.vec_id < b.vec_id
+                 WHERE cosine_sim(a.embedding, b.embedding) >= 0.46),
+         final AS (SELECT e.doc_id FROM exact e
+                   LEFT ANTI JOIN dup d ON e.doc_id = d.vec_id)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM docs_sqlcur) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact)
+             AS n_exact_unique,
+           (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_released,
+           (SELECT min(ratio) > 0.01 FROM kept) AS ratio_floor_ok,
+           (SELECT element_at(bottom_k(md5(CAST(text AS BINARY)), 1), 1)
+            FROM kept) AS corpus_min_fp""").localCheckpoint(true)
+    finally {
+      spark.catalog.dropTempView("docs_sqlcur")
+      spark.catalog.dropTempView("emb_sqlcur")
+    }
+  }
+
   /** sql_functions driver query — the native functions exercised from
     * PURE SQL: a cosine-threshold pair count over the first 50 vectors,
     * a merge-scan intersection of two array literals, and the global

@@ -1,0 +1,81 @@
+package graft
+
+/** Pure calibration / contention-self-defense logic for [[Bench]],
+  * extracted so a spec can exercise it with synthetic timings.
+  *
+  * The bench interleaves a fixed calibration probe (q1_agg — a plain
+  * scan+aggregate whose code rarely changes) through the sweep. Until
+  * round 10 the probes were normalized against a FROZEN idle-host
+  * constant (0.40s, measured rounds 6-8), which meant a faster host
+  * could never flag late-run contention: its absolute ratio sat below
+  * 1 even while the run's own probes disagreed with each other 2×.
+  * The reference is now derived from the run itself — the run's own
+  * best probe is what "idle" means on this host today — and the frozen
+  * number survives only as (a) an absolute sanity floor against
+  * measurement flukes and (b) an informational cross-round ratio. */
+object BenchCalib {
+
+  /** Absolute floor for the run-derived reference: a probe below this
+    * is a measurement fluke (cached fragment, clock step), not a real
+    * q1_agg execution, and dividing by it would turn ordinary jitter
+    * into phantom "contention". */
+  val SanityFloorSec = 0.05
+
+  /** Historical idle-host best for q1_agg at sf0.1 / local[32]
+    * (best-of-idle across rounds 6-10). Informational only — emitted
+    * as `calib_abs_ratio` so rounds on the same host class stay
+    * comparable — never used to DECIDE contention. */
+  val HistoricalIdleRef = 0.40
+
+  /** The run's own best-of-idle probe, floored. */
+  def calibRef(probes: Seq[Double]): Double =
+    math.max(probes.min, SanityFloorSec)
+
+  /** Intra-run drift: worst probe vs the run's own best. ≈1 on a
+    * steady host regardless of absolute speed; rises whenever ANY part
+    * of the sweep ran slower than the host's own demonstrated best —
+    * which is exactly the late-run-contention shape the median-based
+    * ratio used to smooth away. */
+  def driftRatio(probes: Seq[Double]): Double =
+    probes.max / calibRef(probes)
+
+  /** Median probe vs the historical constant — the old cross-round
+    * absolute view, kept for the JSON but decision-free. */
+  def absRatio(probes: Seq[Double]): Double = {
+    val sorted = probes.sorted
+    sorted(sorted.size / 2) / HistoricalIdleRef
+  }
+
+  /** A run whose own probes disagree 1.5× is not producing trustworthy
+    * per-query timings, whatever its absolute speed. */
+  def contended(probes: Seq[Double]): Boolean = driftRatio(probes) > 1.5
+
+  /** Re-time threshold vs the persisted previous-run reference:
+    * tighter when this run's own probes already show drift, so a
+    * mildly-contended run re-checks more of its outliers. */
+  def suspectFactor(drift: Double): Double = if (drift > 1.25) 1.5 else 2.5
+
+  /** Queries slower than `suspectFactor × previous run` — the ones the
+    * sweep re-times once more at the end, past any transient. */
+  def suspects(
+      twoPass: Seq[(String, Double)],
+      refTimes: Map[String, Double],
+      drift: Double,
+      maxSuspects: Int = 12): Seq[(String, Double)] = {
+    val factor = suspectFactor(drift)
+    twoPass.filter { case (name, t) =>
+      refTimes.get(name).exists(prev => t > factor * prev)
+    }.sortBy(-_._2).take(maxSuspects)
+  }
+
+  /** Parse a persisted BENCH_LOCAL_LAST body into per-query reference
+    * times. Empty when the `__sf__` stamp is absent or names another
+    * scale factor — cross-scale references are never comparable (an
+    * sf0.01 reference would flag every sf0.1 query as a suspect). */
+  def parseReference(txt: String, sfDir: String): Map[String, Double] = {
+    val stamp = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!stamp.contains(sfDir)) Map.empty
+    else """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Synthetic-timing coverage for the bench's contention self-defense
+  * (BenchCalib) — the logic is pure so the spec needs no SparkSession. */
+class BenchCalibSpec extends AnyFunSuite {
+
+  test("steady host is not contended regardless of absolute speed") {
+    // A host 2× faster than the historical 0.40s reference, probes in
+    // agreement: under the frozen-reference scheme this run could never
+    // flag anything; under the run-derived scheme it is simply idle.
+    val fastIdle = Seq(0.20, 0.21, 0.22, 0.20)
+    assert(BenchCalib.driftRatio(fastIdle) < 1.25)
+    assert(!BenchCalib.contended(fastIdle))
+    assert(BenchCalib.suspectFactor(BenchCalib.driftRatio(fastIdle)) == 2.5)
+  }
+
+  test("fast host with late-run contention is flagged (r10 blind spot)") {
+    // Same fast host, but the tail probes ran 3× slow — the exact case
+    // the frozen 0.40 denominator hid (median/0.40 = 0.55/0.40 ≈ 1.4
+    // would have needed 1.5; worse, [0.20,0.21,0.55] gave 0.21/0.40 =
+    // 0.525 under the old median rule — invisible).
+    val lateContended = Seq(0.20, 0.21, 0.55, 0.60)
+    assert(BenchCalib.driftRatio(lateContended) > 1.5)
+    assert(BenchCalib.contended(lateContended))
+  }
+
+  test("mild drift tightens the suspect factor") {
+    val mild = Seq(0.30, 0.30, 0.42) // 1.4× drift: not contended, but wary
+    val drift = BenchCalib.driftRatio(mild)
+    assert(!BenchCalib.contended(mild))
+    assert(BenchCalib.suspectFactor(drift) == 1.5)
+  }
+
+  test("suspects compare against the previous run under the drift-scaled factor") {
+    val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val now = Seq("a" -> 1.6, "b" -> 2.8, "c" -> 1.1, "new_query" -> 9.9)
+    // Idle run (factor 2.5): only the 2.8× query is suspect; queries
+    // with no reference (new this round) are never suspects.
+    assert(BenchCalib.suspects(now, prev, drift = 1.0).map(_._1) == Seq("b"))
+    // Drifting run (factor 1.5): the 1.6× query joins, ordered slowest
+    // first.
+    assert(BenchCalib.suspects(now, prev, drift = 1.3).map(_._1) == Seq("b", "a"))
+  }
+
+  test("suspect list is capped") {
+    val prev = (1 to 40).map(i => s"q$i" -> 1.0).toMap
+    val now = (1 to 40).map(i => s"q$i" -> 3.0)
+    assert(BenchCalib.suspects(now, prev, drift = 1.0).size == 12)
+  }
+
+  test("calibRef floors measurement flukes") {
+    assert(BenchCalib.calibRef(Seq(0.001, 0.30, 0.31)) == BenchCalib.SanityFloorSec)
+    // ...so a fluke min cannot manufacture phantom contention on its
+    // own, but genuinely ragged probes above the floor still can.
+    assert(BenchCalib.calibRef(Seq(0.30, 0.31, 0.33)) == 0.30)
+  }
+
+  test("reference parsing honors the __sf__ stamp") {
+    val body = """{"__sf__":"/root/testdata/sf0.1","q1_agg":0.412,"dedup_exact":1.250}"""
+    val same = BenchCalib.parseReference(body, "/root/testdata/sf0.1")
+    assert(same("q1_agg") == 0.412 && same("dedup_exact") == 1.25)
+    // Another scale factor, or a legacy unstamped file, yields no
+    // reference at all rather than a cross-scale comparison.
+    assert(BenchCalib.parseReference(body, "/root/testdata/sf0.01").isEmpty)
+    assert(BenchCalib.parseReference("""{"q1_agg":0.412}""", "/root/testdata/sf0.1").isEmpty)
+  }
+}

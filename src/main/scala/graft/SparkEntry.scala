@@ -111,7 +111,7 @@ object SparkEntry {
     "distinct_rows" -> ((s, dir) => RelationalExt.distinctRows(s, dir)),
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "sketch_count_min" -> ((s, dir) => RelationalExt.countMinQuery(s, dir)),
-    "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.90)),
+    "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.95)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
@@ -649,8 +649,8 @@ object SparkEntry {
     "similarity_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 CAST(CASE (SELECT count(*) FROM lineitem)
-                     WHEN 6000 THEN 48 WHEN 60000 THEN 47
-                     WHEN 600000 THEN 47 END AS BIGINT) AS n_hits,
+                     WHEN 6000 THEN 50 WHEN 60000 THEN 50
+                     WHEN 600000 THEN 49 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",

@@ -478,17 +478,26 @@ object Similarity {
     * pruning and a query physically reads only nProbe/nCells of the
     * corpus.
     *
-    * Default nProbe=12/16 is tuned for recall@10 ≥ 0.90 on the
-    * UNIFORMLY RANDOM testdata embeddings (measured 0.96/0.94/0.94 at
-    * sf0.001/0.01/0.1) — the worst case for any space partitioner,
-    * where true neighbors sit barely closer than random and spread
-    * across cells. Clustered real-world embeddings reach the same
-    * recall at far lower nProbe; the pruning-witness queries below keep
-    * nProbe=4 to exercise the physical-pruning path. */
+    * Default nProbe=14/16 sits at the measured knee of the
+    * recall/probe-cost frontier on the UNIFORMLY RANDOM testdata
+    * embeddings — the worst case for any space partitioner, where
+    * true neighbors sit barely closer than random and spread across
+    * cells. An r11 sweep ([[graft.RecallSweep]], nProbe ∈ 8..16 at
+    * sf0.001/0.01/0.1) measured recall@10 0.82/0.88/0.84 at nProbe=8,
+    * 0.96/0.94/0.94 at the old default 12, and 1.00/1.00/0.98 at 14,
+    * with probe wall time FLAT in nProbe at these corpus sizes (fixed
+    * plan overheads dominate), so the 14/12 ≈ 1.17× extra read buys
+    * +0.04–0.06 recall well inside the 1.5× budget. The honest
+    * frontier note: 14/16 cells probed reads ~7/8 of the corpus —
+    * for uniform-random vectors at nCells=16 that IS what ≥0.95
+    * recall costs; clustered real-world embeddings reach it at far
+    * lower nProbe, which is where IVF pruning actually pays. The
+    * pruning-witness queries below keep nProbe=4 to exercise the
+    * physical-pruning path. */
   def ivfTopK(
       spark: SparkSession, dir: String,
       nQueries: Long = 5, k: Int = 10,
-      nCells: Int = 16, nProbe: Int = 12, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 14, seed: Long = 42L): DataFrame = {
     val e = emb(spark, dir)
     val cs = trainCentroids(e, nCells, seed)
     val corpus = e.select(col("vec_id").as("neighbor_id"),
@@ -1179,8 +1188,8 @@ object Similarity {
     * are seeded and deterministic, so recall is a fixed function of the
     * data, and the bound is chosen below the measured floor across
     * scale factors (LSH ≥ 0.70 with measured 0.98 everywhere; IVF
-    * ≥ 0.90 with measured 0.96/0.94/0.94 at nProbe=12 on the
-    * uniform-random testdata — see SimilaritySpec). */
+    * ≥ 0.95 with measured 1.00/1.00/0.98 at the swept nProbe=14 knee
+    * on the uniform-random testdata — see ivfTopK's frontier note). */
   def annRecallQuery(
       spark: SparkSession, dir: String, method: String,
       bound: Double, nQueries: Long = 5, k: Int = 10): DataFrame = {

@@ -314,8 +314,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val ivf = ivfDf.as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     info(s"ivf recall@10 = $recall")
-    // nProbe=12 default — measured 0.96/0.94/0.94 at sf0.001/0.01/0.1.
-    assert(recall >= 0.90, s"recall=$recall")
+    // nProbe=14 default (r11 sweep knee) — measured 1.00/1.00/0.98 at
+    // sf0.001/0.01/0.1.
+    assert(recall >= 0.95, s"recall=$recall")
     val again = Similarity.ivfTopK(spark, sfDir, nQueries = 5, k = 10)
       .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
     assert(ivf == again)
@@ -327,12 +328,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.length == 1)
     val (nq, hits, total, ok) = lsh(0)
     assert(nq == 5L && total == 50L && ok && hits >= 35L && hits <= 50L)
-    val ivf = Similarity.annRecallQuery(spark, sfDir, "ivf", bound = 0.90)
+    val ivf = Similarity.annRecallQuery(spark, sfDir, "ivf", bound = 0.95)
       .as[(Long, Long, Long, Boolean)].collect()
     assert(ivf.length == 1)
     val (nq2, hits2, total2, ok2) = ivf(0)
     assert(nq2 == 5L && total2 == 50L && ok2 &&
-      hits2 >= 45L && hits2 <= 50L)
+      hits2 >= 48L && hits2 <= 50L)
   }
 
   test("ivf incremental append: parity, untouched files, pruned scan") {

@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "text_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(s, dir)),
     "dedup_span_exact" -> ((s, dir) => Dedup.spanDedup(s, dir)),
+    "dedup_cdc_chunks" -> ((s, dir) => Dedup.cdcChunkDedup(s, dir)),
     "stream_curation" -> ((s, dir) => graft.streaming.Streaming.streamCurationQuery(s, dir)),
     "stream_incremental_dedup" -> ((s, dir) => graft.streaming.Streaming.streamIncrementalDedupQuery(s, dir)),
     "dedup_minhash_incremental" -> ((s, dir) => Dedup.minhashIndexIncrementalQuery(s, dir)),
@@ -2102,6 +2103,36 @@ object SparkEntry {
                   AS n_dup_spans
          FROM ch JOIN f ON ch.span = f.span
          GROUP BY ch.doc_id ORDER BY ch.doc_id""",
+    // Content-defined chunking: cut after tokens whose first md5
+    // nibble is 0, running-sum the cuts into chunk ids, rebuild each
+    // chunk in token order, rank occurrences of each chunk fingerprint
+    // by (doc_id, chunk_id).
+    "dedup_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, ws,
+                        unnest(range(1, len(ws) + 1)) AS i FROM t),
+         tk AS (SELECT doc_id, i, ws[i] AS tok,
+                       CASE WHEN substr(md5(ws[i]), 1, 1) = '0'
+                            THEN 1 ELSE 0 END AS cut
+                FROM tok),
+         asg AS (SELECT doc_id, i, tok,
+                        COALESCE(SUM(cut) OVER (PARTITION BY doc_id
+                          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS chunk_id
+                 FROM tk),
+         ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_tok,
+                       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+                FROM asg GROUP BY doc_id, chunk_id),
+         rk AS (SELECT doc_id, n_tok,
+                       ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                         ORDER BY doc_id, chunk_id) AS rn
+                FROM ch)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_chunks
+         FROM rk GROUP BY doc_id ORDER BY doc_id""",
     // The streamed quality-filter + (lang, digest) dedup must collapse
     // the doubled feed back to the batch distinct-text answer.
     "stream_curation" ->

@@ -1203,4 +1203,70 @@ object Dedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_spans"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_spans"))
       .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (CDC)
+  // ------------------------------------------------------------------
+
+  /** dedup_cdc_chunks — span dedup over CONTENT-DEFINED chunk
+    * boundaries, the storage-dedup discipline (Muthitacharoen et al.
+    * 2001, LBFS) applied to training text. [[spanDedup]] above cuts
+    * every k tokens, so inserting ONE token early in a document shifts
+    * every later boundary and no downstream span matches its twin in
+    * the unedited copy. CDC instead cuts AFTER any token whose hash
+    * falls in a fixed residue class (here: first md5 nibble = 0, an
+    * expected chunk length of 16 tokens), so boundaries are a pure
+    * function of local content — an edit perturbs only the chunk it
+    * touches and its immediate neighbor, and every other chunk in the
+    * edited copy still fingerprint-matches the original. (Production
+    * CDC adds min/max chunk bounds; those reintroduce sequential state
+    * across the token stream, so this operator keeps the pure
+    * hash-residue rule the oracle can replay.)
+    *
+    * Plan shape at scale: one scan explodes tokens with position; the
+    * boundary flag is a codegen'd md5 conditional; chunk ids come from
+    * a running sum over the per-document window (state bounded by the
+    * longest document, the same bound tokenization itself needs); the
+    * chunk rebuild groups on (doc_id, chunk_id), which REUSES the
+    * window's doc_id hash partitioning (no second shuffle — Spark's
+    * ClusteredDistribution accepts the subset key); and cross-corpus
+    * matching groups on the 128-bit chunk fingerprint, so the only
+    * corpus-wide shuffle carries md5s + ids, never text. Emits one row
+    * per document: chunk count and how many of its chunks are
+    * duplicates of an earlier (doc_id, chunk_id) anywhere in the
+    * corpus. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupOf(docs(spark, dir))
+
+  def cdcChunkDedupOf(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("tok"),
+        when(substring(md5(col("tok")), 1, 1) === "0", 1L)
+          .otherwise(0L).as("cut"))
+    // chunk_id = number of cut tokens strictly BEFORE this one: the
+    // cut token closes its own chunk, the next token opens a new one.
+    val wCum = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val asg = tok.withColumn("chunk_id",
+      coalesce(sum(col("cut")).over(wCum), lit(0L)))
+    // Rebuild each chunk's text in token order without an ordered
+    // aggregate: collect (i, tok) structs and sort — i is unique per
+    // group, so the struct sort is total and deterministic.
+    val chunks = asg.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_md5"))
+    val wOwn = Window.partitionBy("chunk_md5")
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks.withColumn("rn", row_number().over(wOwn))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
 }

@@ -198,6 +198,7 @@ object SparkEntry {
     "sketch_hll_store" -> ((s, dir) => Packing.hllStoreQuery(s, dir)),
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
+    "sink_merge_upsert" -> ((s, dir) => SourceSinkQueries.sinkMergeUpsert(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2385,6 +2386,36 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // MERGE semantics replayed as a full-outer join over the same
+    // deterministic change batch; the copy-on-write file witnesses are
+    // engine-observed and pinned true.
+    "sink_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+                  CAST(year(o_orderdate) AS INT) AS p FROM orders),
+         tgt AS (SELECT min(p) AS tp FROM base),
+         upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, p
+                 FROM base, tgt WHERE p = tp AND o_orderkey % 2 = 0),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                        100.0 AS o_totalprice, p
+                 FROM base, tgt WHERE p = tp AND o_orderkey % 5 = 0),
+         del AS (SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+                        p
+                 FROM base, tgt WHERE p = tp AND o_orderkey % 10 = 3),
+         src AS (SELECT *, 'upsert' AS op FROM upd
+                 UNION ALL SELECT *, 'upsert' AS op FROM ins
+                 UNION ALL SELECT *, 'delete' AS op FROM del),
+         merged AS (SELECT COALESCE(s.o_orderkey, t.o_orderkey)
+                             AS o_orderkey,
+                           COALESCE(s.o_totalprice, t.o_totalprice)
+                             AS o_totalprice,
+                           COALESCE(s.p, t.p) AS p
+                    FROM base t FULL OUTER JOIN src s
+                      ON t.o_orderkey = s.o_orderkey AND t.p = s.p
+                    WHERE s.op IS NULL OR s.op <> 'delete')
+         SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS untouched_intact, true AS affected_rewritten
+         FROM merged GROUP BY p ORDER BY p""",
     // Compaction preserves rows and values; the engine-observed file
     // counts are pinned (64 residue files -> 2).
     "sink_compact_small_files" ->

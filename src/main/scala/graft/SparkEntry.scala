@@ -202,6 +202,7 @@ object SparkEntry {
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
+    "source_file_bloom_index" -> ((s, dir) => SourceSinkQueries.sourceFileBloomIndex(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
     "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
   )
@@ -2443,6 +2444,27 @@ object SparkEntry {
                 true AS files_skipped,
                 true AS stats_complete
          FROM o, w WHERE d >= lo AND d <= hi""",
+    // Per-file bloom index: the oracle recomputes the deterministic
+    // mid-range probe-key set and the true lookup aggregates; the
+    // bloom/stats pruning booleans and row-identity witness are
+    // engine-measured and pinned.
+    "source_file_bloom_index" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         r AS (SELECT l_orderkey,
+                      ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn
+               FROM d),
+         k AS (SELECT l_orderkey FROM r
+               WHERE rn > (SELECT count(*) // 2 FROM d)
+                 AND rn <= (SELECT count(*) // 2 FROM d) + 5)
+         SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_keys,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                CAST(16 AS BIGINT) AS files_total,
+                true AS bloom_pruned,
+                true AS stats_prune_zero,
+                true AS pruned_equals_full
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT l_orderkey FROM k)""",
     // Z-order layout: file-range pruning under a date slice is a
     // deterministic function of the data and the seeded layout — the
     // engine measures per-file min/max from the written files and

@@ -164,6 +164,7 @@ object SparkEntry {
     "embedding_centroid" -> ((s, dir) => Similarity.centroidByLang(s, dir)),
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
+    "stream_cdc_apply" -> ((s, dir) => graft.streaming.Streaming.streamCdcApplyQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
     "pipeline_sql_curation" -> ((s, dir) => graft.plans.GraftFunctions.sqlCurationQuery(s, dir)),
@@ -2387,6 +2388,32 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // CDC apply: the final table state is a pure function of the base
+    // snapshot and the two deterministic change batches; the per-batch
+    // copy-on-write witnesses and batch count are engine-observed and
+    // pinned.
+    "stream_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+                  CAST(year(o_orderdate) AS INT) AS p FROM orders),
+         tgt AS (SELECT min(p) AS tp FROM base),
+         after_a AS (SELECT o_orderkey,
+                            CASE WHEN p = (SELECT tp FROM tgt)
+                                      AND o_orderkey % 2 = 0
+                                 THEN o_totalprice * 2
+                                 ELSE o_totalprice END AS o_totalprice,
+                            p
+                     FROM base
+                     WHERE NOT (p = (SELECT tp FROM tgt)
+                                AND o_orderkey % 10 = 3)),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                        100.0 AS o_totalprice, p
+                 FROM base, tgt WHERE p = tp AND o_orderkey % 5 = 0),
+         fin AS (SELECT * FROM after_a UNION ALL SELECT * FROM ins)
+         SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS untouched_intact, true AS affected_rewritten,
+                CAST(2 AS BIGINT) AS batches_applied
+         FROM fin GROUP BY p ORDER BY p""",
     // MERGE semantics replayed as a full-outer join over the same
     // deterministic change batch; the copy-on-write file witnesses are
     // engine-observed and pinned true.

@@ -200,6 +200,7 @@ object SparkEntry {
     "sink_partition_backfill" -> ((s, dir) => SourceSinkQueries.sinkPartitionBackfill(s, dir)),
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "sink_merge_upsert" -> ((s, dir) => SourceSinkQueries.sinkMergeUpsert(s, dir)),
+    "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2388,6 +2389,19 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // Vacuum: deletion set and retention guard are engine-observed;
+    // the oracle proves the live data survived untouched (4 files from
+    // repartition(4), 3 planted orphans, 2 past the horizon).
+    "sink_vacuum_retention" ->
+      """SELECT CAST(4 AS BIGINT) AS n_live_files,
+                CAST(3 AS BIGINT) AS n_orphans_planted,
+                CAST(2 AS BIGINT) AS n_deleted,
+                true AS stale_orphans_gone,
+                true AS fresh_orphan_kept,
+                true AS live_files_kept,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem""",
     // CDC apply: the final table state is a pure function of the base
     // snapshot and the two deterministic change batches; the per-batch
     // copy-on-write witnesses and batch count are engine-observed and

@@ -268,6 +268,66 @@ object SourceSinkQueries {
         col("n_rows"), col("sum_price"))
   }
 
+  /** sink_vacuum_retention — orphan-file GC, the maintenance op every
+    * COW table needs ([[sinkMergeUpsert]] and compaction replace
+    * files; aborted writes and dead snapshots leave unreferenced ones
+    * behind): a MANIFEST of live files (here: the table's current
+    * listing, the role a table format's snapshot plays) plus a
+    * retention window decide deletion — a file is removed iff it is
+    * (a) not in the manifest AND (b) older than the retention horizon.
+    * The retention guard is the part that matters operationally: an
+    * in-flight writer's file is unreferenced too, and a vacuum without
+    * the age check would delete a concurrent write mid-commit.
+    *
+    * The query plants both kinds of orphan (stale ones beyond the
+    * horizon, a fresh one inside it), vacuums, and witnesses every
+    * clause: stale orphans deleted, the fresh orphan and every live
+    * file kept, and the table contents byte-identical to the oracle's
+    * direct aggregate. Driver work is O(nFiles) listing — the same
+    * manifest scale as the stats/bloom indexes; data is never read. */
+  def sinkVacuumRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("vacuum").resolve("lineitem").toString
+    val li = Relational.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.repartition(4).write.parquet(tbl)
+    val root = new java.io.File(tbl)
+    def parquets(): Set[java.io.File] =
+      root.listFiles().filter(_.getName.endsWith(".parquet")).toSet
+    val live = parquets()
+    val manifest = live.map(_.getName)
+    // Aborted-write residue: two stale orphans past the horizon, one
+    // fresh orphan inside it (a concurrent writer mid-commit).
+    val horizonMs = 60L * 60 * 1000
+    val stale = (1 to 2).map { i =>
+      val f = new java.io.File(root, s"part-orphan-stale-$i.parquet")
+      java.nio.file.Files.copy(live.head.toPath, f.toPath)
+      f.setLastModified(System.currentTimeMillis() - 2 * horizonMs)
+      f
+    }
+    val fresh = new java.io.File(root, "part-orphan-fresh.parquet")
+    java.nio.file.Files.copy(live.head.toPath, fresh.toPath)
+    val deleted = parquets().filter { f =>
+      !manifest(f.getName) &&
+        f.lastModified() < System.currentTimeMillis() - horizonMs
+    }.map { f => f.delete(); f.getName }
+    val after = parquets()
+    val staleGone = stale.forall(f => !after.contains(f))
+    val freshKept = after.contains(fresh)
+    val liveKept = live.subsetOf(after)
+    fresh.delete() // leave the table clean for the read-back
+    spark.read.parquet(tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(lit(live.size.toLong).as("n_live_files"),
+        lit(3L).as("n_orphans_planted"),
+        lit(deleted.size.toLong).as("n_deleted"),
+        lit(staleGone).as("stale_orphans_gone"),
+        lit(freshKept).as("fresh_orphan_kept"),
+        lit(liveKept).as("live_files_kept"),
+        col("n_rows"), col("sum_price"))
+  }
+
   /** sink_zorder_layout — multi-dimensional file clustering via a
     * Morton key ([[graft.functions.ZOrder]]): orders written twice,
     * once range-partitioned + sorted by `o_custkey` (the linear

@@ -92,6 +92,7 @@ object SparkEntry {
     "text_compression_ratio" -> ((s, dir) => TextOps.compressionRatioQuery(s, dir)),
     "text_chunk_windows" -> ((s, dir) => TextOps.chunkWindows(s, dir)),
     "text_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(s, dir)),
+    "text_inverted_index" -> ((s, dir) => TextOps.invertedIndexQuery(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "stream_windowed_agg" -> ((s, dir) => graft.streaming.Streaming.windowedAggQuery(s, dir)),
     "stream_stateful" -> ((s, dir) => graft.streaming.Streaming.statefulQuery(s, dir)),
@@ -821,6 +822,20 @@ object SparkEntry {
                FROM sc)
          SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, score_q
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Inverted index: the oracle recomputes the deterministic rank-10
+    // probe term and its document frequency; the posting-equality and
+    // bucket-pruning witnesses are engine-measured and pinned.
+    "text_inverted_index" ->
+      """WITH p AS (SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS term
+                FROM documents WHERE text IS NOT NULL),
+         d AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM p GROUP BY term),
+         r AS (SELECT term, df, ROW_NUMBER() OVER
+                 (ORDER BY df DESC, term ASC) AS rn FROM d)
+         SELECT term AS probe_term, CAST(df AS BIGINT) AS df,
+                true AS postings_match_scan, true AS index_pruned
+         FROM r WHERE rn = 10""",
     // Overlapping-window chunking replayed WHOLESALE: split, stride
     // walk, slice, rejoin, md5 — full per-chunk fingerprint parity.
     "text_chunk_windows" ->

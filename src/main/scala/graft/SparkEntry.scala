@@ -167,6 +167,8 @@ object SparkEntry {
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => graft.streaming.Streaming.streamCdcApplyQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
+    "window_moving_agg" -> ((s, dir) => RelationalExt.windowMovingAgg(s, dir)),
+    "window_ntile_deciles" -> ((s, dir) => RelationalExt.windowNtileDeciles(s, dir)),
     "sql_functions" -> ((s, dir) => graft.plans.GraftFunctions.sqlFunctionsQuery(s, dir)),
     "pipeline_sql_curation" -> ((s, dir) => graft.plans.GraftFunctions.sqlCurationQuery(s, dir)),
     "text_pii_redact" -> ((s, dir) => Curation.piiRedactQuery(s, dir)),
@@ -1806,6 +1808,32 @@ object SparkEntry {
                 coalesce(s, 0.0) AS sum_value
          FROM sp LEFT JOIN agg ON sp.h = agg.h
          ORDER BY hour""",
+    // RANGE-frame rolling window: value-based 90-day bounds replay
+    // exactly (both engines frame on the integer day offset).
+    "window_moving_agg" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                  datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS d
+                FROM orders WHERE o_custkey % 50 = 0)
+         SELECT o_orderkey, o_custkey, o_totalprice, CAST(d AS INT) AS d,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY d RANGE BETWEEN 89 PRECEDING AND CURRENT ROW),
+                  2) AS mov_sum_90d,
+                CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d
+                  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_in_window
+         FROM o ORDER BY o_custkey, d, o_orderkey""",
+    // Per-language decile banding with a total-order tie-break, so the
+    // ntile assignment is a pure function of the data.
+    "window_ntile_deciles" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(length(text) AS INT) AS len
+                    FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT lang, len, CAST(NTILE(10) OVER (PARTITION BY lang
+                 ORDER BY len, doc_id) AS INT) AS decile FROM t)
+         SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(len) AS INT) AS min_len,
+                CAST(max(len) AS INT) AS max_len
+         FROM n GROUP BY lang, decile ORDER BY lang, decile""",
     "sql_functions" ->
       """SELECT
            (SELECT CAST(count(*) AS BIGINT)

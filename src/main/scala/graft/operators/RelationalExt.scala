@@ -315,4 +315,59 @@ object RelationalExt {
         pick(0.75).as("p75"), pick(0.95).as("p95"))
       .orderBy("l_returnflag")
   }
+
+  /** window_moving_agg — a rolling 90-day average per customer, the
+    * RANGE-frame window (value-based bounds, not row counts) that
+    * every monitoring/trend surface needs and that row-frame windows
+    * get subtly wrong when days are missing or duplicated. The frame
+    * key is the integer day offset, so `rangeBetween(-89, 0)` means
+    * "the preceding 90 calendar days, however many orders they hold".
+    * Scale: the window partitions by customer — state per task is one
+    * customer's frame, the shuffle is the per-key one any per-entity
+    * analysis needs; the probe filter (1-in-50 customers) sits on the
+    * PARTITION key, so at 100 TB it prunes the scan without touching
+    * window semantics (each customer's frame is complete). */
+  def windowMovingAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Relational.table(spark, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1995-01-01"))).as("d"))
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-89, 0)
+    // Rolling SUM + count, not avg: prices carry exactly two decimals,
+    // so the true rolling sum does too and round(·,2) is boundary-free
+    // on both engines — an avg of two rows lands on .xx5 and Spark and
+    // DuckDB round that half-cent in opposite directions (measured:
+    // 163440.675 → .68 vs .67). The mean is a reader-side division.
+    orders
+      .withColumn("mov_sum_90d", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .orderBy("o_custkey", "d", "o_orderkey")
+  }
+
+  /** window_ntile_deciles — decile banding per language group: ntile
+    * needs a total order, so the tie-break (length, doc_id) makes the
+    * assignment a pure function of the data, and the PARTITION BY is
+    * what keeps it scalable — each language's ranking is an
+    * independent per-key sort, never a global one (for a truly global
+    * decile cut at 100 TB you switch to the approx-quantile operators
+    * (`column_quantiles`/`approx_quantile`), which is why both exist).
+    * Emits per-(lang, decile) occupancy and length bands — the
+    * quality-stratification table a curation run reads before choosing
+    * per-band sampling rates. */
+  def windowNtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("len"), col("doc_id"))
+    Relational.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+      .orderBy("lang", "decile")
+  }
 }

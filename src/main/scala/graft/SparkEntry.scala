@@ -166,6 +166,7 @@ object SparkEntry {
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => graft.streaming.Streaming.streamCdcApplyQuery(s, dir)),
+    "stream_late_drop" -> ((s, dir) => graft.streaming.Streaming.streamLateDropQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "window_moving_agg" -> ((s, dir) => RelationalExt.windowMovingAgg(s, dir)),
     "window_ntile_deciles" -> ((s, dir) => RelationalExt.windowNtileDeciles(s, dir)),
@@ -2445,6 +2446,23 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem""",
+    // Late-data drop: the final windows equal the on-time half's batch
+    // aggregate; the dropped count is the engine's own state metric,
+    // pinned equal to the late half's distinct (window, type) group
+    // count (the watermark filter sits behind partial aggregation).
+    "stream_late_drop" ->
+      """WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0)
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                  AS window_start,
+                event_type, CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 2) AS sum_value,
+                CAST((SELECT count(*) FROM
+                        (SELECT DISTINCT date_trunc('hour', ts), event_type
+                         FROM events WHERE event_id % 2 = 1))
+                  AS BIGINT) AS n_late_dropped,
+                true AS drops_match_late_groups
+         FROM a GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""",
     // CDC apply: the final table state is a pure function of the base
     // snapshot and the two deterministic change batches; the per-batch
     // copy-on-write witnesses and batch count are engine-observed and

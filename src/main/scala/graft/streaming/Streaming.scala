@@ -709,6 +709,72 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** stream_late_drop — the watermark's DROP side made falsifiable.
+    * Every watermarked query here bounds state by dropping late rows;
+    * this one witnesses the drop itself: run 1 processes the on-time
+    * half and advances the watermark; run 2 replays the other half
+    * shifted 10 days into the past (every row landing far behind the
+    * checkpointed watermark) plus one fence row 3 hours ahead (so all
+    * on-time windows finalize and emit). The exactly-once parquet file
+    * sink accumulates the appended windows across both restarts, and
+    * the dropped-row count is read from the engine's own
+    * `numRowsDroppedByWatermark` state metric — asserted EQUAL to the
+    * late half's distinct (window, event_type) GROUP count, with zero
+    * drops in run 1. (Group count, not input-row count: the watermark
+    * filter sits at the state store, BEHIND the map-side partial
+    * aggregation, so what gets dropped-and-counted is partial-agg rows
+    * — measured 482 groups for 500 late inputs at sf0.001. That
+    * placement is itself the scale design: late data costs a partial
+    * agg, never state.) The final window
+    * table equals the batch aggregate over the on-time half alone: at
+    * 100 TB/day this pair (bounded state + counted drops) is the
+    * difference between a stream that runs forever and one that OOMs
+    * on day three — and the metric is what makes silent data loss
+    * visible to the operator. */
+  def streamLateDropQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_latedrop")
+    val srcDir = base.resolve("in")
+    val outPath = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    val onTime = eventsHalf(spark, dir, 0)
+    def run(): Long = {
+      val q = windowedCounts(eventsStream(spark, srcDir.toString))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+    }
+    landSingleFile(onTime, base, srcDir, "a.parquet")
+    val dropsRun1 = run()
+    val maxA = onTime.agg(max(col("ts"))).head().getLong(0)
+    val tenDaysNs = 10L * 24 * 3600 * 1000000000L
+    val threeHoursNs = 3L * 3600 * 1000000000L
+    val late = eventsHalf(spark, dir, 1)
+      .withColumn("ts", col("ts") - lit(tenDaysNs))
+    val fence = eventsHalf(spark, dir, 1).limit(1)
+      .withColumn("ts", lit(maxA + threeHoursNs))
+    landSingleFile(late.unionByName(fence), base, srcDir, "b.parquet")
+    val dropsRun2 = run()
+    val nLateGroups = graft.operators.Relational.table(spark, dir, "events")
+      .filter(col("event_id") % 2 === 1)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct().count()
+    spark.read.parquet(outPath)
+      .withColumn("n_late_dropped", lit(dropsRun2))
+      .withColumn("drops_match_late_groups",
+        lit(dropsRun1 == 0L && dropsRun2 == nLateGroups))
+      .orderBy("window_start", "event_type")
+  }
+
   /** stream_cdc_apply — a CDC change feed applied to a partitioned
     * parquet table through the copy-on-write MERGE
     * ([[graft.operators.SourceSinkQueries.mergeCow]]): each

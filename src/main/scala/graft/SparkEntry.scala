@@ -205,6 +205,7 @@ object SparkEntry {
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "sink_merge_upsert" -> ((s, dir) => SourceSinkQueries.sinkMergeUpsert(s, dir)),
     "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
+    "sink_orc_roundtrip" -> ((s, dir) => SourceSinkQueries.sinkOrcRoundtrip(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2433,6 +2434,13 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // ORC round-trip: values replay over the parquet original; the
+    // pushdown boolean is read from the executed plan and pinned.
+    "sink_orc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_price,
+                true AS filter_pushed_to_orc
+         FROM orders WHERE o_totalprice > 150000.0""",
     // Vacuum: deletion set and retention guard are engine-observed;
     // the oracle proves the live data survived untouched (4 files from
     // repartition(4), 3 planted orphans, 2 past the horizon).

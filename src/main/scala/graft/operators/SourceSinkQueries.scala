@@ -268,6 +268,30 @@ object SourceSinkQueries {
         col("n_rows"), col("sum_price"))
   }
 
+  /** sink_orc_roundtrip — the second columnar format Spark ships
+    * natively: orders written as zstd ORC, read back through a
+    * predicate, aggregated — proven equal to the same SQL over the
+    * parquet original. The witness that matters is the PUSHDOWN
+    * boolean: the executed plan's ORC scan must carry the price
+    * predicate in `PushedFilters` (ORC row-group/stripe statistics
+    * serve it exactly like parquet's), because a format that
+    * round-trips bytes but drops pushdown would silently turn every
+    * 100 TB selective scan into a full read. */
+  def sinkOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orc").resolve("orders").toString
+    Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.option("compression", "zstd").orc(out)
+    val back = spark.read.orc(out)
+      .filter(col("o_totalprice") > 150000.0)
+    val plan = back.queryExecution.executedPlan.toString
+    val pushed = plan.contains("GreaterThan(o_totalprice,150000.0)")
+    back.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("n_rows"), col("sum_price"),
+        lit(pushed).as("filter_pushed_to_orc"))
+  }
+
   /** sink_vacuum_retention — orphan-file GC, the maintenance op every
     * COW table needs ([[sinkMergeUpsert]] and compaction replace
     * files; aborted writes and dead snapshots leave unreferenced ones

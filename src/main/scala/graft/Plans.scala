@@ -36,7 +36,12 @@ object Plans {
       "embedding_quantize",
       // round-10 additions with an auditable plan shape
       "text_chunk_windows", "pipeline_chunk_release", "sample_weighted",
-      "text_compression_ratio")
+      "text_compression_ratio",
+      // round-11 additions with an auditable plan shape (the
+      // write/stream-effect queries — merge, CDC apply, vacuum, bloom
+      // index, late-drop — execute their effects at construction time,
+      // so their read-back plans are audited via the bench instead)
+      "dedup_cdc_chunks", "window_moving_agg", "window_ntile_deciles")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

@@ -177,6 +177,9 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => RelationalExt.groupingSets(s, dir)),
     "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
+    "scan_json_malformed" -> ((s, dir) => SourceSinkQueries.scanJsonMalformed(s, dir)),
+    "unpivot_melt" -> ((s, dir) => RelationalExt.unpivotMelt(s, dir)),
+    "dedup_edit_distance" -> ((s, dir) => Dedup.editDistanceDedup(s, dir)),
     "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
     "stream_batched_cap" -> ((s, dir) => graft.streaming.Streaming.streamBatchedCapQuery(s, dir)),
     "stream_exactly_once" -> ((s, dir) => graft.streaming.Streaming.streamExactlyOnceQuery(s, dir)),
@@ -1941,6 +1944,50 @@ object SparkEntry {
                 CAST(2 AS BIGINT) AS n_corrupt,
                 CAST(90 AS BIGINT) AS clean_qty,
                 '2,beta,not_a_number|4,delta' AS corrupt_payloads""",
+    // JSON malformed feed: the fixture is a literal, so the oracle
+    // pins the permissive/quarantine/dropmalformed counts directly
+    // (PERMISSIVE quarantines 2: truncated syntax + type mismatch;
+    // DROPMALFORMED drops only the syntax break — the type-mismatch
+    // row survives with the field nulled — and the missing-field row
+    // is null, not corrupt, in both modes).
+    "scan_json_malformed" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows,
+                CAST(3 AS BIGINT) AS n_clean,
+                CAST(2 AS BIGINT) AS n_corrupt,
+                CAST(60 AS BIGINT) AS clean_qty,
+                true AS missing_field_is_null_not_corrupt,
+                CAST(4 AS BIGINT) AS dropmalformed_count""",
+    "unpivot_melt" ->
+      """WITH w AS (SELECT l_orderkey,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice), 2) AS sum_price,
+                  round(sum(l_discount), 2) AS sum_disc
+               FROM lineitem GROUP BY l_orderkey
+               HAVING l_orderkey % 100 = 0)
+         SELECT l_orderkey, metric, value FROM
+           (UNPIVOT w ON sum_qty, sum_price, sum_disc
+            INTO NAME metric VALUE value)
+         ORDER BY l_orderkey, metric""",
+    // Blocked edit-distance entity resolution: blocks, candidates and
+    // both distance bands replay exactly (both engines implement plain
+    // Levenshtein).
+    "dedup_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+                  string_split(p_name, ' ')[1] AS blk,
+                  length(p_name) AS ln
+               FROM part),
+         pr AS (SELECT levenshtein(a.p_name, b.p_name) AS d
+                FROM p a JOIN p b ON a.blk = b.blk
+                  AND a.p_partkey < b.p_partkey
+                  AND abs(a.ln - b.ln) <= 3)
+         SELECT (SELECT CAST(count(DISTINCT blk) AS BIGINT) FROM p)
+                  AS n_blocks,
+                CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_name_pairs,
+                CAST(sum(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near_name_pairs
+         FROM pr""",
     "chain_failure_status" ->
       """SELECT * FROM (VALUES
            ('ok_filter', 0, 'success', false),

@@ -1205,6 +1205,43 @@ object Dedup {
       .orderBy("doc_id")
 
   // ------------------------------------------------------------------
+  // Blocked edit-distance dedup (entity resolution)
+  // ------------------------------------------------------------------
+
+  /** dedup_edit_distance — near-duplicate NAMES by Levenshtein
+    * distance, the entity-resolution flavor of dedup that token-set
+    * methods (Jaccard, MinHash) cannot express: "smal widget" vs
+    * "small widget" share almost no shingles but sit at distance 1.
+    * The quadratic trap is handled by classic BLOCKING: candidates
+    * must share a block key (first token) and differ in length by at
+    * most the distance threshold (a hard lower bound on edit
+    * distance, applied as a cheap codegen'd filter BEFORE the O(n·m)
+    * distance). At 100 TB the pair space is Σ block² instead of n² —
+    * the standard record-linkage discipline — and the distance runs
+    * as Spark's codegen'd `levenshtein`, no UDF. Emits the block /
+    * candidate / exact / near counts the oracle replays. */
+  def editDistanceDedup(
+      spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val p = Relational.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        length(col("p_name")).as("ln"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.ln") - col("b.ln")) <= maxDist)
+      .select(levenshtein(col("a.p_name"), col("b.p_name")).as("d"))
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact_name_pairs"),
+      sum(when(col("d") >= 1 && col("d") <= maxDist, 1L).otherwise(0L))
+        .as("n_near_name_pairs"))
+      .crossJoin(p.agg(countDistinct(col("blk")).as("n_blocks")))
+      .select(col("n_blocks"), col("n_candidate_pairs"),
+        col("n_exact_name_pairs"), col("n_near_name_pairs"))
+  }
+
+  // ------------------------------------------------------------------
   // Content-defined chunking (CDC)
   // ------------------------------------------------------------------
 

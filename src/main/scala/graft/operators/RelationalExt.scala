@@ -316,6 +316,25 @@ object RelationalExt {
       .orderBy("l_returnflag")
   }
 
+  /** unpivot_melt — wide → long reshaping with the native `unpivot`
+    * (Spark's melt): per-order metric columns become (metric, value)
+    * rows. The inverse of [[pivotTable]]; together they close the
+    * reshaping pair. Unpivot is a zero-shuffle projection (each input
+    * row expands to k output rows in place), so it composes freely
+    * under any partitioning. */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Relational.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .filter(col("l_orderkey") % 100 === 0)
+    wide.unpivot(Array(col("l_orderkey")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_orderkey", "metric")
+  }
+
   /** window_moving_agg — a rolling 90-day average per customer, the
     * RANGE-frame window (value-based bounds, not row counts) that
     * every monitoring/trend surface needs and that row-frame windows

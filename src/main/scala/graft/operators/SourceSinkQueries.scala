@@ -764,6 +764,53 @@ object SourceSinkQueries {
         .as("corrupt_payloads"))
   }
 
+  /** scan_json_malformed — the JSON twin of [[scanCsvMalformed]]: a
+    * feed with a syntax-broken line, a type-mismatched field, and a
+    * clean-but-partial record, read PERMISSIVE with a corrupt-record
+    * column. The semantics the query pins: syntax errors and type
+    * mismatches land in `_corrupt` (the row survives, quarantined);
+    * a MISSING field is not corruption — JSON is schema-on-read, the
+    * field is simply null. The same feed re-read DROPMALFORMED
+    * exposes a real asymmetry worth pinning: only the SYNTAX-broken
+    * line is dropped (4 of 5 rows survive) — the type-mismatched
+    * field nulls out and its row is kept, even though PERMISSIVE
+    * routes that same row to `_corrupt`. A pipeline that assumes the
+    * two modes agree on what "malformed" means silently diverges on
+    * type errors; both modes' counts are in the result. */
+  def scanJsonMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("jsonmal")
+    val f = root.resolve("feed.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "name": "alpha", "qty": 10}""",
+      """{"id": 2, "name": "beta", "qty": """,          // truncated JSON
+      """{"id": 3, "name": "gamma", "qty": "lots"}""",  // type mismatch
+      """{"id": 4, "name": "delta"}""",                 // missing field: ok
+      """{"id": 5, "name": "epsilon", "qty": 50}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("qty", LongType), StructField("_corrupt", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(f.toString)
+      .localCheckpoint(true)
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED")
+      .json(f.toString).count()
+    permissive.select(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+      count(col("_corrupt")).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, coalesce(col("qty"), lit(0L)))
+        .otherwise(0L)).cast("bigint").as("clean_qty"),
+      max(when(col("id") === 4 && col("_corrupt").isNull &&
+        col("qty").isNull, true).otherwise(false))
+        .as("missing_field_is_null_not_corrupt"))
+      .withColumn("dropmalformed_count", lit(dropped))
+  }
+
   /** scan_rest_api — paginated fetch with data-key extraction and cursor
     * pagination, against a deterministic in-process "server" that pages
     * the nation table 5 rows at a time. */

@@ -209,6 +209,7 @@ object SparkEntry {
     "sink_merge_upsert" -> ((s, dir) => SourceSinkQueries.sinkMergeUpsert(s, dir)),
     "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
     "sink_orc_roundtrip" -> ((s, dir) => SourceSinkQueries.sinkOrcRoundtrip(s, dir)),
+    "sink_incremental_agg" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAgg(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2481,6 +2482,30 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // Incremental aggregate refresh: the oracle recomputes the final
+    // gold state from base + batch directly; the IVM-equality and COW
+    // witnesses are engine-measured and pinned.
+    "sink_incremental_agg" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(year(o_orderdate) AS INT) AS p,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         tgt AS (SELECT min(p) AS tp FROM o),
+         b AS (SELECT * FROM o, tgt WHERE p = tp AND o_orderkey % 3 = 0),
+         u AS (SELECT o_orderkey, o_orderstatus, p, cents FROM o
+               UNION ALL
+               SELECT o_orderkey, o_orderstatus, p, cents FROM b),
+         g AS (SELECT p, o_orderstatus,
+                      CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(sum(cents) AS BIGINT) AS sum_cents
+               FROM u GROUP BY p, o_orderstatus)
+         SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+                true AS equals_full_recompute,
+                true AS untouched_intact,
+                true AS affected_rewritten
+         FROM g GROUP BY p ORDER BY p""",
     // ORC round-trip: values replay over the parquet original; the
     // pushdown boolean is read from the executed plan and pinned.
     "sink_orc_roundtrip" ->

@@ -153,16 +153,36 @@ object SourceSinkQueries {
     * reads only those partitions and dynamic overwrite replaces only
     * them. Returns the two filesystem witnesses: untouched partitions
     * byte-identical, affected partitions rewritten. */
+  /** Per-partition file listing (name, size), the copy-on-write
+    * witness primitive: byte-identical listings mean a partition was
+    * not rewritten. */
+  private[graft] def partitionFileSig(
+      tbl: String): Map[String, Seq[(String, Long)]] =
+    new java.io.File(tbl).listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sorted
+    }.toMap
+
+  /** The two COW rewrite-scope witnesses: untouched partitions keep
+    * byte-identical file lists; every affected partition was
+    * rewritten. */
+  private[graft] def cowWitnesses(
+      before: Map[String, Seq[(String, Long)]],
+      after: Map[String, Seq[(String, Long)]],
+      affectedNames: Set[String]): (Boolean, Boolean) = {
+    val untouchedIntact = (before.keySet ++ after.keySet)
+      .filterNot(affectedNames)
+      .forall(p => before.get(p) == after.get(p))
+    val affectedRewritten =
+      affectedNames.forall(p => before.get(p) != after.get(p))
+    (untouchedIntact, affectedRewritten)
+  }
+
   private[graft] def mergeCow(
       spark: SparkSession, tbl: String, source: DataFrame,
       key: String, partCol: String): (Boolean, Boolean) = {
     val parts = source.select(partCol).distinct().collect().map(_.get(0))
-    def fileSig(): Map[String, Seq[(String, Long)]] =
-      new java.io.File(tbl).listFiles().filter(_.isDirectory).map { d =>
-        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.length()).toSeq.sorted
-      }.toMap
-    val before = fileSig()
+    val before = partitionFileSig(tbl)
     val affected = spark.read.parquet(tbl)
       .filter(col(partCol).isin(parts: _*))
     val valueCols = affected.columns.filterNot(c => c == key || c == partCol)
@@ -176,14 +196,8 @@ object SourceSinkQueries {
     spark.conf.set(conf, "dynamic")
     try merged.write.mode("overwrite").partitionBy(partCol).parquet(tbl)
     finally spark.conf.set(conf, prev)
-    val after = fileSig()
-    val affectedNames = parts.map(p => s"$partCol=$p").toSet
-    val untouchedIntact = (before.keySet ++ after.keySet)
-      .filterNot(affectedNames)
-      .forall(p => before.get(p) == after.get(p))
-    val affectedRewritten =
-      affectedNames.forall(p => before.get(p) != after.get(p))
-    (untouchedIntact, affectedRewritten)
+    cowWitnesses(before, partitionFileSig(tbl),
+      parts.map(p => s"$partCol=$p").toSet)
   }
 
   /** sink_merge_upsert — MERGE INTO as copy-on-write over a
@@ -266,6 +280,72 @@ object SourceSinkQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .select(lit(before).as("files_before"), lit(after).as("files_after"),
         col("n_rows"), col("sum_price"))
+  }
+
+  /** sink_incremental_agg — MATERIALIZED-VIEW REFRESH without the
+    * recompute: a gold aggregate table (orders by year × status:
+    * count + exact cent sum) is maintained under a new-arrivals batch
+    * by aggregating ONLY the batch and additively merging those
+    * partial aggregates into the affected partitions (full-outer on
+    * the group keys, counts and sums add — the classic distributive-
+    * aggregate IVM identity). At 100 TB the refresh costs
+    * O(batch) + O(affected partitions), while the naive path recomputes
+    * the world; the query runs BOTH and proves them row-identical by
+    * two anti-join counts. Money is summed in integer cents (per-row
+    * `round(price·100)` is exact, and integer addition is associative)
+    * so "equal" means equal, not approximately-reassociated-equal.
+    * Copy-on-write witnesses from the filesystem bound the rewrite to
+    * the batch's partitions. */
+  def sinkIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("incagg").resolve("gold").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("int").as("_p"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("_p"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    aggOf(orders).write.partitionBy("_p").parquet(tbl)
+    val target = orders.agg(min(col("_p"))).head().getInt(0)
+    val batch = orders
+      .filter(col("_p") === target && col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val batchAgg = aggOf(batch)
+    val parts = batchAgg.select("_p").distinct().as[Int].collect()
+    val before = partitionFileSig(tbl)
+    val affected = spark.read.parquet(tbl)
+      .filter(col("_p").isin(parts.map(Int.box): _*))
+    val merged = affected.as("g")
+      .join(batchAgg.as("b"), Seq("_p", "o_orderstatus"), "full_outer")
+      .select(col("_p"), col("o_orderstatus"),
+        (coalesce(col("g.n_orders"), lit(0L)) +
+          coalesce(col("b.n_orders"), lit(0L))).as("n_orders"),
+        (coalesce(col("g.sum_cents"), lit(0L)) +
+          coalesce(col("b.sum_cents"), lit(0L))).as("sum_cents"))
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("_p").parquet(tbl)
+    finally spark.conf.set(conf, prev)
+    val (untouchedIntact, affectedRewritten) = cowWitnesses(
+      before, partitionFileSig(tbl), parts.map(p => s"_p=$p").toSet)
+    val refreshed = spark.read.parquet(tbl)
+      .select("_p", "o_orderstatus", "n_orders", "sum_cents")
+    val full = aggOf(orders.unionByName(batch))
+    val missA = refreshed.join(full,
+      Seq("_p", "o_orderstatus", "n_orders", "sum_cents"), "left_anti").count()
+    val missB = full.join(refreshed,
+      Seq("_p", "o_orderstatus", "n_orders", "sum_cents"), "left_anti").count()
+    refreshed.groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .select(col("_p"), col("n_groups"), col("n_orders"), col("sum_cents"),
+        lit(missA == 0L && missB == 0L).as("equals_full_recompute"),
+        lit(untouchedIntact).as("untouched_intact"),
+        lit(affectedRewritten).as("affected_rewritten"))
+      .orderBy("_p")
   }
 
   /** sink_orc_roundtrip — the second columnar format Spark ships

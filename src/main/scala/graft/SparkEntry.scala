@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Curation, Dedup, InferQueries, Packing, RangeJoin, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
+import graft.operators.{AsOfJoin, Curation, Dedup, Expectations, InferQueries, Packing, RangeJoin, Relational, RelationalExt, Sampling, Similarity, SourceSinkQueries, TextOps, TransformQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -215,6 +215,7 @@ object SparkEntry {
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
     "source_file_bloom_index" -> ((s, dir) => SourceSinkQueries.sourceFileBloomIndex(s, dir)),
     "observe_quality_metrics" -> ((s, dir) => SourceSinkQueries.observeQualityMetrics(s, dir)),
+    "quality_expectations" -> ((s, dir) => Expectations.qualityExpectations(s, dir)),
     "skew_aqe_join" -> ((s, dir) => graft.operators.Skew.aqeSkewJoinQuery(s, dir)),
   )
 
@@ -2482,6 +2483,41 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // Expectations: every rule's checked/failed counts replay
+    // relationally (failed = checked - pred-true, so nulls fail).
+    "quality_expectations" ->
+      """WITH onn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+         lnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+         SELECT rule, n_checked, n_failed, n_failed = 0 AS passed FROM (
+           SELECT 'orderkey_not_null' AS rule, (SELECT n FROM onn)
+                    AS n_checked,
+                  (SELECT n FROM onn) - (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders WHERE o_orderkey IS NOT NULL) AS n_failed
+           UNION ALL
+           SELECT 'totalprice_positive', (SELECT n FROM onn),
+                  (SELECT n FROM onn) - (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders WHERE o_totalprice > 0.0)
+           UNION ALL
+           SELECT 'status_in_domain', (SELECT n FROM onn),
+                  (SELECT n FROM onn) - (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders WHERE o_orderstatus IN ('F','O','P'))
+           UNION ALL
+           SELECT 'date_in_epoch_range', (SELECT n FROM onn),
+                  (SELECT n FROM onn) - (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders
+                    WHERE year(o_orderdate) BETWEEN 1990 AND 2100)
+           UNION ALL
+           SELECT 'orderkey_unique', (SELECT n FROM onn),
+                  (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) -
+                  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                   FROM orders)
+           UNION ALL
+           SELECT 'lineitem_fk_orders', (SELECT n FROM lnn),
+                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey IS NOT NULL)))
+         ORDER BY rule""",
     // Incremental aggregate refresh: the oracle recomputes the final
     // gold state from base + batch directly; the IVM-equality and COW
     // witnesses are engine-measured and pinned.

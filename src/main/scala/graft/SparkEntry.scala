@@ -178,6 +178,8 @@ object SparkEntry {
     "stream_session_window" -> ((s, dir) => graft.streaming.Streaming.sessionWindowQuery(s, dir)),
     "scan_csv_malformed" -> ((s, dir) => SourceSinkQueries.scanCsvMalformed(s, dir)),
     "scan_json_malformed" -> ((s, dir) => SourceSinkQueries.scanJsonMalformed(s, dir)),
+    "scan_xml" -> ((s, dir) => SourceSinkQueries.scanXml(s, dir)),
+    "json_variant" -> ((s, dir) => SourceSinkQueries.jsonVariant(s, dir)),
     "unpivot_melt" -> ((s, dir) => RelationalExt.unpivotMelt(s, dir)),
     "dedup_edit_distance" -> ((s, dir) => Dedup.editDistanceDedup(s, dir)),
     "chain_failure_status" -> ((s, dir) => TransformQueries.chainFailureStatus(s, dir)),
@@ -1960,6 +1962,17 @@ object SparkEntry {
                 CAST(60 AS BIGINT) AS clean_qty,
                 true AS missing_field_is_null_not_corrupt,
                 CAST(4 AS BIGINT) AS dropmalformed_count""",
+    "scan_xml" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    // Variant round-trip: extraction and aggregation replay over the
+    // typed columns directly.
+    "json_variant" ->
+      """SELECT o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_totalprice > 100000.0
+         GROUP BY status ORDER BY status""",
     "unpivot_melt" ->
       """WITH w AS (SELECT l_orderkey,
                   round(sum(l_quantity), 2) AS sum_qty,

@@ -917,6 +917,60 @@ object SourceSinkQueries {
         .as("corrupt_payloads"))
   }
 
+  /** scan_xml — Spark 4's NATIVE XML source (the spark-xml package
+    * folded into core): the nation table serialized as one XML
+    * document, read back with `rowTag` record splitting and schema
+    * inference, proven equal to the original. The fixture is built
+    * from a bounded collect (25 nations); the read path — record
+    * boundary detection, type inference, nested-tag flattening — is
+    * the operator under test, and it distributes like any file
+    * source. */
+  def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("xml").resolve("nation.xml")
+    val rows = Relational.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey").collect()
+    val xml = new StringBuilder("<nations>\n")
+    rows.foreach { r =>
+      xml.append("  <nation><n_nationkey>").append(r.get(0))
+        .append("</n_nationkey><n_name>").append(r.getString(1))
+        .append("</n_name><n_regionkey>").append(r.get(2))
+        .append("</n_regionkey></nation>\n")
+    }
+    xml.append("</nations>\n")
+    java.nio.file.Files.writeString(out, xml.toString)
+    spark.read.option("rowTag", "nation").xml(out.toString)
+      .select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
+  /** json_variant — Spark 4's VARIANT type for semi-structured
+    * columns: order attributes round-trip through a JSON payload into
+    * a variant column (`parse_json` — the open-format binary encoding
+    * every engine is converging on), are extracted with typed
+    * `variant_get` path expressions, filtered on an extracted field,
+    * and aggregated — proven equal to the same query over the typed
+    * columns directly. The point at scale: variant keeps shredded
+    * semi-structured data in ONE binary column with typed path access
+    * (no per-field string re-parsing), which is the difference between
+    * a JSON lake you can query and one you can only re-parse. */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val o = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v = o.select(col("o_orderkey"),
+      parse_json(to_json(struct(col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price")))).as("v"))
+    v.select(col("o_orderkey"),
+        variant_get(col("v"), "$.status", "string").as("status"),
+        variant_get(col("v"), "$.price", "double").as("price"))
+      .filter(col("price") > 100000.0)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price")), 2).as("sum_price"))
+      .orderBy("status")
+  }
+
   /** scan_json_malformed — the JSON twin of [[scanCsvMalformed]]: a
     * feed with a syntax-broken line, a type-mismatched field, and a
     * clean-but-partial record, read PERMISSIVE with a corrupt-record

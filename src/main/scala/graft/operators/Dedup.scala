@@ -1071,12 +1071,17 @@ object Dedup {
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
         .withColumn("doc_id", col("doc_id") + 10000))
     val (bands, rows) = chooseBands(threshold, k)
+    // Shingle each relation ONCE and slice/reuse from the checkpointed
+    // form: the 8 appends, the probe build, and the final verify all
+    // consume the same shingle relations instead of re-tokenizing the
+    // corpus per write (was the dominant cost of this query).
+    val shCorpus = shingleArrays(corpus).localCheckpoint(true)
+    val shBatch = shingleArrays(batch).localCheckpoint(true)
     // Eight small appends — each a separate write, the micro-batch
     // residue a nightly ingest leaves behind.
     (0 until 8).foreach { s =>
-      val slice = corpus.filter((col("doc_id") / 2) % 8 === s)
-      lshBands(minHashSignaturesOfShingles(shingleArrays(slice), k),
-          bands, rows)
+      val slice = shCorpus.filter((col("doc_id") / 2) % 8 === s)
+      lshBands(minHashSignaturesOfShingles(slice, k), bands, rows)
         .write.mode("append").parquet(idx)
     }
     def parquetFiles(p: String): Long =
@@ -1084,7 +1089,7 @@ object Dedup {
     val filesBefore = parquetFiles(idx)
     val rowsBefore = spark.read.parquet(idx).count()
     val probes = lshBands(
-        minHashSignaturesOfShingles(shingleArrays(batch), k), bands, rows)
+        minHashSignaturesOfShingles(shBatch, k), bands, rows)
       .localCheckpoint(true)
     def candsOf(p: String): DataFrame = spark.read.parquet(p)
       .select(col("band"), col("key"), col("doc_id").as("doc_a"))
@@ -1105,7 +1110,7 @@ object Dedup {
       candsBefore.join(candsAfter, Seq("doc_a", "doc_b"), "left_anti").count()
     val gained =
       candsAfter.join(candsBefore, Seq("doc_a", "doc_b"), "left_anti").count()
-    val sh = shingleArrays(corpus.unionByName(batch))
+    val sh = shCorpus.unionByName(shBatch)
     val nPairs = jaccardVerifyShingled(sh, candsAfter, threshold).count()
     Seq((nPairs,
       lost == 0L && gained == 0L,

@@ -113,6 +113,7 @@ object SparkEntry {
     "approx_distinct" -> ((s, dir) => RelationalExt.approxDistinct(s, dir)),
     "sketch_count_min" -> ((s, dir) => RelationalExt.countMinQuery(s, dir)),
     "similarity_ann_ivf" -> ((s, dir) => Similarity.annRecallQuery(s, dir, "ivf", bound = 0.95)),
+    "similarity_matryoshka" -> ((s, dir) => Similarity.matryoshkaQuery(s, dir)),
     "similarity_ivf_partitioned" -> ((s, dir) => Similarity.ivfPartitionedQuery(s, dir)),
     "similarity_ann_pq" -> ((s, dir) => Similarity.pqQuery(s, dir)),
     "similarity_ivf_incremental" -> ((s, dir) => Similarity.ivfIncrementalQuery(s, dir)),
@@ -664,6 +665,29 @@ object SparkEntry {
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
+    // Matryoshka prefix retrieval: both rankings and the exact overlap
+    // replay (the cosine tie-break discipline of similarity_topk_cosine).
+    "similarity_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         fs AS (SELECT qid, vec_id AS nid,
+                       list_cosine_similarity(qv, v) AS sim
+                FROM q, e WHERE vec_id <> qid),
+         fk AS (SELECT qid, nid FROM fs
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, nid) <= 10),
+         ts AS (SELECT qid, vec_id AS nid,
+                       list_cosine_similarity(qv[1:16], v[1:16]) AS sim
+                FROM q, e WHERE vec_id <> qid),
+         tk AS (SELECT qid, nid FROM ts
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, nid) <= 10)
+         SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+                CAST(10 AS INT) AS k, CAST(16 AS INT) AS prefix_dim,
+                CAST((SELECT count(*) FROM fk) AS BIGINT) AS n_total,
+                CAST(count(*) AS BIGINT) AS n_overlap
+         FROM fk JOIN tk ON fk.qid = tk.qid AND fk.nid = tk.nid""",
     "similarity_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 CAST(CASE (SELECT count(*) FROM lineitem)

@@ -1179,6 +1179,42 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Matryoshka (truncated-prefix) retrieval
+  // ------------------------------------------------------------------
+
+  /** similarity_matryoshka — retrieval on a PREFIX of the embedding
+    * (Kusupati et al. 2022, "Matryoshka Representation Learning" —
+    * public method): MRL-trained models pack coarse structure into the
+    * leading dimensions, so a 16-of-64 prefix search reads (and at
+    * 100 TB, STORES hot) a quarter of the vector bytes; the standard
+    * deployment is prefix search for candidates, full-dimension
+    * re-rank. This query measures exactly what truncation costs on
+    * this corpus: exact top-k on the full vectors vs exact top-k on
+    * the prefix, overlap counted in-plan (a join + count, no driver
+    * sets). The testdata's RANDOM embeddings are the worst case —
+    * coordinates carry equal information, so the measured overlap is
+    * the floor an MRL-trained model would beat; the oracle replays
+    * both rankings and the exact overlap, no bound needed. */
+  def matryoshkaQuery(
+      spark: SparkSession, dir: String, prefixDim: Int = 16,
+      nQueries: Long = 5, k: Int = 10): DataFrame = {
+    val full = bruteForceTopK(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val te = emb(spark, dir).select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("embedding"))
+    val scoredT = te.join(broadcast(queriesDf(te, nQueries)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos(col("qe"), col("embedding")).as("sim"))
+    val truncK = topK(scoredT, k).select("query_id", "neighbor_id")
+    full.agg(count(lit(1)).as("n_total"))
+      .crossJoin(full.join(truncK, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_overlap")))
+      .select(lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(prefixDim).as("prefix_dim"), col("n_total"), col("n_overlap"))
+  }
+
+  // ------------------------------------------------------------------
   // Recall as a driver-checkable result
   // ------------------------------------------------------------------
 

@@ -213,6 +213,7 @@ object SparkEntry {
     "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
     "sink_orc_roundtrip" -> ((s, dir) => SourceSinkQueries.sinkOrcRoundtrip(s, dir)),
     "sink_incremental_agg" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAgg(s, dir)),
+    "sink_incremental_agg_retract" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAggRetract(s, dir)),
     "table_snapshot_read" -> ((s, dir) => SourceSinkQueries.tableSnapshotRead(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
@@ -2597,6 +2598,37 @@ object SparkEntry {
          SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_groups,
                 CAST(sum(n_orders) AS BIGINT) AS n_orders,
                 CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+                true AS equals_full_recompute,
+                true AS untouched_intact,
+                true AS affected_rewritten
+         FROM g GROUP BY p ORDER BY p""",
+    // Retraction IVM: the oracle applies the same general change feed
+    // (insert/update/delete) row-wise and re-aggregates; the equality
+    // and COW witnesses are engine-measured and pinned.
+    "sink_incremental_agg_retract" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(year(o_orderdate) AS INT) AS p,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         tgt AS (SELECT min(p) AS tp FROM o),
+         pc AS (SELECT o_orderkey, o_orderstatus, p,
+                       CASE WHEN p = (SELECT tp FROM tgt)
+                                 AND o_orderkey % 2 = 0
+                            THEN cents * 2 ELSE cents END AS cents
+                FROM o
+                WHERE NOT (p = (SELECT tp FROM tgt)
+                           AND o_orderkey % 10 = 3)
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_orderstatus, p,
+                       CAST(10000 AS BIGINT)
+                FROM o, tgt WHERE p = tp AND o_orderkey % 5 = 0),
+         g AS (SELECT p, o_orderstatus,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS c
+               FROM pc GROUP BY p, o_orderstatus)
+         SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n) AS BIGINT) AS n_orders,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
                 true AS equals_full_recompute,
                 true AS untouched_intact,
                 true AS affected_rewritten

@@ -348,6 +348,94 @@ object SourceSinkQueries {
       .orderBy("_p")
   }
 
+  /** sink_incremental_agg_retract — incremental view maintenance under
+    * the GENERAL change feed: [[sinkIncrementalAgg]] handles
+    * insert-only batches; real CDC also updates and deletes, and the
+    * IVM answer is RETRACTIONS — every change row becomes a signed
+    * delta against the group it touches (insert: +1 row, +cents;
+    * delete: −1 row, −cents; update: 0 rows, +cents difference), the
+    * deltas partial-aggregate to one row per touched group, and the
+    * additive merge is exactly the insert-only path's. Groups whose
+    * count reaches zero drop out of the view (the retraction
+    * discipline's boundary case — kept rows, not zero-count
+    * tombstones). Proven row-identical to the full recompute of the
+    * post-change table by two anti-join counts, in exact integer
+    * cents. At 100 TB: a CDC trickle maintains the gold aggregate for
+    * O(batch) + O(touched partitions), deletes included — without
+    * this, any delete forces the full recompute. */
+  def sinkIncrementalAggRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("incagg_r").resolve("gold").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("int").as("_p"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("_p"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    aggOf(orders).write.partitionBy("_p").parquet(tbl)
+    val target = orders.agg(min(col("_p"))).head().getInt(0)
+    val inYear = orders.filter(col("_p") === target)
+    // The general batch: inserts (new keys), updates (restated cents),
+    // deletes — as SIGNED DELTAS against (_p, status).
+    val insDelta = inYear.filter(col("o_orderkey") % 5 === 0)
+      .select(col("_p"), col("o_orderstatus"),
+        lit(1L).as("dn"), lit(10000L).as("dc"))
+    val updDelta = inYear.filter(col("o_orderkey") % 2 === 0)
+      .select(col("_p"), col("o_orderstatus"),
+        lit(0L).as("dn"), col("cents").as("dc")) // new = 2x -> diff = +cents
+    val delDelta = inYear.filter(col("o_orderkey") % 10 === 3)
+      .select(col("_p"), col("o_orderstatus"),
+        lit(-1L).as("dn"), (-col("cents")).as("dc"))
+    val deltas = insDelta.unionByName(updDelta).unionByName(delDelta)
+      .groupBy(col("_p"), col("o_orderstatus"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val parts = deltas.select("_p").distinct().as[Int].collect()
+    val before = partitionFileSig(tbl)
+    val affected = spark.read.parquet(tbl)
+      .filter(col("_p").isin(parts.map(Int.box): _*))
+    val merged = affected.as("g")
+      .join(deltas.as("d"), Seq("_p", "o_orderstatus"), "full_outer")
+      .select(col("_p"), col("o_orderstatus"),
+        (coalesce(col("g.n_orders"), lit(0L)) +
+          coalesce(col("d.dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("g.sum_cents"), lit(0L)) +
+          coalesce(col("d.dc"), lit(0L))).as("sum_cents"))
+      .filter(col("n_orders") > 0L) // retract emptied groups
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("_p").parquet(tbl)
+    finally spark.conf.set(conf, prev)
+    val (untouchedIntact, affectedRewritten) = cowWitnesses(
+      before, partitionFileSig(tbl), parts.map(p => s"_p=$p").toSet)
+    // The ground truth: apply the same changes row-wise, re-aggregate.
+    val postChange = orders
+      .filter(!(col("_p") === target && col("o_orderkey") % 10 === 3))
+      .withColumn("cents",
+        when(col("_p") === target && col("o_orderkey") % 2 === 0,
+          col("cents") * 2).otherwise(col("cents")))
+      .unionByName(inYear.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("cents", lit(10000L))
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val full = aggOf(postChange)
+    val refreshed = spark.read.parquet(tbl)
+      .select("_p", "o_orderstatus", "n_orders", "sum_cents")
+    val missA = refreshed.join(full,
+      Seq("_p", "o_orderstatus", "n_orders", "sum_cents"), "left_anti").count()
+    val missB = full.join(refreshed,
+      Seq("_p", "o_orderstatus", "n_orders", "sum_cents"), "left_anti").count()
+    refreshed.groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .select(col("_p"), col("n_groups"), col("n_orders"), col("sum_cents"),
+        lit(missA == 0L && missB == 0L).as("equals_full_recompute"),
+        lit(untouchedIntact).as("untouched_intact"),
+        lit(affectedRewritten).as("affected_rewritten"))
+      .orderBy("_p")
+  }
+
   /** sink_orc_roundtrip — the second columnar format Spark ships
     * natively: orders written as zstd ORC, read back through a
     * predicate, aggregated — proven equal to the same SQL over the

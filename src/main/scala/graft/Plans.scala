@@ -41,7 +41,9 @@ object Plans {
       // write/stream-effect queries — merge, CDC apply, vacuum, bloom
       // index, late-drop — execute their effects at construction time,
       // so their read-back plans are audited via the bench instead)
-      "dedup_cdc_chunks", "window_moving_agg", "window_ntile_deciles")
+      "dedup_cdc_chunks", "window_moving_agg", "window_ntile_deciles",
+      "dedup_edit_distance", "unpivot_melt", "json_variant",
+      "similarity_matryoshka")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

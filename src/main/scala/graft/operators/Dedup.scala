@@ -1223,8 +1223,13 @@ object Dedup {
     * distance, applied as a cheap codegen'd filter BEFORE the O(n·m)
     * distance). At 100 TB the pair space is Σ block² instead of n² —
     * the standard record-linkage discipline — and the distance runs
-    * as Spark's codegen'd `levenshtein`, no UDF. Emits the block /
-    * candidate / exact / near counts the oracle replays. */
+    * as Spark's codegen'd THRESHOLDED `levenshtein(a, b, k)` (3.5+'s
+    * banded O(k·min(n,m)) DP with early exit; −1 beyond the
+    * threshold, which the band predicates respect), so a far-apart
+    * candidate pair costs k band cells, not n·m. No UDF. Emits the
+    * block / candidate / exact / near counts the oracle replays —
+    * the oracle's full-DP distance agrees with the banded form on
+    * every value ≤ k, which is all the bands read. */
   def editDistanceDedup(
       spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val p = Relational.table(spark, dir, "part")
@@ -1235,7 +1240,7 @@ object Dedup {
         col("a.blk") === col("b.blk") &&
           col("a.p_partkey") < col("b.p_partkey") &&
           abs(col("a.ln") - col("b.ln")) <= maxDist)
-      .select(levenshtein(col("a.p_name"), col("b.p_name")).as("d"))
+      .select(levenshtein(col("a.p_name"), col("b.p_name"), maxDist).as("d"))
     pairs.agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact_name_pairs"),

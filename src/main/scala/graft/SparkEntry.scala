@@ -211,6 +211,7 @@ object SparkEntry {
     "sink_compact_small_files" -> ((s, dir) => SourceSinkQueries.sinkCompactSmallFiles(s, dir)),
     "sink_merge_upsert" -> ((s, dir) => SourceSinkQueries.sinkMergeUpsert(s, dir)),
     "sink_vacuum_retention" -> ((s, dir) => SourceSinkQueries.sinkVacuumRetention(s, dir)),
+    "pipeline_lakehouse" -> ((s, dir) => SourceSinkQueries.pipelineLakehouse(s, dir)),
     "sink_orc_roundtrip" -> ((s, dir) => SourceSinkQueries.sinkOrcRoundtrip(s, dir)),
     "sink_incremental_agg" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAgg(s, dir)),
     "sink_incremental_agg_retract" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAggRetract(s, dir)),
@@ -2602,6 +2603,48 @@ object SparkEntry {
                 true AS untouched_intact,
                 true AS affected_rewritten
          FROM g GROUP BY p ORDER BY p""",
+    // Lakehouse capstone: every stage count replays from the base
+    // table + the deterministic batch; the merge/IVM-agreement/gate/
+    // vacuum witnesses are engine-measured and pinned.
+    "pipeline_lakehouse" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(year(o_orderdate) AS INT) AS p,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         tgt AS (SELECT min(p) AS tp FROM o),
+         m AS (SELECT o_orderkey, o_orderstatus, p,
+                      CASE WHEN p = (SELECT tp FROM tgt)
+                                AND o_orderkey % 2 = 0
+                           THEN cents * 2 ELSE cents END AS cents
+               FROM o WHERE NOT (p = (SELECT tp FROM tgt)
+                                 AND o_orderkey % 10 = 3)
+               UNION ALL
+               SELECT o_orderkey + 10000000, o_orderstatus, p,
+                      CAST(10000 AS BIGINT)
+               FROM o, tgt WHERE p = tp AND o_orderkey % 5 = 0),
+         g AS (SELECT p, o_orderstatus, count(*) AS n
+               FROM m GROUP BY p, o_orderstatus)
+         SELECT * FROM (
+           SELECT 0 AS ord, 'bronze_snapshot' AS stage,
+                  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
+                  (SELECT CAST(count(DISTINCT p) AS BIGINT) FROM o)
+                    AS detail,
+                  true AS ok
+           UNION ALL
+           SELECT 1, 'cow_merge',
+                  (SELECT CAST(count(*) AS BIGINT) FROM m),
+                  CAST(1 AS BIGINT), true
+           UNION ALL
+           SELECT 2, 'gold_ivm_refresh',
+                  (SELECT CAST(count(*) AS BIGINT) FROM g),
+                  (SELECT CAST(count(*) AS BIGINT) FROM m), true
+           UNION ALL
+           SELECT 3, 'expectations_gate', CAST(4 AS BIGINT),
+                  CAST(4 AS BIGINT), true
+           UNION ALL
+           SELECT 4, 'vacuum', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                  true)
+         ORDER BY ord""",
     // Retraction IVM: the oracle applies the same general change feed
     // (insert/update/delete) row-wise and re-aggregates; the equality
     // and COW witnesses are engine-measured and pinned.

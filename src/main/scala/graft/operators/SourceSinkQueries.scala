@@ -533,6 +533,126 @@ object SourceSinkQueries {
       .orderBy("version")
   }
 
+  /** pipeline_lakehouse — the round's table-ops CAPSTONE: one CDC
+    * change batch drives the whole lakehouse loop end to end, the way
+    * a nightly run actually composes —
+    *
+    *   1. bronze snapshot: the base table lands partitioned by year;
+    *   2. COW MERGE: the batch's upserts/inserts/tombstones merge in,
+    *      rewriting only the touched partitions ([[mergeCow]]);
+    *   3. gold IVM refresh: the SAME batch, expressed as retraction
+    *      deltas, additively refreshes the pre-batch gold aggregate —
+    *      and the refreshed gold is proven equal to re-aggregating the
+    *      merged table, i.e. the two consumers of one change feed
+    *      agree;
+    *   4. expectations gate: the merged table passes the promotion
+    *      rule battery ([[Expectations]]);
+    *   5. vacuum: a planted stale orphan is collected behind the
+    *      retention horizon, live files untouched.
+    *
+    * Emits one row per stage (ord, stage, n_rows, detail, ok) with
+    * every count oracle-replayable and every filesystem/equality
+    * witness engine-measured. The composition is the point: each
+    * stage's output is the next stage's input, on one shared table. */
+  def pipelineLakehouse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tmpDir("lake")
+    val tbl = root.resolve("orders").toString
+    val gold = root.resolve("gold").toString
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("int").as("_p"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    // -- 1. bronze snapshot ------------------------------------------
+    orders.write.partitionBy("_p").parquet(tbl)
+    val nBase = orders.count()
+    val nParts = orders.select("_p").distinct().count()
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("_p"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    aggOf(orders).write.parquet(gold) // pre-batch gold
+    // -- 2. COW merge of the change batch ----------------------------
+    val target = orders.agg(min(col("_p"))).head().getInt(0)
+    val inYear = orders.filter(col("_p") === target)
+    val source = inYear.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("_p"),
+        (col("cents") * 2).as("cents"), lit("upsert").as("op"))
+      .unionByName(inYear.filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("_p"), lit(10000L).as("cents"),
+          lit("upsert").as("op")))
+      .unionByName(inYear.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("_p"),
+          lit(null).cast("bigint").as("cents"), lit("delete").as("op")))
+    val (intact, rewritten) = mergeCow(spark, tbl, source, "o_orderkey", "_p")
+    val merged = spark.read.parquet(tbl)
+    val nMerged = merged.count()
+    // -- 3. gold refresh from the SAME batch, as retraction deltas ---
+    val deltas = inYear.filter(col("o_orderkey") % 5 === 0)
+      .select(col("_p"), col("o_orderstatus"),
+        lit(1L).as("dn"), lit(10000L).as("dc"))
+      .unionByName(inYear.filter(col("o_orderkey") % 2 === 0)
+        .select(col("_p"), col("o_orderstatus"),
+          lit(0L).as("dn"), col("cents").as("dc")))
+      .unionByName(inYear.filter(col("o_orderkey") % 10 === 3)
+        .select(col("_p"), col("o_orderstatus"),
+          lit(-1L).as("dn"), (-col("cents")).as("dc")))
+      .groupBy(col("_p"), col("o_orderstatus"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val refreshed = spark.read.parquet(gold).as("g")
+      .join(deltas.as("d"), Seq("_p", "o_orderstatus"), "full_outer")
+      .select(col("_p"), col("o_orderstatus"),
+        (coalesce(col("g.n_orders"), lit(0L)) +
+          coalesce(col("d.dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("g.sum_cents"), lit(0L)) +
+          coalesce(col("d.dc"), lit(0L))).as("sum_cents"))
+      .filter(col("n_orders") > 0L)
+      .localCheckpoint(true) // materialize before overwriting its input
+    refreshed.write.mode("overwrite").parquet(gold)
+    val goldNow = spark.read.parquet(gold)
+    val fromMerged = aggOf(merged.select("o_orderkey", "o_orderstatus",
+      "_p", "cents"))
+    val cols = Seq("_p", "o_orderstatus", "n_orders", "sum_cents")
+    val goldAgrees =
+      goldNow.join(fromMerged, cols, "left_anti").count() == 0L &&
+        fromMerged.join(goldNow, cols, "left_anti").count() == 0L
+    val nGroups = goldNow.count()
+    val goldTotal = goldNow.agg(sum(col("n_orders"))).head().getLong(0)
+    // -- 4. expectations gate on the merged table --------------------
+    val gate = Expectations.evaluate(merged, Seq(
+      Expectations.ExprRule("key_not_null", col("o_orderkey").isNotNull),
+      Expectations.ExprRule("cents_positive", col("cents") > 0L),
+      Expectations.ExprRule("status_domain",
+        col("o_orderstatus").isin("F", "O", "P")),
+      Expectations.UniqueRule("key_unique", Seq("o_orderkey"))))
+      .select(col("passed")).as[Boolean].collect()
+    // -- 5. vacuum a stale orphan ------------------------------------
+    val pDir = new java.io.File(tbl).listFiles().filter(_.isDirectory).head
+    val live = partitionFileSig(tbl)
+    val orphan = new java.io.File(pDir, "part-orphan-stale.parquet")
+    java.nio.file.Files.copy(
+      pDir.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      orphan.toPath)
+    orphan.setLastModified(System.currentTimeMillis() - 7200000L)
+    val manifest = live.map { case (d, fs) => d -> fs.map(_._1).toSet }
+    val deleted = new java.io.File(tbl).listFiles().filter(_.isDirectory)
+      .flatMap { d =>
+        d.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+          !manifest(d.getName)(f.getName) &&
+          f.lastModified() < System.currentTimeMillis() - 3600000L)
+      }.map { f => f.delete(); f.getName }
+    val vacuumOk = deleted.length == 1 && partitionFileSig(tbl) == live
+    Seq(
+      (0, "bronze_snapshot", nBase, nParts, true),
+      (1, "cow_merge", nMerged, 1L, intact && rewritten),
+      (2, "gold_ivm_refresh", nGroups, goldTotal, goldAgrees),
+      (3, "expectations_gate", gate.length.toLong,
+        gate.count(identity).toLong, gate.forall(identity)),
+      (4, "vacuum", deleted.length.toLong, 1L, vacuumOk))
+      .toDF("ord", "stage", "n_rows", "detail", "ok")
+      .orderBy("ord")
+  }
+
   /** sink_vacuum_retention — orphan-file GC, the maintenance op every
     * COW table needs ([[sinkMergeUpsert]] and compaction replace
     * files; aborted writes and dead snapshots leave unreferenced ones

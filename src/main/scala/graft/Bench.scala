@@ -74,7 +74,12 @@ object Bench {
     // best-of-2 already defends against. A stays in the emitted array
     // for the reader.
     val probesBC = Seq(calibB, calibC)
-    val calibRatio = BenchCalib.driftRatio(probesBC)
+    // Directional ratio (later-probe slowdown only): the r11 run's
+    // probes (0.301, 0.307, 0.212) spread 1.45× max/min purely because
+    // the run ENDED faster — residual warm-up, not contention. The
+    // suspect gate and the contended flag both decide on riseRatio;
+    // the direction-blind spread is still emitted as calib_spread.
+    val calibRatio = BenchCalib.riseRatio(probesBC)
     val twoPass = pass1.zip(pass2).map {
       case ((name, a), (_, b)) => name -> math.min(a, b)
     }
@@ -116,7 +121,8 @@ object Bench {
     // reference if the start was the slow part.
     val calibD = calibProbe()
     val probesBCD = probesBC :+ calibD
-    val finalRatio = BenchCalib.driftRatio(probesBCD)
+    val finalRatio = BenchCalib.riseRatio(probesBCD)
+    val finalSpread = BenchCalib.driftRatio(probesBCD)
     val finalContended = BenchCalib.contended(probesBCD)
     val absRatio = BenchCalib.absRatio(probesBCD)
     val results = twoPass.map { case (name, t) =>
@@ -166,7 +172,7 @@ object Bench {
     val restSec = sorted.collect { case (k, v) if !keptKeys(k) => v }.sum
     val qs = entries.mkString("{", ",", "}")
     val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)},${f3(calibD)}]"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_ratio":${f3(finalRatio)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

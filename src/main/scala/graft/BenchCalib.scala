@@ -31,13 +31,27 @@ object BenchCalib {
   def calibRef(probes: Seq[Double]): Double =
     math.max(probes.min, SanityFloorSec)
 
-  /** Intra-run drift: worst probe vs the run's own best. ≈1 on a
-    * steady host regardless of absolute speed; rises whenever ANY part
-    * of the sweep ran slower than the host's own demonstrated best —
-    * which is exactly the late-run-contention shape the median-based
-    * ratio used to smooth away. */
+  /** Intra-run spread: worst probe vs the run's own best, direction-
+    * blind. Informational only since round 12 — the committed r11 run
+    * showed why it cannot DECIDE contention: probes (0.301, 0.307,
+    * 0.212) spread 1.45× purely because the END of the run was the
+    * fastest part, i.e. residual JVM warm-up on a steady host, one
+    * tick below the old 1.5 contended threshold. */
   def driftRatio(probes: Seq[Double]): Double =
     probes.max / calibRef(probes)
+
+  /** Directional drift: the worst slowdown of a LATER probe over any
+    * EARLIER one (floored at 1). This is the shape that actually
+    * invalidates per-query timings — the host got slower while the
+    * sweep ran. The warm-up shape (later probes faster) scores ≈1:
+    * earlier measurements were if anything inflated, and best-of-two
+    * passes already absorbs that. */
+  def riseRatio(probes: Seq[Double]): Double = {
+    val rises = for {
+      i <- probes.indices; j <- (i + 1) until probes.size
+    } yield probes(j) / math.max(probes(i), SanityFloorSec)
+    (1.0 +: rises).max
+  }
 
   /** Median probe vs the historical constant — the old cross-round
     * absolute view, kept for the JSON but decision-free. */
@@ -46,9 +60,11 @@ object BenchCalib {
     sorted(sorted.size / 2) / HistoricalIdleRef
   }
 
-  /** A run whose own probes disagree 1.5× is not producing trustworthy
-    * per-query timings, whatever its absolute speed. */
-  def contended(probes: Seq[Double]): Boolean = driftRatio(probes) > 1.5
+  /** A run whose probes got 1.5× SLOWER over its course is not
+    * producing trustworthy per-query timings, whatever its absolute
+    * speed. Decided on the directional ratio: pure warm-up (fast
+    * finish) is not contention. */
+  def contended(probes: Seq[Double]): Boolean = riseRatio(probes) > 1.5
 
   /** Re-time threshold vs the persisted previous-run reference:
     * tighter when this run's own probes already show drift, so a

@@ -186,11 +186,18 @@ object SourceSinkQueries {
     val affected = spark.read.parquet(tbl)
       .filter(col(partCol).isin(parts: _*))
     val valueCols = affected.columns.filterNot(c => c == key || c == partCol)
+    // Row provenance, not coalesce, picks the value side: a matched
+    // upsert takes the SOURCE value even when that value is NULL
+    // (restating a column to NULL must work — coalesce would silently
+    // resurrect the target's old value), an unmatched target row keeps
+    // its own. `s.op` is the provenance flag: non-null exactly when
+    // the source side of the full-outer join matched.
     val merged = affected.as("t")
       .join(source.as("s"), Seq(key, partCol), "full_outer")
       .filter(col("s.op").isNull || col("s.op") =!= "delete")
       .select(col(key) +: col(partCol) +: valueCols.toSeq.map(c =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+        when(col("s.op").isNotNull, col(s"s.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
     val conf = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(conf)
     spark.conf.set(conf, "dynamic")

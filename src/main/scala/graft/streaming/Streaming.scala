@@ -739,7 +739,16 @@ object Streaming {
     Files.createDirectories(srcDir)
     val onTime = eventsHalf(spark, dir, 0)
     def run(): Long = {
-      val q = windowedCounts(eventsStream(spark, srcDir.toString))
+      // repartition(1) ahead of the aggregate: the dropped-rows metric
+      // counts PARTIAL-AGG rows, which equal the distinct late group
+      // count only while each group's late rows reach one map task.
+      // landSingleFile keeps the batch in one file today, but a larger
+      // file or a lower maxPartitionBytes would split it and the strict
+      // drops == groups pin below would flip as a phantom failure —
+      // collapsing the source side makes the equality hold by
+      // construction, independent of split config.
+      val q = windowedCounts(
+        eventsStream(spark, srcDir.toString).repartition(1))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n_events"),
           col("sum_value"))

@@ -23,7 +23,30 @@ class BenchCalibSpec extends AnyFunSuite {
     // 0.525 under the old median rule — invisible).
     val lateContended = Seq(0.20, 0.21, 0.55, 0.60)
     assert(BenchCalib.driftRatio(lateContended) > 1.5)
+    assert(BenchCalib.riseRatio(lateContended) > 1.5)
     assert(BenchCalib.contended(lateContended))
+  }
+
+  test("warm-up shape (fast finish) is spread, not contention (r11 false alarm)") {
+    // The committed r11 run's own probes: B=0.301, C=0.307, D=0.212 —
+    // max/min spread 1.45, one tick under the old threshold, on a host
+    // that merely finished warming up. No later probe is slower than
+    // any earlier one beyond noise, so the directional ratio stays ≈1
+    // and the run is not contended; the spread remains visible.
+    val r11 = Seq(0.301, 0.307, 0.212)
+    assert(BenchCalib.driftRatio(r11) > 1.4)        // spread: informational
+    assert(BenchCalib.riseRatio(r11) < 1.1)         // decision: healthy
+    assert(!BenchCalib.contended(r11))
+    // A mirror-image run (slow finish, same spread) IS contended.
+    assert(BenchCalib.contended(r11.reverse :+ 0.32))
+  }
+
+  test("riseRatio floors at 1 and ignores fluke denominators") {
+    assert(BenchCalib.riseRatio(Seq(0.5, 0.4, 0.3)) == 1.0)
+    // A fluke 1ms early probe must not turn an ordinary later probe
+    // into a phantom 300× rise: the denominator is floored.
+    assert(BenchCalib.riseRatio(Seq(0.001, 0.30)) ==
+      0.30 / BenchCalib.SanityFloorSec)
   }
 
   test("mild drift tightens the suspect factor") {

@@ -72,7 +72,10 @@ class CdcChunkSpec extends AnyFunSuite with SparkTestBase {
     // fourth exchange on its compound key.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 3, s"unexpected extra shuffle:\n$plan")
-    assert(!plan.contains("hashpartitioning(doc_id#, chunk_id"),
+    // Attribute refs print with an exprId (doc_id#123), so the literal
+    // must be a regex or the guard can never fire.
+    assert("hashpartitioning\\(doc_id#\\d+, chunk_id".r
+      .findFirstIn(plan).isEmpty,
       "chunk rebuild must reuse doc_id partitioning")
   }
 }

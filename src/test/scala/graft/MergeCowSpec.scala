@@ -41,6 +41,21 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
       (9L, 90.0, 3)))  // untouched partition
   }
 
+  test("an upsert can restate a value column to NULL") {
+    // The contract-mismatch trap from round 11's ADVICE: coalesce-based
+    // merging silently kept the target's old value whenever an upsert
+    // carried a legitimate NULL. Provenance-based selection (s.op
+    // non-null = the source side matched) must let NULL overwrite.
+    val tbl = freshTable()
+    val source = Seq((1L, Option.empty[Double], 1, "upsert"))
+      .toDF("id", "v", "p", "op")
+    SourceSinkQueries.mergeCow(spark, tbl, source, "id", "p")
+    val got = spark.read.parquet(tbl).filter($"id" === 1L)
+      .select("v").collect()
+    assert(got.length == 1 && got.head.isNullAt(0),
+      "upsert carrying NULL must overwrite, not resurrect the old value")
+  }
+
   test("a one-partition change batch leaves every other partition's files alone") {
     val tbl = freshTable()
     def sig(p: Int): Seq[String] =

@@ -236,19 +236,28 @@ object Dedup {
   /** Candidate pairs from shared LSH buckets, with buckets larger than
     * `bucketCap` EXCLUDED from the self-join (dropped, not truncated —
     * a truncated bucket would make the candidate set depend on row
-    * order). The bucket-size aggregate groups on the same (band, key)
-    * the self-join shuffles on, so the exclusion adds one partial-
-    * aggregated pass, not a new shuffle layout. */
+    * order).
+    *
+    * The cap is a WINDOW count over the self-join's own (band, key)
+    * partitioning, not a groupBy + semi-join: the r11 groupBy form put
+    * a map-side partial aggregate UNDER its exchange, so the aggregate
+    * exchange and the join exchange no longer canonicalized to the
+    * same subtree, exchange reuse broke, and the whole upstream
+    * minhash/banding lineage re-ran per consumer (the
+    * dedup_minhash_lsh 1.9× bench regression). One lineage → the
+    * window's exchange is computed once, its (band, key) partitioning
+    * already satisfies the join, and the two join sides reuse it. */
   def lshCandidates(
       banded: DataFrame, bucketCap: Int = DefaultLshBucketCap): DataFrame = {
     val keep =
       if (bucketCap == Int.MaxValue) banded
       else {
-        val ok = banded.groupBy("band", "key")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= bucketCap)
-          .select("band", "key")
-        banded.join(ok, Seq("band", "key"), "left_semi")
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
+        banded
+          .withColumn("__bsz", count(lit(1)).over(byBucket))
+          .filter(col("__bsz") <= bucketCap)
+          .drop("__bsz")
       }
     val l = keep.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = keep.select(col("band"), col("key"), col("doc_id").as("doc_b"))

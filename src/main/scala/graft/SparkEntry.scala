@@ -2018,8 +2018,11 @@ object SparkEntry {
                   string_split(p_name, ' ')[1] AS blk,
                   length(p_name) AS ln
                FROM part),
+         sz AS (SELECT p.*, count(*) OVER (PARTITION BY blk) AS bsz
+                FROM p),
+         keep AS (SELECT * FROM sz WHERE bsz <= 4096),
          pr AS (SELECT levenshtein(a.p_name, b.p_name) AS d
-                FROM p a JOIN p b ON a.blk = b.blk
+                FROM keep a JOIN keep b ON a.blk = b.blk
                   AND a.p_partkey < b.p_partkey
                   AND abs(a.ln - b.ln) <= 3)
          SELECT (SELECT CAST(count(DISTINCT blk) AS BIGINT) FROM p)
@@ -2028,7 +2031,13 @@ object SparkEntry {
                 CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_exact_name_pairs,
                 CAST(sum(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_near_name_pairs
+                  AS BIGINT) AS n_near_name_pairs,
+                (SELECT CAST(max(bsz) AS BIGINT) FROM sz)
+                  AS max_block_size,
+                (SELECT CAST(count(DISTINCT blk) AS BIGINT) FROM sz
+                  WHERE bsz > 4096) AS n_blocks_capped,
+                (SELECT CAST(count(*) AS BIGINT) FROM sz
+                  WHERE bsz > 4096) AS n_rows_excluded
          FROM pr""",
     "chain_failure_status" ->
       """SELECT * FROM (VALUES

@@ -1242,22 +1242,63 @@ object Dedup {
   def editDistanceDedup(
       spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val p = Relational.table(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("blk"),
-        length(col("p_name")).as("ln"))
-    val pairs = p.as("a").join(p.as("b"),
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    editDistanceDedupOf(p, maxDist)
+  }
+
+  /** Default per-block cap for the edit-distance self-join. Blocking
+    * keys are Zipfian on real-world names (and degenerate on this
+    * corpus: 8 first tokens cover every part name — max block 2572
+    * rows at sf0.1, ~25K at sf1); one hot block makes the self-join
+    * quadratic in that block alone. The same oversized-bucket
+    * discipline as [[DefaultLshBucketCap]]: blocks over the cap are
+    * EXCLUDED (dropped whole, not truncated) and ACCOUNTED, so the
+    * output names what it skipped instead of silently degrading. The
+    * cap sits above every block this corpus produces at the tested
+    * SFs, so the witness proves the machinery is a no-op exactly when
+    * it should be; the adversarial leg (a synthetic hot block that
+    * MUST be excluded) is spec-covered where the fixture can be
+    * degenerate on purpose. */
+  private[graft] val DefaultEditBlockCap = 4096
+
+  /** Blocked edit-distance dedup over an (id, name) relation: block =
+    * first token, length-difference prune, thresholded levenshtein,
+    * per-block size cap with accounting. One lineage: the block-size
+    * window's (blk) exchange is computed once, its partitioning
+    * satisfies the self-join, and both join sides reuse it (the same
+    * single-lineage discipline as [[lshCandidates]]). */
+  private[graft] def editDistanceDedupOf(
+      named: DataFrame, maxDist: Int = 3,
+      blockCap: Int = DefaultEditBlockCap): DataFrame = {
+    val byBlk = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+    val p = named
+      .select(col("id"), col("name"),
+        split(col("name"), " ").getItem(0).as("blk"),
+        length(col("name")).as("ln"))
+      .withColumn("bsz", count(lit(1)).over(byBlk))
+    val acct = p.agg(
+      countDistinct(col("blk")).as("n_blocks"),
+      max(col("bsz")).as("max_block_size"),
+      countDistinct(when(col("bsz") > blockCap, col("blk")))
+        .as("n_blocks_capped"),
+      sum(when(col("bsz") > blockCap, 1L).otherwise(0L))
+        .as("n_rows_excluded"))
+    val keep = p.filter(col("bsz") <= blockCap)
+    val pairs = keep.as("a").join(keep.as("b"),
         col("a.blk") === col("b.blk") &&
-          col("a.p_partkey") < col("b.p_partkey") &&
+          col("a.id") < col("b.id") &&
           abs(col("a.ln") - col("b.ln")) <= maxDist)
-      .select(levenshtein(col("a.p_name"), col("b.p_name"), maxDist).as("d"))
+      .select(levenshtein(col("a.name"), col("b.name"), maxDist).as("d"))
     pairs.agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact_name_pairs"),
       sum(when(col("d") >= 1 && col("d") <= maxDist, 1L).otherwise(0L))
         .as("n_near_name_pairs"))
-      .crossJoin(p.agg(countDistinct(col("blk")).as("n_blocks")))
+      .crossJoin(acct)
       .select(col("n_blocks"), col("n_candidate_pairs"),
-        col("n_exact_name_pairs"), col("n_near_name_pairs"))
+        col("n_exact_name_pairs"), col("n_near_name_pairs"),
+        col("max_block_size"), col("n_blocks_capped"),
+        col("n_rows_excluded"))
   }
 
   // ------------------------------------------------------------------

@@ -291,4 +291,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(full.contains((1L, 2L)))
     assert(capped.size < full.size)
   }
+
+  test("edit-distance hot-block cap excludes the degenerate block with accounting") {
+    import org.apache.spark.sql.functions._
+    // First-token blocking is Zipfian on real names: every "acme"
+    // record lands in one block and the self-join goes quadratic in
+    // it. 50 "acme ..." rows over a cap of 32 must be dropped WHOLE
+    // (not truncated) and accounted; the small "zeta" block's near-dup
+    // pair must survive unharmed.
+    val hot = (0 until 50).map(i => (100L + i, s"acme widget number $i"))
+    val small = Seq(
+      (1L, "zeta spring coil"), (2L, "zeta spring coio"),
+      (3L, "omega brass fitting"))
+    val named = (hot ++ small).toDF("id", "name")
+    val r = Dedup.editDistanceDedupOf(named, maxDist = 3, blockCap = 32)
+      .head()
+    assert(r.getAs[Long]("n_blocks") == 3L)          // acme, zeta, omega
+    assert(r.getAs[Long]("max_block_size") == 50L)
+    assert(r.getAs[Long]("n_blocks_capped") == 1L)
+    assert(r.getAs[Long]("n_rows_excluded") == 50L)
+    // Only the zeta pair remains a candidate (omega is a singleton
+    // block); it is a near pair at distance 1.
+    assert(r.getAs[Long]("n_candidate_pairs") == 1L)
+    assert(r.getAs[Long]("n_near_name_pairs") == 1L)
+    assert(r.getAs[Long]("n_exact_name_pairs") == 0L)
+    // With the cap above the hot block, nothing is excluded and the
+    // acme candidates reappear — the no-op witness the driver corpus
+    // relies on.
+    val un = Dedup.editDistanceDedupOf(named, maxDist = 3, blockCap = 4096)
+      .head()
+    assert(un.getAs[Long]("n_blocks_capped") == 0L)
+    assert(un.getAs[Long]("n_rows_excluded") == 0L)
+    assert(un.getAs[Long]("n_candidate_pairs") > 1L)
+  }
 }

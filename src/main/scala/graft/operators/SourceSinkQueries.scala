@@ -916,19 +916,27 @@ object SourceSinkQueries {
     * `input_file_name` and aggregates each file's key hashes into a
     * 1 Mbit filter — partial aggregation means tasks ship compact
     * bloom buffers, never keys. The index is O(nFiles) rows (~128 KB
-    * each) — the driver holds file metadata, exactly like a table
-    * format's manifest, never data. A 5-key mid-range probe set
-    * consults the index driver-side, reads ONLY the candidate files
-    * (a different pruned relation, not a pushed filter), and the
-    * result is proven row-identical to the full-table filter. At
-    * 100 TB: a point lookup opens ~5 files instead of every file in
-    * the table. */
+    * each), PERSISTED as a parquet table — the manifest lives next to
+    * the data like a table format's metadata layer, not in driver
+    * memory. A 5-key mid-range probe set evaluates candidacy IN-PLAN
+    * over the stored index (a codegen'd per-row bloom probe,
+    * [[graft.functions.BloomMightContainAny]]), so only candidate
+    * FILE NAMES reach the driver: O(keys + fpp sliver) strings, never
+    * O(nFiles)×128 KB of filters — at ~1M files a driver-held bloom
+    * manifest would be ~128 GB, which is why stats manifests fit
+    * drivers and bloom manifests must not. The pruned read opens ONLY
+    * the candidate files (a different pruned relation, not a pushed
+    * filter), and the result is proven row-identical to the
+    * full-table filter. At 100 TB: a point lookup opens ~5 files
+    * instead of every file in the table. */
   def sourceFileBloomIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val out = tmpDir("bloomidx").resolve("lineitem").toString
+    val root = tmpDir("bloomidx")
+    val out = root.resolve("lineitem").toString
+    val idxTbl = root.resolve("lineitem_bloom_idx").toString
     val li = Relational.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
     // Hash-bucketed layout: each key lives in exactly one file, and
@@ -939,15 +947,13 @@ object SourceSinkQueries {
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("l_orderkey"))),
       Literal(100000L), Literal(1L << 20)).toAggregateExpression())
-    val idx = table.groupBy(input_file_name().as("file"))
+    // One scan builds the index; the write is the manifest commit.
+    table.groupBy(input_file_name().as("file"))
       .agg(bloomAgg.as("bf"),
         min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
-      .collect() // O(nFiles) index rows — the manifest, not the data
-    val blooms = idx.map(r => (r.getString(0),
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf"))),
-      r.getLong(2), r.getLong(3)))
-    val filesTotal = blooms.length.toLong
+      .write.parquet(idxTbl)
+    val idx = spark.read.parquet(idxTbl)
+    val filesTotal = idx.count()
     // Probe keys: the 5 distinct keys just past the median — mid-range
     // so the stats-can't-prune contrast is honest, deterministic so
     // the oracle replays them.
@@ -957,12 +963,17 @@ object SourceSinkQueries {
       .withColumn("h", xxhash64(col("l_orderkey")))
       .as[(Long, Long)].collect()
     val keys = probes.map(_._1)
-    val candidates = blooms.collect {
-      case (f, bf, _, _) if probes.exists(p => bf.mightContainLong(p._2)) => f
-    }
-    val statsPruneZero = blooms.forall { case (_, _, kmin, kmax) =>
-      keys.forall(k => k >= kmin && k <= kmax)
-    }
+    val hashes = probes.map(_._2)
+    // Candidacy and the stats-contrast witness both evaluate over the
+    // STORED index — executors stream the filters, the driver sees
+    // file names and one boolean.
+    val candidates = idx
+      .filter(graft.functions.BloomMightContainAny(col("bf"), hashes))
+      .select("file").as[String].collect()
+    val statsPruneZero = idx
+      .agg(min(col("kmin") <= lit(keys.min) &&
+        col("kmax") >= lit(keys.max)).as("z"))
+      .head().getBoolean(0)
     val lookup = col("l_orderkey").isin(keys.map(Long.box): _*)
     val pruned = spark.read.parquet(candidates.toSeq: _*).filter(lookup)
     val prunedRows = pruned.as[(Long, Double)].collect().sorted.toSeq

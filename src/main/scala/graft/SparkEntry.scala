@@ -216,6 +216,8 @@ object SparkEntry {
     "sink_incremental_agg" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAgg(s, dir)),
     "sink_incremental_agg_retract" -> ((s, dir) => SourceSinkQueries.sinkIncrementalAggRetract(s, dir)),
     "table_snapshot_read" -> ((s, dir) => SourceSinkQueries.tableSnapshotRead(s, dir)),
+    "table_txn_log" -> ((s, dir) => SourceSinkQueries.tableTxnLogQuery(s, dir)),
+    "table_concurrent_commit" -> ((s, dir) => SourceSinkQueries.tableConcurrentCommitQuery(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2553,6 +2555,64 @@ object SparkEntry {
                 true, true
          FROM o, r
          ORDER BY version""",
+    // Txn log: every snapshot's contents are pure functions of the
+    // base table and the deterministic batches; the protocol booleans
+    // (contiguity, parent chain, isolation, scoping, compaction) are
+    // engine-witnessed and pinned true.
+    "table_txn_log" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 45 // 100 AS lo,
+                      mn + (mx - mn) * 55 // 100 AS hi FROM k),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                        CAST(12345 AS BIGINT) AS cents
+                 FROM o WHERE o_orderkey % 7 = 0),
+         v1 AS (SELECT * FROM o UNION ALL SELECT * FROM app),
+         v2 AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey BETWEEN (SELECT lo FROM r)
+                                              AND (SELECT hi FROM r)
+                            THEN cents * 2 ELSE cents END AS cents
+                FROM v1),
+         aggs AS (
+           SELECT 0 AS version, 'create' AS action,
+                  (SELECT count(*) FROM o) AS n_rows,
+                  (SELECT sum(cents) FROM o) AS sum_cents
+           UNION ALL
+           SELECT 1, 'append', (SELECT count(*) FROM v1),
+                  (SELECT sum(cents) FROM v1)
+           UNION ALL
+           SELECT 2, 'cow', (SELECT count(*) FROM v2),
+                  (SELECT sum(cents) FROM v2)
+           UNION ALL
+           SELECT 3, 'compact', (SELECT count(*) FROM v2),
+                  (SELECT sum(cents) FROM v2))
+         SELECT CAST(version AS INT) AS version, action,
+                CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(sum_cents AS BIGINT) AS sum_cents,
+                true AS log_contiguous, true AS parent_chain_ok,
+                true AS snapshot_isolated, true AS rewrite_scoped,
+                true AS compact_shrank_files
+         FROM aggs ORDER BY version""",
+    // Concurrent commit: appends are commutative under rebase, so the
+    // tip's aggregate is order-independent; the race outcome (one
+    // conflict, both landed, contiguous log) is engine-witnessed.
+    "table_concurrent_commit" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         u AS (SELECT cents FROM o
+               UNION ALL SELECT cents FROM o WHERE o_orderkey % 3 = 0
+               UNION ALL SELECT cents FROM o WHERE o_orderkey % 3 = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(3 AS BIGINT) AS n_versions,
+                true AS one_conflict_detected,
+                true AS both_writers_committed,
+                true AS log_contiguous,
+                true AS tip_carries_both_batches
+         FROM u""",
     // Expectations: every rule's checked/failed counts replay
     // relationally (failed = checked - pred-true, so nulls fail).
     "quality_expectations" ->

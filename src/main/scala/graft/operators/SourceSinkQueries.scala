@@ -540,6 +540,183 @@ object SourceSinkQueries {
       .orderBy("version")
   }
 
+  /** table_txn_log — the table lifecycle ON the commit log
+    * ([[TxnLog]]): four operations, each a versioned atomic commit,
+    * every snapshot still readable afterwards —
+    *
+    *   v0 `create`  — range-sorted base write;
+    *   v1 `append`  — a new-keys batch lands as additive files, the
+    *                  manifest is (v0 ∪ new);
+    *   v2 `cow`     — a mid-range restatement rewrites ONLY the files
+    *                  whose min/max intersect the slice (stats-scoped
+    *                  file-level copy-on-write); manifest is
+    *                  (v1 − affected) ∪ rewritten;
+    *   v3 `compact` — the same contents coalesced into fewer files, a
+    *                  pure manifest swap readers never notice.
+    *
+    * The protocol witnesses ride with the data: the log is contiguous
+    * with an intact parent chain; a reader that PINNED v1 before the
+    * COW commit re-reads it bit-stable after (snapshot isolation —
+    * old files are never deleted, so time travel is just reading an
+    * old manifest); the COW rewrote a strict subset of files; and
+    * compaction shrank the file count while v3's aggregate equals
+    * v2's (both rows are oracle-replayed). At 100 TB each commit is
+    * O(changed files) data work plus one manifest put — and a reader
+    * holding any version keeps it consistent forever, which is the
+    * contract the directory-listing improvisations of earlier rounds
+    * could not state. */
+  def tableTxnLogQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("txnlog").resolve("orders")
+    java.nio.file.Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    // -- v0: create --------------------------------------------------
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    // -- v1: append (brand-new keys, additive files) -------------------
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    def aggAt(v: Long): (Long, Long) = {
+      val r = TxnLog.readVersion(spark, tbl, v)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // A reader pins v1 BEFORE the COW commit...
+    val v1Pinned = aggAt(1L)
+    // -- v2: stats-scoped COW restatement ------------------------------
+    val b = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) * 45 / 100
+    val hi = mn + (mx - mn) * 55 / 100
+    val v1Files = TxnLog.readManifest(tbl, 1L).files
+    val stats = spark.read
+      .parquet(v1Files.map(f => tbl.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("kmin"),
+        max(col("o_orderkey")).as("kmax"))
+      .collect()
+    val affectedNames = stats.collect {
+      case r if r.getLong(1) <= hi && r.getLong(2) >= lo =>
+        r.getString(0).split('/').last
+    }.toSet
+    val affected = v1Files.filter(f => affectedNames(f.split('/').last))
+    val batch = orders.filter(col("o_orderkey").between(lo, hi))
+      .select(col("o_orderkey"), (col("cents") * 2).as("cents2"))
+    spark.read.parquet(affected.map(f => tbl.resolve(f).toString): _*)
+      .join(batch, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("cents2"), col("cents")).as("cents"))
+      .coalesce(2).write.parquet(tbl.resolve("d2").toString)
+    TxnLog.commitRetry(tbl, "cow", tip =>
+      tip.files.filterNot(f => affectedNames(f.split('/').last)) ++
+        TxnLog.parquetsUnder(tbl, "d2"))
+    // ...and re-reads the SAME pinned version after it: bit-stable.
+    val snapshotIsolated = aggAt(1L) == v1Pinned
+    // -- v3: compaction (manifest swap, contents identical) ------------
+    TxnLog.readVersion(spark, tbl, 2L).coalesce(2)
+      .write.parquet(tbl.resolve("d3").toString)
+    TxnLog.commitRetry(tbl, "compact",
+      _ => TxnLog.parquetsUnder(tbl, "d3"))
+    // -- protocol witnesses --------------------------------------------
+    val vs = TxnLog.versions(tbl)
+    val manifests = vs.map(TxnLog.readManifest(tbl, _))
+    val contiguous = vs == (0L to 3L)
+    val parentChainOk = manifests.forall(m => m.parent == m.version - 1)
+    val rewriteScoped = affected.nonEmpty && affected.size < v1Files.size
+    val compactShrank = TxnLog.readManifest(tbl, 3L).files.size <
+      TxnLog.readManifest(tbl, 2L).files.size
+    val actions = manifests.map(m => m.version -> m.action).toMap
+    val perVersion = vs.map { v =>
+      val (n, s) = aggAt(v)
+      (v.toInt, actions(v), n, s)
+    }
+    perVersion.toDF("version", "action", "n_rows", "sum_cents")
+      .withColumn("log_contiguous", lit(contiguous))
+      .withColumn("parent_chain_ok", lit(parentChainOk))
+      .withColumn("snapshot_isolated", lit(snapshotIsolated))
+      .withColumn("rewrite_scoped", lit(rewriteScoped))
+      .withColumn("compact_shrank_files", lit(compactShrank))
+      .orderBy("version")
+  }
+
+  /** table_concurrent_commit — the optimistic-concurrency half of the
+    * protocol, WITNESSED with a real race: two writers land their
+    * (disjoint, already-written) append batches' files, then race —
+    * gated on one latch — to commit against the same observed tip.
+    * Put-if-absent on the manifest name means exactly one wins
+    * version 1; the loser's commit is REFUSED (never silently
+    * replaced), it re-reads the tip, rebases its file set on what
+    * actually committed, and lands as version 2. Appends are
+    * commutative under rebase, so the final table is the same
+    * regardless of which writer won — which is why the aggregate is
+    * oracle-replayable even though the race itself is scheduled by
+    * the OS. Exactly one conflict is detected (the loser's single
+    * lost race), the log is contiguous, and the tip carries both
+    * batches. At 100 TB this is the difference between concurrent
+    * ingest streams corrupting a directory and a table format:
+    * conflicting writers serialize through the log, non-conflicting
+    * file work stays fully parallel. */
+  def tableConcurrentCommitQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("txnrace").resolve("orders")
+    java.nio.file.Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.coalesce(2).write.parquet(tbl.resolve("d0").toString)
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    // Both writers' data files land BEFORE the race — file work is
+    // parallel and additive; only the manifest put serializes.
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("dA").toString)
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+        col("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("dB").toString)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[String, TxnLog.Committed]()
+    def writer(name: String, subdir: String): Thread = new Thread(() => {
+      gate.await()
+      results.put(name, TxnLog.commitRetry(tbl, "append",
+        tip => tip.files ++ TxnLog.parquetsUnder(tbl, subdir)))
+    })
+    val (wa, wb) = (writer("a", "dA"), writer("b", "dB"))
+    wa.start(); wb.start(); gate.countDown(); wa.join(); wb.join()
+    val (ca, cb) = (results.get("a"), results.get("b"))
+    val oneConflict = ca.conflicts + cb.conflicts == 1
+    val bothLanded = Set(ca.version, cb.version) == Set(1L, 2L)
+    val vs = TxnLog.versions(tbl)
+    val contiguous = vs == (0L to 2L)
+    val tip = TxnLog.readManifest(tbl, 2L)
+    val rebaseUnion =
+      TxnLog.liveFiles(tbl, Seq(2L)) ==
+        (TxnLog.readManifest(tbl, 0L).files ++
+          TxnLog.parquetsUnder(tbl, "dA") ++
+          TxnLog.parquetsUnder(tbl, "dB")).toSet &&
+      tip.parent == 1L
+    TxnLog.readVersion(spark, tbl, 2L)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(vs.size.toLong).as("n_versions"),
+        lit(oneConflict).as("one_conflict_detected"),
+        lit(bothLanded).as("both_writers_committed"),
+        lit(contiguous).as("log_contiguous"),
+        lit(rebaseUnion).as("tip_carries_both_batches"))
+  }
+
   /** pipeline_lakehouse — the round's table-ops CAPSTONE: one CDC
     * change batch drives the whole lakehouse loop end to end, the way
     * a nightly run actually composes —

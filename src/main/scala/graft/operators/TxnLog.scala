@@ -1,0 +1,181 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A versioned transaction log for a parquet table directory — the
+  * commit protocol the lakehouse ops ([[SourceSinkQueries.mergeCow]]
+  * COW, snapshot reads, vacuum) previously improvised from directory
+  * listings, made explicit the way every table format builds it
+  * (Delta's `_delta_log`, Iceberg's metadata chain — the PUBLIC
+  * design; this is an original implementation of the protocol shape,
+  * cf. /root/reference/ `schemas.py:342-343`'s versioned bronze paths
+  * which imply exactly this read-side contract):
+  *
+  * ```
+  * table/
+  *   <data files, never mutated after publish>
+  *   _log/00000000.json   {"version":0,"parent":-1,"action":"create",
+  *   _log/00000001.json    "files":["part-...parquet", ...]}
+  * ```
+  *
+  * - **Manifests are the table.** A version's manifest names the exact
+  *   data files (paths relative to the table root) that make up that
+  *   snapshot. Data files are immutable and additive; versions share
+  *   unchanged files.
+  * - **Commit = put-if-absent of `_log/<version>.json`.** The manifest
+  *   body is written to a temp file first, then PUBLISHED with an
+  *   atomic hard link (`Files.createLink`), which fails with
+  *   `FileAlreadyExistsException` iff that version already exists —
+  *   never replaces, unlike POSIX rename. Content is complete before
+  *   the link, so a manifest is visible iff it is whole; the link is
+  *   the single atomic commit point. This is the same
+  *   rename-if-absent contract Delta requires of its log store.
+  * - **Optimistic concurrency.** A writer reads the latest version V,
+  *   computes its new file set against V's manifest, and tries to
+  *   commit V+1. A concurrent committer winning V+1 surfaces as the
+  *   put-if-absent failure; the loser re-reads, REBASES its file set
+  *   on the new tip, and retries ([[commitRetry]]).
+  * - **Readers pin a version.** [[readVersion]] resolves one manifest
+  *   and reads exactly its files — later commits are invisible
+  *   (snapshot isolation), and a pinned read never sees a torn table
+  *   because manifests only ever reference fully-written files.
+  * - **Vacuum liveness derives from the log.** A file is live iff some
+  *   RETAINED manifest references it ([[liveFiles]]); everything else
+  *   older than the retention horizon is garbage. Expiring old
+  *   versions = deleting their manifests, after which vacuum reclaims
+  *   the files only they referenced.
+  *
+  * At 100 TB the log is O(versions) driver-side metadata; manifests
+  * are O(nFiles) lines each and could themselves page to parquet at
+  * extreme file counts (the [[SourceSinkQueries.sourceFileBloomIndex]]
+  * discipline) — the protocol is unchanged by where manifests live.
+  */
+object TxnLog {
+
+  final case class Manifest(
+      version: Long, parent: Long, action: String, files: Seq[String])
+
+  final case class Committed(version: Long, conflicts: Int)
+
+  def logDir(table: Path): Path = table.resolve("_log")
+
+  private def manifestPath(table: Path, version: Long): Path =
+    logDir(table).resolve(f"$version%08d.json")
+
+  /** All committed versions, ascending. */
+  def versions(table: Path): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def latest(table: Path): Option[Long] = versions(table).lastOption
+
+  def readManifest(table: Path, version: Long): Manifest = {
+    val txt = new String(Files.readAllBytes(manifestPath(table, version)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    parse(txt)
+  }
+
+  def render(m: Manifest): String = {
+    val fs = m.files.map(f => "\"" + f + "\"").mkString(",")
+    s"""{"version":${m.version},"parent":${m.parent},""" +
+      s""""action":"${m.action}","files":[$fs]}"""
+  }
+
+  def parse(txt: String): Manifest = {
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    val action =
+      """"action":"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
+    val filesBody =
+      """"files":\[([^\]]*)\]""".r.findFirstMatchIn(txt).get.group(1)
+    val files =
+      if (filesBody.isEmpty) Seq.empty
+      else filesBody.split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\""))
+    Manifest(long("version"), long("parent"), action, files)
+  }
+
+  /** One optimistic commit attempt of `parent + 1`. Returns the new
+    * version, or None iff another committer won that version (the
+    * put-if-absent failure) — any other I/O failure propagates. */
+  def tryCommit(
+      table: Path, parent: Long, action: String,
+      files: Seq[String]): Option[Long] = {
+    val version = parent + 1
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+    try {
+      Files.write(tmp, render(Manifest(version, parent, action, files))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(table, version), tmp)
+        Some(version)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit with rebase-and-retry: `filesFor` receives the CURRENT
+    * tip's manifest (file list empty at version -1) and returns the
+    * full file set of the new version — called again after every lost
+    * race so the writer rebases on what actually committed. Returns
+    * the committed version and how many conflicts were detected. */
+  def commitRetry(
+      table: Path, action: String,
+      filesFor: Manifest => Seq[String],
+      maxAttempts: Int = 10): Committed = {
+    var conflicts = 0
+    while (conflicts < maxAttempts) {
+      val tip = latest(table)
+        .map(readManifest(table, _))
+        .getOrElse(Manifest(-1L, -2L, "none", Seq.empty))
+      tryCommit(table, tip.version, action, filesFor(tip)) match {
+        case Some(v) => return Committed(v, conflicts)
+        case None => conflicts += 1
+      }
+    }
+    sys.error(s"commit lost $maxAttempts races on $table")
+  }
+
+  /** Files referenced by ANY of the retained versions — the liveness
+    * set vacuum must never touch. */
+  def liveFiles(table: Path, retained: Seq[Long]): Set[String] =
+    retained.flatMap(readManifest(table, _).files).toSet
+
+  /** Pin one version and read exactly its files. */
+  def readVersion(
+      spark: SparkSession, table: Path, version: Long): DataFrame = {
+    val m = readManifest(table, version)
+    require(m.files.nonEmpty, s"version $version is an empty table")
+    spark.read.parquet(
+      m.files.map(f => table.resolve(f).toString): _*)
+  }
+
+  /** Relative paths (to the table root) of the parquet files a Spark
+    * write just produced under `subdir` — the file-set a commit
+    * references. */
+  def parquetsUnder(table: Path, subdir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = table.resolve(subdir)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(n => if (subdir.isEmpty) n else s"$subdir/$n")
+      .toSeq.sorted
+    finally s.close()
+  }
+}

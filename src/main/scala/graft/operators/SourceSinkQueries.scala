@@ -486,18 +486,20 @@ object SourceSinkQueries {
     * snapshots' files later. */
   def tableSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = tmpDir("snap")
-    val base = root.resolve("data").resolve("base").toString
-    val delta = root.resolve("data").resolve("delta2").toString
+    val tbl = tmpDir("snap").resolve("orders")
+    java.nio.file.Files.createDirectories(tbl)
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
     orders.repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey").write.parquet(base)
-    def files(p: String): Seq[String] =
-      new java.io.File(p).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq.sorted
-    val v1 = files(base)
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("base").toString)
+    // Since round 12 the manifests are REAL commits on the versioned
+    // transaction log ([[TxnLog]]) rather than ad-hoc file lists —
+    // same snapshot semantics, now with the atomic-commit contract.
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "base"))
+    val v1 = TxnLog.readManifest(tbl, 0L).files
     // The mid-range update slice, in exact integer arithmetic both
     // engines replay: [min + 45% of span, min + 55% of span].
     val b = orders.agg(min(col("o_orderkey")).as("mn"),
@@ -510,7 +512,7 @@ object SourceSinkQueries {
     // Stats-scoped COW: per-file min/max from ONE read-back scan picks
     // the files the slice can live in; everything else survives into
     // v2 untouched.
-    val stats = spark.read.parquet(v1: _*)
+    val stats = TxnLog.readVersion(spark, tbl, 0L)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
       .collect()
@@ -519,22 +521,25 @@ object SourceSinkQueries {
         r.getString(0).split('/').last
     }.toSet
     val affected = v1.filter(f => affectedNames(f.split('/').last))
-    val untouched = v1.filterNot(f => affectedNames(f.split('/').last))
-    spark.read.parquet(affected: _*)
+    spark.read.parquet(affected.map(f => tbl.resolve(f).toString): _*)
       .join(batch, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"),
         coalesce(col("cents2"), col("cents")).as("cents"))
-      .coalesce(2).write.parquet(delta)
-    val v2 = untouched ++ files(delta)
-    def aggOf(fs: Seq[String], tag: String) =
-      spark.read.parquet(fs: _*)
+      .coalesce(2).write.parquet(tbl.resolve("delta2").toString)
+    val v1Before = TxnLog.readVersion(spark, tbl, 0L)
+      .agg(count(lit(1)), sum(col("cents"))).head()
+    TxnLog.commitRetry(tbl, "cow", tip =>
+      tip.files.filterNot(f => affectedNames(f.split('/').last)) ++
+        TxnLog.parquetsUnder(tbl, "delta2"))
+    // ... v2 is committed above; re-read pinned v1 AFTER the commit:
+    val v1After = TxnLog.readVersion(spark, tbl, 0L)
+      .agg(count(lit(1)), sum(col("cents"))).head()
+    val scoped = affected.nonEmpty && affected.size < v1.size
+    def aggOf(version: Long, tag: String) =
+      TxnLog.readVersion(spark, tbl, version)
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"))
-    val v1Before = aggOf(v1, "v1").as[(String, Long, Long)].head()
-    // ... v2 is committed above; re-read v1 AFTER the commit:
-    val v1After = aggOf(v1, "v1").as[(String, Long, Long)].head()
-    val scoped = affected.nonEmpty && affected.size < v1.size
-    aggOf(v1, "v1").unionByName(aggOf(v2, "v2"))
+    aggOf(0L, "v1").unionByName(aggOf(1L, "v2"))
       .withColumn("rewrite_scoped", lit(scoped))
       .withColumn("v1_stable_after_commit", lit(v1Before == v1After))
       .orderBy("version")
@@ -840,10 +845,11 @@ object SourceSinkQueries {
   /** sink_vacuum_retention — orphan-file GC, the maintenance op every
     * COW table needs ([[sinkMergeUpsert]] and compaction replace
     * files; aborted writes and dead snapshots leave unreferenced ones
-    * behind): a MANIFEST of live files (here: the table's current
-    * listing, the role a table format's snapshot plays) plus a
-    * retention window decide deletion — a file is removed iff it is
-    * (a) not in the manifest AND (b) older than the retention horizon.
+    * behind): the LIVE set is the union of the transaction log's
+    * retained manifests ([[TxnLog.liveFiles]] — the real table-format
+    * contract since round 12), and a retention window decides
+    * deletion — a file is removed iff it is (a) referenced by no
+    * retained manifest AND (b) older than the retention horizon.
     * The retention guard is the part that matters operationally: an
     * in-flight writer's file is unreferenced too, and a vacuum without
     * the age check would delete a concurrent write mid-commit.
@@ -856,7 +862,8 @@ object SourceSinkQueries {
     * manifest scale as the stats/bloom indexes; data is never read. */
   def sinkVacuumRetention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tbl = tmpDir("vacuum").resolve("lineitem").toString
+    val tblPath = tmpDir("vacuum").resolve("lineitem")
+    val tbl = tblPath.toString
     val li = Relational.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
     li.repartition(4).write.parquet(tbl)
@@ -864,7 +871,14 @@ object SourceSinkQueries {
     def parquets(): Set[java.io.File] =
       root.listFiles().filter(_.getName.endsWith(".parquet")).toSet
     val live = parquets()
-    val manifest = live.map(_.getName)
+    // Since round 12 liveness derives from the transaction LOG, not a
+    // directory listing (a listing cannot distinguish an orphan from
+    // data — which is the whole reason vacuum exists): the write is
+    // committed as version 0 and the live set is the union of every
+    // retained manifest's files ([[TxnLog.liveFiles]]).
+    TxnLog.commitRetry(tblPath, "create",
+      _ => TxnLog.parquetsUnder(tblPath, ""))
+    val manifest = TxnLog.liveFiles(tblPath, TxnLog.versions(tblPath))
     // Aborted-write residue: two stale orphans past the horizon, one
     // fresh orphan inside it (a concurrent writer mid-commit).
     val horizonMs = 60L * 60 * 1000

@@ -1435,32 +1435,45 @@ object SourceSinkQueries {
       .withColumn("dropmalformed_count", lit(dropped))
   }
 
-  /** scan_rest_api — paginated fetch with data-key extraction and cursor
-    * pagination, against a deterministic in-process "server" that pages
-    * the nation table 5 rows at a time. */
+  /** scan_rest_api — paginated fetch with data-key extraction, against
+    * a deterministic in-process "server" that pages the nation table 5
+    * rows at a time. Since round 12 the path under test is the
+    * DECLARED-CONFIG one the reference exposes
+    * (`dag_generator.py:210-263`): bearer auth + POST with the page
+    * number in the request body — the server REJECTS a missing or
+    * wrong Authorization header and any non-POST, so the query
+    * passing proves the engine translated the config into the
+    * request, not just that pagination looped. Cursor (`nextKey`) and
+    * GET legs stay covered by SourcesSpec. */
   def scanRestApi(spark: SparkSession, dir: String): DataFrame = {
     val nation = Relational.table(spark, dir, "nation")
     val rows = nation.orderBy("n_nationkey").collect()
     val pageSize = 5
-    val fetch: String => String = { url =>
-      val page = url.split("page=").last.toInt
+    val token = "graft-test-token"
+    val fetch: Sources.ApiRequest => String = { req =>
+      require(req.method == "POST", s"server expects POST, got ${req.method}")
+      require(req.headers.get("Authorization").contains(s"Bearer $token"),
+        "server rejects missing/wrong bearer token")
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(req.body.getOrElse("{}"))
+      require(body.get("source").asText == "nation",
+        "declared body fields must survive page injection")
+      val page = body.get("page").asInt
       val slice = rows.slice(page * pageSize, (page + 1) * pageSize)
       val recs = slice.map(r =>
         s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}",""" +
         s""""n_regionkey":${r.getInt(2)}}""").mkString(",")
-      val next =
-        if ((page + 1) * pageSize < rows.length)
-          s""""http://fake/api?page=${page + 1}""""
-        else "null"
-      s"""{"query":{"recent":[$recs]},"next":$next}"""
+      s"""{"query":{"recent":[$recs]}}"""
     }
-    Sources.scanRestApi(
+    Sources.scanRestApiWith(
         spark, fetch,
         Sources.ApiConfig(
-          url = "http://fake/api?page=0",
+          url = "http://fake/api",
           dataKey = Some("query.recent"),
-          nextKey = Some("next"),
-          maxPages = 100),
+          maxPages = 100,
+          method = "POST",
+          body = Some("""{"source":"nation"}"""),
+          auth = Sources.ApiAuth.Bearer(token)),
         Some(nation.schema))
       .orderBy("n_nationkey")
   }

@@ -112,12 +112,49 @@ object Sources {
   // fetcher; production would pass a java.net.http-based function.
   // --------------------------------------------------------------------
 
+  /** Declared auth mode (reference `dag_generator.py:215-222`): auth
+    * is CONFIG the engine translates into transport headers, not code
+    * the user writes — a ported pipeline declares `Bearer(token)` and
+    * the fetch layer receives the finished `Authorization` header. */
+  sealed trait ApiAuth
+  object ApiAuth {
+    case object NoAuth extends ApiAuth
+    final case class Basic(user: String, password: String) extends ApiAuth
+    final case class Bearer(token: String) extends ApiAuth
+  }
+
   final case class ApiConfig(
       url: String,
       dataKey: Option[String] = None,
       nextKey: Option[String] = None,
       maxPages: Int = 10,
-      pageParam: String = "page")
+      pageParam: String = "page",
+      method: String = "GET",
+      headers: Map[String, String] = Map.empty,
+      body: Option[String] = None,
+      auth: ApiAuth = ApiAuth.NoAuth)
+
+  /** One prepared HTTP request the transport executes verbatim: url,
+    * method, finished headers (auth already applied), optional JSON
+    * body (page param already injected for POST pagination). */
+  final case class ApiRequest(
+      url: String,
+      method: String,
+      headers: Map[String, String],
+      body: Option[String])
+
+  /** The engine-derived headers: declared headers plus the
+    * Authorization line the auth mode implies. */
+  private[graft] def authHeaders(cfg: ApiConfig): Map[String, String] =
+    cfg.auth match {
+      case ApiAuth.NoAuth => cfg.headers
+      case ApiAuth.Basic(u, p) =>
+        cfg.headers + ("Authorization" -> ("Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      case ApiAuth.Bearer(t) =>
+        cfg.headers + ("Authorization" -> s"Bearer $t")
+    }
 
   private val mapper = new ObjectMapper()
 
@@ -151,25 +188,71 @@ object Sources {
     }
   }
 
-  /** Fetch all pages with `fetch` (url → response body), following the
-    * `nextKey` pagination cursor up to `maxPages`; returns the extracted
-    * record objects as JSON strings. */
-  def fetchApiRecords(
-      fetch: String => String, cfg: ApiConfig): Seq[String] = {
+  /** Fetch all pages with a request-level transport (`ApiRequest` →
+    * response body): the engine PREPARES each request — auth headers
+    * derived from the declared mode, method honored, and for
+    * page-number pagination the page injected as a query param (GET)
+    * or a body field (POST) — and the transport only executes it.
+    *
+    * Two pagination modes, as declared:
+    *  - `nextKey` set → cursor pagination: follow the response's next
+    *    URL until null (the reference's `pagination.next_key`);
+    *  - `nextKey` empty → page-number pagination on `pageParam`,
+    *    stopping at the first EMPTY page (or `maxPages`).
+    *
+    * Returns the extracted record objects as JSON strings. */
+  def fetchApiRecordsWith(
+      fetch: ApiRequest => String, cfg: ApiConfig): Seq[String] = {
+    val headers = authHeaders(cfg)
+    val post = cfg.method.equalsIgnoreCase("POST")
+    def request(url: String, page: Int): ApiRequest = {
+      if (cfg.nextKey.isDefined)
+        ApiRequest(url, cfg.method.toUpperCase, headers, cfg.body)
+      else if (post) {
+        // Page rides in the JSON body: declared body fields survive,
+        // the engine owns the page field.
+        val root = cfg.body.map(mapper.readTree)
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+          .getOrElse(mapper.createObjectNode())
+        root.put(cfg.pageParam, page)
+        ApiRequest(url, "POST", headers, Some(root.toString))
+      } else {
+        val sep = if (url.contains("?")) "&" else "?"
+        ApiRequest(s"$url$sep${cfg.pageParam}=$page", "GET", headers,
+          cfg.body)
+      }
+    }
     val out = Seq.newBuilder[String]
     var url: Option[String] = Some(cfg.url)
     var page = 0
-    while (url.isDefined && page < cfg.maxPages) {
-      val root = mapper.readTree(fetch(url.get))
+    var emptyPage = false
+    while (url.isDefined && page < cfg.maxPages && !emptyPage) {
+      val root = mapper.readTree(fetch(request(url.get, page)))
       val data = resolveDataNode(root, cfg.dataKey)
-      if (data.isArray) data.elements().asScala.foreach(n => out += n.toString)
-      else out += data.toString
-      url = cfg.nextKey.flatMap(k =>
-        Option(root.get(k)).filter(n => !n.isNull).map(_.asText))
+      val n =
+        if (data.isArray) {
+          var c = 0
+          data.elements().asScala.foreach { e => out += e.toString; c += 1 }
+          c
+        } else { out += data.toString; 1 }
+      cfg.nextKey match {
+        case Some(k) =>
+          url = Option(root.get(k)).filter(!_.isNull).map(_.asText)
+        case None =>
+          emptyPage = n == 0
+      }
       page += 1
     }
     out.result()
   }
+
+  /** URL-only transport convenience (the pre-round-12 surface): the
+    * prepared request collapses to its url. Cursor pagination keeps
+    * its exact old behavior — the first request IS `cfg.url`
+    * untouched, so url-embedded page params keep working. */
+  def fetchApiRecords(
+      fetch: String => String, cfg: ApiConfig): Seq[String] =
+    fetchApiRecordsWith(req => fetch(req.url), cfg)
 
   /** scan_rest_api — paginated fetch → DataFrame. Driver-side loop then a
     * distributed JSON parse over the collected strings (reference scale:
@@ -179,9 +262,20 @@ object Sources {
       spark: SparkSession,
       fetch: String => String,
       cfg: ApiConfig,
+      schema: Option[StructType] = None): DataFrame =
+    scanRestApiWith(spark, req => fetch(req.url), cfg, schema)
+
+  /** As [[scanRestApi]], with the request-level transport — the leg
+    * that exercises declared auth/method/body config. (Distinct name:
+    * the two transports erase to the same `Function1`.) */
+  def scanRestApiWith(
+      spark: SparkSession,
+      fetch: ApiRequest => String,
+      cfg: ApiConfig,
       schema: Option[StructType] = None): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[String] = spark.createDataset(fetchApiRecords(fetch, cfg))
+    val ds: Dataset[String] =
+      spark.createDataset(fetchApiRecordsWith(fetch, cfg))
     schema match {
       case Some(s) => spark.read.schema(s).json(ds)
       case None    => spark.read.json(ds)

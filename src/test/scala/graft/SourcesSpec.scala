@@ -48,6 +48,64 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(recs.size == 4)
   }
 
+  test("auth config derives the Authorization header; none leaves headers alone") {
+    import Sources.{ApiAuth, ApiConfig}
+    val base = ApiConfig("http://x", headers = Map("X-Trace" -> "t1"))
+    assert(Sources.authHeaders(base) == Map("X-Trace" -> "t1"))
+    val basic = Sources.authHeaders(
+      base.copy(auth = ApiAuth.Basic("user", "s3cret")))
+    // RFC 7617: base64("user:s3cret"); declared headers survive.
+    assert(basic("Authorization") == "Basic dXNlcjpzM2NyZXQ=")
+    assert(basic("X-Trace") == "t1")
+    val bearer = Sources.authHeaders(base.copy(auth = ApiAuth.Bearer("tok")))
+    assert(bearer("Authorization") == "Bearer tok")
+  }
+
+  test("GET page-number pagination appends the declared page param, stops on empty") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fetch: Sources.ApiRequest => String = { req =>
+      assert(req.method == "GET")
+      seen += req.url
+      val p = req.url.split("cursor=").last.toInt
+      if (p < 2) s"""{"rows":[{"v":$p}]}""" else """{"rows":[]}"""
+    }
+    val recs = Sources.fetchApiRecordsWith(fetch,
+      Sources.ApiConfig("http://x?fmt=json", dataKey = Some("rows"),
+        pageParam = "cursor", maxPages = 10))
+    assert(recs.size == 2)
+    assert(seen.toSeq == Seq("http://x?fmt=json&cursor=0",
+      "http://x?fmt=json&cursor=1", "http://x?fmt=json&cursor=2"))
+  }
+
+  test("POST pagination injects the page into the body, preserving declared fields") {
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fetch: Sources.ApiRequest => String = { req =>
+      assert(req.method == "POST")
+      bodies += req.body.get
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(req.body.get)
+      assert(node.get("q").asText == "widgets")
+      val p = node.get("page").asInt
+      if (p == 0) """{"rows":[{"v":0}]}""" else """{"rows":[]}"""
+    }
+    val recs = Sources.fetchApiRecordsWith(fetch,
+      Sources.ApiConfig("http://x", dataKey = Some("rows"),
+        method = "POST", body = Some("""{"q":"widgets"}""")))
+    assert(recs.size == 1 && bodies.size == 2)
+  }
+
+  test("a server demanding auth rejects an unauthed config loudly") {
+    val fetch: Sources.ApiRequest => String = { req =>
+      require(req.headers.contains("Authorization"), "401 Unauthorized")
+      """{"rows":[]}"""
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sources.fetchApiRecordsWith(fetch,
+        Sources.ApiConfig("http://x", dataKey = Some("rows")))
+    }
+    assert(e.getMessage.contains("401"))
+  }
+
   test("glob scan: extensions, decoys, one-level recursion, sorted") {
     val base = Files.createTempDirectory("graft_globspec")
     Files.writeString(base.resolve("b.csv"), "x\n1")

@@ -218,6 +218,7 @@ object SparkEntry {
     "table_snapshot_read" -> ((s, dir) => SourceSinkQueries.tableSnapshotRead(s, dir)),
     "table_txn_log" -> ((s, dir) => SourceSinkQueries.tableTxnLogQuery(s, dir)),
     "table_concurrent_commit" -> ((s, dir) => SourceSinkQueries.tableConcurrentCommitQuery(s, dir)),
+    "stream_cdc_maintain" -> ((s, dir) => graft.streaming.Streaming.streamCdcMaintainQuery(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2613,6 +2614,38 @@ object SparkEntry {
                 true AS log_contiguous,
                 true AS tip_carries_both_batches
          FROM u""",
+    // CDC + maintenance: the four disjoint-key batches make the final
+    // state order-independent and exactly replayable; every protocol
+    // counter is structural (4 batches, 2 compactions, 5 of 7 versions
+    // expired) and the invariance/GC witnesses are engine-measured.
+    "stream_cdc_maintain" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) // 10 AS hi FROM b),
+         kept AS (SELECT k,
+                  CASE WHEN k <= (SELECT hi FROM r) AND k % 2 = 0
+                       THEN cents * 2
+                       WHEN k <= (SELECT hi FROM r) AND k % 10 = 7
+                       THEN cents * 3
+                       ELSE cents END AS cents
+                  FROM o
+                  WHERE NOT (k <= (SELECT hi FROM r) AND k % 10 = 3)),
+         ins AS (SELECT k + 100000000 AS k, CAST(777 AS BIGINT) AS cents
+                 FROM o WHERE k <= (SELECT hi FROM r) AND k % 5 = 0),
+         f AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(4 AS BIGINT) AS batches_applied,
+                CAST(2 AS BIGINT) AS compactions_run,
+                true AS compaction_invariant,
+                CAST(5 AS BIGINT) AS versions_expired,
+                true AS vacuum_reclaimed_expired_files,
+                true AS fresh_orphan_kept,
+                true AS expired_version_unreadable,
+                true AS tip_stable_after_vacuum
+         FROM f""",
     // Expectations: every rule's checked/failed counts replay
     // relationally (failed = checked - pred-true, so nulls fail).
     "quality_expectations" ->

@@ -164,6 +164,107 @@ object TxnLog {
       m.files.map(f => table.resolve(f).toString): _*)
   }
 
+  /** Key-scoped copy-on-write MERGE as a log commit: `batch` carries
+    * the table's columns plus an `op` column (`upsert` / `delete`).
+    * Per-file [min, max] stats of `key` (one key-column scan of the
+    * tip today; carried in the manifest at real scale, where this
+    * becomes a metadata-only read) pick the files the batch's key
+    * range can live in; ONLY those full-outer-merge with the batch —
+    * matched upserts take the source row (provenance, not coalesce:
+    * NULL restatement works, the [[SourceSinkQueries.mergeCow]]
+    * lesson), tombstones drop, inserts land — and the commit is
+    * (tip − affected) ∪ rewritten. A batch whose keys sit beyond
+    * every file's range (pure insert) appends without reading
+    * anything. Old files survive for time travel until expiry. */
+  def mergeCowByKey(
+      spark: SparkSession, table: Path, batch: DataFrame,
+      key: String, subdir: String): Committed = {
+    import org.apache.spark.sql.functions._
+    val tipVersion = latest(table).getOrElse(
+      sys.error(s"mergeCowByKey needs an existing table at $table"))
+    val tip = readManifest(table, tipVersion)
+    val bounds = batch.agg(min(col(key)), max(col(key))).head()
+    val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
+    val stats = readVersion(spark, table, tipVersion)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+      .collect()
+    val affectedNames = stats.collect {
+      case r if r.getLong(1) <= bmx && r.getLong(2) >= bmn =>
+        r.getString(0).split('/').last
+    }.toSet
+    val affected = tip.files.filter(f => affectedNames(f.split('/').last))
+    val valueCols = batch.columns.filterNot(c => c == key || c == "op")
+    val merged =
+      if (affected.isEmpty)
+        batch.filter(col("op") =!= "delete").drop("op")
+      else
+        spark.read.parquet(affected.map(f => table.resolve(f).toString): _*)
+          .as("t")
+          .join(batch.as("s"), Seq(key), "full_outer")
+          .filter(col("s.op").isNull || col("s.op") =!= "delete")
+          .select(col(key) +: valueCols.toSeq.map(c =>
+            when(col("s.op").isNotNull, col(s"s.$c"))
+              .otherwise(col(s"t.$c")).as(c)): _*)
+    merged.coalesce(1).write.parquet(table.resolve(subdir).toString)
+    commitRetry(table, "merge", t =>
+      t.files.filterNot(f => affectedNames(f.split('/').last)) ++
+        parquetsUnder(table, subdir))
+  }
+
+  /** Compaction as a pure manifest swap: the tip's contents coalesced
+    * into `nFiles`, committed as the next version. Readers of any
+    * pinned version never notice. */
+  def compact(
+      spark: SparkSession, table: Path, subdir: String,
+      nFiles: Int = 1): Committed = {
+    val tipVersion = latest(table).get
+    readVersion(spark, table, tipVersion).coalesce(nFiles)
+      .write.parquet(table.resolve(subdir).toString)
+    commitRetry(table, "compact", _ => parquetsUnder(table, subdir))
+  }
+
+  /** Expire all but the last `retainLast` versions: their manifests
+    * are deleted, which is what makes their exclusively-referenced
+    * files vacuum-eligible. Returns the expired versions. */
+  def expire(table: Path, retainLast: Int): Seq[Long] = {
+    val drop = versions(table).dropRight(retainLast)
+    drop.foreach(v => Files.delete(
+      logDir(table).resolve(f"$v%08d.json")))
+    drop
+  }
+
+  /** Every parquet data file under the table root (any depth),
+    * relative paths, `_log` excluded. */
+  def dataFiles(table: Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(table)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => table.relativize(p).toString)
+      .filterNot(_.startsWith("_log"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  final case class Vacuumed(deleted: Seq[String], keptUnreferenced: Seq[String])
+
+  /** Log-derived vacuum: delete every data file that (a) no RETAINED
+    * manifest references and (b) is older than the retention horizon.
+    * The age guard is what protects an in-flight writer's
+    * not-yet-committed files — exactly the
+    * [[SourceSinkQueries.sinkVacuumRetention]] discipline, with
+    * liveness from the log instead of a listing. */
+  def vacuum(table: Path, horizonMs: Long): Vacuumed = {
+    val live = liveFiles(table, versions(table))
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val (doomed, keptUnref) = dataFiles(table)
+      .filterNot(live)
+      .partition(f => table.resolve(f).toFile.lastModified() < cutoff)
+    doomed.foreach(f => Files.delete(table.resolve(f)))
+    Vacuumed(doomed, keptUnref)
+  }
+
   /** Relative paths (to the table root) of the parquet files a Spark
     * write just produced under `subdir` — the file-set a commit
     * references. */

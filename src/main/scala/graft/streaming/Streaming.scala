@@ -863,6 +863,134 @@ object Streaming {
       .orderBy("_p")
   }
 
+  /** stream_cdc_maintain — the CDC stream WITH its maintenance loop,
+    * on the transaction log ([[graft.operators.TxnLog]]): the
+    * OPTIMIZE-on-write discipline a perpetual CDC table needs, folded
+    * into foreachBatch the way a long-running ingest actually runs —
+    *
+    *   - every micro-batch key-scoped COW-MERGEs into the log
+    *     ([[graft.operators.TxnLog.mergeCowByKey]]): only files whose
+    *     stats intersect the batch's key range rewrite, pure inserts
+    *     append, each batch is one atomic commit;
+    *   - every 2nd batch COMPACTS the tip (a manifest swap), with the
+    *     aggregate proven identical across the swap in-loop;
+    *   - after the run, versions beyond the retention window EXPIRE
+    *     and a log-derived VACUUM reclaims exactly the files only
+    *     expired versions referenced — the age guard keeps a freshly
+    *     planted (in-flight writer's) orphan, and the tip re-reads
+    *     bit-stable after the GC.
+    *
+    * The four change batches touch DISJOINT key sets, so the final
+    * state is order-independent and the oracle replays it exactly;
+    * the counters (4 batches, 2 compactions, 5 expired of 7 versions)
+    * are structural, not data-dependent. At 100 TB this is the
+    * difference between a CDC table that accretes small files and
+    * dead snapshots until scans crawl, and one whose write path pays
+    * for its own upkeep in bounded per-batch slices. */
+  def streamCdcMaintainQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TxnLog
+    val base = graft.util.Scratch.dir("graft_cdcm")
+    val srcDir = base.resolve("in")
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    val tbl = base.resolve("table").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = graft.operators.Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    val bounds = orders
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val hi = mn + (mx - mn) / 10
+    val inRange = orders.filter(col("o_orderkey") <= hi)
+    // Disjoint key sets per batch (evens / ...3 / +1e8 inserts / ...7),
+    // so apply order cannot change the final table.
+    val batches = Seq(
+      inRange.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("cents") * 2).as("cents"),
+          lit("upsert").as("op")),
+      inRange.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
+          lit("delete").as("op")),
+      inRange.filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(777L).as("cents"), lit("upsert").as("op")),
+      inRange.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), (col("cents") * 3).as("cents"),
+          lit("upsert").as("op")))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      landSingleFile(df, base, srcDir, s"b$i.parquet")
+    }
+    def tipAgg(): (Long, Long) = {
+      val r = TxnLog.readVersion(spark, tbl, TxnLog.latest(tbl).get)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var applied = 0L
+    var compactions = 0L
+    var compactionInvariant = true
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("cents", LongType),
+      StructField("op", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          TxnLog.mergeCowByKey(b.sparkSession, tbl, b, "o_orderkey",
+            s"m$applied")
+          applied += 1
+          if (applied % 2 == 0) {
+            val before = tipAgg()
+            TxnLog.compact(spark, tbl, s"c$applied")
+            compactionInvariant &= tipAgg() == before
+            compactions += 1
+          }
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ---- retention maintenance: expire + log-derived vacuum ----------
+    val preVacuum = tipAgg()
+    val expired = TxnLog.expire(tbl, retainLast = 2)
+    // Stand in for the passage of retention time: everything the
+    // retained manifests no longer reference ages past the horizon.
+    val live = TxnLog.liveFiles(tbl, TxnLog.versions(tbl))
+    val horizonMs = 60L * 60 * 1000
+    TxnLog.dataFiles(tbl).filterNot(live).foreach { f =>
+      tbl.resolve(f).toFile
+        .setLastModified(System.currentTimeMillis() - 2 * horizonMs)
+    }
+    // An in-flight writer's fresh orphan: unreferenced but young.
+    val freshOrphan = tbl.resolve("m0").resolve("inflight-orphan.parquet")
+    Files.copy(tbl.resolve(TxnLog.readManifest(tbl, TxnLog.latest(tbl).get)
+      .files.head), freshOrphan)
+    val vac = TxnLog.vacuum(tbl, horizonMs)
+    val freshKept = Files.exists(freshOrphan)
+    Files.deleteIfExists(freshOrphan) // leave the table clean
+    val expiredUnreadable = expired.headOption.forall(v =>
+      scala.util.Try(TxnLog.readVersion(spark, tbl, v)).isFailure)
+    val tipStable = tipAgg() == preVacuum
+    TxnLog.readVersion(spark, tbl, TxnLog.latest(tbl).get)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(applied).as("batches_applied"),
+        lit(compactions).as("compactions_run"),
+        lit(compactionInvariant).as("compaction_invariant"),
+        lit(expired.size.toLong).as("versions_expired"),
+        lit(vac.deleted.nonEmpty).as("vacuum_reclaimed_expired_files"),
+        lit(freshKept).as("fresh_orphan_kept"),
+        lit(expiredUnreadable).as("expired_version_unreadable"),
+        lit(tipStable).as("tip_stable_after_vacuum"))
+  }
+
   /** stream_exactly_once — the reference's "exactly-once into Bronze"
     * claim (offsets commit only after a successful sink write,
     * `dag_generator.py:454`) made FALSIFIABLE by injecting the exact

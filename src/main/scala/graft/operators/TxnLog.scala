@@ -54,8 +54,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
+  /** One committed snapshot: the exact file list, plus (when the
+    * writer supplied them) per-file [min, max] stats of the table's
+    * key column — the footer-stats idea lifted into the manifest, so
+    * a key-scoped MERGE plans its affected-file set from METADATA
+    * instead of scanning the tip (what Delta's add-file stats and
+    * Iceberg's manifest column bounds do). Stats are carried forward
+    * for surviving files on every commit, so one stats-bearing commit
+    * heals the whole chain. */
   final case class Manifest(
-      version: Long, parent: Long, action: String, files: Seq[String])
+      version: Long, parent: Long, action: String, files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -88,8 +97,13 @@ object TxnLog {
 
   def render(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + f + "\"").mkString(",")
+    val stats =
+      if (m.stats.isEmpty) ""
+      else m.stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+        "\"" + f + "\":[" + lo + "," + hi + "]"
+      }.mkString(""","stats":{""", ",", "}")
     s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""action":"${m.action}","files":[$fs]}"""
+      s""""action":"${m.action}","files":[$fs]$stats}"""
   }
 
   def parse(txt: String): Manifest = {
@@ -103,7 +117,13 @@ object TxnLog {
       if (filesBody.isEmpty) Seq.empty
       else filesBody.split(",").toSeq.map(_.trim.stripPrefix("\"")
         .stripSuffix("\""))
-    Manifest(long("version"), long("parent"), action, files)
+    val stats = """"stats":\{(.*)\}""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).map { body =>
+        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong))
+          .toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
+    Manifest(long("version"), long("parent"), action, files, stats)
   }
 
   /** One optimistic commit attempt of `parent + 1`. Returns the new
@@ -111,14 +131,16 @@ object TxnLog {
     * put-if-absent failure) — any other I/O failure propagates. */
   def tryCommit(
       table: Path, parent: Long, action: String,
-      files: Seq[String]): Option[Long] = {
+      files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
     val version = parent + 1
     val dir = logDir(table)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
     try {
-      Files.write(tmp, render(Manifest(version, parent, action, files))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(tmp,
+        render(Manifest(version, parent, action, files, stats))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try {
         Files.createLink(manifestPath(table, version), tmp)
         Some(version)
@@ -136,18 +158,40 @@ object TxnLog {
   def commitRetry(
       table: Path, action: String,
       filesFor: Manifest => Seq[String],
-      maxAttempts: Int = 10): Committed = {
+      maxAttempts: Int = 10,
+      statsFor: Manifest => Map[String, (Long, Long)] =
+        _ => Map.empty): Committed = {
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val tip = latest(table)
         .map(readManifest(table, _))
         .getOrElse(Manifest(-1L, -2L, "none", Seq.empty))
-      tryCommit(table, tip.version, action, filesFor(tip)) match {
+      tryCommit(table, tip.version, action, filesFor(tip),
+        statsFor(tip)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1
       }
     }
     sys.error(s"commit lost $maxAttempts races on $table")
+  }
+
+  /** Per-file [min, max] of `key` for the given (relative) files — the
+    * stats a commit carries so later MERGEs plan from metadata. One
+    * key-column scan of exactly those files. */
+  def keyStats(
+      spark: SparkSession, table: Path, files: Seq[String],
+      key: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) Map.empty
+    else spark.read.parquet(files.map(f => table.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val rel = files.find(_.split('/').last == base).getOrElse(base)
+        rel -> (r.getLong(1), r.getLong(2))
+      }.toMap
   }
 
   /** Files referenced by ANY of the retained versions — the liveness
@@ -185,21 +229,24 @@ object TxnLog {
     val tip = readManifest(table, tipVersion)
     val bounds = batch.agg(min(col(key)), max(col(key))).head()
     val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
-    val stats = readVersion(spark, table, tipVersion)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
-      .collect()
-    val affectedNames = stats.collect {
-      case r if r.getLong(1) <= bmx && r.getLong(2) >= bmn =>
-        r.getString(0).split('/').last
+    // Affected-file planning is METADATA-ONLY when the tip's manifest
+    // carries stats for every file (any stats-bearing commit heals the
+    // chain — see below); the key-column scan is only the bootstrap
+    // path for a log created before stats existed.
+    val ranges: Map[String, (Long, Long)] =
+      if (tip.files.forall(tip.stats.contains)) tip.stats
+      else keyStats(spark, table, tip.files, key)
+    val affected = tip.files.filter { f =>
+      val (kmin, kmax) = ranges(f)
+      kmin <= bmx && kmax >= bmn
     }.toSet
-    val affected = tip.files.filter(f => affectedNames(f.split('/').last))
     val valueCols = batch.columns.filterNot(c => c == key || c == "op")
     val merged =
       if (affected.isEmpty)
         batch.filter(col("op") =!= "delete").drop("op")
       else
-        spark.read.parquet(affected.map(f => table.resolve(f).toString): _*)
+        spark.read
+          .parquet(affected.toSeq.map(f => table.resolve(f).toString): _*)
           .as("t")
           .join(batch.as("s"), Seq(key), "full_outer")
           .filter(col("s.op").isNull || col("s.op") =!= "delete")
@@ -207,9 +254,14 @@ object TxnLog {
             when(col("s.op").isNotNull, col(s"s.$c"))
               .otherwise(col(s"t.$c")).as(c)): _*)
     merged.coalesce(1).write.parquet(table.resolve(subdir).toString)
-    commitRetry(table, "merge", t =>
-      t.files.filterNot(f => affectedNames(f.split('/').last)) ++
-        parquetsUnder(table, subdir))
+    // New files' stats cost one O(batch) scan; survivors' stats carry
+    // forward, so every merge commit leaves a fully stats-bearing tip.
+    val newFiles = parquetsUnder(table, subdir)
+    val newStats = keyStats(spark, table, newFiles, key)
+    commitRetry(table, "merge",
+      t => t.files.filterNot(affected) ++ newFiles,
+      statsFor = t => (ranges -- affected) ++
+        t.stats.filterNot { case (f, _) => affected(f) } ++ newStats)
   }
 
   /** Compaction as a pure manifest swap: the tip's contents coalesced
@@ -217,11 +269,15 @@ object TxnLog {
     * pinned version never notice. */
   def compact(
       spark: SparkSession, table: Path, subdir: String,
-      nFiles: Int = 1): Committed = {
+      nFiles: Int = 1, statsKey: Option[String] = None): Committed = {
     val tipVersion = latest(table).get
     readVersion(spark, table, tipVersion).coalesce(nFiles)
       .write.parquet(table.resolve(subdir).toString)
-    commitRetry(table, "compact", _ => parquetsUnder(table, subdir))
+    val newFiles = parquetsUnder(table, subdir)
+    val stats = statsKey
+      .map(k => keyStats(spark, table, newFiles, k))
+      .getOrElse(Map.empty[String, (Long, Long)])
+    commitRetry(table, "compact", _ => newFiles, statsFor = _ => stats)
   }
 
   /** Expire all but the last `retainLast` versions: their manifests

@@ -901,8 +901,12 @@ object Streaming {
     orders.repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.parquet(tbl.resolve("d0").toString)
-    TxnLog.commitRetry(tbl, "create",
-      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    // The create commit carries per-file key stats, so every merge in
+    // the loop below plans its affected files from manifest METADATA —
+    // no tip scan per batch.
+    val baseFiles = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => baseFiles,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, baseFiles, "o_orderkey"))
     val bounds = orders
       .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
@@ -947,7 +951,8 @@ object Streaming {
           applied += 1
           if (applied % 2 == 0) {
             val before = tipAgg()
-            TxnLog.compact(spark, tbl, s"c$applied")
+            TxnLog.compact(spark, tbl, s"c$applied",
+              statsKey = Some("o_orderkey"))
             compactionInvariant &= tipAgg() == before
             compactions += 1
           }

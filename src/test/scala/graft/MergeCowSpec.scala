@@ -56,6 +56,66 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
       "upsert carrying NULL must overwrite, not resurrect the old value")
   }
 
+  test("log merge: update/insert/delete/NULL-restate land; stats heal and carry") {
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"t${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    Seq((1L, Some(10L)), (2L, Some(20L)), (50L, Some(500L)),
+      (60L, Some(600L)))
+      .toDF("id", "v").repartitionByRange(2, $"id")
+      .sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    // Create WITHOUT stats: the first merge must bootstrap via scan...
+    graft.operators.TxnLog.commitRetry(tbl, "create",
+      _ => graft.operators.TxnLog.parquetsUnder(tbl, "d0"))
+    val batch = Seq(
+      (1L, Some(111L), "upsert"),                // update
+      (2L, Option.empty[Long], "upsert"),        // restate to NULL
+      (3L, Some(33L), "upsert"),                 // insert (low range)
+      (50L, Option.empty[Long], "delete"))       // delete
+      .toDF("id", "v", "op")
+    graft.operators.TxnLog.mergeCowByKey(spark, tbl, batch, "id", "m0")
+    val tip = graft.operators.TxnLog.readManifest(tbl,
+      graft.operators.TxnLog.latest(tbl).get)
+    // ...and every surviving + new file carries stats afterwards.
+    assert(tip.files.forall(tip.stats.contains),
+      s"merge commit must leave a fully stats-bearing tip: $tip")
+    val got = graft.operators.TxnLog
+      .readVersion(spark, tbl, tip.version)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(111L)), (2L, None), (3L, Some(33L)),
+      (60L, Some(600L))))
+  }
+
+  test("log merge plans its affected set from manifest stats, not the data") {
+    // The sharp witness: a manifest whose stats DISAGREE with the file
+    // contents. File f0 actually holds keys 1-2, but its committed
+    // stats claim [1000, 2000]. A batch at key 1 must then MISS f0 —
+    // wrong result by construction — proving the planner read the
+    // metadata. (A scan-based planner would find and rewrite f0.)
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"s${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d0").toString)
+    val f0 = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
+    graft.operators.TxnLog.commitRetry(tbl, "create", _ => f0,
+      statsFor = _ => Map(f0.head -> (1000L, 2000L)))
+    val batch = Seq((1L, 111L, "upsert")).toDF("id", "v", "op")
+    graft.operators.TxnLog.mergeCowByKey(spark, tbl, batch, "id", "m0")
+    val tip = graft.operators.TxnLog.readManifest(tbl,
+      graft.operators.TxnLog.latest(tbl).get)
+    assert(tip.files.contains(f0.head),
+      "f0 must survive untouched: its (false) stats exclude the batch range")
+    // Key 1 now exists twice (the stale f0 copy and the insert-path
+    // m0 copy) — exactly the corruption wrong stats produce, which is
+    // the proof the stats were trusted.
+    val n = graft.operators.TxnLog
+      .readVersion(spark, tbl, tip.version)
+      .filter($"id" === 1L).count()
+    assert(n == 2L)
+  }
+
   test("a one-partition change batch leaves every other partition's files alone") {
     val tbl = freshTable()
     def sig(p: Int): Seq[String] =

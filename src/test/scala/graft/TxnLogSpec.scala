@@ -24,6 +24,25 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.parse(TxnLog.render(empty)) == empty)
   }
 
+  test("per-file key stats round-trip in the manifest; absent stats parse empty") {
+    val m = TxnLog.Manifest(1L, 0L, "merge",
+      Seq("a.parquet", "d/b.parquet"),
+      Map("a.parquet" -> (-5L, 100L), "d/b.parquet" -> (101L, 900L)))
+    assert(TxnLog.parse(TxnLog.render(m)) == m)
+    // A pre-stats manifest (round-12 v1 format) still parses.
+    val legacy = """{"version":0,"parent":-1,"action":"create","files":["f0"]}"""
+    assert(TxnLog.parse(legacy) ==
+      TxnLog.Manifest(0L, -1L, "create", Seq("f0")))
+  }
+
+  test("stats survive a commit chain through tryCommit") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"),
+      Map("f0" -> (1L, 10L)))
+    val m = TxnLog.readManifest(t, 0L)
+    assert(m.stats == Map("f0" -> (1L, 10L)))
+  }
+
   test("commit chain is contiguous and the loser of a stale commit is refused") {
     val t = freshTable()
     assert(TxnLog.latest(t).isEmpty)

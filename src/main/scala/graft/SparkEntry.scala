@@ -219,6 +219,9 @@ object SparkEntry {
     "table_txn_log" -> ((s, dir) => SourceSinkQueries.tableTxnLogQuery(s, dir)),
     "table_concurrent_commit" -> ((s, dir) => SourceSinkQueries.tableConcurrentCommitQuery(s, dir)),
     "stream_cdc_maintain" -> ((s, dir) => graft.streaming.Streaming.streamCdcMaintainQuery(s, dir)),
+    "table_schema_evolution" -> ((s, dir) => SourceSinkQueries.tableSchemaEvolutionQuery(s, dir)),
+    "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
+    "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
     "sink_zorder_3d" -> ((s, dir) => SourceSinkQueries.sinkZorder3d(s, dir)),
     "source_file_stats_index" -> ((s, dir) => SourceSinkQueries.sourceFileStatsIndex(s, dir)),
@@ -2646,6 +2649,94 @@ object SparkEntry {
                 true AS expired_version_unreadable,
                 true AS tip_stable_after_vacuum
          FROM f""",
+    // Schema evolution: both versions' row/status counts are pure
+    // functions of the base table; the column counts pin the
+    // narrow-pinned-v0 / unified-tip schema contract.
+    "table_schema_evolution" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS na FROM orders
+                    WHERE o_orderkey % 7 = 0),
+         n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+         SELECT CAST(0 AS INT) AS version,
+                (SELECT n FROM n0) AS n_rows,
+                CAST(0 AS BIGINT) AS n_with_status,
+                CAST(2 AS INT) AS n_cols
+         UNION ALL
+         SELECT 1, (SELECT n FROM n0) + (SELECT na FROM a),
+                (SELECT na FROM a), 3
+         ORDER BY version""",
+    // Split leakage: the exact threshold-Jaccard pair set (the
+    // dedup_ngram_jaccard construction at t=0.8) joined against the
+    // per-doc md5 split; every count replays relationally.
+    "split_leakage_check" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pr
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8),
+         s AS (SELECT doc_id,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                      < 'e6' THEN 'train' ELSE 'holdout' END AS split
+               FROM documents)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM s
+                 WHERE split = 'train') AS n_train,
+                (SELECT CAST(count(*) AS BIGINT) FROM s
+                 WHERE split = 'holdout') AS n_holdout,
+                (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_near_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM jp
+                 JOIN s a ON a.doc_id = jp.doc_a
+                 JOIN s b ON b.doc_id = jp.doc_b
+                 WHERE a.split <> b.split) AS n_leaking_pairs""",
+    // Group-aware split: recursive-CTE components over the same pair
+    // graph, clusters keyed by canonical id; zero leaking pairs is
+    // REPLAYED (count over the pair join), not just pinned.
+    "split_group_aware" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
+                FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
+                WHERE i <= len(ws) - 2),
+         sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pr
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                   UNION SELECT doc_b, doc_a FROM jp),
+         reach(u, v) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         lbl AS (SELECT u AS doc_id, min(v) AS grp FROM reach GROUP BY u),
+         asg AS (SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS grp
+                 FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+         s AS (SELECT doc_id,
+                 CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 2)
+                      < 'e6' THEN 'train' ELSE 'holdout' END AS split
+               FROM asg),
+         leak AS (SELECT CAST(count(*) AS BIGINT) AS n FROM jp
+                  JOIN s a ON a.doc_id = jp.doc_a
+                  JOIN s b ON b.doc_id = jp.doc_b
+                  WHERE a.split <> b.split)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                (SELECT n FROM leak) AS n_leaking_pairs,
+                (SELECT n FROM leak) = 0 AS leak_free
+         FROM s GROUP BY split ORDER BY split""",
     // Expectations: every rule's checked/failed counts replay
     // relationally (failed = checked - pred-true, so nulls fail).
     "quality_expectations" ->

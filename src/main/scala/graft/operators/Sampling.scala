@@ -108,4 +108,82 @@ object Sampling {
         sum(col("n_tok")).cast("bigint").as("sum_tokens"))
       .orderBy("split")
   }
+
+  /** split_leakage_check — MEASURE eval contamination through
+    * near-duplicates: a per-doc hash split is growth-stable but
+    * near-dup-blind, so a holdout document whose near-twin sits in
+    * train leaks the eval signal exactly the way benchmark
+    * decontamination ([[Curation]]) exists to prevent. The check is
+    * the composition of two existing exact operators — the
+    * prefix-filtered threshold-Jaccard pair set joined against the
+    * split assignment — and counts pairs whose endpoints land on
+    * opposite sides. At 100 TB the cost is the dedup pass the corpus
+    * already runs; the split join adds two broadcast-sized lookups of
+    * the pair list. The companion [[splitGroupAware]] is the FIX. */
+  def splitLeakageCheck(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val d = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.prefixJaccardPairs(d, threshold)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val s = d.select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+      .localCheckpoint(true) // feeds the totals AND both pair lookups
+    val leaks = pairs
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).as("n_near_pairs"),
+        coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_leaking_pairs"))
+    s.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L))
+          .as("n_holdout"))
+      .crossJoin(leaks)
+      .select(col("n_train"), col("n_holdout"),
+        col("n_near_pairs"), col("n_leaking_pairs"))
+  }
+
+  /** split_group_aware — the leakage-free split BY CONSTRUCTION: the
+    * unit of assignment is the near-dup CLUSTER (connected components
+    * over the exact threshold-Jaccard pair graph), keyed by the
+    * cluster's canonical id, so two near-twins can never straddle the
+    * boundary — the zero-leak witness is computed the same way the
+    * check query counts leaks, and replayed by the oracle's recursive
+    * components. Singleton docs hash on their own id, which keeps the
+    * assignment growth-stable (adding data never reassigns an
+    * existing cluster unless the cluster itself grows — the
+    * unavoidable semantic). */
+  def splitGroupAware(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val d = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.prefixJaccardPairs(d, threshold)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    // releaseInput must stay false: the pair list is re-read below for
+    // the zero-leak witness after components are built.
+    val cc = Dedup.connectedComponents(pairs)
+    val assigned = d.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+      .select(col("doc_id"), splitCol(col("grp")).as("split"))
+      .localCheckpoint(true)
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), Seq("doc_b"))
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("n_leaking_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(leaks)
+      .select(col("split"), col("n_docs"), col("n_leaking_pairs"),
+        (col("n_leaking_pairs") === 0L).as("leak_free"))
+      .orderBy("split")
+  }
 }

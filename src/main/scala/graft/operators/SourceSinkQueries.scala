@@ -722,6 +722,56 @@ object SourceSinkQueries {
         lit(rebaseUnion).as("tip_carries_both_batches"))
   }
 
+  /** table_schema_evolution — ADD COLUMN on the transaction log: a
+    * widened append (new `status` column) commits as the next version
+    * without rewriting a byte of the old files — schema evolution is
+    * a property of the READ (parquet schema merging across the
+    * manifest's files), not a table rewrite. The tip read unifies the
+    * schemas (old rows surface a NULL status); a reader pinned on v0
+    * still sees the ORIGINAL two-column schema, because its manifest
+    * names only pre-evolution files — the log gives schema history
+    * the same way it gives data history. At 100 TB adding a column is
+    * one manifest put; the alternative (rewriting the table) is a
+    * day of cluster time. */
+  def tableSchemaEvolutionQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = tmpDir("schemaevo").resolve("orders")
+    java.nio.file.Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.coalesce(2).write.parquet(tbl.resolve("d0").toString)
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    // The widened batch: brand-new keys carrying the NEW column.
+    Relational.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"), col("o_orderstatus").as("status"))
+      .coalesce(1).write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    def versionRow(v: Long, mergeSchema: Boolean): (Int, Long, Long, Int) = {
+      val files = TxnLog.readManifest(tbl, v).files
+        .map(f => tbl.resolve(f).toString)
+      val df = spark.read
+        .option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+      val n = df.count()
+      val withStatus =
+        if (df.columns.contains("status"))
+          df.agg(count(col("status"))).head().getLong(0)
+        else 0L
+      (v.toInt, n, withStatus, df.columns.length)
+    }
+    // Pinned v0 keeps the narrow schema even AFTER the evolution
+    // commit; the tip unifies.
+    Seq(versionRow(0L, mergeSchema = false),
+      versionRow(1L, mergeSchema = true))
+      .toDF("version", "n_rows", "n_with_status", "n_cols")
+      .orderBy("version")
+  }
+
   /** pipeline_lakehouse — the round's table-ops CAPSTONE: one CDC
     * change batch drives the whole lakehouse loop end to end, the way
     * a nightly run actually composes —

@@ -222,46 +222,64 @@ object TxnLog {
     * anything. Old files survive for time travel until expiry. */
   def mergeCowByKey(
       spark: SparkSession, table: Path, batch: DataFrame,
-      key: String, subdir: String): Committed = {
+      key: String, subdir: String, maxAttempts: Int = 10): Committed = {
     import org.apache.spark.sql.functions._
-    val tipVersion = latest(table).getOrElse(
-      sys.error(s"mergeCowByKey needs an existing table at $table"))
-    val tip = readManifest(table, tipVersion)
     val bounds = batch.agg(min(col(key)), max(col(key))).head()
     val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
-    // Affected-file planning is METADATA-ONLY when the tip's manifest
-    // carries stats for every file (any stats-bearing commit heals the
-    // chain — see below); the key-column scan is only the bootstrap
-    // path for a log created before stats existed.
-    val ranges: Map[String, (Long, Long)] =
-      if (tip.files.forall(tip.stats.contains)) tip.stats
-      else keyStats(spark, table, tip.files, key)
-    val affected = tip.files.filter { f =>
-      val (kmin, kmax) = ranges(f)
-      kmin <= bmx && kmax >= bmn
-    }.toSet
     val valueCols = batch.columns.filterNot(c => c == key || c == "op")
-    val merged =
-      if (affected.isEmpty)
-        batch.filter(col("op") =!= "delete").drop("op")
-      else
-        spark.read
-          .parquet(affected.toSeq.map(f => table.resolve(f).toString): _*)
-          .as("t")
-          .join(batch.as("s"), Seq(key), "full_outer")
-          .filter(col("s.op").isNull || col("s.op") =!= "delete")
-          .select(col(key) +: valueCols.toSeq.map(c =>
-            when(col("s.op").isNotNull, col(s"s.$c"))
-              .otherwise(col(s"t.$c")).as(c)): _*)
-    merged.coalesce(1).write.parquet(table.resolve(subdir).toString)
-    // New files' stats cost one O(batch) scan; survivors' stats carry
-    // forward, so every merge commit leaves a fully stats-bearing tip.
-    val newFiles = parquetsUnder(table, subdir)
-    val newStats = keyStats(spark, table, newFiles, key)
-    commitRetry(table, "merge",
-      t => t.files.filterNot(affected) ++ newFiles,
-      statsFor = t => (ranges -- affected) ++
-        t.stats.filterNot { case (f, _) => affected(f) } ++ newStats)
+    var attempt = 0
+    var conflicts = 0
+    while (attempt < maxAttempts) {
+      val tipVersion = latest(table).getOrElse(
+        sys.error(s"mergeCowByKey needs an existing table at $table"))
+      val tip = readManifest(table, tipVersion)
+      // Affected-file planning is METADATA-ONLY when the tip's
+      // manifest carries stats for every file (any stats-bearing
+      // commit heals the chain — see below); the key-column scan is
+      // only the bootstrap path for a log created before stats
+      // existed.
+      val ranges: Map[String, (Long, Long)] =
+        if (tip.files.forall(tip.stats.contains)) tip.stats
+        else keyStats(spark, table, tip.files, key)
+      val affected = tip.files.filter { f =>
+        val (kmin, kmax) = ranges(f)
+        kmin <= bmx && kmax >= bmn
+      }.toSet
+      val merged =
+        if (affected.isEmpty)
+          batch.filter(col("op") =!= "delete").drop("op")
+        else
+          spark.read
+            .parquet(affected.toSeq.map(f => table.resolve(f).toString): _*)
+            .as("t")
+            .join(batch.as("s"), Seq(key), "full_outer")
+            .filter(col("s.op").isNull || col("s.op") =!= "delete")
+            .select(col(key) +: valueCols.toSeq.map(c =>
+              when(col("s.op").isNotNull, col(s"s.$c"))
+                .otherwise(col(s"t.$c")).as(c)): _*)
+      val attemptDir = if (attempt == 0) subdir else s"$subdir-r$attempt"
+      merged.coalesce(1).write.parquet(table.resolve(attemptDir).toString)
+      // New files' stats cost one O(batch) scan; survivors' stats
+      // carry forward, so every merge commit leaves a fully
+      // stats-bearing tip.
+      val newFiles = parquetsUnder(table, attemptDir)
+      val newStats = keyStats(spark, table, newFiles, key)
+      // A COW rewrite does NOT commute the way an append does: losing
+      // the race means the files this attempt read (and replaced) may
+      // no longer be the tip's — blindly unioning file sets would
+      // double-apply any overlapping rewrite. So the commit targets
+      // EXACTLY the observed tip version; a conflict abandons this
+      // attempt's files (left for vacuum, like any aborted write) and
+      // REPLANS the whole merge against the new tip — the
+      // serializable-writer discipline, not just retry-the-rename.
+      tryCommit(table, tipVersion, "merge",
+        tip.files.filterNot(affected) ++ newFiles,
+        (ranges -- affected) ++ newStats) match {
+        case Some(v) => return Committed(v, conflicts)
+        case None => conflicts += 1; attempt += 1
+      }
+    }
+    sys.error(s"merge lost $maxAttempts races on $table")
   }
 
   /** Compaction as a pure manifest swap: the tip's contents coalesced

@@ -116,6 +116,52 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 2L)
   }
 
+  test("concurrent overlapping merges serialize: replan on conflict, no duplicate keys") {
+    // The COW-vs-append distinction: appends commute under rebase, but
+    // two writers rewriting the SAME file must not both land their
+    // rewrites — a naive file-set union would leave the contested key
+    // twice (once in each rewrite). The loser must abandon its files
+    // and REPLAN against the new tip, so the two merges serialize.
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"c${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    Seq((1L, 0L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d0").toString)
+    val f0 = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
+    graft.operators.TxnLog.commitRetry(tbl, "create", _ => f0,
+      statsFor = _ => Map(f0.head -> (1L, 3L)))
+    val batchA = Seq((1L, 100L, "upsert")).toDF("id", "v", "op")
+    val batchB = Seq((1L, 200L, "upsert")).toDF("id", "v", "op")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.operators.TxnLog.Committed]()
+    def writer(name: String, b: org.apache.spark.sql.DataFrame): Thread =
+      new Thread(() => {
+        gate.await()
+        results.put(name,
+          graft.operators.TxnLog.mergeCowByKey(spark, tbl, b, "id", name))
+      })
+    val (wa, wb) = (writer("wa", batchA), writer("wb", batchB))
+    wa.start(); wb.start(); gate.countDown(); wa.join(); wb.join()
+    val (ca, cb) = (results.get("wa"), results.get("wb"))
+    assert(Set(ca.version, cb.version) == Set(1L, 2L))
+    assert(ca.conflicts + cb.conflicts == 1,
+      s"exactly one lost race expected, got $ca / $cb")
+    val tipV = graft.operators.TxnLog.latest(tbl).get
+    val rows = graft.operators.TxnLog.readVersion(spark, tbl, tipV)
+      .as[(Long, Long)].collect().toMap
+    // No duplicate key 1 (the naive-union corruption), untouched keys
+    // survive, and the surviving value is the SECOND committer's — the
+    // serial order the log chose.
+    assert(graft.operators.TxnLog.readVersion(spark, tbl, tipV)
+      .filter($"id" === 1L).count() == 1L)
+    assert(rows(2L) == 20L && rows(3L) == 30L)
+    val lastWriter = if (ca.version == 2L) "wa" else "wb"
+    val expected = if (lastWriter == "wa") 100L else 200L
+    assert(rows(1L) == expected,
+      s"tip must reflect the serially-last merge ($lastWriter)")
+  }
+
   test("a one-partition change batch leaves every other partition's files alone") {
     val tbl = freshTable()
     def sig(p: Int): Seq[String] =

@@ -654,18 +654,22 @@ object SourceSinkQueries {
   }
 
   /** table_concurrent_commit — the optimistic-concurrency half of the
-    * protocol, WITNESSED with a real race: two writers land their
-    * (disjoint, already-written) append batches' files, then race —
-    * gated on one latch — to commit against the same observed tip.
-    * Put-if-absent on the manifest name means exactly one wins
-    * version 1; the loser's commit is REFUSED (never silently
-    * replaced), it re-reads the tip, rebases its file set on what
-    * actually committed, and lands as version 2. Appends are
-    * commutative under rebase, so the final table is the same
-    * regardless of which writer won — which is why the aggregate is
-    * oracle-replayable even though the race itself is scheduled by
-    * the OS. Exactly one conflict is detected (the loser's single
-    * lost race), the log is contiguous, and the tip carries both
+    * protocol, WITNESSED with a staged, DETERMINISTIC race (the r12
+    * two-thread version could be serialized by the scheduler and
+    * observe zero conflicts — the flake the r12 advice flagged): two
+    * writers' (disjoint, already-written) append batches' files land
+    * first — file work is parallel and additive; only the manifest
+    * put serializes. Writer B reads the tip, and BEFORE B commits
+    * (inside commitRetry's filesFor, which runs between tip-read and
+    * tryCommit), writer A commits against that same tip and wins
+    * version 1. B's first attempt is then REFUSED by put-if-absent
+    * (never silently replaced) — a conflict guaranteed by
+    * construction, not by the scheduler — and B's retry re-reads the
+    * tip, rebases its file set on what actually committed, and lands
+    * as version 2. Appends are commutative under rebase, so the final
+    * table is the same regardless of commit order — which is why the
+    * aggregate is oracle-replayable. Exactly one conflict is
+    * detected, the log is contiguous, and the tip carries both
     * batches. At 100 TB this is the difference between concurrent
     * ingest streams corrupting a directory and a table format:
     * conflicting writers serialize through the log, non-conflicting
@@ -680,8 +684,6 @@ object SourceSinkQueries {
     orders.coalesce(2).write.parquet(tbl.resolve("d0").toString)
     TxnLog.commitRetry(tbl, "create",
       _ => TxnLog.parquetsUnder(tbl, "d0"))
-    // Both writers' data files land BEFORE the race — file work is
-    // parallel and additive; only the manifest put serializes.
     orders.filter(col("o_orderkey") % 3 === 0)
       .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
         col("cents"))
@@ -690,19 +692,18 @@ object SourceSinkQueries {
       .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
         col("cents"))
       .coalesce(1).write.parquet(tbl.resolve("dB").toString)
-    val gate = new java.util.concurrent.CountDownLatch(1)
-    val results =
-      new java.util.concurrent.ConcurrentHashMap[String, TxnLog.Committed]()
-    def writer(name: String, subdir: String): Thread = new Thread(() => {
-      gate.await()
-      results.put(name, TxnLog.commitRetry(tbl, "append",
-        tip => tip.files ++ TxnLog.parquetsUnder(tbl, subdir)))
+    var injected = false
+    var ca: Option[TxnLog.Committed] = None
+    val cb = TxnLog.commitRetry(tbl, "append", tip => {
+      if (!injected) {
+        injected = true
+        ca = Some(TxnLog.commitRetry(tbl, "append",
+          t => t.files ++ TxnLog.parquetsUnder(tbl, "dA")))
+      }
+      tip.files ++ TxnLog.parquetsUnder(tbl, "dB")
     })
-    val (wa, wb) = (writer("a", "dA"), writer("b", "dB"))
-    wa.start(); wb.start(); gate.countDown(); wa.join(); wb.join()
-    val (ca, cb) = (results.get("a"), results.get("b"))
-    val oneConflict = ca.conflicts + cb.conflicts == 1
-    val bothLanded = Set(ca.version, cb.version) == Set(1L, 2L)
+    val oneConflict = ca.get.conflicts + cb.conflicts == 1
+    val bothLanded = Set(ca.get.version, cb.version) == Set(1L, 2L)
     val vs = TxnLog.versions(tbl)
     val contiguous = vs == (0L to 2L)
     val tip = TxnLog.readManifest(tbl, 2L)

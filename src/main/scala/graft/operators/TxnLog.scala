@@ -1,6 +1,10 @@
 package graft.operators
 
-import java.nio.file.{Files, Path}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,7 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - **Manifests are the table.** A version's manifest names the exact
   *   data files (paths relative to the table root) that make up that
   *   snapshot. Data files are immutable and additive; versions share
-  *   unchanged files.
+  *   unchanged files. Manifests are rendered and parsed with a real
+  *   JSON codec (Jackson, the one Spark itself ships), so file names
+  *   containing commas/quotes/brackets round-trip instead of silently
+  *   corrupting the file list.
   * - **Commit = put-if-absent of `_log/<version>.json`.** The manifest
   *   body is written to a temp file first, then PUBLISHED with an
   *   atomic hard link (`Files.createLink`), which fails with
@@ -32,6 +39,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   the link, so a manifest is visible iff it is whole; the link is
   *   the single atomic commit point. This is the same
   *   rename-if-absent contract Delta requires of its log store.
+  *   REQUIREMENT: the log directory must live on a filesystem that
+  *   supports hard links (any local POSIX fs). On mounts that do not
+  *   (some overlay/network filesystems), the commit degrades to an
+  *   `O_CREAT|O_EXCL` write + fsync: creation is still first-writer-
+  *   wins, but a concurrent reader may observe the manifest mid-write
+  *   — the object-store caveat every log-store implementation
+  *   documents.
   * - **Optimistic concurrency.** A writer reads the latest version V,
   *   computes its new file set against V's manifest, and tries to
   *   commit V+1. A concurrent committer winning V+1 surfaces as the
@@ -54,17 +68,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
+  /** One column of the table's declared schema, with a STABLE id —
+    * the column-mapping idea (Iceberg field ids / Delta column
+    * mapping, both public designs): `physical` is the name the bytes
+    * were written under and never changes; `name` is the logical name
+    * a reader of THIS version sees; `typ` is the (possibly widened)
+    * logical type. RENAME = commit a manifest whose column keeps its
+    * id + physical but changes `name`; WIDEN = same with `typ`.
+    * Pinned readers resolve through their own manifest's mapping, so
+    * both sides of a rename read the same bytes under their own
+    * names, without rewriting a file. */
+  final case class ColumnDef(
+      id: Int, name: String, typ: String, physical: String)
+
   /** One committed snapshot: the exact file list, plus (when the
-    * writer supplied them) per-file [min, max] stats of the table's
-    * key column — the footer-stats idea lifted into the manifest, so
-    * a key-scoped MERGE plans its affected-file set from METADATA
-    * instead of scanning the tip (what Delta's add-file stats and
+    * writer supplied them) per-file [min, max] stats of `statsKey` —
+    * the footer-stats idea lifted into the manifest, so a key-scoped
+    * MERGE or a key-filtered scan plans its file set from METADATA
+    * instead of opening files (what Delta's add-file stats and
     * Iceberg's manifest column bounds do). Stats are carried forward
     * for surviving files on every commit, so one stats-bearing commit
-    * heals the whole chain. */
+    * heals the whole chain. `partitions` carries per-file partition
+    * values (the Iceberg manifest-entry idea) so partition-filtered
+    * reads prune from metadata too; `columns` is the optional
+    * declared schema with mapping ids ([[ColumnDef]]). */
   final case class Manifest(
       version: Long, parent: Long, action: String, files: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      statsKey: Option[String] = None,
+      partitions: Map[String, Map[String, String]] = Map.empty,
+      columns: Option[Seq[ColumnDef]] = None)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -95,79 +128,138 @@ object TxnLog {
     parse(txt)
   }
 
+  // Jackson's ObjectMapper is thread-safe after configuration; Spark
+  // ships it, so the log's durable format costs no new dependency.
+  private val mapper = new ObjectMapper()
+
   def render(m: Manifest): String = {
-    val fs = m.files.map(f => "\"" + f + "\"").mkString(",")
-    val stats =
-      if (m.stats.isEmpty) ""
-      else m.stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
-        "\"" + f + "\":[" + lo + "," + hi + "]"
-      }.mkString(""","stats":{""", ",", "}")
-    s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""action":"${m.action}","files":[$fs]$stats}"""
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("parent", m.parent)
+    root.put("action", m.action)
+    val fs = root.putArray("files")
+    m.files.foreach(fs.add)
+    if (m.stats.nonEmpty) {
+      val st = root.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val a = st.putArray(f); a.add(lo); a.add(hi)
+      }
+    }
+    m.statsKey.foreach(root.put("statsKey", _))
+    if (m.partitions.nonEmpty) {
+      val pn = root.putObject("partitions")
+      m.partitions.toSeq.sortBy(_._1).foreach { case (f, kv) =>
+        val o = pn.putObject(f)
+        kv.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      }
+    }
+    m.columns.foreach { cols =>
+      val cn = root.putArray("columns")
+      cols.foreach { c =>
+        val o = cn.addObject()
+        o.put("id", c.id); o.put("name", c.name)
+        o.put("type", c.typ); o.put("physical", c.physical)
+      }
+    }
+    mapper.writeValueAsString(root)
   }
 
   def parse(txt: String): Manifest = {
-    def long(k: String): Long =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
-    val action =
-      """"action":"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
-    val filesBody =
-      """"files":\[([^\]]*)\]""".r.findFirstMatchIn(txt).get.group(1)
-    val files =
-      if (filesBody.isEmpty) Seq.empty
-      else filesBody.split(",").toSeq.map(_.trim.stripPrefix("\"")
-        .stripSuffix("\""))
-    val stats = """"stats":\{(.*)\}""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).map { body =>
-        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(body)
-          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong))
-          .toMap
-      }.getOrElse(Map.empty[String, (Long, Long)])
-    Manifest(long("version"), long("parent"), action, files, stats)
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(txt)
+    val stats = Option(n.get("stats")).map { st =>
+      st.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong)
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    val partitions = Option(n.get("partitions")).map { pn =>
+      pn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala
+          .map(kv => kv.getKey -> kv.getValue.asText).toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
+    val columns = Option(n.get("columns")).map { cn =>
+      cn.elements().asScala.map { c =>
+        ColumnDef(c.get("id").asInt, c.get("name").asText,
+          c.get("type").asText, c.get("physical").asText)
+      }.toSeq
+    }
+    Manifest(
+      n.get("version").asLong, n.get("parent").asLong,
+      n.get("action").asText,
+      n.get("files").elements().asScala.map(_.asText).toSeq,
+      stats,
+      Option(n.get("statsKey")).map(_.asText),
+      partitions, columns)
   }
 
-  /** One optimistic commit attempt of `parent + 1`. Returns the new
-    * version, or None iff another committer won that version (the
-    * put-if-absent failure) — any other I/O failure propagates. */
-  def tryCommit(
-      table: Path, parent: Long, action: String,
-      files: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
-    val version = parent + 1
+  /** One optimistic commit attempt of `m.version = parent + 1`.
+    * Returns the new version, or None iff another committer won that
+    * version (the put-if-absent failure) — any other I/O failure
+    * propagates. */
+  def tryCommitManifest(table: Path, m: Manifest): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
+    val bytes =
+      render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val target = manifestPath(table, m.version)
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
     try {
-      Files.write(tmp,
-        render(Manifest(version, parent, action, files, stats))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(tmp, bytes)
       try {
-        Files.createLink(manifestPath(table, version), tmp)
-        Some(version)
+        Files.createLink(target, tmp)
+        Some(m.version)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => None
+        case _: UnsupportedOperationException =>
+          // Filesystems without hard links (overlay/network mounts):
+          // O_CREAT|O_EXCL keeps first-writer-wins; fsync before
+          // returning so the commit is durable. Weaker than the link
+          // path only in that a concurrent reader may see the file
+          // before its content lands — documented in the object doc.
+          try {
+            val ch = FileChannel.open(target,
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            try { ch.write(ByteBuffer.wrap(bytes)); ch.force(true) }
+            finally ch.close()
+            Some(m.version)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => None
+          }
       }
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Commit with rebase-and-retry: `filesFor` receives the CURRENT
-    * tip's manifest (file list empty at version -1) and returns the
-    * full file set of the new version — called again after every lost
-    * race so the writer rebases on what actually committed. Returns
-    * the committed version and how many conflicts were detected. */
-  def commitRetry(
-      table: Path, action: String,
-      filesFor: Manifest => Seq[String],
-      maxAttempts: Int = 10,
-      statsFor: Manifest => Map[String, (Long, Long)] =
-        _ => Map.empty): Committed = {
+  /** One optimistic commit attempt of `parent + 1` (file-list/stats
+    * convenience over [[tryCommitManifest]]). */
+  def tryCommit(
+      table: Path, parent: Long, action: String,
+      files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty,
+      statsKey: Option[String] = None,
+      partitions: Map[String, Map[String, String]] = Map.empty,
+      columns: Option[Seq[ColumnDef]] = None): Option[Long] =
+    tryCommitManifest(table, Manifest(parent + 1, parent, action, files,
+      stats, statsKey, partitions, columns))
+
+  /** The tip manifest, or the empty pre-create sentinel. */
+  def tip(table: Path): Manifest = latest(table)
+    .map(readManifest(table, _))
+    .getOrElse(Manifest(-1L, -2L, "none", Seq.empty))
+
+  /** Commit with rebase-and-retry, full-manifest form: `build`
+    * receives the CURRENT tip's manifest (file list empty at version
+    * -1) and returns the next manifest's CONTENT (its version/parent
+    * are overwritten to tip+1/tip) — called again after every lost
+    * race so the writer rebases on what actually committed. */
+  def commitRetryWith(
+      table: Path, build: Manifest => Manifest,
+      maxAttempts: Int = 10): Committed = {
     var conflicts = 0
     while (conflicts < maxAttempts) {
-      val tip = latest(table)
-        .map(readManifest(table, _))
-        .getOrElse(Manifest(-1L, -2L, "none", Seq.empty))
-      tryCommit(table, tip.version, action, filesFor(tip),
-        statsFor(tip)) match {
+      val t = tip(table)
+      val next = build(t).copy(version = t.version + 1, parent = t.version)
+      tryCommitManifest(table, next) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1
       }
@@ -175,9 +267,29 @@ object TxnLog {
     sys.error(s"commit lost $maxAttempts races on $table")
   }
 
+  /** Commit with rebase-and-retry: `filesFor` receives the CURRENT
+    * tip's manifest and returns the full file set of the new version.
+    * Returns the committed version and how many conflicts were
+    * detected. `statsKey` declares the column `statsFor`'s stats
+    * cover (with no-entry = no non-NULL keys); left None, the tip's
+    * declaration carries forward. */
+  def commitRetry(
+      table: Path, action: String,
+      filesFor: Manifest => Seq[String],
+      maxAttempts: Int = 10,
+      statsFor: Manifest => Map[String, (Long, Long)] =
+        _ => Map.empty,
+      statsKey: Option[String] = None): Committed =
+    commitRetryWith(table, t => Manifest(0L, 0L, action, filesFor(t),
+      statsFor(t), statsKey.orElse(t.statsKey), columns = t.columns),
+      maxAttempts)
+
   /** Per-file [min, max] of `key` for the given (relative) files — the
     * stats a commit carries so later MERGEs plan from metadata. One
-    * key-column scan of exactly those files. */
+    * key-column scan of exactly those files. A file whose key column
+    * is entirely NULL (or that holds zero rows) yields NO entry: it
+    * has no usable range, and a key-scoped merge correctly treats it
+    * as non-affected (NULL keys never equi-join). */
   def keyStats(
       spark: SparkSession, table: Path, files: Seq[String],
       key: String): Map[String, (Long, Long)] = {
@@ -187,10 +299,13 @@ object TxnLog {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
       .collect()
-      .map { r =>
-        val base = r.getString(0).split('/').last
-        val rel = files.find(_.split('/').last == base).getOrElse(base)
-        rel -> (r.getLong(1), r.getLong(2))
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else {
+          val base = r.getString(0).split('/').last
+          val rel = files.find(_.split('/').last == base).getOrElse(base)
+          Some(rel -> (r.getLong(1), r.getLong(2)))
+        }
       }.toMap
   }
 
@@ -210,21 +325,34 @@ object TxnLog {
 
   /** Key-scoped copy-on-write MERGE as a log commit: `batch` carries
     * the table's columns plus an `op` column (`upsert` / `delete`).
-    * Per-file [min, max] stats of `key` (one key-column scan of the
-    * tip today; carried in the manifest at real scale, where this
-    * becomes a metadata-only read) pick the files the batch's key
-    * range can live in; ONLY those full-outer-merge with the batch —
-    * matched upserts take the source row (provenance, not coalesce:
-    * NULL restatement works, the [[SourceSinkQueries.mergeCow]]
-    * lesson), tombstones drop, inserts land — and the commit is
-    * (tip − affected) ∪ rewritten. A batch whose keys sit beyond
-    * every file's range (pure insert) appends without reading
-    * anything. Old files survive for time travel until expiry. */
+    * Per-file [min, max] stats of `key` (from the manifest when the
+    * tip carries them — a metadata-only read; one bootstrap key-column
+    * scan otherwise) pick the files the batch's key range can live
+    * in; ONLY those full-outer-merge with the batch — matched upserts
+    * take the source row (provenance, not coalesce: NULL restatement
+    * works, the [[SourceSinkQueries.mergeCow]] lesson), tombstones
+    * drop, inserts land — and the commit is (tip − affected) ∪
+    * rewritten. A batch whose keys sit beyond every file's range
+    * (pure insert) appends without reading anything; an EMPTY batch
+    * (or one with only NULL keys, which no equi-merge can match) is a
+    * no-op returning the current tip. The rewrite fans out over
+    * `ceil(affectedBytes / targetFileBytes)` range-partitioned output
+    * files, so a merge touching many files does not funnel through
+    * one write task. Old files survive for time travel until expiry.
+    *
+    * `onPlanned(attempt)` fires after the tip is read and before this
+    * attempt commits — the staging hook deterministic race tests use
+    * to interleave a competing committer. */
   def mergeCowByKey(
       spark: SparkSession, table: Path, batch: DataFrame,
-      key: String, subdir: String, maxAttempts: Int = 10): Committed = {
+      key: String, subdir: String, maxAttempts: Int = 10,
+      targetFileBytes: Long = 128L << 20,
+      onPlanned: Int => Unit = _ => ()): Committed = {
     import org.apache.spark.sql.functions._
     val bounds = batch.agg(min(col(key)), max(col(key))).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1))
+      return Committed(latest(table).getOrElse(
+        sys.error(s"mergeCowByKey needs an existing table at $table")), 0)
     val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
     val valueCols = batch.columns.filterNot(c => c == key || c == "op")
     var attempt = 0
@@ -233,17 +361,22 @@ object TxnLog {
       val tipVersion = latest(table).getOrElse(
         sys.error(s"mergeCowByKey needs an existing table at $table"))
       val tip = readManifest(table, tipVersion)
+      onPlanned(attempt)
       // Affected-file planning is METADATA-ONLY when the tip's
-      // manifest carries stats for every file (any stats-bearing
-      // commit heals the chain — see below); the key-column scan is
-      // only the bootstrap path for a log created before stats
-      // existed.
+      // manifest DECLARES stats for this key (`statsKey` — set by
+      // every merge commit, so one merge heals the chain): under that
+      // declaration, a file with no stats entry is known to have no
+      // non-NULL keys and is never affected. Any other manifest
+      // (legacy, partial, or keyed differently) takes the bootstrap
+      // key-column scan, after which the same no-entry convention
+      // holds for the scan's own output.
       val ranges: Map[String, (Long, Long)] =
-        if (tip.files.forall(tip.stats.contains)) tip.stats
+        if (tip.statsKey.contains(key)) tip.stats
         else keyStats(spark, table, tip.files, key)
       val affected = tip.files.filter { f =>
-        val (kmin, kmax) = ranges(f)
-        kmin <= bmx && kmax >= bmn
+        ranges.get(f).exists { case (kmin, kmax) =>
+          kmin <= bmx && kmax >= bmn
+        }
       }.toSet
       val merged =
         if (affected.isEmpty)
@@ -257,13 +390,29 @@ object TxnLog {
             .select(col(key) +: valueCols.toSeq.map(c =>
               when(col("s.op").isNotNull, col(s"s.$c"))
                 .otherwise(col(s"t.$c")).as(c)): _*)
+      // Rewrite parallelism is proportional to the affected bytes —
+      // coalesce(1) would funnel a many-file rewrite through one
+      // task. Range partitioning keys the output files so their
+      // manifest stats stay disjoint.
+      val affectedBytes = affected.toSeq
+        .map(f => Files.size(table.resolve(f))).sum
+      val nOut = math.max(1L,
+        (affectedBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val out = if (nOut <= 1) merged.coalesce(1)
+        else merged.repartitionByRange(nOut, col(key))
       val attemptDir = if (attempt == 0) subdir else s"$subdir-r$attempt"
-      merged.coalesce(1).write.parquet(table.resolve(attemptDir).toString)
+      out.write.parquet(table.resolve(attemptDir).toString)
       // New files' stats cost one O(batch) scan; survivors' stats
       // carry forward, so every merge commit leaves a fully
       // stats-bearing tip.
-      val newFiles = parquetsUnder(table, attemptDir)
-      val newStats = keyStats(spark, table, newFiles, key)
+      val written = parquetsUnder(table, attemptDir)
+      val newStats = keyStats(spark, table, written, key)
+      // A delete-only rewrite can leave a ZERO-ROW parquet file (no
+      // stats row). Committing it would poison later planning with a
+      // stats-less file — drop empty outputs from the file set; keep
+      // a (rare) rows-but-all-NULL-keys file, which is data.
+      val newFiles = written.filter(f => newStats.contains(f) ||
+        !spark.read.parquet(table.resolve(f).toString).isEmpty)
       // A COW rewrite does NOT commute the way an append does: losing
       // the race means the files this attempt read (and replaced) may
       // no longer be the tip's — blindly unioning file sets would
@@ -274,7 +423,10 @@ object TxnLog {
       // serializable-writer discipline, not just retry-the-rename.
       tryCommit(table, tipVersion, "merge",
         tip.files.filterNot(affected) ++ newFiles,
-        (ranges -- affected) ++ newStats) match {
+        (ranges -- affected) ++ newStats,
+        statsKey = Some(key),
+        partitions = tip.partitions -- affected,
+        columns = tip.columns) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }
@@ -295,7 +447,8 @@ object TxnLog {
     val stats = statsKey
       .map(k => keyStats(spark, table, newFiles, k))
       .getOrElse(Map.empty[String, (Long, Long)])
-    commitRetry(table, "compact", _ => newFiles, statsFor = _ => stats)
+    commitRetryWith(table, t => Manifest(0L, 0L, "compact", newFiles,
+      stats, statsKey.orElse(t.statsKey), columns = t.columns))
   }
 
   /** Expire all but the last `retainLast` versions: their manifests

@@ -906,7 +906,8 @@ object Streaming {
     // no tip scan per batch.
     val baseFiles = TxnLog.parquetsUnder(tbl, "d0")
     TxnLog.commitRetry(tbl, "create", _ => baseFiles,
-      statsFor = _ => TxnLog.keyStats(spark, tbl, baseFiles, "o_orderkey"))
+      statsFor = _ => TxnLog.keyStats(spark, tbl, baseFiles, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
     val bounds = orders
       .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))

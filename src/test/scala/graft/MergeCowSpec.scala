@@ -100,7 +100,8 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
       .write.parquet(tbl.resolve("d0").toString)
     val f0 = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
     graft.operators.TxnLog.commitRetry(tbl, "create", _ => f0,
-      statsFor = _ => Map(f0.head -> (1000L, 2000L)))
+      statsFor = _ => Map(f0.head -> (1000L, 2000L)),
+      statsKey = Some("id"))
     val batch = Seq((1L, 111L, "upsert")).toDF("id", "v", "op")
     graft.operators.TxnLog.mergeCowByKey(spark, tbl, batch, "id", "m0")
     val tip = graft.operators.TxnLog.readManifest(tbl,
@@ -129,37 +130,133 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
       .write.parquet(tbl.resolve("d0").toString)
     val f0 = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
     graft.operators.TxnLog.commitRetry(tbl, "create", _ => f0,
-      statsFor = _ => Map(f0.head -> (1L, 3L)))
+      statsFor = _ => Map(f0.head -> (1L, 3L)),
+      statsKey = Some("id"))
     val batchA = Seq((1L, 100L, "upsert")).toDF("id", "v", "op")
     val batchB = Seq((1L, 200L, "upsert")).toDF("id", "v", "op")
-    val gate = new java.util.concurrent.CountDownLatch(1)
-    val results = new java.util.concurrent.ConcurrentHashMap[
-      String, graft.operators.TxnLog.Committed]()
-    def writer(name: String, b: org.apache.spark.sql.DataFrame): Thread =
-      new Thread(() => {
-        gate.await()
-        results.put(name,
-          graft.operators.TxnLog.mergeCowByKey(spark, tbl, b, "id", name))
+    // Staged, DETERMINISTIC interleaving (the r12 two-thread version
+    // could be serialized by the scheduler and detect 0 conflicts):
+    // writer A reads the tip, and — via the onPlanned hook, i.e.
+    // before A commits — writer B runs its WHOLE merge against that
+    // same tip. A's first commit then necessarily loses put-if-absent
+    // and must replan against B's tip.
+    var injected = false
+    val cb = new java.util.concurrent.atomic.AtomicReference[
+      graft.operators.TxnLog.Committed]()
+    val ca = graft.operators.TxnLog.mergeCowByKey(
+      spark, tbl, batchA, "id", "wa",
+      onPlanned = _ => if (!injected) {
+        injected = true
+        cb.set(graft.operators.TxnLog.mergeCowByKey(
+          spark, tbl, batchB, "id", "wb"))
       })
-    val (wa, wb) = (writer("wa", batchA), writer("wb", batchB))
-    wa.start(); wb.start(); gate.countDown(); wa.join(); wb.join()
-    val (ca, cb) = (results.get("wa"), results.get("wb"))
-    assert(Set(ca.version, cb.version) == Set(1L, 2L))
-    assert(ca.conflicts + cb.conflicts == 1,
-      s"exactly one lost race expected, got $ca / $cb")
+    assert(cb.get == graft.operators.TxnLog.Committed(1L, 0))
+    assert(ca == graft.operators.TxnLog.Committed(2L, 1),
+      s"A must lose exactly its first race and land as v2, got $ca")
     val tipV = graft.operators.TxnLog.latest(tbl).get
     val rows = graft.operators.TxnLog.readVersion(spark, tbl, tipV)
       .as[(Long, Long)].collect().toMap
     // No duplicate key 1 (the naive-union corruption), untouched keys
-    // survive, and the surviving value is the SECOND committer's — the
-    // serial order the log chose.
+    // survive, and the surviving value is the serially-LAST merge's
+    // (A, which replanned on top of B) — deterministic by staging.
     assert(graft.operators.TxnLog.readVersion(spark, tbl, tipV)
       .filter($"id" === 1L).count() == 1L)
     assert(rows(2L) == 20L && rows(3L) == 30L)
-    val lastWriter = if (ca.version == 2L) "wa" else "wb"
-    val expected = if (lastWriter == "wa") 100L else 200L
-    assert(rows(1L) == expected,
-      s"tip must reflect the serially-last merge ($lastWriter)")
+    assert(rows(1L) == 100L,
+      "tip must reflect the serially-last merge (A's replan)")
+  }
+
+  test("log merge: empty and all-NULL-key batches are no-op commits") {
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"e${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d0").toString)
+    graft.operators.TxnLog.commitRetry(tbl, "create",
+      _ => graft.operators.TxnLog.parquetsUnder(tbl, "d0"))
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "v", "op")
+    assert(graft.operators.TxnLog
+      .mergeCowByKey(spark, tbl, empty, "id", "m0") ==
+      graft.operators.TxnLog.Committed(0L, 0))
+    val allNull = Seq((Option.empty[Long], 5L, "upsert"))
+      .toDF("id", "v", "op")
+    assert(graft.operators.TxnLog
+      .mergeCowByKey(spark, tbl, allNull, "id", "m1") ==
+      graft.operators.TxnLog.Committed(0L, 0))
+    assert(graft.operators.TxnLog.versions(tbl) == Seq(0L))
+  }
+
+  test("log merge: a delete-everything batch drops the zero-row rewrite and later merges still plan") {
+    // The r12 advice bug: a delete-only rewrite committed a zero-row
+    // parquet file, which (having no stats row) poisoned every later
+    // merge's metadata planning with a NoSuchElementException.
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"z${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    Seq((1L, 10L), (2L, 20L), (50L, 500L)).toDF("id", "v")
+      .repartitionByRange(2, $"id").sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
+    graft.operators.TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = m => graft.operators.TxnLog
+        .keyStats(spark, tbl, base, "id"),
+      statsKey = Some("id"))
+    // Delete BOTH rows of the low-range file: its rewrite is empty.
+    val wipe = Seq((1L, 0L, "delete"), (2L, 0L, "delete"))
+      .toDF("id", "v", "op")
+    graft.operators.TxnLog.mergeCowByKey(spark, tbl, wipe, "id", "m0")
+    val tip1 = graft.operators.TxnLog.readManifest(tbl,
+      graft.operators.TxnLog.latest(tbl).get)
+    assert(tip1.files.forall(tip1.stats.contains),
+      s"zero-row rewrite must not enter the file set: $tip1")
+    assert(graft.operators.TxnLog
+      .readVersion(spark, tbl, tip1.version)
+      .as[(Long, Long)].collect().toSet == Set((50L, 500L)))
+    // The formerly-poisoned path: a later merge plans from metadata.
+    val batch = Seq((1L, 111L, "upsert")).toDF("id", "v", "op")
+    graft.operators.TxnLog.mergeCowByKey(spark, tbl, batch, "id", "m1")
+    val tip2 = graft.operators.TxnLog.readManifest(tbl,
+      graft.operators.TxnLog.latest(tbl).get)
+    assert(graft.operators.TxnLog
+      .readVersion(spark, tbl, tip2.version)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 111L), (50L, 500L)))
+  }
+
+  test("log merge: rewrite fans out over multiple files when affected bytes demand it") {
+    // r12 wrote every COW rewrite through coalesce(1); at scale an
+    // affected set spanning many files must not funnel through one
+    // task. targetFileBytes below the affected size forces a
+    // range-partitioned multi-file rewrite with an identical result.
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"f${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    val rows = (1L to 400L).map(i => (i, i * 10L))
+    rows.toDF("id", "v").repartitionByRange(4, $"id")
+      .sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
+    graft.operators.TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = m => graft.operators.TxnLog
+        .keyStats(spark, tbl, base, "id"),
+      statsKey = Some("id"))
+    val batch = (1L to 400L by 2).map(i => (i, i, "upsert"))
+      .toDF("id", "v", "op")
+    graft.operators.TxnLog.mergeCowByKey(spark, tbl, batch, "id", "m0",
+      targetFileBytes = 1024L)
+    val tip = graft.operators.TxnLog.readManifest(tbl,
+      graft.operators.TxnLog.latest(tbl).get)
+    val rewritten = tip.files.filter(_.startsWith("m0/"))
+    assert(rewritten.size > 1,
+      s"expected a multi-file rewrite, got ${rewritten.size} file(s)")
+    assert(tip.files.forall(tip.stats.contains))
+    // Bit-identical contents vs the obvious sequential replay.
+    val expected = rows.map { case (i, v) =>
+      (i, if (i % 2 == 1) i else v)
+    }.toSet
+    assert(graft.operators.TxnLog
+      .readVersion(spark, tbl, tip.version)
+      .as[(Long, Long)].collect().toSet == expected)
   }
 
   test("a one-partition change batch leaves every other partition's files alone") {

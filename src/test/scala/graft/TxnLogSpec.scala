@@ -56,29 +56,40 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.readManifest(t, 1L).parent == 0L)
   }
 
-  test("two genuinely concurrent committers: one conflict, both land, contiguous log") {
+  test("staged two-committer race: exactly one conflict, both land, contiguous log") {
+    // DETERMINISTIC interleaving (the r12 two-thread version could be
+    // serialized by the scheduler and detect 0 conflicts): committer
+    // B's filesFor — which commitRetry calls after reading the tip
+    // and before its own tryCommit — injects committer A's winning
+    // commit against the SAME tip. B's first attempt then necessarily
+    // loses put-if-absent, and the retry rebases on A's tip.
     val t = freshTable()
     TxnLog.tryCommit(t, -1L, "create", Seq("base"))
-    val gate = new java.util.concurrent.CountDownLatch(1)
-    val results = new java.util.concurrent.ConcurrentHashMap[String, TxnLog.Committed]()
-    def writer(name: String, newFile: String): Thread = new Thread(() => {
-      gate.await()
-      val c = TxnLog.commitRetry(t, "append",
-        tip => tip.files :+ newFile)
-      results.put(name, c)
+    var injected = false
+    val cb = TxnLog.commitRetry(t, "append", tip => {
+      if (!injected) {
+        injected = true
+        assert(TxnLog.tryCommit(t, tip.version, "append",
+          tip.files :+ "fa") == Some(1L))
+      }
+      tip.files :+ "fb"
     })
-    val (a, b) = (writer("a", "fa"), writer("b", "fb"))
-    a.start(); b.start(); gate.countDown(); a.join(); b.join()
-    val (ca, cb) = (results.get("a"), results.get("b"))
-    // Exactly versions 1 and 2 exist, one each; total conflicts is
-    // exactly 1 (the loser of the race for version 1 retried once).
-    assert(Set(ca.version, cb.version) == Set(1L, 2L))
-    assert(ca.conflicts + cb.conflicts == 1)
+    assert(cb == TxnLog.Committed(2L, 1),
+      s"B must lose exactly its first race and land as v2, got $cb")
     assert(TxnLog.versions(t) == Seq(0L, 1L, 2L))
     // The rebase means the final tip carries BOTH writers' files.
     val tip = TxnLog.readManifest(t, 2L)
     assert(tip.files.toSet == Set("base", "fa", "fb"))
     assert(tip.parent == 1L)
+  }
+
+  test("manifests with hostile file names round-trip (real JSON, not regex)") {
+    val hostile = Seq("""a,"b".parquet""", "d]/weïrd,2.parquet")
+    val m = TxnLog.Manifest(0L, -1L, "create", hostile,
+      Map(hostile.head -> (1L, 2L)), Some("k"),
+      Map(hostile.head -> Map("year" -> "19,95")),
+      Some(Seq(TxnLog.ColumnDef(1, "a\"b", "bigint", "a,b"))))
+    assert(TxnLog.parse(TxnLog.render(m)) == m)
   }
 
   test("liveness derives from retained manifests only") {

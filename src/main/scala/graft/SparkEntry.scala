@@ -220,6 +220,9 @@ object SparkEntry {
     "table_concurrent_commit" -> ((s, dir) => SourceSinkQueries.tableConcurrentCommitQuery(s, dir)),
     "stream_cdc_maintain" -> ((s, dir) => graft.streaming.Streaming.streamCdcMaintainQuery(s, dir)),
     "table_schema_evolution" -> ((s, dir) => SourceSinkQueries.tableSchemaEvolutionQuery(s, dir)),
+    "table_connector_read" -> ((s, dir) => SourceSinkQueries.tableConnectorReadQuery(s, dir)),
+    "table_connector_skipping" -> ((s, dir) => SourceSinkQueries.tableConnectorSkippingQuery(s, dir)),
+    "table_time_travel_sql" -> ((s, dir) => SourceSinkQueries.tableTimeTravelSqlQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2663,6 +2666,69 @@ object SparkEntry {
          UNION ALL
          SELECT 1, (SELECT n FROM n0) + (SELECT na FROM a),
                 (SELECT na FROM a), 3
+         ORDER BY version""",
+    // DataSourceV2 connector reads: both snapshots replay relationally
+    // (v0 = base table, tip = base ∪ the %7 append batch); the 2-column
+    // schema width is structural.
+    "table_connector_read" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                        CAST(12345 AS BIGINT) AS cents
+                 FROM o WHERE o_orderkey % 7 = 0),
+         tip AS (SELECT * FROM o UNION ALL SELECT * FROM app)
+         SELECT 'tip' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(2 AS INT) AS n_cols
+         FROM tip
+         UNION ALL
+         SELECT 'v0', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT), 2
+         FROM o
+         ORDER BY version""",
+    // Manifest-metadata pruning: the in-range aggregate replays with
+    // the same exact integer bounds; the files-opened counts are
+    // engine-measured from the EXECUTED plans and pinned (1 of 4 for
+    // the stats-pruned range, 1 of 4 for the partition-pruned bucket,
+    // 0 for a key beyond every range).
+    "table_connector_skipping" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,
+                CAST(sum(cents) AS BIGINT) AS sum_cents_in_range,
+                CAST(4 AS INT) AS n_files_total,
+                CAST(1 AS INT) AS n_files_opened_range,
+                CAST(1 AS INT) AS n_files_opened_bucket,
+                CAST(0 AS INT) AS n_files_opened_beyond
+         FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // SQL time travel through the catalog: same snapshots as
+    // table_connector_read plus a stats-skipping WHERE at v0, all
+    // replayed with exact integer bounds.
+    "table_time_travel_sql" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                        CAST(12345 AS BIGINT) AS cents
+                 FROM o WHERE o_orderkey % 7 = 0),
+         tip AS (SELECT * FROM o UNION ALL SELECT * FROM app),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT 'tip' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents FROM tip
+         UNION ALL
+         SELECT 'v0', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT) FROM o
+         UNION ALL
+         SELECT 'v0_range', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT)
+         FROM o, r WHERE o_orderkey BETWEEN lo AND hi
          ORDER BY version""",
     // Split leakage: the exact threshold-Jaccard pair set (the
     // dedup_ngram_jaccard construction at t=0.8) joined against the

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.Sources
+import graft.sources.{GraftTables, Sources}
 import graft.sinks.Sinks
 
 /** Deterministic driver-contract queries for the scan/sink operators of
@@ -512,7 +512,7 @@ object SourceSinkQueries {
     // Stats-scoped COW: per-file min/max from ONE read-back scan picks
     // the files the slice can live in; everything else survives into
     // v2 untouched.
-    val stats = TxnLog.readVersion(spark, tbl, 0L)
+    val stats = GraftTables.read(spark, tbl, Some(0L))
       .groupBy(input_file_name().as("f"))
       .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
       .collect()
@@ -526,17 +526,19 @@ object SourceSinkQueries {
       .select(col("o_orderkey"),
         coalesce(col("cents2"), col("cents")).as("cents"))
       .coalesce(2).write.parquet(tbl.resolve("delta2").toString)
-    val v1Before = TxnLog.readVersion(spark, tbl, 0L)
+    val v1Before = GraftTables.read(spark, tbl, Some(0L))
       .agg(count(lit(1)), sum(col("cents"))).head()
     TxnLog.commitRetry(tbl, "cow", tip =>
       tip.files.filterNot(f => affectedNames(f.split('/').last)) ++
         TxnLog.parquetsUnder(tbl, "delta2"))
     // ... v2 is committed above; re-read pinned v1 AFTER the commit:
-    val v1After = TxnLog.readVersion(spark, tbl, 0L)
+    val v1After = GraftTables.read(spark, tbl, Some(0L))
       .agg(count(lit(1)), sum(col("cents"))).head()
     val scoped = affected.nonEmpty && affected.size < v1.size
+    // Reads go through the DataSourceV2 connector since round 13 — the
+    // manifest plans the scan, not a helper-resolved file list.
     def aggOf(version: Long, tag: String) =
-      TxnLog.readVersion(spark, tbl, version)
+      GraftTables.read(spark, tbl, Some(version))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"))
     aggOf(0L, "v1").unionByName(aggOf(1L, "v2"))
@@ -590,8 +592,9 @@ object SourceSinkQueries {
       .coalesce(1).write.parquet(tbl.resolve("d1").toString)
     TxnLog.commitRetry(tbl, "append",
       tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    // Versioned reads go through the DataSourceV2 connector (r13).
     def aggAt(v: Long): (Long, Long) = {
-      val r = TxnLog.readVersion(spark, tbl, v)
+      val r = GraftTables.read(spark, tbl, Some(v))
         .agg(count(lit(1)), sum(col("cents"))).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -627,7 +630,7 @@ object SourceSinkQueries {
     // ...and re-reads the SAME pinned version after it: bit-stable.
     val snapshotIsolated = aggAt(1L) == v1Pinned
     // -- v3: compaction (manifest swap, contents identical) ------------
-    TxnLog.readVersion(spark, tbl, 2L).coalesce(2)
+    GraftTables.read(spark, tbl, Some(2L)).coalesce(2)
       .write.parquet(tbl.resolve("d3").toString)
     TxnLog.commitRetry(tbl, "compact",
       _ => TxnLog.parquetsUnder(tbl, "d3"))
@@ -771,6 +774,185 @@ object SourceSinkQueries {
       versionRow(1L, mergeSchema = true))
       .toDF("version", "n_rows", "n_with_status", "n_cols")
       .orderBy("version")
+  }
+
+  /** Files the executed plan of `df` opens — the connector's pruning
+    * witness. Runs the plan with a no-op action (no driver
+    * materialization) so AQE finalizes, then walks the adaptive
+    * wrappers to the file scans. */
+  private def plannedFiles(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    df.foreach(_ => ())
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
+  }
+
+  /** table_connector_read — the transaction log as a FIRST-CLASS Spark
+    * read path ([[graft.sources.GraftDataSource]]): versioned reads go
+    * through `spark.read.format("graft").option("versionAsOf", v)`,
+    * planned by Catalyst from the manifest, instead of the
+    * [[TxnLog.readVersion]] helper resolving file lists before the
+    * plan exists. v0 is a range-sorted create (with manifest key
+    * stats), v1 an append of new keys; the pinned v0 read and the tip
+    * read both replay in the oracle, and the tip's schema width rides
+    * along. At 100 TB this is the difference between a table FORMAT
+    * and a convention: any Spark job — SQL, DataFrame, or a BI tool —
+    * reads a consistent snapshot by name, with manifest metadata (not
+    * directory listings) planning the scan. */
+  def tableConnectorReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connread").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    def aggOf(v: Option[Long], tag: String) =
+      GraftTables.read(spark, tbl, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"))
+    val nCols = GraftTables.read(spark, tbl).columns.length
+    aggOf(None, "tip").unionByName(aggOf(Some(0L), "v0"))
+      .withColumn("n_cols", lit(nCols))
+      .orderBy("version")
+  }
+
+  /** table_connector_skipping — manifest-metadata pruning measured IN
+    * THE PLAN: the table is written as four files keyed by exact
+    * value-quartile buckets of `o_orderkey` (deterministic ranges, no
+    * sampling), committed with per-file key stats AND per-file
+    * partition values (`bucket`). Three reads witness three pruning
+    * paths, each by counting the files the EXECUTED scan planned:
+    *
+    *  - a key-range filter sized to sit inside quartile 1 opens
+    *    exactly 1 of 4 files (manifest-stats skipping);
+    *  - `bucket = 2` opens exactly 1 of 4 files (partition-value
+    *    skipping, Iceberg manifest-entry style — the filter column
+    *    has NO stats, only partition metadata);
+    *  - a key beyond every file's range opens 0 files.
+    *
+    * The range aggregate itself is oracle-replayed, so the pruned
+    * plans are also proven to return the right rows. Correctness
+    * never depends on pruning (filters stay as residuals); these
+    * witnesses are about the 100 TB plan shape: a selective read
+    * opens O(qualifying files), not O(table). */
+  def tableConnectorSkippingQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connskip").resolve("orders")
+    Files.createDirectories(tbl)
+    val b = Relational.table(spark, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        least(lit(3), (col("o_orderkey") - mn) * 4 / span)
+          .cast("int").as("bucket"))
+    for (q <- 0 until 4)
+      orders.filter(col("bucket") === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val byBucket = (0 until 4).map(q =>
+      q -> TxnLog.parquetsUnder(tbl, s"b$q")).toMap
+    val files = byBucket.values.flatten.toSeq.sorted
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"),
+      partitions = byBucket.flatMap { case (q, fs) =>
+        fs.map(_ -> Map("bucket" -> q.toString))
+      }.toMap))
+    // [mn + 30% span, mn + 40% span] sits strictly inside bucket 1's
+    // value range [25%, 50%) for any span ≥ 18 — deterministic at
+    // every SF.
+    val lo = mn + span * 30 / 100
+    val hi = mn + span * 40 / 100
+    val inRange = GraftTables.read(spark, tbl)
+      .filter(col("o_orderkey").between(lo, hi))
+    val openedRange = plannedFiles(inRange).size
+    val openedBucket = plannedFiles(
+      GraftTables.read(spark, tbl).filter(col("bucket") === 2)).size
+    val openedBeyond = plannedFiles(
+      GraftTables.read(spark, tbl)
+        .filter(col("o_orderkey") === mx + 12345L)).size
+    inRange.agg(
+      count(lit(1)).as("n_rows_in_range"),
+      sum(col("cents")).as("sum_cents_in_range"))
+      .select(col("n_rows_in_range"), col("sum_cents_in_range"),
+        lit(4).as("n_files_total"),
+        lit(openedRange).as("n_files_opened_range"),
+        lit(openedBucket).as("n_files_opened_bucket"),
+        lit(openedBeyond).as("n_files_opened_beyond"))
+  }
+
+  /** table_time_travel_sql — `VERSION AS OF` in plain SQL, resolved
+    * through [[graft.sources.GraftCatalog]]'s
+    * `loadTable(ident, version)` (the v2 time-travel contract): the
+    * catalog registers on the LIVE session, the identifier is the
+    * table path, and both the pinned and tip queries — including one
+    * with a key-range WHERE that exercises manifest-stats skipping
+    * under SQL — replay in the oracle. The SQL surface matters at
+    * scale because it is what non-engine tools speak: time travel
+    * that only a library API can reach is not table-format time
+    * travel. */
+  def tableTimeTravelSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conntt").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    GraftTables.registerCatalog(spark)
+    val bnd = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (bnd.getLong(0), bnd.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) * 30 / 100, mn + (mx - mn) * 40 / 100)
+    spark.sql(
+      s"""SELECT 'tip' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM graft.`$tbl`
+         UNION ALL
+         SELECT 'v0', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT)
+         FROM graft.`$tbl` VERSION AS OF 0
+         UNION ALL
+         SELECT 'v0_range', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT)
+         FROM graft.`$tbl` VERSION AS OF 0
+         WHERE o_orderkey BETWEEN $lo AND $hi
+         ORDER BY version""")
   }
 
   /** pipeline_lakehouse — the round's table-ops CAPSTONE: one CDC

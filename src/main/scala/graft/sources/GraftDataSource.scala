@@ -1,0 +1,339 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TxnLog
+
+/** The transaction log ([[TxnLog]]) as a FIRST-CLASS Spark read path —
+  * a DataSourceV2 connector, so snapshot reads are planned by Catalyst
+  * from the manifest instead of resolved by helper calls before the
+  * plan exists:
+  *
+  * ```
+  * spark.read.format("graft").option("versionAsOf", 1).load(path)
+  * spark.sql(s"SELECT ... FROM graft.`$path` VERSION AS OF 1")   // via GraftCatalog
+  * ```
+  *
+  * What the connector adds over [[TxnLog.readVersion]] (which remains
+  * the thin helper API):
+  *
+  *  - **Manifest-stats file skipping.** Pushed-down filters on the
+  *    manifest's declared `statsKey` prune files whose committed
+  *    [min, max] range cannot match, BEFORE any file is opened — the
+  *    Delta add-file-stats / Iceberg manifest-bounds idea, surfaced
+  *    as fewer partitions in the plan (assertable via the scan's file
+  *    index). Under the statsKey convention a file with NO stats
+  *    entry holds no non-NULL keys, so a key predicate prunes it too.
+  *  - **Partition pruning from metadata.** Per-file partition values
+  *    carried in the manifest ([[TxnLog.Manifest.partitions]]) prune
+  *    on equality/IN predicates over partition columns, Iceberg
+  *    manifest-entry style — no directory listing, no file opens.
+  *  - **Time travel in SQL.** [[GraftCatalog]] implements
+  *    `TableCatalog.loadTable(ident, version)`, which is exactly what
+  *    Spark's `VERSION AS OF` resolution calls.
+  *
+  * The scan itself DELEGATES to Spark's own parquet scan over the
+  * pruned file list (an [[InMemoryFileIndex]] of exactly the
+  * surviving manifest entries + [[ParquetScanBuilder]]), so
+  * whole-stage codegen, vectorized reading, row-group statistics
+  * pushdown, and column pruning all apply unchanged — the connector's
+  * job is only WHICH files exist, which is what a table format is.
+  * Correctness does not depend on pruning: every pushed filter is
+  * also reported back as a residual, so Spark re-applies it post-scan.
+  *
+  * At 100 TB: planning cost is O(manifest entries) driver-side
+  * metadata — no listing, no footer reads for pruned files — and the
+  * data path is Spark's parquet reader at full parallelism over only
+  * the qualifying files. */
+class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTables.resolve(options.asCaseSensitiveMap().asScala.toMap).schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(GraftTables.resolve(properties.asScala.toMap))
+}
+
+/** One pinned snapshot: the table root, the resolved manifest, and
+  * the schema a reader of THIS version sees. */
+final case class GraftSnapshot(
+    root: Path, manifest: TxnLog.Manifest, schema: StructType) {
+  def absFiles: Seq[String] =
+    manifest.files.map(f => root.resolve(f).toString)
+}
+
+object GraftTables {
+
+  /** Resolve `path` (+ optional `versionAsOf`) to a pinned snapshot.
+    * Schema comes from the manifest's declared columns when present
+    * (metadata-only), else from the files' parquet footers with
+    * schema merging (so an additive-evolution tip unions old and new
+    * file schemas, exactly like [[TxnLog.readVersion]] with
+    * mergeSchema). */
+  def resolve(options: Map[String, String]): GraftSnapshot = {
+    val path = options.getOrElse("path",
+      sys.error("graft source requires a path"))
+    val root = Paths.get(path)
+    val version = options.get("versionAsOf").map(_.toLong)
+      .orElse(TxnLog.latest(root))
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val m = TxnLog.readManifest(root, version)
+    val schema = m.columns match {
+      case Some(cols) =>
+        StructType.fromDDL(
+          cols.map(c => s"`${c.name}` ${c.typ}").mkString(", "))
+      case None =>
+        require(m.files.nonEmpty, s"version $version of $root is empty " +
+          "and declares no schema — commit columns to read it")
+        SparkSession.active.read.option("mergeSchema", "true")
+          .parquet(m.files.map(f => root.resolve(f).toString): _*)
+          .schema
+    }
+    GraftSnapshot(root, m, schema)
+  }
+
+  /** Reader-side convenience: `read(spark, table, Some(v))` ==
+    * `spark.read.format("graft").option("versionAsOf", v).load(...)`. */
+  def read(spark: SparkSession, table: Path,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft")
+    versionAsOf.foreach(v => r.option("versionAsOf", v.toString))
+    r.load(table.toString)
+  }
+
+  /** Register [[GraftCatalog]] as catalog `graft` on a LIVE session
+    * (catalog configs are resolved lazily, so a runtime conf set is
+    * enough — no restart). Enables `FROM graft.`/abs/path`` and
+    * `VERSION AS OF` in SQL. Idempotent. */
+  def registerCatalog(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+}
+
+final class GraftTable(snap: GraftSnapshot) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft.`${snap.root}` @ v${snap.manifest.version}"
+
+  override def schema(): StructType = snap.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, snap, options)
+}
+
+/** Captures pushed-down filters, prunes the manifest's file list from
+  * its metadata (key stats + partition values), then builds Spark's
+  * own parquet scan over the survivors. All filters are returned as
+  * residuals — pruning is an optimization, never a correctness
+  * dependency. */
+final class GraftScanBuilder(
+    spark: SparkSession, snap: GraftSnapshot,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = snap.schema
+  private var pushedExprs: Seq[Expression] = Seq.empty
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    filters // every filter stays a residual; we only use them to skip files
+  }
+
+  // Filter display/dedup happens on the delegated ParquetScan (whose
+  // own pushed filters show in explain); nothing extra to report here.
+  override def pushedFilters(): Array[Predicate] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan = {
+    val kept = GraftPruning.prune(snap.manifest, pushedExprs)
+    val index = new InMemoryFileIndex(spark,
+      kept.map(f => new HPath(snap.root.resolve(f).toUri)),
+      Map.empty[String, String], Some(snap.schema))
+    val inner = ParquetScanBuilder(spark, index, snap.schema,
+      snap.schema, options)
+    inner.pushFilters(pushedExprs)
+    inner.pruneColumns(requiredSchema)
+    inner.build()
+  }
+}
+
+object GraftPruning {
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+
+  /** One pushed comparison `col <op> literal` (either operand order),
+    * normalized so the attribute is on the left. */
+  private object Cmp {
+    def unapply(e: Expression): Option[(String, Any, String)] = e match {
+      case EqualTo(a: Attribute, Literal(v, _)) => Some((a.name, v, "="))
+      case EqualTo(Literal(v, _), a: Attribute) => Some((a.name, v, "="))
+      case GreaterThan(a: Attribute, Literal(v, _)) => Some((a.name, v, ">"))
+      case GreaterThan(Literal(v, _), a: Attribute) => Some((a.name, v, "<"))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => Some((a.name, v, ">="))
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => Some((a.name, v, "<="))
+      case LessThan(a: Attribute, Literal(v, _)) => Some((a.name, v, "<"))
+      case LessThan(Literal(v, _), a: Attribute) => Some((a.name, v, ">"))
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) => Some((a.name, v, "<="))
+      case LessThanOrEqual(Literal(v, _), a: Attribute) => Some((a.name, v, ">="))
+      case _ => None
+    }
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** The files of `m` a scan with the given pushed filters must open:
+    * metadata-only pruning on (a) the declared statsKey's committed
+    * [min, max] per file and (b) per-file partition values. Any
+    * filter shape not understood keeps the file — conservative by
+    * construction. */
+  def prune(m: TxnLog.Manifest,
+      filters: Seq[Expression]): Seq[String] = {
+    val keyBounds = m.statsKey.map { k =>
+      filters.foldLeft((Long.MinValue, Long.MaxValue)) {
+        case (acc, f) => intersect(acc, boundsOf(k, f))
+      }
+    }
+    val partEq: Map[String, Set[String]] = filters.flatMap {
+      case Cmp(c, v, "=") => Some(c -> Set(String.valueOf(v)))
+      case In(a: Attribute, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name ->
+          vs.map(l => String.valueOf(l.asInstanceOf[Literal].value)).toSet)
+      case _ => None
+    }.groupMapReduce(_._1)(_._2)(_ intersect _)
+    m.files.filter { f =>
+      val statsOk = keyBounds.forall { case (lo, hi) =>
+        if (lo == Long.MinValue && hi == Long.MaxValue) true
+        else m.stats.get(f) match {
+          // Under the statsKey convention, no entry = no non-NULL
+          // keys, and a key predicate never matches NULL.
+          case None => false
+          case Some((kmin, kmax)) => kmin <= hi && kmax >= lo
+        }
+      }
+      val partsOk = m.partitions.get(f) match {
+        case None => true
+        case Some(values) => values.forall { case (col, v) =>
+          partEq.get(col).forall(_.contains(v))
+        }
+      }
+      statsOk && partsOk
+    }
+  }
+
+  /** [lo, hi] implied for column `k` by one pushed conjunct; the full
+    * range when the conjunct says nothing usable about `k`. The open
+    * bounds of strict comparisons are kept closed — a safe
+    * over-approximation. */
+  private def boundsOf(k: String, f: Expression): (Long, Long) = {
+    val full = (Long.MinValue, Long.MaxValue)
+    f match {
+      case Cmp(c, v, op) if c == k =>
+        asLong(v).fold(full)(l => op match {
+          case "=" => (l, l)
+          case ">" | ">=" => (l, Long.MaxValue)
+          case "<" | "<=" => (Long.MinValue, l)
+        })
+      case In(a: Attribute, vs) if a.name == k && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.flatMap(l => asLong(l.asInstanceOf[Literal].value))
+        if (ls.size != vs.size) full else (ls.min, ls.max)
+      case And(l, r) =>
+        intersect(boundsOf(k, l), boundsOf(k, r))
+      case Or(l, r) =>
+        val (ll, lh) = boundsOf(k, l); val (rl, rh) = boundsOf(k, r)
+        (math.min(ll, rl), math.max(lh, rh))
+      case _ => full
+    }
+  }
+
+  private def intersect(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (math.max(a._1, b._1), math.min(a._2, b._2))
+}
+
+/** `TableCatalog` over transaction-logged table paths: the identifier
+  * IS the table root (``graft.`/abs/path` ``), and Spark's
+  * `VERSION AS OF n` resolves through `loadTable(ident, version)` —
+  * the v2 time-travel contract. Read-only: the write path is the
+  * commit protocol ([[TxnLog]]), not SQL DDL. */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): Path =
+    Paths.get((ident.namespace :+ ident.name).mkString("/"))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!Files.isDirectory(TxnLog.logDir(root)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    new GraftTable(GraftTables.resolve(Map("path" -> root.toString)))
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftTable(GraftTables.resolve(Map(
+      "path" -> rootOf(ident).toString, "versionAsOf" -> version)))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.isDirectory(TxnLog.logDir(rootOf(ident)))
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created through the TxnLog commit protocol")
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve through the TxnLog commit protocol")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables are paths")
+}

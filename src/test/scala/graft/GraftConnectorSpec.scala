@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal, Or, Remainder}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.TxnLog
+import graft.sources.{GraftPruning, GraftTables}
+
+/** The DataSourceV2 read path over the transaction log: version
+  * pinning, manifest-stats file skipping (plan-asserted: a
+  * key-filtered read opens ONLY stats-qualifying files), partition
+  * pruning from manifest metadata, and SQL `VERSION AS OF` through
+  * [[graft.sources.GraftCatalog]]. */
+class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** A 4-file table of keys 1..100 split by exact value quartiles
+    * (deterministic file ranges), committed with stats + statsKey. */
+  private def quartileTable(): Path = {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"t${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    val rows = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+    for (q <- 0 until 4)
+      rows.filter($"id".between(q * 25 + 1, (q + 1) * 25))
+        .coalesce(1).write.parquet(tbl.resolve(s"q$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"q$q"))
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"))
+    tbl
+  }
+
+  /** Files the executed plan's (pruned) scan would open. */
+  private def plannedFiles(df: DataFrame): Seq[String] = {
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
+  }
+
+  test("format(graft) reads the tip and pins versionAsOf") {
+    val tbl = quartileTable()
+    Seq((1000L, 1L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    assert(GraftTables.read(spark, tbl).count() == 101L)
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(tbl.toString).agg(sum($"v")).head.getLong(0) ==
+      (1L to 100L).map(_ * 10).sum)
+  }
+
+  test("a key-filtered read opens ONLY stats-qualifying files") {
+    val tbl = quartileTable()
+    val df = GraftTables.read(spark, tbl)
+      .filter($"id" >= 30L && $"id" <= 40L)
+    val opened = plannedFiles(df)
+    assert(opened.size == 1 && opened.head.contains("/q1/"),
+      s"[30,40] lives only in quartile file q1 (26..50); opened $opened")
+    assert(df.select(sum($"v")).head.getLong(0) == (30L to 40L).map(_ * 10).sum)
+    // Cross-quartile range: exactly the two covering files.
+    val df2 = GraftTables.read(spark, tbl)
+      .filter($"id".between(20L, 30L))
+    val opened2 = plannedFiles(df2)
+    assert(opened2.size == 2 &&
+      opened2.exists(_.contains("/q0/")) && opened2.exists(_.contains("/q1/")),
+      s"[20,30] spans q0+q1; opened $opened2")
+    assert(df2.count() == 11L)
+  }
+
+  test("a key predicate beyond every file's range opens nothing") {
+    val tbl = quartileTable()
+    val df = GraftTables.read(spark, tbl).filter($"id" === 5000L)
+    assert(df.count() == 0L)
+    assert(plannedFiles(df).isEmpty,
+      "no file's [min,max] contains 5000 — the scan must plan zero files")
+  }
+
+  test("partition values in the manifest prune partition-filtered reads") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"p${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    for (y <- Seq(1995, 1996, 1997))
+      (1L to 10L).map(i => (i, y)).toDF("id", "year")
+        .coalesce(1).write.parquet(tbl.resolve(s"y$y").toString)
+    val byYear = Seq(1995, 1996, 1997).map(y =>
+      y -> TxnLog.parquetsUnder(tbl, s"y$y")).toMap
+    val files = byYear.values.flatten.toSeq.sorted
+    TxnLog.commitRetry(tbl, "create", _ => files)
+    // Partition values ride the NEXT commit (manifest-only change).
+    TxnLog.commitRetryWith(tbl, tip => tip.copy(action = "set-partitions",
+      partitions = byYear.flatMap { case (y, fs) =>
+        fs.map(_ -> Map("year" -> y.toString))
+      }))
+    val df = GraftTables.read(spark, tbl).filter($"year" === 1996)
+    val opened = plannedFiles(df)
+    assert(opened.size == 1 && opened.head.contains("/y1996/"),
+      s"year=1996 must open one file; opened $opened")
+    assert(df.count() == 10L)
+    // A non-partition filter keeps every file.
+    assert(plannedFiles(GraftTables.read(spark, tbl)
+      .filter($"id" === 3L)).size == 3)
+  }
+
+  test("SQL VERSION AS OF resolves through the graft catalog") {
+    val tbl = quartileTable()
+    Seq((1000L, 1L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    GraftTables.registerCatalog(spark)
+    val pinned = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$tbl` VERSION AS OF 0")
+      .head.getLong(0)
+    val tip = spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl`")
+      .head.getLong(0)
+    assert(pinned == 100L && tip == 101L)
+    // Stats skipping composes with SQL reads too.
+    val df = spark.sql(
+      s"SELECT sum(v) AS s FROM graft.`$tbl` VERSION AS OF 0 " +
+        "WHERE id BETWEEN 30 AND 40")
+    assert(df.head.getLong(0) == (30L to 40L).map(_ * 10).sum)
+  }
+
+  test("pruning is conservative: opaque predicate shapes keep every file") {
+    val id = AttributeReference("id", LongType)()
+    val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),
+      Map("a" -> (1L, 50L), "b" -> (51L, 100L)), Some("id"))
+    // id % 2 = 0 says nothing about ranges — keep both files.
+    assert(GraftPruning.prune(m,
+      Seq(EqualTo(Remainder(id, Literal(2L)), Literal(0L)))) ==
+      Seq("a", "b"))
+    // OR widens to the union of both branches' ranges.
+    assert(GraftPruning.prune(m,
+      Seq(Or(EqualTo(id, Literal(5L)), EqualTo(id, Literal(60L))))) ==
+      Seq("a", "b"))
+    assert(GraftPruning.prune(m,
+      Seq(Or(EqualTo(id, Literal(5L)), EqualTo(id, Literal(7L))))) ==
+      Seq("a"))
+    // Conjuncts intersect: 40 <= id AND id <= 45 prunes file b.
+    assert(GraftPruning.prune(m,
+      Seq(GreaterThanOrEqual(id, Literal(40L)),
+        LessThanOrEqual(id, Literal(45L)))) == Seq("a"))
+    // A stats-less file under a declared statsKey holds no non-NULL
+    // keys: a key predicate prunes it, an opaque one keeps it.
+    val m2 = m.copy(stats = Map("a" -> (1L, 50L)))
+    assert(GraftPruning.prune(m2, Seq(EqualTo(id, Literal(60L)))) ==
+      Seq.empty)
+    assert(GraftPruning.prune(m2, Seq.empty) == Seq("a", "b"))
+  }
+}

@@ -223,6 +223,7 @@ object SparkEntry {
     "table_connector_read" -> ((s, dir) => SourceSinkQueries.tableConnectorReadQuery(s, dir)),
     "table_connector_skipping" -> ((s, dir) => SourceSinkQueries.tableConnectorSkippingQuery(s, dir)),
     "table_time_travel_sql" -> ((s, dir) => SourceSinkQueries.tableTimeTravelSqlQuery(s, dir)),
+    "table_column_mapping" -> ((s, dir) => SourceSinkQueries.tableColumnMappingQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2706,6 +2707,25 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Column mapping: both versions read the SAME bytes (sum replays
+    // once from orders, in cents); names/types per version and the
+    // 1-of-4 files-opened pruning witness are engine-measured.
+    "table_column_mapping" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS INT) AS cents
+               FROM orders)
+         SELECT 'tip' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_value,
+                'cents_total' AS value_col, 'bigint' AS value_type,
+                'order_id' AS key_col,
+                CAST(1 AS INT) AS n_files_opened_range
+         FROM o
+         UNION ALL
+         SELECT 'v0', CAST(count(*) AS BIGINT),
+                CAST(sum(cents) AS BIGINT),
+                'cents', 'int', 'o_orderkey', 1
+         FROM o
+         ORDER BY version""",
     // SQL time travel through the catalog: same snapshots as
     // table_connector_read plus a stats-skipping WHERE at v0, all
     // replayed with exact integer bounds.

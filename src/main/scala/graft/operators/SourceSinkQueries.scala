@@ -795,6 +795,9 @@ object SourceSinkQueries {
     }
     flatten(df.queryExecution.executedPlan).collect {
       case b: BatchScanExec => b.scan
+    }.map {
+      case r: graft.sources.LogicalRenameScan => r.inner
+      case s => s
     }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
   }
 
@@ -904,6 +907,68 @@ object SourceSinkQueries {
         lit(openedRange).as("n_files_opened_range"),
         lit(openedBucket).as("n_files_opened_bucket"),
         lit(openedBeyond).as("n_files_opened_beyond"))
+  }
+
+  /** table_column_mapping — RENAME and TYPE-WIDENING as manifest-only
+    * commits via column-mapping ids ([[TxnLog.ColumnDef]]): v0 writes
+    * physical bytes `(o_orderkey bigint, cents int)` as four
+    * deterministic key-bucket files; v1 renames BOTH columns
+    * (`order_id`, `cents_total`) and widens cents to bigint without
+    * rewriting a byte — the manifest's column list changes, the file
+    * list does not. Each column keeps its stable id and physical
+    * name, so the PINNED v0 reader still sees the original names and
+    * the narrow type, while the tip reader gets the new names with
+    * int32 pages widened in the vectorized read — both from the same
+    * files. Manifest-stats skipping survives the rename (the
+    * connector rewrites pushed logical names to physical before
+    * pruning): the same 30–40% key-range filter opens 1 of 4 files
+    * under BOTH versions' names, measured from the executed plans.
+    * At 100 TB a rename/widen is one manifest put; the alternative is
+    * rewriting the table. */
+  def tableColumnMappingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmap").resolve("orders")
+    Files.createDirectories(tbl)
+    val b = Relational.table(spark, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("int").as("cents"),
+        least(lit(3), (col("o_orderkey") - mn) * 4 / span)
+          .cast("int").as("bkt"))
+    for (q <- 0 until 4)
+      orders.filter(col("bkt") === q).drop("bkt")
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "o_orderkey", "bigint", "o_orderkey"),
+        TxnLog.ColumnDef(2, "cents", "int", "cents")))))
+    // v1: rename both columns + widen cents — a manifest-only commit.
+    TxnLog.commitRetryWith(tbl, tip => tip.copy(action = "evolve-schema",
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "order_id", "bigint", "o_orderkey"),
+        TxnLog.ColumnDef(2, "cents_total", "bigint", "cents")))))
+    val (lo, hi) = (mn + span * 30 / 100, mn + span * 40 / 100)
+    def versionRow(v: Option[Long], tag: String, keyCol: String,
+        valCol: String) = {
+      val df = GraftTables.read(spark, tbl, v)
+      val opened = plannedFiles(
+        df.filter(col(keyCol).between(lo, hi))).size
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(col(valCol)).cast("long").as("sum_value"))
+        .select(lit(tag).as("version"), col("n_rows"), col("sum_value"),
+          lit(valCol).as("value_col"),
+          lit(df.schema(valCol).dataType.simpleString).as("value_type"),
+          lit(keyCol).as("key_col"),
+          lit(opened).as("n_files_opened_range"))
+    }
+    versionRow(None, "tip", "order_id", "cents_total")
+      .unionByName(versionRow(Some(0L), "v0", "o_orderkey", "cents"))
+      .orderBy("version")
   }
 
   /** table_time_travel_sql — `VERSION AS OF` in plain SQL, resolved

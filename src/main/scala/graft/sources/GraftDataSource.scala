@@ -78,12 +78,32 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     new GraftTable(GraftTables.resolve(properties.asScala.toMap))
 }
 
-/** One pinned snapshot: the table root, the resolved manifest, and
-  * the schema a reader of THIS version sees. */
+/** One pinned snapshot: the table root, the resolved manifest, the
+  * LOGICAL schema a reader of THIS version sees, and the PHYSICAL
+  * schema the bytes were written under (same positions and logical
+  * types, possibly different names — the column-mapping contract;
+  * identical when the manifest declares no mapping). */
 final case class GraftSnapshot(
-    root: Path, manifest: TxnLog.Manifest, schema: StructType) {
+    root: Path, manifest: TxnLog.Manifest, schema: StructType,
+    physicalSchema: StructType) {
   def absFiles: Seq[String] =
     manifest.files.map(f => root.resolve(f).toString)
+
+  def isMapped: Boolean = schema != physicalSchema
+
+  /** physical name of a logical column (identity when unmapped). */
+  def physicalOf(logical: String): String =
+    schema.fieldNames.indexOf(logical) match {
+      case -1 => logical
+      case i => physicalSchema.fieldNames(i)
+    }
+
+  /** logical name of a physical column (identity when unmapped). */
+  def logicalOf(physical: String): String =
+    physicalSchema.fieldNames.indexOf(physical) match {
+      case -1 => physical
+      case i => schema.fieldNames(i)
+    }
 }
 
 object GraftTables {
@@ -102,18 +122,28 @@ object GraftTables {
       .orElse(TxnLog.latest(root))
       .getOrElse(sys.error(s"no committed version at $root"))
     val m = TxnLog.readManifest(root, version)
-    val schema = m.columns match {
+    m.columns match {
       case Some(cols) =>
-        StructType.fromDDL(
+        // Declared schema with mapping ids: logical = what this
+        // version's reader sees; physical = the immutable names the
+        // bytes carry. Types are LOGICAL on both sides — Spark 4's
+        // parquet reader widens narrower physical types (int32 →
+        // bigint etc.) during the vectorized read, which is what
+        // makes type widening a manifest-only commit.
+        val logical = StructType.fromDDL(
           cols.map(c => s"`${c.name}` ${c.typ}").mkString(", "))
+        val physical = StructType.fromDDL(
+          cols.map(c => s"`${c.physical}` ${c.typ}").mkString(", "))
+        GraftSnapshot(root, m, logical, physical)
       case None =>
         require(m.files.nonEmpty, s"version $version of $root is empty " +
           "and declares no schema — commit columns to read it")
-        SparkSession.active.read.option("mergeSchema", "true")
+        val inferred = SparkSession.active.read
+          .option("mergeSchema", "true")
           .parquet(m.files.map(f => root.resolve(f).toString): _*)
           .schema
+        GraftSnapshot(root, m, inferred, inferred)
     }
-    GraftSnapshot(root, m, schema)
   }
 
   /** Reader-side convenience: `read(spark, table, Some(v))` ==
@@ -176,16 +206,52 @@ final class GraftScanBuilder(
     requiredSchema = required
 
   override def build(): Scan = {
-    val kept = GraftPruning.prune(snap.manifest, pushedExprs)
+    // Pruning compares filters (logical names) against manifest
+    // metadata (physical names: statsKey and partition columns are
+    // declared against the bytes) — rewrite the filters to physical
+    // first; identity when the manifest declares no mapping.
+    val physFilters =
+      if (!snap.isMapped) pushedExprs
+      else pushedExprs.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.withName(snap.physicalOf(a.name))
+      })
+    val kept = GraftPruning.prune(snap.manifest, physFilters)
     val index = new InMemoryFileIndex(spark,
       kept.map(f => new HPath(snap.root.resolve(f).toUri)),
-      Map.empty[String, String], Some(snap.schema))
-    val inner = ParquetScanBuilder(spark, index, snap.schema,
-      snap.schema, options)
-    inner.pushFilters(pushedExprs)
-    inner.pruneColumns(requiredSchema)
-    inner.build()
+      Map.empty[String, String], Some(snap.physicalSchema))
+    val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
+      snap.physicalSchema, options)
+    inner.pushFilters(physFilters)
+    val physRequired = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = snap.physicalOf(f.name))))
+    inner.pruneColumns(physRequired)
+    val scan = inner.build()
+    if (!snap.isMapped) scan
+    else new LogicalRenameScan(scan, snap)
   }
+}
+
+/** Positional rename of a mapped scan's output back to LOGICAL names:
+  * the inner parquet scan reads physical columns (rows are positional
+  * `InternalRow`s, so names are plan metadata only), and this wrapper
+  * reports the same fields — same positions, same types — under the
+  * names the pinned manifest declares. This is what makes RENAME a
+  * manifest-only commit: both the pre-rename and post-rename reader
+  * scan the same bytes and surface them under their own version's
+  * names. */
+final class LogicalRenameScan(val inner: Scan, snap: GraftSnapshot)
+  extends Scan {
+
+  override def readSchema(): StructType =
+    StructType(inner.readSchema().fields.map(f =>
+      f.copy(name = snap.logicalOf(f.name))))
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+
+  override def description(): String =
+    s"GraftMapped(${inner.description()})"
 }
 
 object GraftPruning {

@@ -52,6 +52,9 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     }
     flatten(df.queryExecution.executedPlan).collect {
       case b: BatchScanExec => b.scan
+    }.map {
+      case r: graft.sources.LogicalRenameScan => r.inner
+      case s => s
     }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
   }
 
@@ -138,6 +141,55 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       s"SELECT sum(v) AS s FROM graft.`$tbl` VERSION AS OF 0 " +
         "WHERE id BETWEEN 30 AND 40")
     assert(df.head.getLong(0) == (30L to 40L).map(_ * 10).sum)
+  }
+
+  test("rename + widen are manifest-only commits; pinned readers keep their own names") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"m${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    // Physical bytes: (id bigint, cents int), two range files.
+    val rows = (1L to 50L).map(i => (i, i.toInt * 100))
+    rows.toDF("id", "cents").repartitionByRange(2, $"id")
+      .sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    val files = TxnLog.parquetsUnder(tbl, "d0")
+    val v0Cols = Seq(
+      TxnLog.ColumnDef(1, "id", "bigint", "id"),
+      TxnLog.ColumnDef(2, "cents", "int", "cents"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"), columns = Some(v0Cols)))
+    // v1: rename BOTH columns and widen cents to bigint — not a byte
+    // of data is rewritten; physical names and stats are unchanged.
+    TxnLog.commitRetryWith(tbl, tip => tip.copy(
+      action = "evolve-schema",
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "doc_id", "bigint", "id"),
+        TxnLog.ColumnDef(2, "cents_total", "bigint", "cents")))))
+    assert(TxnLog.readManifest(tbl, 1L).files ==
+      TxnLog.readManifest(tbl, 0L).files)
+    // The pinned v0 reader keeps the ORIGINAL names and narrow type...
+    val v0 = GraftTables.read(spark, tbl, Some(0L))
+    assert(v0.columns.toSeq == Seq("id", "cents"))
+    assert(v0.schema("cents").dataType == IntegerType)
+    assert(v0.agg(sum($"cents")).head.getLong(0) ==
+      rows.map(_._2.toLong).sum)
+    // ...while the tip reads the same bytes under the new names, with
+    // the int32 pages widened to bigint by the vectorized reader.
+    val tip = GraftTables.read(spark, tbl)
+    assert(tip.columns.toSeq == Seq("doc_id", "cents_total"))
+    assert(tip.schema("cents_total").dataType == LongType)
+    assert(tip.agg(sum($"cents_total")).head.getLong(0) ==
+      rows.map(_._2.toLong).sum)
+    assert(tip.filter($"cents_total" === 300L)
+      .select($"doc_id").head.getLong(0) == 3L)
+    // Stats skipping survives the rename: the filter arrives under
+    // the LOGICAL name, pruning compares under the PHYSICAL one.
+    val df = tip.filter($"doc_id" <= 10L)
+    val opened = plannedFiles(df)
+    assert(opened.size == 1, s"low-range read must open 1 of 2: $opened")
+    assert(df.count() == 10L)
   }
 
   test("pruning is conservative: opaque predicate shapes keep every file") {

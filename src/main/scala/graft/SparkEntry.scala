@@ -224,6 +224,7 @@ object SparkEntry {
     "table_connector_skipping" -> ((s, dir) => SourceSinkQueries.tableConnectorSkippingQuery(s, dir)),
     "table_time_travel_sql" -> ((s, dir) => SourceSinkQueries.tableTimeTravelSqlQuery(s, dir)),
     "table_column_mapping" -> ((s, dir) => SourceSinkQueries.tableColumnMappingQuery(s, dir)),
+    "table_commit_torture" -> ((s, dir) => SourceSinkQueries.tableCommitTortureQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2707,6 +2708,32 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Commit torture: the four writers' key sets are disjoint, so the
+    // serializable outcome equals a sequential replay in any order —
+    // pure relational algebra for the oracle. The staged barrier makes
+    // the conflict count exact (4 writers: 3+2+1 = 6) and the protocol
+    // booleans are engine-witnessed.
+    "table_commit_torture" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         fin AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 10 = 1 THEN cents * 2
+                       WHEN o_orderkey % 10 = 3 THEN cents * 3
+                       ELSE cents END AS cents
+           FROM o WHERE o_orderkey % 10 <> 7
+           UNION ALL
+           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT)
+           FROM o WHERE o_orderkey % 5 = 0)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(5 AS INT) AS n_versions,
+                CAST(6 AS INT) AS total_conflicts,
+                true AS log_chain_ok,
+                true AS all_writers_landed,
+                true AS keys_unique
+         FROM fin""",
     // Column mapping: both versions read the SAME bytes (sum replays
     // once from orders, in cents); names/types per version and the
     // 1-of-4 files-opened pruning witness are engine-measured.

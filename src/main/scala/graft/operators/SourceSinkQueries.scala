@@ -909,6 +909,82 @@ object SourceSinkQueries {
         lit(openedBeyond).as("n_files_opened_beyond"))
   }
 
+  /** table_commit_torture — N-writer serializability, staged so the
+    * conflict count is DETERMINISTIC: four writers (two overlapping
+    * COW upserts, one delete, one pure-insert append — all with
+    * DISJOINT key sets, so the serial order cannot change the final
+    * table) run [[TxnLog.mergeCowByKey]] on real threads, with a
+    * Phaser barrier in the `onPlanned` hook. Each round, every still-
+    * active writer reads the SAME tip, the barrier releases, and all
+    * race the same put-if-absent — exactly one wins, every loser
+    * replans against the new tip (abandoning its rewrite: the
+    * serializable-COW discipline, not file-set union). Rounds shrink
+    * 4 → 3 → 2 → 1, so total detected conflicts is exactly
+    * 4·3/2 = 6 and the log is v0..v4, parent-chained. The final
+    * table — read back through the connector — equals the sequential
+    * replay of all four batches in ANY order (oracle-replayed), with
+    * no duplicate keys (the corruption a lost-rewrite union would
+    * leave). At 100 TB this is concurrent ingest + GDPR deletes +
+    * backfill landing on one table without coordination beyond the
+    * log. */
+  def tableCommitTortureQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conntorture").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val batches = Seq(
+      orders.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), (col("cents") * 2).as("cents"),
+          lit("upsert").as("op")),
+      orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("cents") * 3).as("cents"),
+          lit("upsert").as("op")),
+      orders.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
+          lit("delete").as("op")),
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit(777L).as("cents"), lit("upsert").as("op")))
+    val phaser = new java.util.concurrent.Phaser(batches.size)
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Int, TxnLog.Committed]()
+    val threads = batches.zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        try results.put(i, TxnLog.mergeCowByKey(spark, tbl, b,
+          "o_orderkey", s"w$i",
+          onPlanned = _ => phaser.arriveAndAwaitAdvance()))
+        finally phaser.arriveAndDeregister()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val cs = batches.indices.map(results.get)
+    val totalConflicts = cs.map(_.conflicts).sum
+    val vs = TxnLog.versions(tbl)
+    val contiguous = vs == (0L to batches.size.toLong)
+    val parentChainOk = vs.map(TxnLog.readManifest(tbl, _))
+      .forall(m => m.parent == m.version - 1)
+    val allLanded = cs.map(_.version).sorted == (1L to batches.size.toLong)
+    val fin = GraftTables.read(spark, tbl)
+    val keysUnique = fin.agg(
+      (count(lit(1)) === countDistinct(col("o_orderkey"))).as("u"))
+      .head().getBoolean(0)
+    fin.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(vs.size).as("n_versions"),
+        lit(totalConflicts).as("total_conflicts"),
+        lit(contiguous && parentChainOk).as("log_chain_ok"),
+        lit(allLanded).as("all_writers_landed"),
+        lit(keysUnique).as("keys_unique"))
+  }
+
   /** table_column_mapping — RENAME and TYPE-WIDENING as manifest-only
     * commits via column-mapping ids ([[TxnLog.ColumnDef]]): v0 writes
     * physical bytes `(o_orderkey bigint, cents int)` as four

@@ -259,6 +259,60 @@ class MergeCowSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSet == expected)
   }
 
+  test("N-writer torture: staged rounds give exact conflicts and an order-independent table") {
+    // Three writers with disjoint key sets race mergeCowByKey through
+    // a Phaser barrier in onPlanned: every round, all live writers
+    // read the same tip, then race one put-if-absent — one wins, the
+    // rest replan. Rounds shrink 3 → 2 → 1, so total conflicts is
+    // EXACTLY 3 and the final table equals the sequential replay in
+    // any order.
+    val tbl = graft.util.Scratch.dir("graft_logmerge")
+      .resolve(s"n${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(tbl)
+    val rows = (1L to 20L).map(i => (i, i * 10L))
+    rows.toDF("id", "v").repartitionByRange(2, $"id")
+      .sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = graft.operators.TxnLog.parquetsUnder(tbl, "d0")
+    graft.operators.TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => graft.operators.TxnLog
+        .keyStats(spark, tbl, base, "id"),
+      statsKey = Some("id"))
+    val batches = Seq(
+      rows.filter(_._1 % 4 == 1).map { case (k, v) => (k, v + 1L, "upsert") },
+      rows.filter(_._1 % 4 == 2).map { case (k, v) => (k, v + 2L, "upsert") },
+      rows.filter(_._1 % 4 == 3).map { case (k, _) => (k, 0L, "delete") })
+      .map(_.toDF("id", "v", "op"))
+    val phaser = new java.util.concurrent.Phaser(batches.size)
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Int, graft.operators.TxnLog.Committed]()
+    val threads = batches.zipWithIndex.map { case (b, i) =>
+      new Thread(() => {
+        try results.put(i, graft.operators.TxnLog.mergeCowByKey(
+          spark, tbl, b, "id", s"w$i",
+          onPlanned = _ => phaser.arriveAndAwaitAdvance()))
+        finally phaser.arriveAndDeregister()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val cs = batches.indices.map(results.get)
+    assert(cs.map(_.conflicts).sum == 3,
+      s"rounds of 3,2,1 writers must lose exactly 2+1+0... => 3: $cs")
+    assert(cs.map(_.version).sorted == Seq(1L, 2L, 3L))
+    assert(graft.operators.TxnLog.versions(tbl) == (0L to 3L))
+    val expected = rows.flatMap { case (k, v) =>
+      k % 4 match {
+        case 1 => Some((k, v + 1L))
+        case 2 => Some((k, v + 2L))
+        case 3 => None
+        case _ => Some((k, v))
+      }
+    }.toSet
+    val tipV = graft.operators.TxnLog.latest(tbl).get
+    assert(graft.operators.TxnLog.readVersion(spark, tbl, tipV)
+      .as[(Long, Long)].collect().toSet == expected)
+  }
+
   test("a one-partition change batch leaves every other partition's files alone") {
     val tbl = freshTable()
     def sig(p: Int): Seq[String] =

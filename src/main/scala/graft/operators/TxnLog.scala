@@ -309,6 +309,28 @@ object TxnLog {
       }.toMap
   }
 
+  /** Hive-style partition values parsed from files' RELATIVE paths
+    * (`year=1995/part-0.parquet` → `Map("year" -> "1995")`) — the
+    * commit-time, metadata-only derivation that lets layouts written
+    * with `partitionBy` carry manifest partition values for
+    * Iceberg-style manifest-entry pruning
+    * ([[graft.sources.GraftPruning]]). Files with no `k=v` path
+    * segments get no entry (never pruned). NOTE: `partitionBy` drops
+    * the partition column from the data files; a table meant to be
+    * read through the connector should keep the column in the data
+    * (write per-partition subdirectories explicitly) so filters on it
+    * bind. */
+  def partitionValuesFromPaths(
+      files: Seq[String]): Map[String, Map[String, String]] =
+    files.map { f =>
+      f -> f.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
+
   /** Files referenced by ANY of the retained versions — the liveness
     * set vacuum must never touch. */
   def liveFiles(table: Path, retained: Seq[Long]): Set[String] =

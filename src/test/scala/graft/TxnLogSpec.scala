@@ -92,6 +92,16 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.parse(TxnLog.render(m)) == m)
   }
 
+  test("hive-style partition values derive from paths at commit time") {
+    assert(TxnLog.partitionValuesFromPaths(Seq(
+      "year=1995/p0.parquet",
+      "year=1996/month=2/p1.parquet",
+      "plain/p2.parquet")) == Map(
+      "year=1995/p0.parquet" -> Map("year" -> "1995"),
+      "year=1996/month=2/p1.parquet" ->
+        Map("year" -> "1996", "month" -> "2")))
+  }
+
   test("liveness derives from retained manifests only") {
     val t = freshTable()
     TxnLog.tryCommit(t, -1L, "create", Seq("f0", "f1"))

@@ -225,6 +225,7 @@ object SparkEntry {
     "table_time_travel_sql" -> ((s, dir) => SourceSinkQueries.tableTimeTravelSqlQuery(s, dir)),
     "table_column_mapping" -> ((s, dir) => SourceSinkQueries.tableColumnMappingQuery(s, dir)),
     "table_commit_torture" -> ((s, dir) => SourceSinkQueries.tableCommitTortureQuery(s, dir)),
+    "table_metadata_planning" -> ((s, dir) => SourceSinkQueries.tableMetadataPlanningQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2707,6 +2708,23 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_range,
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
+         FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Metadata-only planning: the range aggregate replays with exact
+    // integer bounds (measured while the data existed); the
+    // planned-after-deletion witnesses are engine-measured from a plan
+    // built over a table whose files are gone.
+    "table_metadata_planning" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,
+                CAST(sum(cents) AS BIGINT) AS sum_cents_in_range,
+                true AS manifest_sizes_complete,
+                CAST(1 AS INT) AS n_files_planned_after_delete,
+                CAST(2 AS INT) AS n_cols
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
     // Commit torture: the four writers' key sets are disjoint, so the
     // serializable outcome equals a sequential replay in any order —

@@ -909,6 +909,76 @@ object SourceSinkQueries {
         lit(openedBeyond).as("n_files_opened_beyond"))
   }
 
+  /** table_metadata_planning — proof that the connector's WHOLE
+    * planning path is manifest metadata: schema (declared columns),
+    * file list, key-stats pruning, and split sizes (the `sizes` every
+    * commit stamps) never touch the filesystem. The witness is
+    * radical: after computing the oracle-replayed range aggregate,
+    * the query DELETES every data file, then builds the same filtered
+    * plan again — it still resolves, still prunes to the 1 qualifying
+    * file of 4, and still presents the declared 2-column schema,
+    * because nothing on the planning path needs the files to exist.
+    * At 10⁶ files this is the difference between O(manifest) planning
+    * and a listing/stat storm — the discipline Delta and Iceberg
+    * exist to provide. */
+  def tableMetadataPlanningQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmeta").resolve("orders")
+    Files.createDirectories(tbl)
+    val b = Relational.table(spark, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        least(lit(3), (col("o_orderkey") - mn) * 4 / span)
+          .cast("int").as("bkt"))
+    for (q <- 0 until 4)
+      orders.filter(col("bkt") === q).drop("bkt")
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "o_orderkey", "bigint", "o_orderkey"),
+        TxnLog.ColumnDef(2, "cents", "bigint", "cents")))))
+    val sizesComplete = {
+      val m = TxnLog.readManifest(tbl, 0L)
+      m.files.forall(m.sizes.contains)
+    }
+    val (lo, hi) = (mn + span * 30 / 100, mn + span * 40 / 100)
+    def rangeRead() = GraftTables.read(spark, tbl)
+      .filter(col("o_orderkey").between(lo, hi))
+    // The aggregate executes while the data still exists...
+    val agg = rangeRead()
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    // ...then the files are destroyed, and planning must not notice.
+    for (q <- 0 until 4) {
+      import scala.jdk.CollectionConverters._
+      val d = tbl.resolve(s"b$q")
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val ghost = rangeRead()
+    val plannedAfterDelete = {
+      import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+      ghost.queryExecution.sparkPlan.collect {
+        case bs: BatchScanExec => bs.scan
+      }.map {
+        case r: graft.sources.LogicalRenameScan => r.inner
+        case s => s
+      }.collect { case s: FileScan => s.fileIndex.inputFiles.length }.sum
+    }
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), sizesComplete,
+      plannedAfterDelete, ghost.schema.fieldNames.length))
+      .toDF("n_rows_in_range", "sum_cents_in_range",
+        "manifest_sizes_complete", "n_files_planned_after_delete",
+        "n_cols")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

@@ -97,7 +97,8 @@ object TxnLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       statsKey: Option[String] = None,
       partitions: Map[String, Map[String, String]] = Map.empty,
-      columns: Option[Seq[ColumnDef]] = None)
+      columns: Option[Seq[ColumnDef]] = None,
+      sizes: Map[String, Long] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -161,6 +162,10 @@ object TxnLog {
         o.put("type", c.typ); o.put("physical", c.physical)
       }
     }
+    if (m.sizes.nonEmpty) {
+      val sn = root.putObject("sizes")
+      m.sizes.toSeq.sortBy(_._1).foreach { case (f, n) => sn.put(f, n) }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -184,14 +189,31 @@ object TxnLog {
           c.get("type").asText, c.get("physical").asText)
       }.toSeq
     }
+    val sizes = Option(n.get("sizes")).map { sn =>
+      sn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
     Manifest(
       n.get("version").asLong, n.get("parent").asLong,
       n.get("action").asText,
       n.get("files").elements().asScala.map(_.asText).toSeq,
       stats,
       Option(n.get("statsKey")).map(_.asText),
-      partitions, columns)
+      partitions, columns, sizes)
   }
+
+  /** Byte sizes for `files`, inheriting `prior` (a parent manifest's
+    * sizes) and stat-ing only the rest — one local metadata call per
+    * NEW file, at commit time, which is what lets readers plan splits
+    * with ZERO filesystem calls ([[graft.sources.ManifestFileIndex]]).
+    * Files not on disk (unit-test placeholders) simply get no entry. */
+  def fileSizes(table: Path, files: Seq[String],
+      prior: Map[String, Long] = Map.empty): Map[String, Long] =
+    files.flatMap { f =>
+      prior.get(f).map(f -> _).orElse {
+        val p = table.resolve(f)
+        if (Files.isRegularFile(p)) Some(f -> Files.size(p)) else None
+      }
+    }.toMap
 
   /** One optimistic commit attempt of `m.version = parent + 1`.
     * Returns the new version, or None iff another committer won that
@@ -258,7 +280,12 @@ object TxnLog {
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val t = tip(table)
-      val next = build(t).copy(version = t.version + 1, parent = t.version)
+      val next0 = build(t).copy(version = t.version + 1, parent = t.version)
+      // Every commit leaves a fully size-bearing manifest: surviving
+      // files inherit the tip's entry, new ones cost one local stat —
+      // so READERS never touch the filesystem to plan.
+      val next = next0.copy(sizes = fileSizes(table, next0.files,
+        next0.sizes ++ t.sizes))
       tryCommitManifest(table, next) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1
@@ -443,12 +470,14 @@ object TxnLog {
       // attempt's files (left for vacuum, like any aborted write) and
       // REPLANS the whole merge against the new tip — the
       // serializable-writer discipline, not just retry-the-rename.
-      tryCommit(table, tipVersion, "merge",
-        tip.files.filterNot(affected) ++ newFiles,
+      val keptFiles = tip.files.filterNot(affected) ++ newFiles
+      tryCommitManifest(table, Manifest(tipVersion + 1, tipVersion,
+        "merge", keptFiles,
         (ranges -- affected) ++ newStats,
         statsKey = Some(key),
         partitions = tip.partitions -- affected,
-        columns = tip.columns) match {
+        columns = tip.columns,
+        sizes = fileSizes(table, keptFiles, tip.sizes))) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }

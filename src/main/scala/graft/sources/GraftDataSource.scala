@@ -200,7 +200,7 @@ final class GraftScanBuilder(
 
   // Filter display/dedup happens on the delegated ParquetScan (whose
   // own pushed filters show in explain); nothing extra to report here.
-  override def pushedFilters(): Array[Predicate] = Array.empty
+  override def pushedFilters: Array[Predicate] = Array.empty
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -217,9 +217,8 @@ final class GraftScanBuilder(
           a.withName(snap.physicalOf(a.name))
       })
     val kept = GraftPruning.prune(snap.manifest, physFilters)
-    val index = new InMemoryFileIndex(spark,
-      kept.map(f => new HPath(snap.root.resolve(f).toUri)),
-      Map.empty[String, String], Some(snap.physicalSchema))
+    val index = new ManifestFileIndex(spark, snap.root, kept,
+      snap.manifest.sizes, snap.physicalSchema)
     val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
       snap.physicalSchema, options)
     inner.pushFilters(physFilters)
@@ -252,6 +251,47 @@ final class LogicalRenameScan(val inner: Scan, snap: GraftSnapshot)
 
   override def description(): String =
     s"GraftMapped(${inner.description()})"
+}
+
+/** A `FileIndex` served ENTIRELY from manifest metadata: paths come
+  * from the (pruned) file list and byte lengths from the manifest's
+  * committed `sizes`, so scan planning — split computation, cost
+  * estimation, everything up to the first actual read — makes ZERO
+  * filesystem calls. This is the planning discipline of every real
+  * table format (Delta/Iceberg plan from their logs, never from
+  * listings); `InMemoryFileIndex` by contrast stats each file at
+  * index construction, which at 10⁶ files IS the planning
+  * bottleneck. A file missing a committed size (pre-r13 manifest)
+  * falls back to one local stat — the bootstrap path, healed by the
+  * next commit. */
+final class ManifestFileIndex(
+    spark: SparkSession, root: Path, relFiles: Seq[String],
+    sizes: Map[String, Long], schema: StructType)
+  extends org.apache.spark.sql.execution.datasources
+    .PartitioningAwareFileIndex(spark, Map.empty, Some(schema)) {
+  import org.apache.hadoop.fs.FileStatus
+  import org.apache.spark.sql.execution.datasources.PartitionSpec
+
+  private val statuses: Seq[FileStatus] = relFiles.map { f =>
+    val size = sizes.getOrElse(f, Files.size(root.resolve(f)))
+    new FileStatus(size, false, 1, 128L << 20, 0L,
+      new HPath(root.resolve(f).toUri))
+  }
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[
+      HPath, FileStatus] =
+    scala.collection.mutable.LinkedHashMap(
+      statuses.map(s => s.getPath -> s): _*)
+
+  override val leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent)
+      .map { case (d, fs) => d -> fs.toArray }
+
+  override def rootPaths: Seq[HPath] = statuses.map(_.getPath)
+
+  override def refresh(): Unit = ()
 }
 
 object GraftPruning {

@@ -192,6 +192,45 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 10L)
   }
 
+  test("planning is metadata-only: a table whose files are GONE still plans and prunes") {
+    // The 100 TB discipline: schema (declared columns), file list,
+    // key-stats pruning, and split sizes (committed `sizes`) all come
+    // from the manifest — so the whole plan can be built after the
+    // data files are deleted, proving zero filesystem access on the
+    // planning path. (Execution would of course fail; we never run it.)
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"g${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    val rows = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+    for (q <- 0 until 4)
+      rows.filter($"id".between(q * 25 + 1, (q + 1) * 25))
+        .coalesce(1).write.parquet(tbl.resolve(s"q$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"q$q"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "id", "bigint", "id"),
+        TxnLog.ColumnDef(2, "v", "bigint", "v")))))
+    val m = TxnLog.readManifest(tbl, 0L)
+    assert(m.files.forall(m.sizes.contains),
+      s"commitRetryWith must leave a fully size-bearing manifest: $m")
+    // Scorch the earth: no data file (or its directory) survives.
+    for (q <- 0 until 4) {
+      import scala.jdk.CollectionConverters._
+      val d = tbl.resolve(s"q$q")
+      Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    val df = GraftTables.read(spark, tbl).filter($"id" <= 10L)
+    val planned = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
+    assert(planned.size == 1 && planned.head.contains("/q0/"),
+      s"stats must prune to q0 with no filesystem access: $planned")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("pruning is conservative: opaque predicate shapes keep every file") {
     val id = AttributeReference("id", LongType)()
     val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),

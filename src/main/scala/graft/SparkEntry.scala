@@ -226,6 +226,7 @@ object SparkEntry {
     "table_column_mapping" -> ((s, dir) => SourceSinkQueries.tableColumnMappingQuery(s, dir)),
     "table_commit_torture" -> ((s, dir) => SourceSinkQueries.tableCommitTortureQuery(s, dir)),
     "table_metadata_planning" -> ((s, dir) => SourceSinkQueries.tableMetadataPlanningQuery(s, dir)),
+    "table_connector_write" -> ((s, dir) => SourceSinkQueries.tableConnectorWriteQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2709,6 +2710,36 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Connector writes: every snapshot is a pure function of the base
+    // table and the two deterministic batches (the INSERT's source is
+    // the pinned v0, so b2 derives from o alone); the protocol
+    // booleans are engine-witnessed.
+    "table_connector_write" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b1 AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                       CAST(12345 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 7 = 0),
+         b2 AS (SELECT o_orderkey + 200000000 AS o_orderkey,
+                       CAST(999 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 11 = 0),
+         aggs AS (
+           SELECT 'v0' AS version, count(*) AS n, sum(cents) AS s FROM o
+           UNION ALL
+           SELECT 'v1', count(*), sum(cents)
+           FROM (SELECT * FROM o UNION ALL SELECT * FROM b1)
+           UNION ALL
+           SELECT 'v2', count(*), sum(cents)
+           FROM (SELECT * FROM o UNION ALL SELECT * FROM b1
+                 UNION ALL SELECT * FROM b2)
+           UNION ALL
+           SELECT 'v3', count(*), sum(cents) FROM b1)
+         SELECT version, CAST(n AS BIGINT) AS n_rows,
+                CAST(s AS BIGINT) AS sum_cents,
+                true AS actions_ok, true AS append_additive,
+                true AS v0_stable_under_writes
+         FROM aggs ORDER BY version""",
     // Metadata-only planning: the range aggregate replays with exact
     // integer bounds (measured while the data existed); the
     // planned-after-deletion witnesses are engine-measured from a plan

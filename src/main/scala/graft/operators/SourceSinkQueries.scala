@@ -909,6 +909,74 @@ object SourceSinkQueries {
         lit(openedBeyond).as("n_files_opened_beyond"))
   }
 
+  /** table_connector_write — the write half of the connector: the
+    * table created at v0 takes (v1) a `df.write.format("graft")
+    * .mode("append")` of new keys, (v2) a SQL `INSERT INTO
+    * graft.`path`` whose SELECT reads the table's OWN v0 via
+    * `VERSION AS OF` (time travel feeding an insert — the backfill
+    * idiom), and (v3) a `mode("overwrite")` that replaces the file
+    * set. Each write stages parquet at full parallelism and publishes
+    * ONE optimistic log commit; key stats for written files are
+    * computed because the table declares a statsKey, so file skipping
+    * covers written data immediately. Witnesses: the action chain is
+    * create/append/append/replace, the first append is file-additive,
+    * and the v0 aggregate is bit-stable across all three writes
+    * (snapshot isolation under writes). All four versions replay
+    * relationally. At 100 TB this is ingest through the same API
+    * every Spark job already uses — no side-channel writer. */
+  def tableConnectorWriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connwrite").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    def aggAt(v: Long): (Long, Long) = {
+      val r = GraftTables.read(spark, tbl, Some(v))
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val v0Before = aggAt(0L)
+    // v1: DataFrame append through the connector.
+    val b1 = orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+    b1.coalesce(1).write.format("graft").mode("append").save(tbl.toString)
+    // v2: SQL INSERT whose source is the table's own pinned v0.
+    GraftTables.registerCatalog(spark)
+    spark.sql(
+      s"""INSERT INTO graft.`$tbl`
+         SELECT o_orderkey + 200000000, CAST(999 AS BIGINT)
+         FROM graft.`$tbl` VERSION AS OF 0
+         WHERE o_orderkey % 11 = 0""")
+    // v3: overwrite — tip replaces the file set, history survives.
+    b1.coalesce(1).write.format("graft").mode("overwrite")
+      .save(tbl.toString)
+    val vs = TxnLog.versions(tbl)
+    val manifests = vs.map(TxnLog.readManifest(tbl, _))
+    val actionsOk = manifests.map(_.action) ==
+      Seq("create", "append", "append", "replace")
+    val appendAdditive = manifests(0).files.forall(
+      manifests(1).files.contains)
+    val v0Stable = aggAt(0L) == v0Before
+    val perVersion = vs.map { v =>
+      val (n, s) = aggAt(v)
+      (s"v$v", n, s)
+    }
+    import spark.implicits._
+    perVersion.toDF("version", "n_rows", "sum_cents")
+      .withColumn("actions_ok", lit(actionsOk))
+      .withColumn("append_additive", lit(appendAdditive))
+      .withColumn("v0_stable_under_writes", lit(v0Stable))
+      .orderBy("version")
+  }
+
   /** table_metadata_planning — proof that the connector's WHOLE
     * planning path is manifest metadata: schema (declared columns),
     * file list, key-stats pruning, and split sizes (the `sizes` every

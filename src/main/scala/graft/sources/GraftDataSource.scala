@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, 
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -49,8 +49,14 @@ import graft.operators.TxnLog
   *    `TableCatalog.loadTable(ident, version)`, which is exactly what
   *    Spark's `VERSION AS OF` resolution calls.
   *
+  *  - **Writes through the standard API.**
+  *    `df.write.format("graft").mode("append"/"overwrite").save(path)`
+  *    and SQL `INSERT INTO graft.`path`` stage parquet and commit
+  *    through the log's optimistic protocol ([[GraftWriteBuilder]]) —
+  *    concurrent writers rebase, readers keep snapshot isolation.
+  *
   * The scan itself DELEGATES to Spark's own parquet scan over the
-  * pruned file list (an [[InMemoryFileIndex]] of exactly the
+  * pruned file list (a [[ManifestFileIndex]] of exactly the
   * surviving manifest entries + [[ParquetScanBuilder]]), so
   * whole-stage codegen, vectorized reading, row-group statistics
   * pushdown, and column pruning all apply unchanged — the connector's
@@ -82,10 +88,12 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
   * LOGICAL schema a reader of THIS version sees, and the PHYSICAL
   * schema the bytes were written under (same positions and logical
   * types, possibly different names — the column-mapping contract;
-  * identical when the manifest declares no mapping). */
+  * identical when the manifest declares no mapping). `pinned` is true
+  * when the snapshot was resolved with an explicit `versionAsOf` —
+  * such a snapshot is read-only (writing to the past is refused). */
 final case class GraftSnapshot(
     root: Path, manifest: TxnLog.Manifest, schema: StructType,
-    physicalSchema: StructType) {
+    physicalSchema: StructType, pinned: Boolean = false) {
   def absFiles: Seq[String] =
     manifest.files.map(f => root.resolve(f).toString)
 
@@ -118,6 +126,7 @@ object GraftTables {
     val path = options.getOrElse("path",
       sys.error("graft source requires a path"))
     val root = Paths.get(path)
+    val pinned = options.contains("versionAsOf")
     val version = options.get("versionAsOf").map(_.toLong)
       .orElse(TxnLog.latest(root))
       .getOrElse(sys.error(s"no committed version at $root"))
@@ -134,7 +143,7 @@ object GraftTables {
           cols.map(c => s"`${c.name}` ${c.typ}").mkString(", "))
         val physical = StructType.fromDDL(
           cols.map(c => s"`${c.physical}` ${c.typ}").mkString(", "))
-        GraftSnapshot(root, m, logical, physical)
+        GraftSnapshot(root, m, logical, physical, pinned)
       case None =>
         require(m.files.nonEmpty, s"version $version of $root is empty " +
           "and declares no schema — commit columns to read it")
@@ -142,7 +151,7 @@ object GraftTables {
           .option("mergeSchema", "true")
           .parquet(m.files.map(f => root.resolve(f).toString): _*)
           .schema
-        GraftSnapshot(root, m, inferred, inferred)
+        GraftSnapshot(root, m, inferred, inferred, pinned)
     }
   }
 
@@ -155,6 +164,41 @@ object GraftTables {
     r.load(table.toString)
   }
 
+  private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stage `data` as parquet under the table root and commit it to
+    * the log — the engine behind `df.write.format("graft")` and SQL
+    * `INSERT INTO` ([[GraftWriteBuilder]]). */
+  def insert(snap: GraftSnapshot, data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val cols = snap.schema.fieldNames
+    require(data.columns.toSet == cols.toSet,
+      s"graft insert schema mismatch: table has ${cols.mkString(",")}, " +
+        s"write has ${data.columns.mkString(",")}")
+    import org.apache.spark.sql.functions.col
+    // Project to declared order under PHYSICAL names (column mapping),
+    // casting to the declared logical types.
+    val physical = data.select(cols.toSeq.map(c =>
+      col(c).cast(snap.schema(c).dataType).as(snap.physicalOf(c))): _*)
+    val subdir = s"w${System.currentTimeMillis()}-" +
+      s"${stagingCounter.incrementAndGet()}"
+    physical.write.parquet(snap.root.resolve(subdir).toString)
+    val newFiles = TxnLog.parquetsUnder(snap.root, subdir)
+    val spark = data.sparkSession
+    TxnLog.commitRetryWith(snap.root, tip => {
+      val newStats = tip.statsKey.map(k =>
+        TxnLog.keyStats(spark, snap.root, newFiles, k))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      if (overwrite)
+        TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,
+          tip.statsKey, columns = tip.columns)
+      else
+        TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
+          tip.stats ++ newStats, tip.statsKey,
+          partitions = tip.partitions, columns = tip.columns)
+    })
+  }
+
   /** Register [[GraftCatalog]] as catalog `graft` on a LIVE session
     * (catalog configs are resolved lazily, so a runtime conf set is
     * enough — no restart). Enables `FROM graft.`/abs/path`` and
@@ -164,7 +208,9 @@ object GraftTables {
       classOf[GraftCatalog].getName)
 }
 
-final class GraftTable(snap: GraftSnapshot) extends Table with SupportsRead {
+final class GraftTable(snap: GraftSnapshot) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"graft.`${snap.root}` @ v${snap.manifest.version}"
@@ -172,11 +218,51 @@ final class GraftTable(snap: GraftSnapshot) extends Table with SupportsRead {
   override def schema(): StructType = snap.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, snap, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!snap.pinned,
+      s"cannot write to ${name()}: versionAsOf pins a historical " +
+        "snapshot, and the past is immutable — write to the tip")
+    new GraftWriteBuilder(snap)
+  }
+}
+
+/** The write path: staged parquet + one optimistic log commit. The
+  * incoming frame (logical column names, any order) is projected to
+  * the PHYSICAL schema, written to a fresh staging subdirectory by
+  * Spark's parquet writer at full parallelism, and then a single
+  * [[TxnLog.commitRetryWith]] publishes it — `append` keeps the tip's
+  * files, `overwrite` (SaveMode.Overwrite / INSERT OVERWRITE)
+  * replaces the file set while history stays time-travelable. Key
+  * stats for the new files are computed iff the table declares a
+  * `statsKey`, so file skipping keeps working over written data; a
+  * lost commit race rebases on the new tip (appends and full
+  * overwrites both commute under rebase). Uses Spark's V1 insert
+  * fallback (`V1Write`), which hands us the whole DataFrame — the
+  * right fit when the commit is one atomic manifest put rather than
+  * per-task commit messages. */
+final class GraftWriteBuilder(snap: GraftSnapshot)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation
+        : org.apache.spark.sql.sources.InsertableRelation =
+      new org.apache.spark.sql.sources.InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          GraftTables.insert(snap, data, overwriteAll || overwrite)
+      }
+  }
 }
 
 /** Captures pushed-down filters, prunes the manifest's file list from

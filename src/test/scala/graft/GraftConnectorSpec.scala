@@ -231,6 +231,55 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("df.write.format(graft) appends and overwrites as log commits") {
+    val tbl = quartileTable()
+    // append: new version, additive files, stats for the new files.
+    (101L to 120L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(TxnLog.versions(tbl) == Seq(0L, 1L))
+    val m1 = TxnLog.readManifest(tbl, 1L)
+    assert(m1.action == "append" && m1.files.size == 5 &&
+      m1.files.forall(m1.stats.contains))
+    assert(GraftTables.read(spark, tbl).count() == 120L)
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    // appended data participates in stats skipping immediately.
+    val df = GraftTables.read(spark, tbl).filter($"id" >= 110L)
+    assert(plannedFiles(df).size == 1 && df.count() == 11L)
+    // column order in the frame does not matter; names do.
+    Seq((7L, 1000L)).toDF("v", "id").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(GraftTables.read(spark, tbl).filter($"id" === 1000L)
+      .select($"v").head.getLong(0) == 7L)
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "wrong")
+        .write.format("graft").mode("append").save(tbl.toString)
+    }
+    // overwrite: the tip replaces the file set; history survives.
+    (1L to 5L).map(i => (i, -i)).toDF("id", "v")
+      .write.format("graft").mode("overwrite").save(tbl.toString)
+    val tip = TxnLog.readManifest(tbl, TxnLog.latest(tbl).get)
+    assert(tip.action == "replace")
+    assert(GraftTables.read(spark, tbl).count() == 5L)
+    assert(GraftTables.read(spark, tbl, Some(1L)).count() == 120L)
+  }
+
+  test("SQL INSERT INTO commits through the catalog; pinned snapshots refuse writes") {
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"INSERT INTO graft.`$tbl` VALUES (500, 5000), (501, 5010)")
+    assert(TxnLog.versions(tbl) == Seq(0L, 1L))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$tbl`")
+      .head.getLong(0) == 102L)
+    assert(spark.sql(
+      s"SELECT v FROM graft.`$tbl` WHERE id = 500").head.getLong(0) == 5000L)
+    // writing to a versionAsOf-pinned snapshot is refused.
+    intercept[Exception] {
+      Seq((9L, 9L)).toDF("id", "v").write.format("graft")
+        .option("versionAsOf", "0").mode("append").save(tbl.toString)
+    }
+    assert(TxnLog.versions(tbl) == Seq(0L, 1L))
+  }
+
   test("pruning is conservative: opaque predicate shapes keep every file") {
     val id = AttributeReference("id", LongType)()
     val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),

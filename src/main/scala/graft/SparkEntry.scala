@@ -227,6 +227,7 @@ object SparkEntry {
     "table_commit_torture" -> ((s, dir) => SourceSinkQueries.tableCommitTortureQuery(s, dir)),
     "table_metadata_planning" -> ((s, dir) => SourceSinkQueries.tableMetadataPlanningQuery(s, dir)),
     "table_connector_write" -> ((s, dir) => SourceSinkQueries.tableConnectorWriteQuery(s, dir)),
+    "table_incremental_read" -> ((s, dir) => SourceSinkQueries.tableIncrementalReadQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2710,6 +2711,29 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Incremental reads: each window is a pure function of the two
+    // deterministic append batches; the refusal/stability booleans are
+    // engine-witnessed.
+    "table_incremental_read" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b1 AS (SELECT CAST(12345 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 7 = 0),
+         b2 AS (SELECT CAST(999 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 11 = 0),
+         w AS (
+           SELECT 'since_v0' AS "window", count(*) AS n, sum(cents) AS s
+           FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+           UNION ALL
+           SELECT 'since_v1', count(*), sum(cents) FROM b2
+           UNION ALL
+           SELECT 'window_0_1', count(*), sum(cents) FROM b1)
+         SELECT "window", CAST(n AS BIGINT) AS n_rows,
+                CAST(s AS BIGINT) AS sum_cents,
+                true AS refused_across_replace,
+                true AS pre_replace_window_ok
+         FROM w ORDER BY "window"""",
     // Connector writes: every snapshot is a pure function of the base
     // table and the two deterministic batches (the INSERT's source is
     // the pinned v0, so b2 derives from o alone); the protocol

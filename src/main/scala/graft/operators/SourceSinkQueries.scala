@@ -977,6 +977,69 @@ object SourceSinkQueries {
       .orderBy("version")
   }
 
+  /** table_incremental_read — consuming a GROWING table without
+    * reprocessing it: `option("fromVersion", f)` plans exactly the
+    * files appended after version f (optionally up to `versionAsOf`)
+    * as the manifest file-set DIFFERENCE — the Iceberg
+    * incremental-append-scan idiom. Data files are immutable, so the
+    * diff IS the appended rows, and the window composes with stats
+    * skipping and every other read feature. Three windows are
+    * oracle-replayed (since v0, since v1, and the (0,1] slice); then
+    * an overwrite lands and the engine witnesses that an incremental
+    * read ACROSS the replace is refused (a file diff would misstate
+    * changes) while a window ending before it still reads. At 100 TB
+    * this is the nightly-ingest consumer reading O(day), not
+    * O(history) — with correctness enforced by the log, not by
+    * convention. */
+  def tableIncrementalReadQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connincr").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.format("graft").mode("append")
+      .save(tbl.toString)
+    orders.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+        lit(999L).as("cents"))
+      .coalesce(1).write.format("graft").mode("append")
+      .save(tbl.toString)
+    def window(from: Long, asOf: Option[Long], tag: String) = {
+      val r = spark.read.format("graft")
+        .option("fromVersion", from.toString)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load(tbl.toString)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(tag).as("window"), col("n_rows"), col("sum_cents"))
+    }
+    val rows = window(0L, None, "since_v0")
+      .unionByName(window(1L, None, "since_v1"))
+      .unionByName(window(0L, Some(1L), "window_0_1"))
+    // An overwrite poisons windows that cross it — and ONLY those.
+    orders.limit(5).coalesce(1)
+      .write.format("graft").mode("overwrite").save(tbl.toString)
+    val refused =
+      try { window(0L, None, "x").head(); false }
+      catch { case e: Exception => e.getMessage.contains("non-append") }
+    val preReplaceOk = window(0L, Some(2L), "y")
+      .head().getLong(1) > 0
+    rows
+      .withColumn("refused_across_replace", lit(refused))
+      .withColumn("pre_replace_window_ok", lit(preReplaceOk))
+      .orderBy("window")
+  }
+
   /** table_metadata_planning — proof that the connector's WHOLE
     * planning path is manifest metadata: schema (declared columns),
     * file list, key-stats pruning, and split sizes (the `sizes` every

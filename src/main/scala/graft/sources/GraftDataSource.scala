@@ -121,16 +121,48 @@ object GraftTables {
     * (metadata-only), else from the files' parquet footers with
     * schema merging (so an additive-evolution tip unions old and new
     * file schemas, exactly like [[TxnLog.readVersion]] with
-    * mergeSchema). */
+    * mergeSchema).
+    *
+    * `fromVersion = f` requests an INCREMENTAL read: exactly the rows
+    * appended after version f (up to `versionAsOf`, else the tip),
+    * planned as the file-set difference of the two manifests — the
+    * Iceberg incremental-append-scan idiom, and the scale idiom for
+    * consuming a growing table without reprocessing it. Data files
+    * are immutable, so the diff IS the appended rows — provided every
+    * intervening commit is an `append`; a merge/replace/compact in
+    * the window changes or relocates existing rows, where a file diff
+    * would lie, so the resolve REFUSES loudly instead. */
   def resolve(options: Map[String, String]): GraftSnapshot = {
     val path = options.getOrElse("path",
       sys.error("graft source requires a path"))
     val root = Paths.get(path)
-    val pinned = options.contains("versionAsOf")
+    val pinned = options.contains("versionAsOf") ||
+      options.contains("fromVersion")
     val version = options.get("versionAsOf").map(_.toLong)
       .orElse(TxnLog.latest(root))
       .getOrElse(sys.error(s"no committed version at $root"))
-    val m = TxnLog.readManifest(root, version)
+    val m0 = TxnLog.readManifest(root, version)
+    val m = options.get("fromVersion").map(_.toLong) match {
+      case None => m0
+      case Some(f) =>
+        require(f <= version,
+          s"fromVersion $f is beyond the read version $version")
+        val nonAppend = TxnLog.versions(root)
+          .filter(v => v > f && v <= version)
+          .map(TxnLog.readManifest(root, _))
+          .filter(_.action != "append")
+        require(nonAppend.isEmpty,
+          s"incremental read $f -> $version crosses non-append " +
+            s"commit(s) ${nonAppend.map(x => s"v${x.version}:${x.action}")
+              .mkString(", ")} — a file diff would misstate changes; " +
+            "read a full snapshot instead")
+        val old = TxnLog.readManifest(root, f).files.toSet
+        val fresh = m0.files.filterNot(old)
+        m0.copy(files = fresh,
+          stats = m0.stats.view.filterKeys(fresh.toSet).toMap,
+          partitions = m0.partitions.view.filterKeys(fresh.toSet).toMap,
+          sizes = m0.sizes.view.filterKeys(fresh.toSet).toMap)
+    }
     m.columns match {
       case Some(cols) =>
         // Declared schema with mapping ids: logical = what this

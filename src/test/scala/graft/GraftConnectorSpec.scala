@@ -280,6 +280,41 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.versions(tbl) == Seq(0L, 1L))
   }
 
+  test("incremental reads return exactly the appended rows; refuse across rewrites") {
+    val tbl = quartileTable()
+    (101L to 120L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    (121L to 130L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    def inc(from: Long, asOf: Option[Long] = None) = {
+      val r = spark.read.format("graft")
+        .option("fromVersion", from.toString)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load(tbl.toString)
+    }
+    // everything appended since v0 / since v1 / in the (0,1] window.
+    assert(inc(0).agg(min($"id"), max($"id"), count(lit(1))).head
+      .toSeq == Seq(101L, 130L, 30L))
+    assert(inc(1).select(min($"id")).head.getLong(0) == 121L)
+    assert(inc(0, Some(1L)).count() == 20L)
+    // the diff's manifest stats still skip: only the second append's
+    // file can hold id >= 125.
+    val df = inc(0).filter($"id" >= 125L)
+    assert(plannedFiles(df).size == 1 && df.count() == 6L)
+    // an incremental snapshot is read-only.
+    intercept[Exception] {
+      Seq((1L, 1L)).toDF("id", "v").write.format("graft")
+        .option("fromVersion", "0").mode("append").save(tbl.toString)
+    }
+    // a replace in the window makes a file diff a lie — refused.
+    (1L to 3L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("overwrite").save(tbl.toString)
+    val e = intercept[Exception] { inc(0).count() }
+    assert(e.getMessage.contains("non-append"))
+    // ...but a window that ends before the replace still works.
+    assert(inc(0, Some(2L)).count() == 30L)
+  }
+
   test("pruning is conservative: opaque predicate shapes keep every file") {
     val id = AttributeReference("id", LongType)()
     val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),

@@ -228,6 +228,7 @@ object SparkEntry {
     "table_metadata_planning" -> ((s, dir) => SourceSinkQueries.tableMetadataPlanningQuery(s, dir)),
     "table_connector_write" -> ((s, dir) => SourceSinkQueries.tableConnectorWriteQuery(s, dir)),
     "table_incremental_read" -> ((s, dir) => SourceSinkQueries.tableIncrementalReadQuery(s, dir)),
+    "stream_table_feed" -> ((s, dir) => SourceSinkQueries.streamTableFeedQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2711,6 +2712,28 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Streaming the log: the accumulated sink is o ∪ b1 ∪ b2 (each
+    // batch moved exactly once — the increment pins are the witness);
+    // counts and sum replay relationally.
+    "stream_table_feed" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b1 AS (SELECT CAST(12345 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 7 = 0),
+         b2 AS (SELECT CAST(999 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 11 = 0),
+         allr AS (SELECT cents FROM o
+                  UNION ALL SELECT cents FROM b1
+                  UNION ALL SELECT cents FROM b2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM allr) AS n_rows,
+                (SELECT CAST(sum(cents) AS BIGINT) FROM allr) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_initial,
+                CAST(0 AS BIGINT) AS n_idle_drain,
+                (SELECT CAST(count(*) AS BIGINT) FROM b1) +
+                  (SELECT CAST(count(*) AS BIGINT) FROM b2)
+                  AS n_resumed_increment,
+                (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_from_v2""",
     // Incremental reads: each window is a pure function of the two
     // deterministic append batches; the refusal/stability booleans are
     // engine-witnessed.

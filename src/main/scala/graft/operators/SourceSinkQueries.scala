@@ -796,7 +796,7 @@ object SourceSinkQueries {
     flatten(df.queryExecution.executedPlan).collect {
       case b: BatchScanExec => b.scan
     }.map {
-      case r: graft.sources.LogicalRenameScan => r.inner
+      case r: graft.sources.GraftScan => r.inner
       case s => s
     }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
   }
@@ -977,6 +977,77 @@ object SourceSinkQueries {
       .orderBy("version")
   }
 
+  /** stream_table_feed — the transaction log AS a structured-streaming
+    * SOURCE (`readStream.format("graft")`,
+    * [[graft.sources.GraftMicroBatchStream]]): offsets are log
+    * versions, each micro-batch is a manifest file diff, and the
+    * engine's checkpoint does the bookkeeping that foreachBatch
+    * consumers hand-roll. Witnessed as a real consumer would run it:
+    * (1) an AvailableNow drain takes the full snapshot as the first
+    * batch; (2) an idle re-drain from the same checkpoint moves
+    * nothing; (3) two connector writes land and the RESUMED stream
+    * emits exactly their rows — no reprocessing of the snapshot;
+    * (4) a fresh stream with `startingVersion` skips history. Sink
+    * contents accumulate in parquet, so the final table replays
+    * relationally, and the per-drain increments pin exactly-once
+    * movement. At 100 TB: each poll is one `_log/` listing, each
+    * batch reads O(new files) — continuous ingest without a Kafka
+    * detour for table-to-table flows. */
+  def streamTableFeedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("connfeed")
+    val tbl = root.resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def drain(opts: Map[String, String] = Map.empty,
+        checkpoint: String = ckpt, outDir: String = out): Long = {
+      val before =
+        if (!java.nio.file.Files.isDirectory(Paths.get(outDir))) 0L
+        else spark.read.parquet(outDir).count()
+      val r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(tbl.toString)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count() - before
+    }
+    val nInitial = drain()
+    val nIdle = drain()
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.format("graft").mode("append")
+      .save(tbl.toString)
+    orders.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+        lit(999L).as("cents"))
+      .coalesce(1).write.format("graft").mode("append")
+      .save(tbl.toString)
+    val nResumed = drain()
+    val nFromV2 = drain(Map("startingVersion" -> "2"),
+      root.resolve("ckpt2").toString, root.resolve("out2").toString)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(nInitial).as("n_initial"),
+        lit(nIdle).as("n_idle_drain"),
+        lit(nResumed).as("n_resumed_increment"),
+        lit(nFromV2).as("n_from_v2"))
+  }
+
   /** table_incremental_read — consuming a GROWING table without
     * reprocessing it: `option("fromVersion", f)` plans exactly the
     * files appended after version f (optionally up to `versionAsOf`)
@@ -1098,7 +1169,7 @@ object SourceSinkQueries {
       ghost.queryExecution.sparkPlan.collect {
         case bs: BatchScanExec => bs.scan
       }.map {
-        case r: graft.sources.LogicalRenameScan => r.inner
+        case r: graft.sources.GraftScan => r.inner
         case s => s
       }.collect { case s: FileScan => s.fileIndex.inputFiles.length }.sum
     }

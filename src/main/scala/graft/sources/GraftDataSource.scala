@@ -251,6 +251,7 @@ final class GraftTable(snap: GraftSnapshot) extends Table
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -323,6 +324,21 @@ final class GraftScanBuilder(
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
+  /** The parquet scan over exactly `files`, with this builder's
+    * pushed (physical-name) filters and pruned columns applied. */
+  private def parquetScanOver(files: Seq[String],
+      sizes: Map[String, Long], physFilters: Seq[Expression]): Scan = {
+    val index = new ManifestFileIndex(spark, snap.root, files,
+      sizes, snap.physicalSchema)
+    val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
+      snap.physicalSchema, options)
+    inner.pushFilters(physFilters)
+    val physRequired = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = snap.physicalOf(f.name))))
+    inner.pruneColumns(physRequired)
+    inner.build()
+  }
+
   override def build(): Scan = {
     // Pruning compares filters (logical names) against manifest
     // metadata (physical names: statsKey and partition columns are
@@ -335,40 +351,45 @@ final class GraftScanBuilder(
           a.withName(snap.physicalOf(a.name))
       })
     val kept = GraftPruning.prune(snap.manifest, physFilters)
-    val index = new ManifestFileIndex(spark, snap.root, kept,
-      snap.manifest.sizes, snap.physicalSchema)
-    val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
-      snap.physicalSchema, options)
-    inner.pushFilters(physFilters)
-    val physRequired = StructType(requiredSchema.fields.map(f =>
-      f.copy(name = snap.physicalOf(f.name))))
-    inner.pruneColumns(physRequired)
-    val scan = inner.build()
-    if (!snap.isMapped) scan
-    else new LogicalRenameScan(scan, snap)
+    new GraftScan(
+      parquetScanOver(kept, snap.manifest.sizes, physFilters),
+      snap, physFilters, options,
+      diff => parquetScanOver(diff.files, diff.sizes, physFilters))
   }
 }
 
-/** Positional rename of a mapped scan's output back to LOGICAL names:
-  * the inner parquet scan reads physical columns (rows are positional
-  * `InternalRow`s, so names are plan metadata only), and this wrapper
-  * reports the same fields — same positions, same types — under the
-  * names the pinned manifest declares. This is what makes RENAME a
-  * manifest-only commit: both the pre-rename and post-rename reader
-  * scan the same bytes and surface them under their own version's
-  * names. */
-final class LogicalRenameScan(val inner: Scan, snap: GraftSnapshot)
+/** The scan the connector hands Spark: delegates the BATCH data path
+  * to the inner (file-pruned) parquet scan, positionally renames the
+  * output back to LOGICAL names when the manifest declares column
+  * mapping (rows are positional `InternalRow`s, so names are plan
+  * metadata only — what makes RENAME a manifest-only commit), and
+  * provides the MICRO-BATCH stream over the log
+  * ([[GraftMicroBatchStream]]): each new append version becomes
+  * streamable data, planned as a manifest diff. */
+final class GraftScan(
+    val inner: Scan, snap: GraftSnapshot,
+    physFilters: Seq[Expression],
+    options: CaseInsensitiveStringMap,
+    scanOverDiff: TxnLog.Manifest => Scan)
   extends Scan {
 
   override def readSchema(): StructType =
-    StructType(inner.readSchema().fields.map(f =>
+    if (!snap.isMapped) inner.readSchema()
+    else StructType(inner.readSchema().fields.map(f =>
       f.copy(name = snap.logicalOf(f.name))))
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     inner.toBatch
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(snap, physFilters, options, scanOverDiff)
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
   override def description(): String =
-    s"GraftMapped(${inner.description()})"
+    s"Graft(${inner.description()})"
 }
 
 /** A `FileIndex` served ENTIRELY from manifest metadata: paths come
@@ -410,6 +431,92 @@ final class ManifestFileIndex(
   override def rootPaths: Seq[HPath] = statuses.map(_.getPath)
 
   override def refresh(): Unit = ()
+}
+
+/** A log version as a streaming offset. */
+final case class GraftStreamOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** `spark.readStream.format("graft").load(path)` — the transaction
+  * log AS a structured-streaming source: the offset is the log
+  * version, `latestOffset` is one directory listing of `_log/`, and
+  * each micro-batch is the manifest FILE DIFF between two offsets —
+  * exactly the rows appended in that window, planned from metadata
+  * like every other read (stats skipping applies per batch via the
+  * pushed filters). Offset -1 means "before the table existed", so a
+  * fresh stream's first batch is the full current snapshot, and a
+  * checkpoint-resumed stream continues from the exact version it
+  * committed (standard offset semantics — the engine-side bookkeeping
+  * that foreachBatch consumers of [[GraftTables.read]] would
+  * otherwise hand-roll). A non-append commit inside a batch window
+  * (merge/replace/compact) fails the stream loudly — a file diff
+  * would misstate those changes, same rule as the batch
+  * `fromVersion` read. `startingVersion` skips history: the stream
+  * begins at that version's append instead of the full snapshot. */
+final class GraftMicroBatchStream(
+    snap: GraftSnapshot,
+    physFilters: Seq[Expression],
+    options: CaseInsensitiveStringMap,
+    scanOverDiff: TxnLog.Manifest => Scan)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private val root = snap.root
+
+  override def initialOffset(): Offset = GraftStreamOffset(
+    Option(options.get("startingVersion")).map(_.toLong - 1L)
+      .getOrElse(-1L))
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(TxnLog.latest(root).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  /** The manifest slice holding exactly the rows of (startV, endV]. */
+  private def diffManifest(startV: Long, endV: Long): TxnLog.Manifest = {
+    val endM = TxnLog.readManifest(root, endV)
+    if (startV < 0L) endM
+    else {
+      val nonAppend = TxnLog.versions(root)
+        .filter(v => v > startV && v <= endV)
+        .map(TxnLog.readManifest(root, _))
+        .filter(_.action != "append")
+      require(nonAppend.isEmpty,
+        s"stream window $startV -> $endV crosses non-append commit(s) " +
+          nonAppend.map(x => s"v${x.version}:${x.action}").mkString(", ") +
+          " — restart the stream from a fresh snapshot")
+      val old = TxnLog.readManifest(root, startV).files.toSet
+      val fresh = endM.files.filterNot(old)
+      endM.copy(files = fresh,
+        stats = endM.stats.view.filterKeys(fresh.toSet).toMap,
+        partitions = endM.partitions.view.filterKeys(fresh.toSet).toMap,
+        sizes = endM.sizes.view.filterKeys(fresh.toSet).toMap)
+    }
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val e = end.asInstanceOf[GraftStreamOffset].version
+    if (e < 0L || e <= s) return Array.empty
+    val diff = diffManifest(s, e)
+    val pruned = GraftPruning.prune(diff, physFilters)
+    scanOverDiff(diff.copy(files = pruned)).toBatch.planInputPartitions()
+  }
+
+  // The parquet reader factory is file-independent (schema + conf
+  // only), so one built over an empty file list serves every batch.
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOverDiff(snap.manifest.copy(files = Seq.empty))
+      .toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 object GraftPruning {

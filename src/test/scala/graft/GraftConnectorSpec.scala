@@ -53,7 +53,7 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     flatten(df.queryExecution.executedPlan).collect {
       case b: BatchScanExec => b.scan
     }.map {
-      case r: graft.sources.LogicalRenameScan => r.inner
+      case r: graft.sources.GraftScan => r.inner
       case s => s
     }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
   }
@@ -225,6 +225,9 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     val df = GraftTables.read(spark, tbl).filter($"id" <= 10L)
     val planned = df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan
+    }.map {
+      case r: graft.sources.GraftScan => r.inner
+      case s => s
     }.collect { case s: FileScan => s.fileIndex.inputFiles.toSeq }.flatten
     assert(planned.size == 1 && planned.head.contains("/q0/"),
       s"stats must prune to q0 with no filesystem access: $planned")
@@ -313,6 +316,49 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("non-append"))
     // ...but a window that ends before the replace still works.
     assert(inc(0, Some(2L)).count() == 30L)
+  }
+
+  test("readStream.format(graft) follows the log: snapshot, appends, checkpoint resume") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = quartileTable()
+    val base = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"ck${System.nanoTime()}")
+    val (ckpt, out) = (base.resolve("ckpt").toString,
+      base.resolve("out").toString)
+    // Parquet sink (memory sink cannot recover from a checkpoint);
+    // drains ACCUMULATE in `out`, so each call returns the increment.
+    def drain(opts: Map[String, String] = Map.empty,
+        checkpoint: String = ckpt, outDir: String = out): Long = {
+      val before =
+        if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(outDir))) 0L
+        else spark.read.parquet(outDir).count()
+      val r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(tbl.toString)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count() - before
+    }
+    // First drain: the full current snapshot is the first batch.
+    assert(drain() == 100L)
+    // Idle drain from the same checkpoint: nothing new.
+    assert(drain() == 0L)
+    // Two appends land; the resumed stream reads EXACTLY them.
+    (101L to 120L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    (121L to 130L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(drain() == 30L)
+    assert(spark.read.parquet(out).filter($"id" > 100L)
+      .agg(min($"id"), max($"id")).head.toSeq == Seq(101L, 130L))
+    // startingVersion skips history: a FRESH stream from v2 sees only
+    // the second append.
+    assert(drain(Map("startingVersion" -> "2"),
+      base.resolve("ckpt2").toString,
+      base.resolve("out2").toString) == 10L)
   }
 
   test("pruning is conservative: opaque predicate shapes keep every file") {

@@ -371,12 +371,29 @@ final class GraftScan(
     physFilters: Seq[Expression],
     options: CaseInsensitiveStringMap,
     scanOverDiff: TxnLog.Manifest => Scan)
-  extends Scan {
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
     if (!snap.isMapped) inner.readSchema()
     else StructType(inner.readSchema().fields.map(f =>
       f.copy(name = snap.logicalOf(f.name))))
+
+  // The inner FileScan reports size/row statistics from the PRUNED
+  // file set; hiding them behind this wrapper would make every graft
+  // relation look defaultSizeInBytes-huge and never auto-broadcast —
+  // the silent join-strategy regression, so delegate.
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     inner.toBatch
@@ -641,9 +658,14 @@ final class GraftCatalog extends TableCatalog {
     new GraftTable(GraftTables.resolve(Map("path" -> root.toString)))
   }
 
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!Files.isDirectory(TxnLog.logDir(root)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
     new GraftTable(GraftTables.resolve(Map(
-      "path" -> rootOf(ident).toString, "versionAsOf" -> version)))
+      "path" -> root.toString, "versionAsOf" -> version)))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty

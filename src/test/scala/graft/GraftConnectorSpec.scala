@@ -190,6 +190,15 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     val opened = plannedFiles(df)
     assert(opened.size == 1, s"low-range read must open 1 of 2: $opened")
     assert(df.count() == 10L)
+    // v2: DROP COLUMN = a manifest that stops declaring it — the
+    // bytes stay, the pinned v1 reader still sees them, the tip scan
+    // never even requests the physical column.
+    TxnLog.commitRetryWith(tbl, t => t.copy(action = "drop-column",
+      columns = Some(Seq(TxnLog.ColumnDef(1, "doc_id", "bigint", "id")))))
+    val v2 = GraftTables.read(spark, tbl)
+    assert(v2.columns.toSeq == Seq("doc_id") && v2.count() == 50L)
+    assert(GraftTables.read(spark, tbl, Some(1L)).columns.toSeq ==
+      Seq("doc_id", "cents_total"))
   }
 
   test("planning is metadata-only: a table whose files are GONE still plans and prunes") {
@@ -359,6 +368,20 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(drain(Map("startingVersion" -> "2"),
       base.resolve("ckpt2").toString,
       base.resolve("out2").toString) == 10L)
+  }
+
+  test("graft relations report statistics: a small table auto-broadcasts in a join") {
+    // The wrapper scan delegates SupportsReportStatistics to the
+    // inner FileScan; without that, every graft relation would look
+    // defaultSizeInBytes-huge and this join would sort-merge.
+    val tbl = quartileTable()
+    val big = spark.range(0, 10000L).toDF("id")
+    val joined = big.join(GraftTables.read(spark, tbl), Seq("id"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"100-row graft table must broadcast, got:\n$plan")
   }
 
   test("pruning is conservative: opaque predicate shapes keep every file") {

@@ -497,8 +497,11 @@ object SourceSinkQueries {
     // Since round 12 the manifests are REAL commits on the versioned
     // transaction log ([[TxnLog]]) rather than ad-hoc file lists —
     // same snapshot semantics, now with the atomic-commit contract.
-    TxnLog.commitRetry(tbl, "create",
-      _ => TxnLog.parquetsUnder(tbl, "base"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      TxnLog.parquetsUnder(tbl, "base"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "o_orderkey", "bigint", "o_orderkey"),
+        TxnLog.ColumnDef(2, "cents", "bigint", "cents")))))
     val v1 = TxnLog.readManifest(tbl, 0L).files
     // The mid-range update slice, in exact integer arithmetic both
     // engines replay: [min + 45% of span, min + 55% of span].
@@ -583,8 +586,14 @@ object SourceSinkQueries {
     orders.repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.parquet(tbl.resolve("d0").toString)
-    TxnLog.commitRetry(tbl, "create",
-      _ => TxnLog.parquetsUnder(tbl, "d0"))
+    // Declared columns make every versioned read below metadata-only
+    // (no footer-inference job per version); commitRetry carries the
+    // declaration forward through the whole chain.
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      TxnLog.parquetsUnder(tbl, "d0"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "o_orderkey", "bigint", "o_orderkey"),
+        TxnLog.ColumnDef(2, "cents", "bigint", "cents")))))
     // -- v1: append (brand-new keys, additive files) -------------------
     orders.filter(col("o_orderkey") % 7 === 0)
       .select((col("o_orderkey") + 100000000L).as("o_orderkey"),

@@ -179,12 +179,30 @@ object GraftTables {
       case None =>
         require(m.files.nonEmpty, s"version $version of $root is empty " +
           "and declares no schema — commit columns to read it")
-        val inferred = SparkSession.active.read
-          .option("mergeSchema", "true")
-          .parquet(m.files.map(f => root.resolve(f).toString): _*)
-          .schema
+        val inferred = inferredSchema(root, version,
+          options.get("fromVersion"), m.files)
         GraftSnapshot(root, m, inferred, inferred, pinned)
     }
+  }
+
+  // A committed version is immutable (manifests are put-if-absent,
+  // never replaced), so its inferred schema is too — cache it, or
+  // every read of an undeclared-schema table pays a footer-merge job.
+  // Declared-columns tables never reach this path (schema is manifest
+  // metadata). Bounded crudely: cleared when it grows past 256 keys.
+  private val inferredSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Option[String]), StructType]()
+
+  private def inferredSchema(root: Path, version: Long,
+      fromVersion: Option[String], files: Seq[String]): StructType = {
+    if (inferredSchemaCache.size > 256) inferredSchemaCache.clear()
+    inferredSchemaCache.computeIfAbsent(
+      (root.toAbsolutePath.toString, version, fromVersion),
+      _ => SparkSession.active.read
+        .option("mergeSchema", "true")
+        .parquet(files.map(f => root.resolve(f).toString): _*)
+        .schema)
   }
 
   /** Reader-side convenience: `read(spark, table, Some(v))` ==

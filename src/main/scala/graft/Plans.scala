@@ -43,7 +43,13 @@ object Plans {
       // so their read-back plans are audited via the bench instead)
       "dedup_cdc_chunks", "window_moving_agg", "window_ntile_deciles",
       "dedup_edit_distance", "unpivot_melt", "json_variant",
-      "similarity_matryoshka")
+      "similarity_matryoshka",
+      // round-13: DataSourceV2 connector reads — the BatchScan lines
+      // show the manifest-pruned graft scans (file skipping, column
+      // mapping, incremental diffs); the commit-effect table queries
+      // (write/torture/feed) audit via the bench, like r11's writes
+      "table_connector_read", "table_connector_skipping",
+      "table_column_mapping", "table_incremental_read")
     headline.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir)

@@ -580,6 +580,20 @@ object GraftPruning {
     case _ => None
   }
 
+  /** Literal value as the exact string a partition-value entry would
+    * carry — ONLY for types whose rendering is canonical (integrals,
+    * strings, booleans). Fractional/decimal literals render ambiguously
+    * ("3.0" vs "3") and partition pruning is NOT protected by residual
+    * filters, so they must never prune. */
+  private def partValueOf(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+         _: java.lang.Long | _: java.lang.Boolean => Some(v.toString)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
   /** The files of `m` a scan with the given pushed filters must open:
     * metadata-only pruning on (a) the declared statsKey's committed
     * [min, max] per file and (b) per-file partition values. Any
@@ -593,11 +607,15 @@ object GraftPruning {
       }
     }
     val partEq: Map[String, Set[String]] = filters.flatMap {
-      case Cmp(c, v, "=") => Some(c -> Set(String.valueOf(v)))
+      case Cmp(c, v, "=") => partValueOf(v).map(s => c -> Set(s))
       case In(a: Attribute, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Literal]) =>
-        Some(a.name ->
-          vs.map(l => String.valueOf(l.asInstanceOf[Literal].value)).toSet)
+        val rendered =
+          vs.flatMap(l => partValueOf(l.asInstanceOf[Literal].value))
+        // every IN value must render canonically, or the file set the
+        // ambiguous value might match would be wrongly dropped
+        if (rendered.size == vs.size) Some(a.name -> rendered.toSet)
+        else None
       case _ => None
     }.groupMapReduce(_._1)(_._2)(_ intersect _)
     m.files.filter { f =>

@@ -409,5 +409,18 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftPruning.prune(m2, Seq(EqualTo(id, Literal(60L)))) ==
       Seq.empty)
     assert(GraftPruning.prune(m2, Seq.empty) == Seq("a", "b"))
+    // Partition-value pruning compares RENDERED strings, which is only
+    // canonical for integral/string/boolean literals — a fractional
+    // literal ("3.0" vs stored "3") must never prune, because pruning
+    // is not protected by residual filters.
+    import org.apache.spark.sql.types.DoubleType
+    val mp = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),
+      partitions = Map("a" -> Map("year" -> "3"),
+        "b" -> Map("year" -> "4")))
+    assert(GraftPruning.prune(mp, Seq(EqualTo(
+      AttributeReference("year", DoubleType)(), Literal(3.0)))) ==
+      Seq("a", "b"))
+    assert(GraftPruning.prune(mp, Seq(EqualTo(
+      AttributeReference("year", LongType)(), Literal(3L)))) == Seq("a"))
   }
 }

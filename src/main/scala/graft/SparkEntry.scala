@@ -229,6 +229,7 @@ object SparkEntry {
     "table_connector_write" -> ((s, dir) => SourceSinkQueries.tableConnectorWriteQuery(s, dir)),
     "table_incremental_read" -> ((s, dir) => SourceSinkQueries.tableIncrementalReadQuery(s, dir)),
     "stream_table_feed" -> ((s, dir) => SourceSinkQueries.streamTableFeedQuery(s, dir)),
+    "stream_table_sink" -> ((s, dir) => SourceSinkQueries.streamTableSinkQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2712,6 +2713,22 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // Streaming INTO the log: table B accumulates o then the %7 batch
+    // (each moved exactly once; replay no-op engine-witnessed).
+    "stream_table_sink" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b1 AS (SELECT CAST(12345 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 7 = 0),
+         allr AS (SELECT cents FROM o UNION ALL SELECT cents FROM b1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM allr) AS n_rows,
+                (SELECT CAST(sum(cents) AS BIGINT) FROM allr) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_initial,
+                true AS created_with_declared_columns,
+                true AS txn_stamped,
+                true AS idle_pump_no_commit,
+                true AS replay_is_noop""",
     // Streaming the log: the accumulated sink is o ∪ b1 ∪ b2 (each
     // batch moved exactly once — the increment pins are the witness);
     // counts and sum replay relationally.

@@ -1057,6 +1057,70 @@ object SourceSinkQueries {
         lit(nFromV2).as("n_from_v2"))
   }
 
+  /** stream_table_sink — `writeStream.format("graft")`: the log as a
+    * structured-streaming SINK, composed table-to-table with the
+    * streaming source (A → stream → B, both graft tables — continuous
+    * ingest with no Kafka detour). Each micro-batch commits with an
+    * (appId, batchId) `txn` stamp, so a checkpoint-recovered REPLAY of
+    * a committed batch is a no-op — exactly-once into the table, the
+    * Delta txn idea. Witnessed: the first batch CREATES table B
+    * (declared columns from the batch schema, stamp present); an idle
+    * pump commits nothing; after the source grows, the resumed pipe
+    * moves exactly the increment; and a direct replay of an
+    * already-committed batch id changes neither the log nor the
+    * rows, while the sink's aggregate replays relationally. */
+  def streamTableSinkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("connsink")
+    val a = root.resolve("a")
+    val b = root.resolve("b")
+    Files.createDirectories(a)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(a.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(a, "d0")
+    TxnLog.commitRetry(a, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, a, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val ckpt = root.resolve("ckpt").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft").load(a.toString)
+        .writeStream.format("graft").option("path", b.toString)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump()
+    val nInitial = graft.sources.GraftTables.read(spark, b).count()
+    val m0 = TxnLog.readManifest(b, 0L)
+    val createdDeclared = m0.action == "create" && m0.columns.isDefined
+    val txnStamped = m0.txn.exists(_._2 == 0L)
+    pump()
+    val idleNoCommit = TxnLog.versions(b) == Seq(0L)
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(12345L).as("cents"))
+      .coalesce(1).write.format("graft").mode("append").save(a.toString)
+    pump()
+    val versionsAfter = TxnLog.versions(b)
+    // Replay the recovery path: an already-committed batch id no-ops.
+    import spark.implicits._
+    new graft.sources.GraftStreamingSink(b, m0.txn.get._1)
+      .addBatch(1L, Seq((1L, 1L)).toDF("o_orderkey", "cents"))
+    val replayNoop = TxnLog.versions(b) == versionsAfter
+    graft.sources.GraftTables.read(spark, b)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(nInitial).as("n_initial"),
+        lit(createdDeclared).as("created_with_declared_columns"),
+        lit(txnStamped).as("txn_stamped"),
+        lit(idleNoCommit).as("idle_pump_no_commit"),
+        lit(replayNoop).as("replay_is_noop"))
+  }
+
   /** table_incremental_read — consuming a GROWING table without
     * reprocessing it: `option("fromVersion", f)` plans exactly the
     * files appended after version f (optionally up to `versionAsOf`)

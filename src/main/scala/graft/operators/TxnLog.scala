@@ -98,7 +98,8 @@ object TxnLog {
       statsKey: Option[String] = None,
       partitions: Map[String, Map[String, String]] = Map.empty,
       columns: Option[Seq[ColumnDef]] = None,
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      txn: Option[(String, Long)] = None)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -166,6 +167,10 @@ object TxnLog {
       val sn = root.putObject("sizes")
       m.sizes.toSeq.sortBy(_._1).foreach { case (f, n) => sn.put(f, n) }
     }
+    m.txn.foreach { case (app, batch) =>
+      val t = root.putObject("txn")
+      t.put("app", app); t.put("batch", batch)
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -192,13 +197,30 @@ object TxnLog {
     val sizes = Option(n.get("sizes")).map { sn =>
       sn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
     }.getOrElse(Map.empty[String, Long])
+    val txn = Option(n.get("txn")).map(t =>
+      (t.get("app").asText, t.get("batch").asLong))
     Manifest(
       n.get("version").asLong, n.get("parent").asLong,
       n.get("action").asText,
       n.get("files").elements().asScala.map(_.asText).toSeq,
       stats,
       Option(n.get("statsKey")).map(_.asText),
-      partitions, columns, sizes)
+      partitions, columns, sizes, txn)
+  }
+
+  /** The highest batch id writer `app` has committed among the
+    * RETAINED manifests — the Delta `txn` idea: a streaming sink
+    * stamps (appId, batchId) on each commit and skips any batch at or
+    * below this watermark on replay, which is what makes its writes
+    * exactly-once across checkpoint-recovered restarts. O(retained
+    * versions) driver-side metadata. NOTE: expiring every manifest an
+    * app ever stamped forgets its watermark — retain at least one. */
+  def lastTxn(table: Path, app: String): Option[Long] = {
+    val ids = versions(table).flatMap(v =>
+      readManifest(table, v).txn.collect {
+        case (a, b) if a == app => b
+      })
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Byte sizes for `files`, inheriting `prior` (a parent manifest's

@@ -69,7 +69,8 @@ import graft.operators.TxnLog
   * data path is Spark's parquet reader at full parallelism over only
   * the qualifying files. */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -82,6 +83,58 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftTable(GraftTables.resolve(properties.asScala.toMap))
+
+  /** `df.writeStream.format("graft")` — the sink commits each
+    * micro-batch through the log with a (appId, batchId) `txn` stamp,
+    * so a checkpoint-recovered replay of an already-committed batch
+    * is a no-op: exactly-once into the table. */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink is append-only, got $outputMode " +
+        "(aggregate with watermarks + append, or foreachBatch + merge)")
+    val path = parameters.getOrElse("path",
+      sys.error("graft streaming sink requires a path"))
+    // The writer's durable identity, for replay detection: an explicit
+    // txnAppId option, else the checkpoint location (which IS the
+    // query's identity across restarts).
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(sys.error("graft streaming sink needs a " +
+        "checkpointLocation (or explicit txnAppId) to be exactly-once"))
+    new GraftStreamingSink(Paths.get(path), appId)
+  }
+}
+
+/** V1 streaming sink over the log (the API Delta shipped on for
+  * years): `addBatch` stages the micro-batch as parquet and publishes
+  * one optimistic append commit stamped with (appId, batchId). After
+  * a failure, Structured Streaming REPLAYS the last batch; the stamp
+  * makes the replay observable (`TxnLog.lastTxn`) and the sink skips
+  * it — exactly-once without coordination beyond the log. A first
+  * batch into a fresh path CREATES the table with declared columns
+  * from the batch schema. */
+final class GraftStreamingSink(root: Path, appId: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (TxnLog.lastTxn(root, appId).exists(_ >= batchId)) return
+    val txn = Some(appId -> batchId)
+    // The incoming frame is flagged streaming (batch writes refused);
+    // re-wrap its physical plan as a batch frame — the V1-sink idiom.
+    val batch = org.apache.spark.sql.graftshim.BatchDF.from(data)
+    if (TxnLog.latest(root).isEmpty)
+      GraftTables.createFrom(root, batch, txn)
+    else
+      GraftTables.insert(GraftTables.resolve(Map("path" -> root.toString)),
+        batch, overwrite = false, txn)
+  }
+
+  override def toString: String = s"GraftSink[$root]"
 }
 
 /** One pinned snapshot: the table root, the resolved manifest, the
@@ -139,8 +192,19 @@ object GraftTables {
     val pinned = options.contains("versionAsOf") ||
       options.contains("fromVersion")
     val version = options.get("versionAsOf").map(_.toLong)
-      .orElse(TxnLog.latest(root))
-      .getOrElse(sys.error(s"no committed version at $root"))
+      .orElse(TxnLog.latest(root)).getOrElse {
+        // A streaming WRITE resolves its sink table before the first
+        // batch can create it (DataStreamWriter probes the provider
+        // for the capability check). Only streaming writes carry a
+        // checkpointLocation option, so exactly there a missing log
+        // resolves to an empty sentinel instead of an error — the
+        // sink's first addBatch performs the real create.
+        if (options.keys.exists(_.equalsIgnoreCase("checkpointLocation")))
+          return GraftSnapshot(root,
+            TxnLog.Manifest(-1L, -2L, "none", Seq.empty),
+            new StructType(), new StructType())
+        sys.error(s"no committed version at $root")
+      }
     val m0 = TxnLog.readManifest(root, version)
     val m = options.get("fromVersion").map(_.toLong) match {
       case None => m0
@@ -217,10 +281,12 @@ object GraftTables {
   private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Stage `data` as parquet under the table root and commit it to
-    * the log — the engine behind `df.write.format("graft")` and SQL
-    * `INSERT INTO` ([[GraftWriteBuilder]]). */
+    * the log — the engine behind `df.write.format("graft")`, SQL
+    * `INSERT INTO` ([[GraftWriteBuilder]]), and each streaming batch
+    * ([[GraftStreamingSink]], which passes its `txn` stamp). */
   def insert(snap: GraftSnapshot, data: DataFrame,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     val cols = snap.schema.fieldNames
     require(data.columns.toSet == cols.toSet,
       s"graft insert schema mismatch: table has ${cols.mkString(",")}, " +
@@ -230,10 +296,7 @@ object GraftTables {
     // casting to the declared logical types.
     val physical = data.select(cols.toSeq.map(c =>
       col(c).cast(snap.schema(c).dataType).as(snap.physicalOf(c))): _*)
-    val subdir = s"w${System.currentTimeMillis()}-" +
-      s"${stagingCounter.incrementAndGet()}"
-    physical.write.parquet(snap.root.resolve(subdir).toString)
-    val newFiles = TxnLog.parquetsUnder(snap.root, subdir)
+    val newFiles = stage(snap.root, physical)
     val spark = data.sparkSession
     TxnLog.commitRetryWith(snap.root, tip => {
       val newStats = tip.statsKey.map(k =>
@@ -241,12 +304,32 @@ object GraftTables {
         .getOrElse(Map.empty[String, (Long, Long)])
       if (overwrite)
         TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,
-          tip.statsKey, columns = tip.columns)
+          tip.statsKey, columns = tip.columns, txn = txn)
       else
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats ++ newStats, tip.statsKey,
-          partitions = tip.partitions, columns = tip.columns)
+          partitions = tip.partitions, columns = tip.columns, txn = txn)
     })
+  }
+
+  /** First write into a fresh path: CREATE the table from the frame,
+    * declaring its schema as manifest columns (identity mapping). */
+  def createFrom(root: Path, data: DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
+    Files.createDirectories(root)
+    val newFiles = stage(root, data)
+    val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
+      TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
+    }.toSeq
+    TxnLog.commitRetryWith(root, _ => TxnLog.Manifest(0L, 0L, "create",
+      newFiles, columns = Some(cols), txn = txn))
+  }
+
+  private def stage(root: Path, physical: DataFrame): Seq[String] = {
+    val subdir = s"w${System.currentTimeMillis()}-" +
+      s"${stagingCounter.incrementAndGet()}"
+    physical.write.parquet(root.resolve(subdir).toString)
+    TxnLog.parquetsUnder(root, subdir)
   }
 
   /** Register [[GraftCatalog]] as catalog `graft` on a LIVE session
@@ -495,8 +578,9 @@ final class GraftMicroBatchStream(
     physFilters: Seq[Expression],
     options: CaseInsensitiveStringMap,
     scanOverDiff: TxnLog.Manifest => Scan)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
   private val root = snap.root
@@ -507,6 +591,21 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(): Offset =
     GraftStreamOffset(TxnLog.latest(root).getOrElse(-1L))
+
+  // Trigger.AvailableNow: pin the tip ONCE at stream start and drain
+  // up to it, so the run terminates even while writers keep
+  // committing — the admission-control contract.
+  @volatile private var availableNowTarget: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestOffset())
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.classic.{DataFrame, Dataset}
+
+/** The one `private[sql]` doorway the streaming sink needs: the
+  * micro-batch frame Structured Streaming hands a V1 `Sink` is flagged
+  * `isStreaming`, on which batch writes are (correctly) forbidden —
+  * the established sink idiom (what Delta's `DeltaSink` and Spark's
+  * own `FileStreamSink` do) is to re-wrap the SAME physical plan as a
+  * non-streaming frame via `internalCreateDataFrame`. This shim lives
+  * under `org.apache.spark.sql` purely to reach that method; no other
+  * internals are touched. */
+object BatchDF {
+  def from(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val ds = data.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+}

@@ -384,6 +384,48 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       s"100-row graft table must broadcast, got:\n$plan")
   }
 
+  test("writeStream.format(graft): table-to-table streaming, exactly-once across resume") {
+    import org.apache.spark.sql.streaming.Trigger
+    val a = quartileTable()
+    val base = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"s2s${System.nanoTime()}")
+    val b = base.resolve("b")
+    val ckpt = base.resolve("ckpt").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft").load(a.toString)
+        .writeStream.format("graft").option("path", b.toString)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // First batch CREATES table b (declared columns, txn-stamped).
+    pump()
+    assert(GraftTables.read(spark, b).count() == 100L)
+    val m0 = TxnLog.readManifest(b, 0L)
+    assert(m0.action == "create" && m0.columns.isDefined &&
+      m0.txn.exists(_._2 == 0L))
+    // Idle pump: no new source versions, no commits on b.
+    pump()
+    assert(TxnLog.versions(b) == Seq(0L))
+    // The source grows; the resumed pipe moves exactly the increment.
+    (101L to 120L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(a.toString)
+    pump()
+    assert(GraftTables.read(spark, b).count() == 120L)
+    assert(TxnLog.versions(b) == Seq(0L, 1L))
+    // Replaying an already-committed batch id is a no-op (the recovery
+    // path Structured Streaming exercises after a mid-commit failure).
+    val appId = m0.txn.get._1
+    new graft.sources.GraftStreamingSink(b, appId)
+      .addBatch(1L, (1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    assert(TxnLog.versions(b) == Seq(0L, 1L))
+    assert(GraftTables.read(spark, b).count() == 120L)
+    // ...while a genuinely new batch id lands.
+    new graft.sources.GraftStreamingSink(b, appId)
+      .addBatch(2L, (201L to 203L).map(i => (i, i)).toDF("id", "v"))
+    assert(GraftTables.read(spark, b).count() == 123L)
+  }
+
   test("pruning is conservative: opaque predicate shapes keep every file") {
     val id = AttributeReference("id", LongType)()
     val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),

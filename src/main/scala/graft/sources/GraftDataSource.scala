@@ -408,10 +408,12 @@ final class GraftScanBuilder(
     spark: SparkSession, snap: GraftSnapshot,
     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = snap.schema
   private var pushedExprs: Seq[Expression] = Seq.empty
+  private var aggPushed = false
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
@@ -425,15 +427,57 @@ final class GraftScanBuilder(
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
+  /** Pruning compares filters (logical names) against manifest
+    * metadata (physical names: statsKey and partition columns are
+    * declared against the bytes) — rewrite the filters to physical
+    * first; identity when the manifest declares no mapping. */
+  private def physFilters: Seq[Expression] =
+    if (!snap.isMapped) pushedExprs
+    else pushedExprs.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(snap.physicalOf(a.name))
+    })
+
+  /** The inner builder over the PRUNED file set, filters pushed —
+    * shared by the aggregate-pushdown probe and the final build so
+    * both see the same files. Forced after pushFilters (Spark's
+    * pushdown order guarantees filters come first). */
+  private lazy val prunedInner: ParquetScanBuilder = {
+    val kept = GraftPruning.prune(snap.manifest, physFilters)
+    val index = new ManifestFileIndex(spark, snap.root, kept,
+      snap.manifest.sizes, snap.physicalSchema)
+    val b = ParquetScanBuilder(spark, index, snap.physicalSchema,
+      snap.physicalSchema, options)
+    b.pushFilters(physFilters)
+    b
+  }
+
+  // MIN/MAX/COUNT pushdown answers from parquet footer statistics of
+  // the pruned file set — delegated to Spark's parquet builder, which
+  // enforces its own rules (no data filters, supported types). Mapped
+  // tables skip it: the aggregate references logical names the
+  // physical footers don't carry.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = !snap.isMapped && prunedInner.supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (snap.isMapped) return false
+    aggPushed = prunedInner.pushAggregation(agg)
+    aggPushed
+  }
+
   /** The parquet scan over exactly `files`, with this builder's
     * pushed (physical-name) filters and pruned columns applied. */
   private def parquetScanOver(files: Seq[String],
-      sizes: Map[String, Long], physFilters: Seq[Expression]): Scan = {
+      sizes: Map[String, Long], filters: Seq[Expression]): Scan = {
     val index = new ManifestFileIndex(spark, snap.root, files,
       sizes, snap.physicalSchema)
     val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
       snap.physicalSchema, options)
-    inner.pushFilters(physFilters)
+    inner.pushFilters(filters)
     val physRequired = StructType(requiredSchema.fields.map(f =>
       f.copy(name = snap.physicalOf(f.name))))
     inner.pruneColumns(physRequired)
@@ -441,21 +485,13 @@ final class GraftScanBuilder(
   }
 
   override def build(): Scan = {
-    // Pruning compares filters (logical names) against manifest
-    // metadata (physical names: statsKey and partition columns are
-    // declared against the bytes) — rewrite the filters to physical
-    // first; identity when the manifest declares no mapping.
-    val physFilters =
-      if (!snap.isMapped) pushedExprs
-      else pushedExprs.map(_.transform {
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-          a.withName(snap.physicalOf(a.name))
-      })
-    val kept = GraftPruning.prune(snap.manifest, physFilters)
-    new GraftScan(
-      parquetScanOver(kept, snap.manifest.sizes, physFilters),
-      snap, physFilters, options,
-      diff => parquetScanOver(diff.files, diff.sizes, physFilters))
+    val pf = physFilters
+    val inner =
+      if (aggPushed) prunedInner.build() // scan output = the aggregate
+      else parquetScanOver(GraftPruning.prune(snap.manifest, pf),
+        snap.manifest.sizes, pf)
+    new GraftScan(inner, snap, pf, options,
+      diff => parquetScanOver(diff.files, diff.sizes, pf))
   }
 }
 

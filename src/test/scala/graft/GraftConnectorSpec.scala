@@ -370,6 +370,27 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       base.resolve("out2").toString) == 10L)
   }
 
+  test("MIN/MAX/COUNT push down to parquet footers over the pruned file set") {
+    val tbl = quartileTable()
+    // The delegation honors Spark's own gate: parquet footer
+    // aggregation is opt-in (spark.sql.parquet.aggregatePushdown).
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = GraftTables.read(spark, tbl)
+        .agg(count(lit(1)).as("n"), min($"id"), max($"id"))
+      assert(df.head.toSeq == Seq(100L, 1L, 100L))
+      val scanDesc = df.queryExecution.executedPlan.toString
+      assert(scanDesc.contains("PushedAggregation: [COUNT(*)"),
+        s"footer aggregation must be pushed:\n$scanDesc")
+      // ...and a filtered aggregate falls back to a normal scan
+      // (parquet cannot apply data filters to footer stats) with the
+      // right answer.
+      val filtered = GraftTables.read(spark, tbl)
+        .filter($"id" >= 30L && $"id" <= 40L).agg(count(lit(1)))
+      assert(filtered.head.getLong(0) == 11L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("graft relations report statistics: a small table auto-broadcasts in a join") {
     // The wrapper scan delegates SupportsReportStatistics to the
     // inner FileScan; without that, every graft relation would look

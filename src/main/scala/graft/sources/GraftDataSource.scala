@@ -298,9 +298,13 @@ object GraftTables {
       col(c).cast(snap.schema(c).dataType).as(snap.physicalOf(c))): _*)
     val newFiles = stage(snap.root, physical)
     val spark = data.sparkSession
+    // The staged files never change across commit retries — compute
+    // their stats once, outside the rebase loop.
+    val statsCache =
+      scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
     TxnLog.commitRetryWith(snap.root, tip => {
-      val newStats = tip.statsKey.map(k =>
-        TxnLog.keyStats(spark, snap.root, newFiles, k))
+      val newStats = tip.statsKey.map(k => statsCache.getOrElseUpdate(k,
+        TxnLog.keyStats(spark, snap.root, newFiles, k)))
         .getOrElse(Map.empty[String, (Long, Long)])
       if (overwrite)
         TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,

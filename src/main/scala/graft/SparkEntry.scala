@@ -230,6 +230,7 @@ object SparkEntry {
     "table_incremental_read" -> ((s, dir) => SourceSinkQueries.tableIncrementalReadQuery(s, dir)),
     "stream_table_feed" -> ((s, dir) => SourceSinkQueries.streamTableFeedQuery(s, dir)),
     "stream_table_sink" -> ((s, dir) => SourceSinkQueries.streamTableSinkQuery(s, dir)),
+    "table_delete_where" -> ((s, dir) => SourceSinkQueries.tableDeleteWhereQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2713,6 +2714,22 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_files_opened_bucket,
                 CAST(0 AS INT) AS n_files_opened_beyond
          FROM o, r WHERE o_orderkey BETWEEN lo AND hi""",
+    // SQL DELETE: the surviving aggregate replays with exact integer
+    // bounds; the rewrite-scope and no-op witnesses are engine-measured
+    // from the manifests.
+    "table_delete_where" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0,
+                true AS rewrite_scoped,
+                true AS noop_beyond_range
+         FROM o, r WHERE o_orderkey NOT BETWEEN lo AND hi""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

@@ -1057,6 +1057,57 @@ object SourceSinkQueries {
         lit(nFromV2).as("n_from_v2"))
   }
 
+  /** table_delete_where — `DELETE FROM graft.`path` WHERE pred` in
+    * plain SQL ([[graft.sources.GraftTable]] implements the v2
+    * `SupportsDelete` contract): manifest stats scope the rewrite to
+    * the files whose [min, max] can hold matching rows — here a
+    * 30–40% key-range delete rewrites ONLY the 1 of 4 value-bucket
+    * files, witnessed by the other three surviving BY NAME — and the
+    * commit is one more log version, so time travel still reads the
+    * deleted rows at v0. A predicate beyond every file's range is a
+    * metadata-only NO-OP (no commit at all). At 100 TB this is the
+    * GDPR-deletion path: O(affected files) of work driven from plain
+    * SQL, with history retained until expiry. */
+  def tableDeleteWhereQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conndel").resolve("orders")
+    Files.createDirectories(tbl)
+    val b = Relational.table(spark, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        least(lit(3), (col("o_orderkey") - mn) * 4 / span)
+          .cast("int").as("bkt"))
+    for (q <- 0 until 4)
+      orders.filter(col("bkt") === q).drop("bkt")
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    graft.sources.GraftTables.registerCatalog(spark)
+    val (lo, hi) = (mn + span * 30 / 100, mn + span * 40 / 100)
+    spark.sql(
+      s"DELETE FROM graft.`$tbl` WHERE o_orderkey BETWEEN $lo AND $hi")
+    val m1 = TxnLog.readManifest(tbl, 1L)
+    val untouched = files.filterNot(_.startsWith("b1/"))
+    val scoped = m1.action == "delete" &&
+      untouched.forall(m1.files.contains) &&
+      !m1.files.exists(files.filter(_.startsWith("b1/")).contains)
+    // Beyond-range predicate: metadata-only no-op, no commit.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey = ${mx + 99999}")
+    val noopBeyond = TxnLog.versions(tbl) == Seq(0L, 1L)
+    val v0Rows = graft.sources.GraftTables.read(spark, tbl, Some(0L)).count()
+    graft.sources.GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(v0Rows).as("n_rows_v0"),
+        lit(scoped).as("rewrite_scoped"),
+        lit(noopBeyond).as("noop_beyond_range"))
+  }
+
   /** stream_table_sink — `writeStream.format("graft")`: the log as a
     * structured-streaming SINK, composed table-to-table with the
     * streaming source (A → stream → B, both graft tables — continuous

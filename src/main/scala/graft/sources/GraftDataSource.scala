@@ -336,6 +336,67 @@ object GraftTables {
     TxnLog.parquetsUnder(root, subdir)
   }
 
+  /** `DELETE FROM graft.`path` WHERE pred` as a copy-on-write log
+    * commit: manifest metadata ([[GraftPruning]]) picks the files that
+    * can possibly hold matching rows, ONLY those are rewritten with
+    * the non-matching rows kept (`pred IS TRUE` rows drop — NULL
+    * predicates keep their rows, SQL DELETE semantics), and the commit
+    * is (tip − affected) ∪ rewritten. A predicate whose bounds miss
+    * every file is a metadata-only no-op; a lost commit race REPLANS
+    * against the new tip (the serializable-COW discipline); a
+    * rewrite left empty (everything in the file matched) is dropped
+    * from the file set. Old files survive for time travel — at 100 TB
+    * this is the GDPR-delete path: O(affected files) work, through
+    * plain SQL. */
+  def deleteWhere(snap: GraftSnapshot,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      targetFileBytes: Long = 128L << 20,
+      maxAttempts: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val root = snap.root
+    val exprs = filters.toSeq.map(f => GraftFilters.toCatalyst(f)
+      .getOrElse(sys.error(s"untranslatable DELETE predicate: $f")))
+    val pred = exprs
+      .map(org.apache.spark.sql.graftshim.BatchDF.column)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val tipVersion = TxnLog.latest(root).getOrElse(
+        sys.error(s"DELETE on a version-less table at $root"))
+      val tip = TxnLog.readManifest(root, tipVersion)
+      val affected = GraftPruning.prune(tip, exprs).toSet
+      if (affected.isEmpty) return // no file can match: metadata no-op
+      val keep = spark.read
+        .parquet(affected.toSeq.map(f => root.resolve(f).toString): _*)
+        .filter(!pred.eqNullSafe(lit(true)))
+      val affectedBytes = affected.toSeq
+        .map(f => tip.sizes.getOrElse(f, Files.size(root.resolve(f)))).sum
+      val nOut = math.max(1L,
+        (affectedBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val out = if (nOut <= 1) keep.coalesce(1) else keep.repartition(nOut)
+      val attemptDir = s"del${System.currentTimeMillis()}-" +
+        s"${stagingCounter.incrementAndGet()}"
+      out.write.parquet(root.resolve(attemptDir).toString)
+      val written = TxnLog.parquetsUnder(root, attemptDir)
+      val newStats = tip.statsKey
+        .map(k => TxnLog.keyStats(spark, root, written, k))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val newFiles = written.filter(f => newStats.contains(f) ||
+        !spark.read.parquet(root.resolve(f).toString).isEmpty)
+      val files = tip.files.filterNot(affected) ++ newFiles
+      TxnLog.tryCommitManifest(root, TxnLog.Manifest(
+        tipVersion + 1, tipVersion, "delete", files,
+        (tip.stats -- affected) ++ newStats, tip.statsKey,
+        tip.partitions -- affected, tip.columns,
+        TxnLog.fileSizes(root, files, tip.sizes))) match {
+        case Some(_) => return
+        case None => attempt += 1 // lost the race: replan on the new tip
+      }
+    }
+    sys.error(s"delete lost $maxAttempts races on $root")
+  }
+
   /** Register [[GraftCatalog]] as catalog `graft` on a LIVE session
     * (catalog configs are resolved lazily, so a runtime conf set is
     * enough — no restart). Enables `FROM graft.`/abs/path`` and
@@ -347,7 +408,17 @@ object GraftTables {
 
 final class GraftTable(snap: GraftSnapshot) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !snap.pinned && !snap.isMapped &&
+      filters.forall(GraftFilters.toCatalyst(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftTables.deleteWhere(snap, filters)
 
   override def name(): String =
     s"graft.`${snap.root}` @ v${snap.manifest.version}"
@@ -691,6 +762,42 @@ final class GraftMicroBatchStream(
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** `sources.Filter` → catalyst expression, for the filter shapes the
+  * DELETE path accepts. The result serves BOTH consumers: manifest
+  * pruning ([[GraftPruning]] pattern-matches `Attribute`/`Literal`
+  * nodes — `UnresolvedAttribute` IS an `Attribute`) and row filtering
+  * (wrapped back into a `Column`). Unknown shapes return None and the
+  * table reports it cannot delete by that predicate. */
+object GraftFilters {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+  import org.apache.spark.sql.sources
+
+  private def attr(a: String) = UnresolvedAttribute.quoted(a)
+
+  def toCatalyst(f: sources.Filter): Option[Expression] = f match {
+    case sources.EqualTo(a, v) => Some(EqualTo(attr(a), Literal(v)))
+    case sources.GreaterThan(a, v) => Some(GreaterThan(attr(a), Literal(v)))
+    case sources.GreaterThanOrEqual(a, v) =>
+      Some(GreaterThanOrEqual(attr(a), Literal(v)))
+    case sources.LessThan(a, v) => Some(LessThan(attr(a), Literal(v)))
+    case sources.LessThanOrEqual(a, v) =>
+      Some(LessThanOrEqual(attr(a), Literal(v)))
+    case sources.In(a, vs) =>
+      Some(In(attr(a), vs.toSeq.map(Literal(_))))
+    case sources.IsNull(a) => Some(IsNull(attr(a)))
+    case sources.IsNotNull(a) => Some(IsNotNull(attr(a)))
+    case sources.And(l, r) =>
+      for { a <- toCatalyst(l); b <- toCatalyst(r) } yield And(a, b)
+    case sources.Or(l, r) =>
+      for { a <- toCatalyst(l); b <- toCatalyst(r) } yield Or(a, b)
+    case sources.Not(c) => toCatalyst(c).map(Not)
+    case sources.AlwaysTrue() => Some(Literal.TrueLiteral)
+    case sources.AlwaysFalse() => Some(Literal.FalseLiteral)
+    case _ => None
+  }
 }
 
 object GraftPruning {

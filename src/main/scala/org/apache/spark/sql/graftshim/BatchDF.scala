@@ -17,4 +17,10 @@ object BatchDF {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** Column over a raw catalyst expression (the DELETE path builds its
+    * predicate once and uses it for both pruning and row filtering). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -447,6 +447,47 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, b).count() == 123L)
   }
 
+  test("SQL DELETE FROM rewrites only stats-affected files as a log commit") {
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    val before = TxnLog.readManifest(tbl, 0L)
+    // [30, 40] lives in file q1 only — the other three files must
+    // survive BY NAME (no rewrite), and the commit is a new version.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id BETWEEN 30 AND 40")
+    val after = TxnLog.readManifest(tbl, 1L)
+    assert(after.action == "delete")
+    val untouched = before.files.filterNot(_.startsWith("q1/"))
+    assert(untouched.forall(after.files.contains),
+      s"files outside the affected range must survive: $after")
+    assert(!after.files.exists(before.files.filter(_.startsWith("q1/")).contains))
+    assert(GraftTables.read(spark, tbl).count() == 89L)
+    assert(GraftTables.read(spark, tbl)
+      .filter($"id".between(30L, 40L)).count() == 0L)
+    // Time travel still sees the deleted rows.
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    // A predicate beyond every file's range is a metadata-only no-op.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 99999")
+    assert(TxnLog.versions(tbl) == Seq(0L, 1L))
+    // Delete-everything-in-a-file drops the empty rewrite.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id <= 25")
+    val m2 = TxnLog.readManifest(tbl, 2L)
+    assert(m2.files.forall(m2.stats.contains) &&
+      GraftTables.read(spark, tbl).count() == 64L)
+    // NULL-predicate rows are kept (DELETE only removes pred IS TRUE).
+    val tbl2 = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"d${System.nanoTime()}")
+    Files.createDirectories(tbl2)
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v").coalesce(1)
+      .write.parquet(tbl2.resolve("d0").toString)
+    TxnLog.commitRetry(tbl2, "create",
+      _ => TxnLog.parquetsUnder(tbl2, "d0"))
+    spark.sql(s"DELETE FROM graft.`$tbl2` WHERE v > 15")
+    assert(GraftTables.read(spark, tbl2).select($"id")
+      .as[Long].collect().toSet == Set(1L, 2L),
+      "the NULL-v row must survive a v > 15 delete")
+  }
+
   test("pruning is conservative: opaque predicate shapes keep every file") {
     val id = AttributeReference("id", LongType)()
     val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),

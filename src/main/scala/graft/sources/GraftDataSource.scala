@@ -409,7 +409,8 @@ object GraftTables {
 final class GraftTable(snap: GraftSnapshot) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -419,6 +420,15 @@ final class GraftTable(snap: GraftSnapshot) extends Table
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     GraftTables.deleteWhere(snap, filters)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!snap.pinned,
+      s"cannot run a row-level operation on ${name()}: the pinned " +
+        "past is immutable")
+    GraftRowLevelBuilder(snap, info)
+  }
 
   override def name(): String =
     s"graft.`${snap.root}` @ v${snap.manifest.version}"

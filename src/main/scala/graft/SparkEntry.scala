@@ -231,6 +231,8 @@ object SparkEntry {
     "stream_table_feed" -> ((s, dir) => SourceSinkQueries.streamTableFeedQuery(s, dir)),
     "stream_table_sink" -> ((s, dir) => SourceSinkQueries.streamTableSinkQuery(s, dir)),
     "table_delete_where" -> ((s, dir) => SourceSinkQueries.tableDeleteWhereQuery(s, dir)),
+    "table_update_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateSqlQuery(s, dir)),
+    "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2730,6 +2732,50 @@ object SparkEntry {
                 true AS rewrite_scoped,
                 true AS noop_beyond_range
          FROM o, r WHERE o_orderkey NOT BETWEEN lo AND hi""",
+    // SQL UPDATE as a group-based copy-on-write rewrite: the oracle
+    // replays the assignment as a CASE projection; scoping/stats/
+    // time-travel witnesses are engine-checked booleans.
+    "table_update_sql" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey BETWEEN lo AND hi
+                              THEN cents * 2 + 1 ELSE cents END)
+                     AS BIGINT) AS sum_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents_v0,
+                true AS rewrite_scoped,
+                true AS stats_covered
+         FROM o, r""",
+    // SQL MERGE INTO (delete + update + insert in one statement): the
+    // oracle replays it as a full-outer reconciliation.
+    "table_merge_sql" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         changes AS (
+           SELECT o_orderkey, CAST(111 AS BIGINT) AS cents, 'upd' AS op
+             FROM o WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey, CAST(NULL AS BIGINT), 'del'
+             FROM o WHERE o_orderkey % 10 = 7
+           UNION ALL
+           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT), 'ins'
+             FROM o WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT CASE WHEN c.op IS NULL THEN t.cents
+                       ELSE c.cents END AS cents, c.op
+           FROM o t FULL OUTER JOIN changes c
+             ON t.o_orderkey = c.o_orderkey
+           WHERE c.op IS NULL OR c.op <> 'del')
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0,
+                true AS single_atomic_commit
+         FROM merged""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

@@ -1108,6 +1108,114 @@ object SourceSinkQueries {
         lit(noopBeyond).as("noop_beyond_range"))
   }
 
+  /** table_update_sql — SQL `UPDATE` over the log as a GROUP-BASED
+    * row-level operation ([[graft.sources.GraftRowLevelOperation]],
+    * the v2 contract Spark's `RewriteUpdateTable` plans through): the
+    * pushed condition prunes GROUPS (files) from manifest stats, the
+    * copy-on-write scan returns every row of the affected files (the
+    * condition is never a data filter — unmatched rows must flow
+    * through the rewrite unchanged), and the commit replaces EXACTLY
+    * the scanned files. Witnessed: a 30–40% key-range update rewrites
+    * only 1 of 4 value-bucket files (the other three survive BY
+    * NAME), the new tip stays fully stats-covered, and time travel
+    * still reads the pre-update values at v0. At 100 TB an UPDATE
+    * touching 10% of the key range rewrites ~10% of files — not the
+    * table — driven from plain SQL. */
+  def tableUpdateSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connupd").resolve("orders")
+    Files.createDirectories(tbl)
+    val b = Relational.table(spark, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx - mn
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        least(lit(3), (col("o_orderkey") - mn) * 4 / span)
+          .cast("int").as("bkt"))
+    for (q <- 0 until 4)
+      orders.filter(col("bkt") === q).drop("bkt")
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    graft.sources.GraftTables.registerCatalog(spark)
+    val (lo, hi) = (mn + span * 30 / 100, mn + span * 40 / 100)
+    spark.sql(s"UPDATE graft.`$tbl` SET cents = cents * 2 + 1 " +
+      s"WHERE o_orderkey BETWEEN $lo AND $hi")
+    val m1 = TxnLog.readManifest(tbl, 1L)
+    val untouched = files.filterNot(_.startsWith("b1/"))
+    val scoped = m1.action == "replace" &&
+      untouched.forall(m1.files.contains) &&
+      !m1.files.exists(files.filter(_.startsWith("b1/")).contains)
+    val statsCovered = m1.statsKey.contains("o_orderkey") &&
+      m1.files.forall(m1.stats.contains)
+    val v0Sum = graft.sources.GraftTables.read(spark, tbl, Some(0L))
+      .agg(sum(col("cents"))).head().getLong(0)
+    graft.sources.GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(v0Sum).as("sum_cents_v0"),
+        lit(scoped).as("rewrite_scoped"),
+        lit(statsCovered).as("stats_covered"))
+  }
+
+  /** table_merge_sql — SQL `MERGE INTO` over the log: one statement
+    * carrying all three actions (matched-and-`del` DELETE, matched
+    * UPDATE, not-matched INSERT), planned by Spark's
+    * `RewriteMergeIntoTable` through the same group-based
+    * copy-on-write operation as UPDATE, committed as ONE log version
+    * (all-or-nothing — readers never see a half-merged table), with
+    * v0 still time-travelable. The merge condition carries no
+    * target-side static predicate, so the rewrite spans the table —
+    * the honest contrast to the key-scoped
+    * [[TxnLog.mergeCowByKey]] path (stream_cdc_maintain), which
+    * plans affected files from manifest stats; at 100 TB, SQL MERGE
+    * is for broad restatements, mergeCowByKey for incremental CDC. */
+  def tableMergeSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmrg").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    graft.sources.GraftTables.registerCatalog(spark)
+    val k = col("o_orderkey")
+    // Disjoint key classes, so the merge's source keys are unique
+    // (the MERGE cardinality requirement): %10==3 update, %10==7
+    // delete, %5==0 shifted beyond the key range as inserts.
+    val changes = orders.filter(k % 10 === 3)
+      .select(k, lit(111L).as("cents"), lit("upd").as("op"))
+      .unionByName(orders.filter(k % 10 === 7)
+        .select(k, lit(null).cast("bigint").as("cents"),
+          lit("del").as("op")))
+      .unionByName(orders.filter(k % 5 === 0)
+        .select((k + 100000000L).as("o_orderkey"),
+          lit(777L).as("cents"), lit("ins").as("op")))
+    changes.createOrReplaceTempView("graft_merge_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`$tbl` t USING graft_merge_changes c
+         ON t.o_orderkey = c.o_orderkey
+         WHEN MATCHED AND c.op = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET t.cents = c.cents
+         WHEN NOT MATCHED AND c.op = 'ins' THEN
+           INSERT (o_orderkey, cents) VALUES (c.o_orderkey, c.cents)""")
+    val oneCommit = TxnLog.versions(tbl) == Seq(0L, 1L)
+    val v0Rows = graft.sources.GraftTables.read(spark, tbl, Some(0L)).count()
+    graft.sources.GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(v0Rows).as("n_rows_v0"),
+        lit(oneCommit).as("single_atomic_commit"))
+  }
+
   /** stream_table_sink — `writeStream.format("graft")`: the log as a
     * structured-streaming SINK, composed table-to-table with the
     * streaming source (A → stream → B, both graft tables — continuous

@@ -88,10 +88,23 @@ object TxnLog {
     * instead of opening files (what Delta's add-file stats and
     * Iceberg's manifest column bounds do). Stats are carried forward
     * for surviving files on every commit, so one stats-bearing commit
-    * heals the whole chain. `partitions` carries per-file partition
-    * values (the Iceberg manifest-entry idea) so partition-filtered
-    * reads prune from metadata too; `columns` is the optional
-    * declared schema with mapping ids ([[ColumnDef]]). */
+    * heals the whole chain.
+    *
+    * STATS CONVENTION (sound by construction): a file with NO stats
+    * entry is UNKNOWN — pruning keeps it and key-scoped merges fall
+    * back to a scan; a file whose key column is known to hold no
+    * non-NULL values carries the EXPLICIT empty range
+    * [[EmptyRange]] `(Long.MaxValue, Long.MinValue)`, which
+    * intersects nothing and therefore prunes naturally. This is what
+    * keeps a commit that did not compute stats (generic
+    * [[commitRetry]], a legacy manifest) from silently poisoning
+    * key-filtered reads: absence degrades to a scan, never to a
+    * wrong answer.
+    *
+    * `partitions` carries per-file partition values (the Iceberg
+    * manifest-entry idea) so partition-filtered reads prune from
+    * metadata too; `columns` is the optional declared schema with
+    * mapping ids ([[ColumnDef]]). */
   final case class Manifest(
       version: Long, parent: Long, action: String, files: Seq[String],
       stats: Map[String, (Long, Long)] = Map.empty,
@@ -102,6 +115,12 @@ object TxnLog {
       txn: Option[(String, Long)] = None)
 
   final case class Committed(version: Long, conflicts: Int)
+
+  /** The explicit "no non-NULL keys in this file" stats entry: an
+    * empty interval that intersects no query range, so such a file
+    * prunes under any key predicate — while a MISSING entry means
+    * unknown and never prunes (see [[Manifest]]'s stats convention). */
+  val EmptyRange: (Long, Long) = (Long.MaxValue, Long.MinValue)
 
   def logDir(table: Path): Path = table.resolve("_log")
 
@@ -213,8 +232,9 @@ object TxnLog {
     * stamps (appId, batchId) on each commit and skips any batch at or
     * below this watermark on replay, which is what makes its writes
     * exactly-once across checkpoint-recovered restarts. O(retained
-    * versions) driver-side metadata. NOTE: expiring every manifest an
-    * app ever stamped forgets its watermark — retain at least one. */
+    * versions) driver-side metadata. [[expire]] always retains each
+    * app's high-water stamped manifest, so routine retention
+    * maintenance can never forget a watermark. */
   def lastTxn(table: Path, app: String): Option[Long] = {
     val ids = versions(table).flatMap(v =>
       readManifest(table, v).txn.collect {
@@ -291,18 +311,35 @@ object TxnLog {
     .map(readManifest(table, _))
     .getOrElse(Manifest(-1L, -2L, "none", Seq.empty))
 
+  /** Thrown by a [[commitRetryWith]] build function (via
+    * [[abortCommit]]) to abandon the commit as a NO-OP — the
+    * idempotent-replay path: a streaming sink that discovers, on the
+    * tip it is about to commit against, that its (appId, batchId) has
+    * already landed must abort INSIDE the attempt, because a check
+    * done before entering the retry loop races a concurrent instance
+    * of the same query (the zombie-driver scenario). */
+  final class CommitAborted extends RuntimeException(
+    "commit aborted as a no-op") with scala.util.control.NoStackTrace
+
+  /** See [[CommitAborted]]. */
+  def abortCommit(): Nothing = throw new CommitAborted
+
   /** Commit with rebase-and-retry, full-manifest form: `build`
     * receives the CURRENT tip's manifest (file list empty at version
     * -1) and returns the next manifest's CONTENT (its version/parent
     * are overwritten to tip+1/tip) — called again after every lost
-    * race so the writer rebases on what actually committed. */
+    * race so the writer rebases on what actually committed. `build`
+    * may call [[abortCommit]] to finish as a no-op: the returned
+    * `Committed` then names the tip it aborted against. */
   def commitRetryWith(
       table: Path, build: Manifest => Manifest,
       maxAttempts: Int = 10): Committed = {
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val t = tip(table)
-      val next0 = build(t).copy(version = t.version + 1, parent = t.version)
+      val next0 =
+        try build(t).copy(version = t.version + 1, parent = t.version)
+        catch { case _: CommitAborted => return Committed(t.version, conflicts) }
       // Every commit leaves a fully size-bearing manifest: surviving
       // files inherit the tip's entry, new ones cost one local stat —
       // so READERS never touch the filesystem to plan.
@@ -320,8 +357,11 @@ object TxnLog {
     * tip's manifest and returns the full file set of the new version.
     * Returns the committed version and how many conflicts were
     * detected. `statsKey` declares the column `statsFor`'s stats
-    * cover (with no-entry = no non-NULL keys); left None, the tip's
-    * declaration carries forward. */
+    * cover; left None, the tip's declaration carries forward — and so
+    * do the TIP'S STATS for every surviving file, so a generic commit
+    * never strips the chain of the metadata it already earned. New
+    * files `statsFor` does not cover simply get no entry (= unknown,
+    * never pruned — the [[Manifest]] stats convention). */
   def commitRetry(
       table: Path, action: String,
       filesFor: Manifest => Seq[String],
@@ -329,16 +369,22 @@ object TxnLog {
       statsFor: Manifest => Map[String, (Long, Long)] =
         _ => Map.empty,
       statsKey: Option[String] = None): Committed =
-    commitRetryWith(table, t => Manifest(0L, 0L, action, filesFor(t),
-      statsFor(t), statsKey.orElse(t.statsKey), columns = t.columns),
-      maxAttempts)
+    commitRetryWith(table, t => {
+      val fs = filesFor(t)
+      val surviving = fs.toSet
+      Manifest(0L, 0L, action, fs,
+        t.stats.view.filterKeys(surviving).toMap ++ statsFor(t),
+        statsKey.orElse(t.statsKey), columns = t.columns)
+    }, maxAttempts)
 
   /** Per-file [min, max] of `key` for the given (relative) files — the
     * stats a commit carries so later MERGEs plan from metadata. One
     * key-column scan of exactly those files. A file whose key column
-    * is entirely NULL (or that holds zero rows) yields NO entry: it
-    * has no usable range, and a key-scoped merge correctly treats it
-    * as non-affected (NULL keys never equi-join). */
+    * is entirely NULL yields the EXPLICIT [[EmptyRange]] entry — its
+    * emptiness is a known fact (NULL keys never equi-join, so pruning
+    * it is correct), and under the [[Manifest]] stats convention only
+    * an explicit entry may prune. A zero-row file produces no group
+    * at all and therefore no entry (= unknown, never pruned). */
   def keyStats(
       spark: SparkSession, table: Path, files: Seq[String],
       key: String): Map[String, (Long, Long)] = {
@@ -348,13 +394,11 @@ object TxnLog {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
       .collect()
-      .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else {
-          val base = r.getString(0).split('/').last
-          val rel = files.find(_.split('/').last == base).getOrElse(base)
-          Some(rel -> (r.getLong(1), r.getLong(2)))
-        }
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val rel = files.find(_.split('/').last == base).getOrElse(base)
+        if (r.isNullAt(1) || r.isNullAt(2)) rel -> EmptyRange
+        else rel -> (r.getLong(1), r.getLong(2))
       }.toMap
   }
 
@@ -363,22 +407,37 @@ object TxnLog {
     * commit-time, metadata-only derivation that lets layouts written
     * with `partitionBy` carry manifest partition values for
     * Iceberg-style manifest-entry pruning
-    * ([[graft.sources.GraftPruning]]). Files with no `k=v` path
-    * segments get no entry (never pruned). NOTE: `partitionBy` drops
-    * the partition column from the data files; a table meant to be
-    * read through the connector should keep the column in the data
-    * (write per-partition subdirectories explicitly) so filters on it
-    * bind. */
+    * ([[graft.sources.GraftPruning]]). Path segments are UNESCAPED
+    * (Spark writes `a:b` as `k=a%3Ab` — comparing the raw segment
+    * against a filter literal would silently prune qualifying files),
+    * and only values whose canonical re-escape ROUND-TRIPS to the
+    * exact segment are stored: a non-canonical rendering (lowercase
+    * hex, the `__HIVE_DEFAULT_PARTITION__` null marker) gets no entry
+    * and is therefore never pruned — partition pruning is not
+    * residual-protected, so ambiguity must degrade to keeping the
+    * file. Files with no `k=v` path segments get no entry (never
+    * pruned). NOTE: `partitionBy` drops the partition column from the
+    * data files; a table meant to be read through the connector
+    * should keep the column in the data (write per-partition
+    * subdirectories explicitly) so filters on it bind. */
   def partitionValuesFromPaths(
-      files: Seq[String]): Map[String, Map[String, String]] =
+      files: Seq[String]): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def canonical(s: String): Option[String] = {
+      val u = ExternalCatalogUtils.unescapePathName(s)
+      if (u != ExternalCatalogUtils.DEFAULT_PARTITION_NAME &&
+          ExternalCatalogUtils.escapePathName(u) == s) Some(u) else None
+    }
     files.map { f =>
       f -> f.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
-          case Array(k, v) if k.nonEmpty => Some(k -> v)
+          case Array(k, v) if k.nonEmpty =>
+            for { ku <- canonical(k); vu <- canonical(v) } yield ku -> vu
           case _ => None
         }
       }.toMap
     }.filter(_._2.nonEmpty).toMap
+  }
 
   /** Files referenced by ANY of the retained versions — the liveness
     * set vacuum must never touch. */
@@ -435,14 +494,17 @@ object TxnLog {
       onPlanned(attempt)
       // Affected-file planning is METADATA-ONLY when the tip's
       // manifest DECLARES stats for this key (`statsKey` — set by
-      // every merge commit, so one merge heals the chain): under that
-      // declaration, a file with no stats entry is known to have no
-      // non-NULL keys and is never affected. Any other manifest
-      // (legacy, partial, or keyed differently) takes the bootstrap
-      // key-column scan, after which the same no-entry convention
-      // holds for the scan's own output.
+      // every merge commit, so one merge heals the chain) AND every
+      // file carries an entry: an explicit EmptyRange entry means no
+      // non-NULL keys (never affected), but a MISSING entry means
+      // unknown — a manifest with incomplete coverage (legacy, or a
+      // generic commit that added files without stats) takes the
+      // bootstrap key-column scan instead of silently treating the
+      // uncovered files as unaffected, which would insert duplicate
+      // keys rather than update them.
       val ranges: Map[String, (Long, Long)] =
-        if (tip.statsKey.contains(key)) tip.stats
+        if (tip.statsKey.contains(key) &&
+            tip.files.forall(tip.stats.contains)) tip.stats
         else keyStats(spark, table, tip.files, key)
       val affected = tip.files.filter { f =>
         ranges.get(f).exists { case (kmin, kmax) =>
@@ -479,9 +541,11 @@ object TxnLog {
       val written = parquetsUnder(table, attemptDir)
       val newStats = keyStats(spark, table, written, key)
       // A delete-only rewrite can leave a ZERO-ROW parquet file (no
-      // stats row). Committing it would poison later planning with a
-      // stats-less file — drop empty outputs from the file set; keep
-      // a (rare) rows-but-all-NULL-keys file, which is data.
+      // stats row). Committing it would leave a no-entry file that
+      // forces every later merge back to the bootstrap scan — drop
+      // empty outputs from the file set; keep a (rare)
+      // rows-but-all-NULL-keys file, which is data (and now carries
+      // the explicit EmptyRange entry).
       val newFiles = written.filter(f => newStats.contains(f) ||
         !spark.read.parquet(table.resolve(f).toString).isEmpty)
       // A COW rewrite does NOT commute the way an append does: losing
@@ -509,26 +573,46 @@ object TxnLog {
 
   /** Compaction as a pure manifest swap: the tip's contents coalesced
     * into `nFiles`, committed as the next version. Readers of any
-    * pinned version never notice. */
+    * pinned version never notice. Stats are computed for the
+    * EFFECTIVE key — the caller's `statsKey`, else the tip's declared
+    * one — because the rewrite replaces every file: carrying the
+    * declaration forward with empty stats would leave a tip whose
+    * whole file set is stats-less, demoting every later merge to a
+    * bootstrap scan. */
   def compact(
       spark: SparkSession, table: Path, subdir: String,
       nFiles: Int = 1, statsKey: Option[String] = None): Committed = {
     val tipVersion = latest(table).get
+    val effKey = statsKey.orElse(readManifest(table, tipVersion).statsKey)
     readVersion(spark, table, tipVersion).coalesce(nFiles)
       .write.parquet(table.resolve(subdir).toString)
     val newFiles = parquetsUnder(table, subdir)
-    val stats = statsKey
+    val stats = effKey
       .map(k => keyStats(spark, table, newFiles, k))
       .getOrElse(Map.empty[String, (Long, Long)])
     commitRetryWith(table, t => Manifest(0L, 0L, "compact", newFiles,
-      stats, statsKey.orElse(t.statsKey), columns = t.columns))
+      stats, effKey, columns = t.columns))
   }
 
   /** Expire all but the last `retainLast` versions: their manifests
     * are deleted, which is what makes their exclusively-referenced
-    * files vacuum-eligible. Returns the expired versions. */
+    * files vacuum-eligible. EXCEPTION: for every streaming writer
+    * (appId) the manifest carrying its HIGHEST (appId, batchId) stamp
+    * is retained even when older than the horizon — deleting it would
+    * erase the app's replay watermark ([[lastTxn]] → None), and a
+    * checkpoint-recovered replay of the last batch would then
+    * re-commit it, silently voiding exactly-once. The cost is one
+    * extra retained manifest per writer, superseded as soon as the
+    * writer commits a newer batch. Returns the expired versions. */
   def expire(table: Path, retainLast: Int): Seq[Long] = {
-    val drop = versions(table).dropRight(retainLast)
+    val all = versions(table)
+    val highWater: Set[Long] = all
+      .flatMap(v => readManifest(table, v).txn.map {
+        case (app, batch) => (app, batch, v)
+      })
+      .groupBy(_._1).values
+      .map(_.maxBy(s => (s._2, s._3))._3).toSet
+    val drop = all.dropRight(retainLast).filterNot(highWater)
     drop.foreach(v => Files.delete(
       logDir(table).resolve(f"$v%08d.json")))
     drop

@@ -39,8 +39,9 @@ import graft.operators.TxnLog
   *    [min, max] range cannot match, BEFORE any file is opened — the
   *    Delta add-file-stats / Iceberg manifest-bounds idea, surfaced
   *    as fewer partitions in the plan (assertable via the scan's file
-  *    index). Under the statsKey convention a file with NO stats
-  *    entry holds no non-NULL keys, so a key predicate prunes it too.
+  *    index). A file KNOWN to hold no non-NULL keys carries the
+  *    explicit [[TxnLog.EmptyRange]] entry and prunes under any key
+  *    predicate; a file with NO entry is unknown and is always kept.
   *  - **Partition pruning from metadata.** Per-file partition values
   *    carried in the manifest ([[TxnLog.Manifest.partitions]]) prune
   *    on equality/IN predicates over partition columns, Iceberg
@@ -122,6 +123,13 @@ final class GraftStreamingSink(root: Path, appId: String)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // Cheap pre-check only — the AUTHORITATIVE replay check runs
+    // inside each commit attempt ([[GraftTables.insert]] /
+    // [[GraftTables.createFrom]] re-verify the (appId, batchId)
+    // watermark against the tip they are about to commit on), so two
+    // concurrent instances of the same query (a zombie driver after
+    // failover) cannot both land the same batch: the loser's commit
+    // rebases on the winner's tip, sees the stamp, and aborts.
     if (TxnLog.lastTxn(root, appId).exists(_ >= batchId)) return
     val txn = Some(appId -> batchId)
     // The incoming frame is flagged streaming (batch writes refused);
@@ -185,13 +193,20 @@ object GraftTables {
     * intervening commit is an `append`; a merge/replace/compact in
     * the window changes or relocates existing rows, where a file diff
     * would lie, so the resolve REFUSES loudly instead. */
-  def resolve(options: Map[String, String]): GraftSnapshot = {
+  def resolve(rawOptions: Map[String, String]): GraftSnapshot = {
+    // DSv2 options are case-insensitive by contract
+    // (CaseInsensitiveStringMap) — honoring that here keeps
+    // .option("versionasof", ...) from silently reading the tip
+    // instead of the pinned version.
+    val options = rawOptions.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
     val path = options.getOrElse("path",
       sys.error("graft source requires a path"))
     val root = Paths.get(path)
-    val pinned = options.contains("versionAsOf") ||
-      options.contains("fromVersion")
-    val version = options.get("versionAsOf").map(_.toLong)
+    val pinned = options.contains("versionasof") ||
+      options.contains("fromversion")
+    val version = options.get("versionasof").map(_.toLong)
       .orElse(TxnLog.latest(root)).getOrElse {
         // A streaming WRITE resolves its sink table before the first
         // batch can create it (DataStreamWriter probes the provider
@@ -199,14 +214,14 @@ object GraftTables {
         // checkpointLocation option, so exactly there a missing log
         // resolves to an empty sentinel instead of an error — the
         // sink's first addBatch performs the real create.
-        if (options.keys.exists(_.equalsIgnoreCase("checkpointLocation")))
+        if (options.contains("checkpointlocation"))
           return GraftSnapshot(root,
             TxnLog.Manifest(-1L, -2L, "none", Seq.empty),
             new StructType(), new StructType())
         sys.error(s"no committed version at $root")
       }
     val m0 = TxnLog.readManifest(root, version)
-    val m = options.get("fromVersion").map(_.toLong) match {
+    val m = options.get("fromversion").map(_.toLong) match {
       case None => m0
       case Some(f) =>
         require(f <= version,
@@ -244,7 +259,7 @@ object GraftTables {
         require(m.files.nonEmpty, s"version $version of $root is empty " +
           "and declares no schema — commit columns to read it")
         val inferred = inferredSchema(root, version,
-          options.get("fromVersion"), m.files)
+          options.get("fromversion"), m.files)
         GraftSnapshot(root, m, inferred, inferred, pinned)
     }
   }
@@ -303,6 +318,16 @@ object GraftTables {
     val statsCache =
       scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
     TxnLog.commitRetryWith(snap.root, tip => {
+      // Idempotent-replay guard, INSIDE the attempt: if this writer's
+      // (appId, batchId) already sits at or below a committed stamp —
+      // including one a concurrent zombie instance landed while we
+      // were staging — the batch is done; abort as a no-op instead of
+      // committing it twice (exactly-once is enforced at the commit,
+      // the Delta discipline).
+      txn.foreach { case (app, batch) =>
+        if (TxnLog.lastTxn(snap.root, app).exists(_ >= batch))
+          TxnLog.abortCommit()
+      }
       val newStats = tip.statsKey.map(k => statsCache.getOrElseUpdate(k,
         TxnLog.keyStats(spark, snap.root, newFiles, k)))
         .getOrElse(Map.empty[String, (Long, Long)])
@@ -317,7 +342,12 @@ object GraftTables {
   }
 
   /** First write into a fresh path: CREATE the table from the frame,
-    * declaring its schema as manifest columns (identity mapping). */
+    * declaring its schema as manifest columns (identity mapping). If
+    * a concurrent instance of the same streaming query created the
+    * table with this very batch first (zombie driver), the rebased
+    * attempt sees its own (appId, batchId) stamp and aborts; if some
+    * OTHER writer created the table meanwhile, the create degrades to
+    * an append so it cannot clobber their files. */
   def createFrom(root: Path, data: DataFrame,
       txn: Option[(String, Long)] = None): Unit = {
     Files.createDirectories(root)
@@ -325,8 +355,19 @@ object GraftTables {
     val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
       TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
     }.toSeq
-    TxnLog.commitRetryWith(root, _ => TxnLog.Manifest(0L, 0L, "create",
-      newFiles, columns = Some(cols), txn = txn))
+    TxnLog.commitRetryWith(root, tip => {
+      txn.foreach { case (app, batch) =>
+        if (TxnLog.lastTxn(root, app).exists(_ >= batch))
+          TxnLog.abortCommit()
+      }
+      if (tip.version < 0L)
+        TxnLog.Manifest(0L, 0L, "create",
+          newFiles, columns = Some(cols), txn = txn)
+      else
+        TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
+          tip.stats, tip.statsKey, partitions = tip.partitions,
+          columns = tip.columns.orElse(Some(cols)), txn = txn)
+    })
   }
 
   private def stage(root: Path, physical: DataFrame): Seq[String] = {
@@ -878,9 +919,12 @@ object GraftPruning {
       val statsOk = keyBounds.forall { case (lo, hi) =>
         if (lo == Long.MinValue && hi == Long.MaxValue) true
         else m.stats.get(f) match {
-          // Under the statsKey convention, no entry = no non-NULL
-          // keys, and a key predicate never matches NULL.
-          case None => false
+          // No entry = UNKNOWN (a generic commit may not have
+          // computed stats) — keep the file; pruning must never be a
+          // correctness dependency. A known no-non-NULL-keys file
+          // carries the explicit TxnLog.EmptyRange entry, whose empty
+          // interval fails the intersection test below and prunes.
+          case None => true
           case Some((kmin, kmax)) => kmin <= hi && kmax >= lo
         }
       }

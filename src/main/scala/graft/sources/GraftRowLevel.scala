@@ -7,10 +7,14 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -19,40 +23,64 @@ import graft.operators.TxnLog
 
 /** SQL `UPDATE`, `MERGE INTO`, and non-translatable `DELETE` over the
   * log — the v2 GROUP-BASED row-level operation contract (the
-  * copy-on-write mode Iceberg pioneered): Spark's own rewrite rules
+  * copy-on-write mode Iceberg pioneered). Spark's rewrite rules
   * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
   * `RewriteDeleteFromTable`) read the table through
   * [[GraftRowLevelOperation.newScanBuilder]], apply the
-  * assignments/actions, and hand the FULL resulting row set to
-  * [[GraftReplaceDataWrite]], which stages parquet on the executors
-  * (Spark's own parquet output writers — vectorizable files,
-  * identical bytes to any other write) and publishes ONE `replace`
+  * assignments/actions as plan projections, and hand the resulting
+  * row set to [[GraftReplaceDataWrite]], which stages parquet on the
+  * executors (Spark's own parquet output writers — vectorizable
+  * files, identical bytes to any other write) and publishes ONE
   * commit.
   *
-  * Two scale notes, stated honestly:
-  *  - Without runtime group filtering the group is the WHOLE table, so
-  *    every UPDATE/MERGE is a full rewrite — correct first, scoped
-  *    later (file-granular groups need a `_file` metadata column +
-  *    `SupportsRuntimeV2Filtering`, the Iceberg design). Key-scoped
-  *    merges remain available as [[TxnLog.mergeCowByKey]].
-  *  - The commit targets EXACTLY the snapshot the statement read and
-  *    REFUSES on conflict instead of rebasing: a full replace does not
-  *    commute with anything, so blind retry would silently clobber a
-  *    concurrent append — the statement fails loudly and the user
-  *    retries (Delta's ConcurrentModificationException discipline). */
+  * THE COPY-ON-WRITE CONTRACT, and why the scan is special
+  * (`GroupBasedRowLevelOperationScanPlanning` pushes the command's
+  * condition into this scan expecting exactly Iceberg's semantics):
+  *
+  *  - Pushed filters select which GROUPS (files — our group
+  *    granularity) participate in the rewrite, via manifest-stats
+  *    pruning. A file whose committed [min, max] cannot match the
+  *    condition keeps its bytes and its manifest entry untouched.
+  *  - The scan returns EVERY ROW of the files it plans — the pushed
+  *    condition is NOT applied to rows (no parquet data filters, no
+  *    row-group skipping on the condition): unmatched rows of an
+  *    affected file must flow through the rewrite unchanged, or they
+  *    are silently lost. The condition itself lives in the rewritten
+  *    plan's projections (residual semantics), so correctness never
+  *    depends on what the scan drops.
+  *  - The write commits `(snapshot − scannedFiles) ∪ writtenFiles`:
+  *    exactly the files the scan planned are replaced — the file set
+  *    the scan records on the shared operation instance
+  *    ([[GraftRowLevelOperation.scannedFiles]], the Iceberg
+  *    configured-scan idiom). An UPDATE touching 10% of the key
+  *    range rewrites ~10% of files at 100 TB, not the table.
+  *
+  * The commit targets EXACTLY the snapshot the statement read and
+  * REFUSES on conflict instead of rebasing: a group rewrite does not
+  * commute with concurrent commits, so blind retry would silently
+  * clobber them — the statement fails loudly and the user retries
+  * (Delta's ConcurrentModificationException discipline). */
 final class GraftRowLevelOperation(
     snap: GraftSnapshot, cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
+  /** Files the configured scan planned — the groups the write
+    * replaces. Defaults to the full snapshot (a scan that pushes no
+    * condition rewrites everything, e.g. a MERGE with no
+    * target-side predicate). */
+  @volatile private[sources] var scannedFiles: Seq[String] =
+    snap.manifest.files
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, snap, options)
+    new GraftCowScanBuilder(SparkSession.active, this, snap, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftReplaceDataWrite(snap)
+        override def toBatch: BatchWrite =
+          new GraftReplaceDataWrite(snap, GraftRowLevelOperation.this)
         override def description(): String = s"GraftReplaceData($cmd)"
       }
     }
@@ -67,13 +95,63 @@ final case class GraftRowLevelBuilder(
     new GraftRowLevelOperation(snap, info.command)
 }
 
+/** The copy-on-write scan builder: pushed filters prune FILES from
+  * manifest metadata and are recorded on the operation so the write
+  * replaces exactly those — they are never pushed to the parquet
+  * reader as data filters (see [[GraftRowLevelOperation]]'s contract
+  * note: a CoW scan must return every row of every file it plans). */
+final class GraftCowScanBuilder(
+    spark: SparkSession, op: GraftRowLevelOperation,
+    snap: GraftSnapshot, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = snap.schema
+  private var pushedExprs: Seq[Expression] = Seq.empty
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    filters // all residual: the condition stays in the rewritten plan
+  }
+
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  private def physFilters: Seq[Expression] =
+    if (!snap.isMapped) pushedExprs
+    else pushedExprs.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(snap.physicalOf(a.name))
+    })
+
+  override def build(): Scan = {
+    val kept = GraftPruning.prune(snap.manifest, physFilters)
+    op.scannedFiles = kept
+    val index = new ManifestFileIndex(spark, snap.root, kept,
+      snap.manifest.sizes, snap.physicalSchema)
+    val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
+      snap.physicalSchema, options)
+    // Deliberately NO inner.pushFilters: row/row-group filtering on
+    // the condition would drop the unmatched rows the rewrite must
+    // carry forward.
+    val physRequired = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = snap.physicalOf(f.name))))
+    inner.pruneColumns(physRequired)
+    new GraftScan(inner.build(), snap, Seq.empty, options,
+      _ => sys.error("a row-level operation scan cannot stream"))
+  }
+}
+
 /** One written file: its table-relative path and row count (rides the
   * commit message so the driver can drop empty outputs and commit
   * without re-reading anything but stats). */
 final case class GraftWrittenFile(relPath: String, rows: Long)
   extends WriterCommitMessage
 
-final class GraftReplaceDataWrite(snap: GraftSnapshot) extends BatchWrite {
+final class GraftReplaceDataWrite(
+    snap: GraftSnapshot, op: GraftRowLevelOperation) extends BatchWrite {
 
   private val spark = SparkSession.active
   private val staging = s"rl${System.currentTimeMillis()}-" +
@@ -99,15 +177,26 @@ final class GraftReplaceDataWrite(snap: GraftSnapshot) extends BatchWrite {
     val newStats = snap.manifest.statsKey
       .map(k => TxnLog.keyStats(spark, snap.root, newFiles, k))
       .getOrElse(Map.empty[String, (Long, Long)])
+    // Replace EXACTLY the files the configured scan planned (the
+    // groups that participated in the rewrite); everything the
+    // condition's stats pruned survives untouched, with its stats,
+    // partition values, and sizes carried forward.
+    val scanned = op.scannedFiles.toSet
+    val keptFiles =
+      snap.manifest.files.filterNot(scanned) ++ newFiles
     val observed = snap.manifest.version
     TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
-      observed + 1, observed, "replace", newFiles, newStats,
-      snap.manifest.statsKey, columns = snap.manifest.columns,
-      sizes = TxnLog.fileSizes(snap.root, newFiles))) match {
+      observed + 1, observed, "replace", keptFiles,
+      (snap.manifest.stats -- scanned) ++ newStats,
+      snap.manifest.statsKey,
+      partitions = snap.manifest.partitions -- scanned,
+      columns = snap.manifest.columns,
+      sizes = TxnLog.fileSizes(snap.root, keptFiles,
+        snap.manifest.sizes))) match {
       case Some(_) => ()
       case None => sys.error(
         s"concurrent commit on ${snap.root} during a row-level " +
-          "operation: a full replace cannot rebase — retry the statement")
+          "operation: a group rewrite cannot rebase — retry the statement")
     }
   }
 

@@ -493,10 +493,22 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     GraftTables.registerCatalog(spark)
     // UPDATE with an assignment expression.
     spark.sql(s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id <= 10")
-    assert(TxnLog.readManifest(tbl, 1L).action == "replace")
+    val v0 = TxnLog.readManifest(tbl, 0L)
+    val v1 = TxnLog.readManifest(tbl, 1L)
+    assert(v1.action == "replace")
+    // The copy-on-write contract: the condition's stats pruning keeps
+    // 3 of 4 quartile files byte-untouched (with their stats); only
+    // the file that can hold id <= 10 was rewritten.
+    assert(v1.files.count(v0.files.toSet) == 3,
+      s"3 quartiles must survive: v0=${v0.files} v1=${v1.files}")
+    assert(v1.files.forall(v1.stats.contains),
+      "the rewritten tip stays fully stats-covered")
     assert(GraftTables.read(spark, tbl).filter($"id" <= 10L)
       .agg(sum($"v")).head.getLong(0) == (1L to 10L).map(_ * 10 + 1).sum)
     assert(GraftTables.read(spark, tbl).count() == 100L)
+    assert(GraftTables.read(spark, tbl).agg(sum($"v")).head.getLong(0) ==
+      (1L to 100L).map(_ * 10).sum + 10L,
+      "unmatched rows of the rewritten file carried forward unchanged")
     // Time travel still reads the pre-UPDATE values.
     assert(GraftTables.read(spark, tbl, Some(0L)).filter($"id" === 1L)
       .select($"v").head.getLong(0) == 10L)
@@ -513,8 +525,9 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(after.filter($"id" === 500L).select($"v").head.getLong(0) == 5000L)
     // A DELETE whose predicate has no Filter translation (modulo)
     // routes through the same row-level rewrite instead of failing.
+    // 101 rows minus the 51 even ids (50 in 1..100, plus 500).
     spark.sql(s"DELETE FROM graft.`$tbl` WHERE id % 2 = 0")
-    assert(GraftTables.read(spark, tbl).count() == 51L)
+    assert(GraftTables.read(spark, tbl).count() == 50L)
     assert(GraftTables.read(spark, tbl)
       .filter($"id" % 2 === 0).count() == 0L)
     // The log chain stayed serial and time-travelable throughout.
@@ -541,12 +554,20 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftPruning.prune(m,
       Seq(GreaterThanOrEqual(id, Literal(40L)),
         LessThanOrEqual(id, Literal(45L)))) == Seq("a"))
-    // A stats-less file under a declared statsKey holds no non-NULL
-    // keys: a key predicate prunes it, an opaque one keeps it.
+    // A stats-less file under a declared statsKey is UNKNOWN (a
+    // generic commit may not have computed stats): every predicate
+    // keeps it. A file KNOWN to hold no non-NULL keys carries the
+    // explicit EmptyRange entry and prunes under any key predicate.
     val m2 = m.copy(stats = Map("a" -> (1L, 50L)))
     assert(GraftPruning.prune(m2, Seq(EqualTo(id, Literal(60L)))) ==
-      Seq.empty)
+      Seq("b"))
     assert(GraftPruning.prune(m2, Seq.empty) == Seq("a", "b"))
+    val m3 = m.copy(stats = Map("a" -> (1L, 50L), "b" -> TxnLog.EmptyRange))
+    assert(GraftPruning.prune(m3, Seq(EqualTo(id, Literal(60L)))) ==
+      Seq.empty)
+    assert(GraftPruning.prune(m3, Seq(EqualTo(id, Literal(5L)))) ==
+      Seq("a"))
+    assert(GraftPruning.prune(m3, Seq.empty) == Seq("a", "b"))
     // Partition-value pruning compares RENDERED strings, which is only
     // canonical for integral/string/boolean literals — a fractional
     // literal ("3.0" vs stored "3") must never prune, because pruning
@@ -560,5 +581,125 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       Seq("a", "b"))
     assert(GraftPruning.prune(mp, Seq(EqualTo(
       AttributeReference("year", LongType)(), Literal(3L)))) == Seq("a"))
+  }
+
+  test("a stats-less append never poisons key-filtered reads (r13 advice)") {
+    val tbl = quartileTable()
+    Seq((1000L, 1L)).toDF("id", "v").coalesce(1)
+      .write.parquet(tbl.resolve("d1").toString)
+    // Generic append WITHOUT statsFor — the exact sequence that used
+    // to leave a statsKey-declared tip with empty stats, silently
+    // pruning every file from filtered reads.
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "d1"))
+    val tip = TxnLog.readManifest(tbl, 1L)
+    assert(tip.statsKey.contains("id"))
+    // Survivors kept their stats; the new file has none (= unknown).
+    assert(tip.stats.size == 4)
+    // The new file's rows are visible to a key-filtered read (it is
+    // kept conservatively), and stats pruning still works for the
+    // covered quartiles: [30,40] opens q1 plus only the unknown file.
+    val hit = GraftTables.read(spark, tbl).filter($"id" === 1000L)
+    assert(hit.count() == 1L)
+    val df = GraftTables.read(spark, tbl)
+      .filter($"id" >= 30L && $"id" <= 40L)
+    val opened = plannedFiles(df)
+    assert(opened.size == 2 && opened.exists(_.contains("/q1/")) &&
+      opened.exists(_.contains("/d1/")),
+      s"covered files still prune, the unknown one is kept: $opened")
+    assert(df.select(sum($"v")).head.getLong(0) ==
+      (30L to 40L).map(_ * 10).sum)
+  }
+
+  test("an all-NULL-key file carries EmptyRange: pruned by key filters, kept as data") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"n${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("a").toString)
+    Seq.fill(3)((null.asInstanceOf[java.lang.Long], 7L))
+      .toDF("id", "v").coalesce(1).write.parquet(tbl.resolve("b").toString)
+    val files = TxnLog.parquetsUnder(tbl, "a") ++ TxnLog.parquetsUnder(tbl, "b")
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"))
+    val m = TxnLog.readManifest(tbl, 0L)
+    assert(m.stats(files.find(_.startsWith("b/")).get) == TxnLog.EmptyRange)
+    val filtered = GraftTables.read(spark, tbl).filter($"id" <= 5L)
+    val opened = plannedFiles(filtered)
+    assert(opened.size == 1 && opened.head.contains("/a/"),
+      s"NULL keys never match a key predicate — prune file b: $opened")
+    assert(filtered.count() == 5L)
+    assert(GraftTables.read(spark, tbl).count() == 13L,
+      "the NULL-key rows are data — an unfiltered read sees them")
+  }
+
+  test("a legacy tip with incomplete stats coverage forces merge back to a scan") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"m${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("f0").toString)
+    (11L to 20L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("f1").toString)
+    val f0 = TxnLog.parquetsUnder(tbl, "f0")
+    val f1 = TxnLog.parquetsUnder(tbl, "f1")
+    // Simulate the poisoned shape directly: statsKey declared, but f1
+    // has NO entry. Under the old convention the merge would treat f1
+    // as unaffected and INSERT a duplicate id=15 instead of updating.
+    TxnLog.tryCommitManifest(tbl, TxnLog.Manifest(0L, -1L, "create",
+      f0 ++ f1, TxnLog.keyStats(spark, tbl, f0, "id"), Some("id")))
+    TxnLog.mergeCowByKey(spark,  tbl,
+      Seq((15L, 999L, "upsert")).toDF("id", "v", "op"), "id", "mrg")
+    val after = GraftTables.read(spark, tbl)
+    assert(after.count() == 20L, "update, not duplicate")
+    assert(after.filter($"id" === 15L).select($"v").as[Long]
+      .collect().toSeq == Seq(999L))
+  }
+
+  test("compact computes fresh stats for the tip's declared key") {
+    val tbl = quartileTable()
+    TxnLog.compact(spark, tbl, "c1", nFiles = 2)
+    val m = TxnLog.readManifest(tbl, 1L)
+    assert(m.statsKey.contains("id"))
+    assert(m.files.nonEmpty && m.files.forall(m.stats.contains),
+      "a compacted tip must stay fully stats-covered, or every later " +
+        "merge pays the bootstrap scan")
+    assert(GraftTables.read(spark, tbl).filter($"id" === 60L)
+      .select($"v").head.getLong(0) == 600L)
+  }
+
+  test("connector options are case-insensitive (DSv2 contract)") {
+    val tbl = quartileTable()
+    Seq((1000L, 1L)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(spark.read.format("graft").option("versionasof", "0")
+      .load(tbl.toString).count() == 100L)
+    assert(spark.read.format("graft").option("VERSIONASOF", "0")
+      .load(tbl.toString).count() == 100L)
+    assert(spark.read.format("graft").option("FROMVERSION", "0")
+      .load(tbl.toString).count() == 1L)
+  }
+
+  test("a replayed (appId, batchId) commit aborts as a no-op, even past the pre-check") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"z${System.nanoTime()}")
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    GraftTables.createFrom(tbl, df, txn = Some("app" -> 0L))
+    // A zombie instance replaying the CREATE batch: no-op.
+    GraftTables.createFrom(tbl, df, txn = Some("app" -> 0L))
+    assert(TxnLog.latest(tbl).contains(0L))
+    assert(GraftTables.read(spark, tbl).count() == 2L)
+    // The same for an append batch, calling insert DIRECTLY (the
+    // addBatch pre-check bypassed — this is the in-commit guard).
+    val snap = GraftTables.resolve(Map("path" -> tbl.toString))
+    GraftTables.insert(snap, Seq((3L, 30L)).toDF("id", "v"),
+      overwrite = false, txn = Some("app" -> 1L))
+    GraftTables.insert(GraftTables.resolve(Map("path" -> tbl.toString)),
+      Seq((3L, 30L)).toDF("id", "v"),
+      overwrite = false, txn = Some("app" -> 1L))
+    assert(TxnLog.latest(tbl).contains(1L))
+    assert(GraftTables.read(spark, tbl).count() == 3L)
+    assert(TxnLog.lastTxn(tbl, "app").contains(1L))
   }
 }

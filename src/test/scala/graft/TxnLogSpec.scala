@@ -102,6 +102,73 @@ class TxnLogSpec extends AnyFunSuite {
         Map("year" -> "1996", "month" -> "2")))
   }
 
+  test("generic commitRetry carries the tip's stats forward for survivors") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0", "f1"),
+      Map("f0" -> (1L, 10L), "f1" -> (11L, 20L)), Some("id"))
+    // A stats-less append (the poisoned-tip shape the r13 advice
+    // flagged): survivors keep their entries, the new file has none —
+    // which now means UNKNOWN, never silently pruned.
+    TxnLog.commitRetry(t, "append", tip => tip.files :+ "f2")
+    val tip = TxnLog.readManifest(t, 1L)
+    assert(tip.statsKey.contains("id"))
+    assert(tip.stats == Map("f0" -> (1L, 10L), "f1" -> (11L, 20L)))
+    // A commit that DROPS a file drops its stats entry with it.
+    TxnLog.commitRetry(t, "cow", tip => tip.files.filterNot(_ == "f0"))
+    assert(TxnLog.readManifest(t, 2L).stats == Map("f1" -> (11L, 20L)))
+  }
+
+  test("EmptyRange entries round-trip and intersect nothing") {
+    val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b"),
+      Map("a" -> (1L, 5L), "b" -> TxnLog.EmptyRange), Some("id"))
+    assert(TxnLog.parse(TxnLog.render(m)) == m)
+    // The prune intersection test (kmin <= hi && kmax >= lo) fails
+    // for the empty range against every CONSTRAINED query interval.
+    val (kmin, kmax) = TxnLog.EmptyRange
+    for ((lo, hi) <- Seq((Long.MinValue, 10L), (10L, Long.MaxValue),
+        (5L, 5L)))
+      assert(!(kmin <= hi && kmax >= lo), s"[$lo,$hi] must not match")
+  }
+
+  test("expire retains each app's high-water txn stamp") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"))
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(1L, 0L, "append",
+      Seq("f0", "f1"), txn = Some("appA" -> 7L)))
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(2L, 1L, "append",
+      Seq("f0", "f1", "f2"), txn = Some("appB" -> 3L)))
+    TxnLog.tryCommit(t, 2L, "append", Seq("f0", "f1", "f2", "f3"))
+    TxnLog.tryCommit(t, 3L, "append", Seq("f0", "f1", "f2", "f3", "f4"))
+    // Plain retention would drop v0..v3 — but v1 is appA's high-water
+    // stamp and v2 is appB's: deleting them would void exactly-once on
+    // a checkpoint-recovered replay. Only v0 and v3 expire.
+    val dropped = TxnLog.expire(t, retainLast = 1)
+    assert(dropped == Seq(0L, 3L))
+    assert(TxnLog.versions(t) == Seq(1L, 2L, 4L))
+    assert(TxnLog.lastTxn(t, "appA").contains(7L))
+    assert(TxnLog.lastTxn(t, "appB").contains(3L))
+    // A newer stamp supersedes the old high-water manifest: it expires.
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(5L, 4L, "append",
+      Seq("f0", "f5"), txn = Some("appA" -> 8L)))
+    assert(TxnLog.expire(t, retainLast = 1) == Seq(1L, 4L))
+    assert(TxnLog.lastTxn(t, "appA").contains(8L))
+    assert(TxnLog.lastTxn(t, "appB").contains(3L))
+  }
+
+  test("partition values unescape hive segments; ambiguous renderings never prune") {
+    // Spark writes 'a:b' as k=a%3Ab (ExternalCatalogUtils escaping) —
+    // the stored value must be the UNESCAPED string the filter
+    // literal renders to.
+    assert(TxnLog.partitionValuesFromPaths(Seq("k=a%3Ab/p.parquet")) ==
+      Map("k=a%3Ab/p.parquet" -> Map("k" -> "a:b")))
+    // Non-canonical rendering (lowercase hex) does not round-trip:
+    // no entry, so the file is never pruned.
+    assert(TxnLog.partitionValuesFromPaths(Seq("k=a%3ab/p.parquet")).isEmpty)
+    // The hive null marker must never equal a string literal.
+    assert(TxnLog.partitionValuesFromPaths(
+      Seq("k=__HIVE_DEFAULT_PARTITION__/p.parquet")).isEmpty)
+  }
+
   test("liveness derives from retained manifests only") {
     val t = freshTable()
     TxnLog.tryCommit(t, -1L, "create", Seq("f0", "f1"))

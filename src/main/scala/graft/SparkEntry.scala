@@ -232,6 +232,7 @@ object SparkEntry {
     "stream_table_sink" -> ((s, dir) => SourceSinkQueries.streamTableSinkQuery(s, dir)),
     "table_delete_where" -> ((s, dir) => SourceSinkQueries.tableDeleteWhereQuery(s, dir)),
     "table_update_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateSqlQuery(s, dir)),
+    "table_multicol_skipping" -> ((s, dir) => SourceSinkQueries.tableMulticolSkippingQuery(s, dir)),
     "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2750,6 +2751,23 @@ object SparkEntry {
                 true AS rewrite_scoped,
                 true AS stats_covered
          FROM o, r""",
+    // Multi-column manifest bounds: the oracle replays the h-range
+    // aggregate; the opened-file counts are plan-witnessed pins.
+    "table_multicol_skipping" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  (o_orderkey * 48271) % 1000003 AS h
+               FROM orders),
+         k AS (SELECT min(h) AS mn, max(h) AS mx FROM o),
+         r AS (SELECT mn + (mx - mn) * 30 // 100 AS lo,
+                      mn + (mx - mn) * 40 // 100 AS hi FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows_in_hrange,
+                CAST(sum(cents) AS BIGINT) AS sum_cents_in_hrange,
+                4 AS n_files_total,
+                1 AS n_files_opened_h,
+                4 AS n_files_opened_key,
+                0 AS n_files_opened_joint_beyond
+         FROM o, r WHERE h BETWEEN lo AND hi""",
     // SQL MERGE INTO (delete + update + insert in one statement): the
     // oracle replays it as a full-outer reconciliation.
     "table_merge_sql" ->

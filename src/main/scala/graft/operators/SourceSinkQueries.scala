@@ -918,6 +918,70 @@ object SourceSinkQueries {
         lit(openedBeyond).as("n_files_opened_beyond"))
   }
 
+  /** table_multicol_skipping — MULTI-COLUMN manifest bounds
+    * ([[TxnLog.Manifest.colStats]], the Iceberg per-column manifest
+    * bounds / Delta add-file stats idea generalized beyond the single
+    * merge `statsKey`): the table's files are value-bucketed by a
+    * derived column `h` (a key-decorrelated LCG, so every file spans
+    * the FULL o_orderkey range — the layout where single-key stats
+    * are useless), committed with o_orderkey as statsKey plus
+    * [min, max] bounds for `h` AND `cents`, all computed in ONE scan.
+    * Witnessed in the executed plans: an h-range filter opens exactly
+    * 1 of 4 files from colStats alone; the same-width KEY filter
+    * opens all 4 (overlapping key ranges — the honest contrast);
+    * conjoining the h-range with a beyond-range cents predicate
+    * intersects both columns' prunings and opens 0. At 100 TB this is
+    * what makes file skipping serve real workloads: queries filter on
+    * many columns, not the one the table happens to be keyed by. */
+  def tableMulticolSkippingQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmcs").resolve("orders")
+    Files.createDirectories(tbl)
+    // h = an LCG of the key, dense and uniform on [0, 1000003), and
+    // replayable in the oracle (plain integer arithmetic, no
+    // engine-specific hash).
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        (col("o_orderkey") * lit(48271L) % lit(1000003L)).as("h"))
+    val hb = orders.agg(min(col("h")), max(col("h"))).head()
+    val (hmn, hmx) = (hb.getLong(0), hb.getLong(1))
+    val hspan = hmx - hmn
+    val bucketed = orders.withColumn("bkt",
+      least(lit(3), (col("h") - hmn) * 4 / hspan).cast("int"))
+    for (q <- 0 until 4)
+      bucketed.filter(col("bkt") === q).drop("bkt")
+        .coalesce(1).write.parquet(tbl.resolve(s"h$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"h$q"))
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"),
+      colStats = TxnLog.colStatsFor(spark, tbl, files,
+        Seq("h", "cents"))))
+    val (lo, hi) = (hmn + hspan * 30 / 100, hmn + hspan * 40 / 100)
+    val inRange = graft.sources.GraftTables.read(spark, tbl)
+      .filter(col("h").between(lo, hi))
+    val openedH = plannedFiles(inRange).size
+    // Same-width filter on the KEY: every file spans the key range,
+    // so overlapping [min, max] keep all 4 — the contrast that shows
+    // the second column's bounds are doing the work.
+    val kb = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (kmn, kmx) = (kb.getLong(0), kb.getLong(1))
+    val openedKey = plannedFiles(graft.sources.GraftTables.read(spark, tbl)
+      .filter(col("o_orderkey").between(
+        kmn + (kmx - kmn) * 30 / 100, kmn + (kmx - kmn) * 40 / 100))).size
+    val cmx = orders.agg(max(col("cents"))).head().getLong(0)
+    val openedJoint = plannedFiles(graft.sources.GraftTables.read(spark, tbl)
+      .filter(col("h").between(lo, hi) && col("cents") > cmx)).size
+    inRange.agg(count(lit(1)).as("n_rows_in_hrange"),
+      sum(col("cents")).as("sum_cents_in_hrange"))
+      .select(col("n_rows_in_hrange"), col("sum_cents_in_hrange"),
+        lit(4).as("n_files_total"),
+        lit(openedH).as("n_files_opened_h"),
+        lit(openedKey).as("n_files_opened_key"),
+        lit(openedJoint).as("n_files_opened_joint_beyond"))
+  }
+
   /** table_connector_write — the write half of the connector: the
     * table created at v0 takes (v1) a `df.write.format("graft")
     * .mode("append")` of new keys, (v2) a SQL `INSERT INTO

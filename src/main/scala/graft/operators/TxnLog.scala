@@ -112,7 +112,9 @@ object TxnLog {
       partitions: Map[String, Map[String, String]] = Map.empty,
       columns: Option[Seq[ColumnDef]] = None,
       sizes: Map[String, Long] = Map.empty,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      txns: Map[String, Long] = Map.empty,
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -190,6 +192,19 @@ object TxnLog {
       val t = root.putObject("txn")
       t.put("app", app); t.put("batch", batch)
     }
+    if (m.txns.nonEmpty) {
+      val tn = root.putObject("txns")
+      m.txns.toSeq.sortBy(_._1).foreach { case (a, b) => tn.put(a, b) }
+    }
+    if (m.colStats.nonEmpty) {
+      val cs = root.putObject("colStats")
+      m.colStats.toSeq.sortBy(_._1).foreach { case (c, perFile) =>
+        val o = cs.putObject(c)
+        perFile.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+          val a = o.putArray(f); a.add(lo); a.add(hi)
+        }
+      }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -218,29 +233,59 @@ object TxnLog {
     }.getOrElse(Map.empty[String, Long])
     val txn = Option(n.get("txn")).map(t =>
       (t.get("app").asText, t.get("batch").asLong))
+    val txns = Option(n.get("txns")).map { tn =>
+      tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val colStats = Option(n.get("colStats")).map { cs =>
+      cs.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { fe =>
+          fe.getKey ->
+            (fe.getValue.get(0).asLong, fe.getValue.get(1).asLong)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     Manifest(
       n.get("version").asLong, n.get("parent").asLong,
       n.get("action").asText,
       n.get("files").elements().asScala.map(_.asText).toSeq,
       stats,
       Option(n.get("statsKey")).map(_.asText),
-      partitions, columns, sizes, txn)
+      partitions, columns, sizes, txn, txns, colStats)
   }
 
-  /** The highest batch id writer `app` has committed among the
-    * RETAINED manifests — the Delta `txn` idea: a streaming sink
-    * stamps (appId, batchId) on each commit and skips any batch at or
-    * below this watermark on replay, which is what makes its writes
-    * exactly-once across checkpoint-recovered restarts. O(retained
-    * versions) driver-side metadata. [[expire]] always retains each
-    * app's high-water stamped manifest, so routine retention
-    * maintenance can never forget a watermark. */
-  def lastTxn(table: Path, app: String): Option[Long] = {
-    val ids = versions(table).flatMap(v =>
-      readManifest(table, v).txn.collect {
-        case (a, b) if a == app => b
-      })
-    if (ids.isEmpty) None else Some(ids.max)
+  /** Per-app watermark maps merged by MAX — the fold every commit
+    * applies to carry `txns` forward. */
+  def mergeTxns(maps: Map[String, Long]*): Map[String, Long] =
+    maps.flatten.groupMapReduce(_._1)(_._2)(math.max)
+
+  /** The highest batch id writer `app` has committed — the Delta
+    * `txn` idea: a streaming sink stamps (appId, batchId) on each
+    * commit and skips any batch at or below this watermark on replay,
+    * which is what makes its writes exactly-once across
+    * checkpoint-recovered restarts. Every commit FOLDS the
+    * accumulated per-app watermarks into its manifest (`txns`), so on
+    * a folded chain this is ONE manifest read ([[lastTxnAt]] against
+    * a tip already in hand is zero reads) — the fast path that
+    * matters because the replay check runs inside every commit
+    * attempt. A chain whose tip carries no fold (manifests written
+    * directly against the primitive, or pre-fold) falls back to the
+    * O(retained versions) scan of `txn` stamps; [[expire]] retains
+    * each app's high-water stamped manifest, so that fallback stays
+    * correct under retention. */
+  def lastTxn(table: Path, app: String): Option[Long] =
+    lastTxnAt(table, tip(table), app)
+
+  /** [[lastTxn]] evaluated against a tip manifest already in hand. */
+  def lastTxnAt(table: Path, t: Manifest, app: String): Option[Long] = {
+    val folded = mergeTxns(t.txns, t.txn.toList.toMap)
+    if (folded.nonEmpty) folded.get(app)
+    else {
+      val ids = versions(table).flatMap(v =>
+        readManifest(table, v).txn.collect {
+          case (a, b) if a == app => b
+        })
+      if (ids.isEmpty) None else Some(ids.max)
+    }
   }
 
   /** Byte sizes for `files`, inheriting `prior` (a parent manifest's
@@ -261,7 +306,20 @@ object TxnLog {
     * Returns the new version, or None iff another committer won that
     * version (the put-if-absent failure) — any other I/O failure
     * propagates. */
-  def tryCommitManifest(table: Path, m: Manifest): Option[Long] = {
+  def tryCommitManifest(table: Path, m0: Manifest): Option[Long] = {
+    // Fold the parent's accumulated per-app watermarks (plus its own
+    // stamp) into this manifest's `txns` — maintained at the
+    // PRIMITIVE so every committed chain carries the fold and
+    // [[lastTxn]] stays O(tip) no matter which commit path built it.
+    val m =
+      if (m0.parent >= 0L &&
+          Files.isRegularFile(manifestPath(table, m0.parent))) {
+        val p = readManifest(table, m0.parent)
+        m0.copy(txns = mergeTxns(p.txns, p.txn.toList.toMap,
+          m0.txns, m0.txn.toList.toMap))
+      } else if (m0.txn.isDefined || m0.txns.nonEmpty)
+        m0.copy(txns = mergeTxns(m0.txns, m0.txn.toList.toMap))
+      else m0
     val dir = logDir(table)
     Files.createDirectories(dir)
     val bytes =
@@ -374,7 +432,9 @@ object TxnLog {
       val surviving = fs.toSet
       Manifest(0L, 0L, action, fs,
         t.stats.view.filterKeys(surviving).toMap ++ statsFor(t),
-        statsKey.orElse(t.statsKey), columns = t.columns)
+        statsKey.orElse(t.statsKey), columns = t.columns,
+        colStats = t.colStats.view.mapValues(
+          _.view.filterKeys(surviving).toMap).toMap)
     }, maxAttempts)
 
   /** Per-file [min, max] of `key` for the given (relative) files — the
@@ -400,6 +460,40 @@ object TxnLog {
         if (r.isNullAt(1) || r.isNullAt(2)) rel -> EmptyRange
         else rel -> (r.getLong(1), r.getLong(2))
       }.toMap
+  }
+
+  /** Per-file [min, max] for EVERY column in `cols` — the manifest's
+    * multi-column bounds (`Manifest.colStats`: the Iceberg per-column
+    * manifest bounds / Delta add-file stats idea, generalized beyond
+    * the single merge `statsKey`), computed in ONE scan of exactly
+    * those files regardless of how many columns ride along. Same
+    * entry conventions as [[keyStats]]: an all-NULL column in a file
+    * gets the explicit [[EmptyRange]]; a zero-row file gets no entry
+    * (unknown, never pruned). Columns are read as BIGINT, so any
+    * integral column participates; declare only columns whose values
+    * fit a long. */
+  def colStatsFor(
+      spark: SparkSession, table: Path, files: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || cols.isEmpty) return cols.map(_ -> Map.empty[String, (Long, Long)]).toMap
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("bigint")).as(s"mn_$c"),
+      max(col(c).cast("bigint")).as(s"mx_$c")))
+    val rows = spark.read
+      .parquet(files.map(f => table.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> rows.map { r =>
+        val base = r.getString(0).split('/').last
+        val rel = files.find(_.split('/').last == base).getOrElse(base)
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) rel -> EmptyRange
+        else rel -> (r.getLong(mnI), r.getLong(mxI))
+      }.toMap
+    }.toMap
   }
 
   /** Hive-style partition values parsed from files' RELATIVE paths
@@ -557,13 +651,20 @@ object TxnLog {
       // REPLANS the whole merge against the new tip — the
       // serializable-writer discipline, not just retry-the-rename.
       val keptFiles = tip.files.filterNot(affected) ++ newFiles
+      // Multi-column bounds heal like the key stats: survivors keep
+      // their entries, rewritten files get fresh ones in one scan.
+      val newColStats =
+        colStatsFor(spark, table, newFiles, tip.colStats.keys.toSeq.sorted)
       tryCommitManifest(table, Manifest(tipVersion + 1, tipVersion,
         "merge", keptFiles,
         (ranges -- affected) ++ newStats,
         statsKey = Some(key),
         partitions = tip.partitions -- affected,
         columns = tip.columns,
-        sizes = fileSizes(table, keptFiles, tip.sizes))) match {
+        sizes = fileSizes(table, keptFiles, tip.sizes),
+        colStats = tip.colStats.map { case (c, perFile) =>
+          c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
+        })) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }
@@ -583,15 +684,18 @@ object TxnLog {
       spark: SparkSession, table: Path, subdir: String,
       nFiles: Int = 1, statsKey: Option[String] = None): Committed = {
     val tipVersion = latest(table).get
-    val effKey = statsKey.orElse(readManifest(table, tipVersion).statsKey)
+    val tipM = readManifest(table, tipVersion)
+    val effKey = statsKey.orElse(tipM.statsKey)
     readVersion(spark, table, tipVersion).coalesce(nFiles)
       .write.parquet(table.resolve(subdir).toString)
     val newFiles = parquetsUnder(table, subdir)
     val stats = effKey
       .map(k => keyStats(spark, table, newFiles, k))
       .getOrElse(Map.empty[String, (Long, Long)])
+    val newColStats =
+      colStatsFor(spark, table, newFiles, tipM.colStats.keys.toSeq.sorted)
     commitRetryWith(table, t => Manifest(0L, 0L, "compact", newFiles,
-      stats, effKey, columns = t.columns))
+      stats, effKey, columns = t.columns, colStats = newColStats))
   }
 
   /** Expire all but the last `retainLast` versions: their manifests

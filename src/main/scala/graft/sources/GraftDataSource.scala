@@ -240,7 +240,9 @@ object GraftTables {
         m0.copy(files = fresh,
           stats = m0.stats.view.filterKeys(fresh.toSet).toMap,
           partitions = m0.partitions.view.filterKeys(fresh.toSet).toMap,
-          sizes = m0.sizes.view.filterKeys(fresh.toSet).toMap)
+          sizes = m0.sizes.view.filterKeys(fresh.toSet).toMap,
+          colStats = m0.colStats.view.mapValues(
+            _.view.filterKeys(fresh.toSet).toMap).toMap)
     }
     m.columns match {
       case Some(cols) =>
@@ -317,27 +319,49 @@ object GraftTables {
     // their stats once, outside the rebase loop.
     val statsCache =
       scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
+    val colStatsCache = scala.collection.mutable.Map
+      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
     TxnLog.commitRetryWith(snap.root, tip => {
       // Idempotent-replay guard, INSIDE the attempt: if this writer's
       // (appId, batchId) already sits at or below a committed stamp —
       // including one a concurrent zombie instance landed while we
       // were staging — the batch is done; abort as a no-op instead of
       // committing it twice (exactly-once is enforced at the commit,
-      // the Delta discipline).
+      // the Delta discipline). Zero extra reads: the watermark fold
+      // rides the tip manifest already in hand.
       txn.foreach { case (app, batch) =>
-        if (TxnLog.lastTxn(snap.root, app).exists(_ >= batch))
+        if (TxnLog.lastTxnAt(snap.root, tip, app).exists(_ >= batch))
           TxnLog.abortCommit()
       }
       val newStats = tip.statsKey.map(k => statsCache.getOrElseUpdate(k,
         TxnLog.keyStats(spark, snap.root, newFiles, k)))
         .getOrElse(Map.empty[String, (Long, Long)])
+      val newColStats = colStatsCache.getOrElseUpdate(
+        tip.colStats.keys.toSeq.sorted,
+        TxnLog.colStatsFor(spark, snap.root, newFiles,
+          tip.colStats.keys.toSeq.sorted))
+      val mergedColStats = tip.colStats.map { case (c, perFile) =>
+        c -> (perFile ++ newColStats.getOrElse(c, Map.empty))
+      }
+      // A table created without declared columns (raw commitRetry
+      // fixtures) gets them declared here from the resolved schema
+      // (identity mapping) — which is also what keeps an emptied
+      // table (truncate / delete-everything) readable: resolve needs
+      // declared columns when no files remain to infer from.
+      val cols = tip.columns.orElse(Some(
+        snap.schema.fields.zipWithIndex.map { case (f, i) =>
+          TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString,
+            snap.physicalOf(f.name))
+        }.toSeq))
       if (overwrite)
         TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,
-          tip.statsKey, columns = tip.columns, txn = txn)
+          tip.statsKey, columns = cols, txn = txn,
+          colStats = newColStats)
       else
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats ++ newStats, tip.statsKey,
-          partitions = tip.partitions, columns = tip.columns, txn = txn)
+          partitions = tip.partitions, columns = cols, txn = txn,
+          colStats = mergedColStats)
     })
   }
 
@@ -357,7 +381,7 @@ object GraftTables {
     }.toSeq
     TxnLog.commitRetryWith(root, tip => {
       txn.foreach { case (app, batch) =>
-        if (TxnLog.lastTxn(root, app).exists(_ >= batch))
+        if (TxnLog.lastTxnAt(root, tip, app).exists(_ >= batch))
           TxnLog.abortCommit()
       }
       if (tip.version < 0L)
@@ -425,12 +449,25 @@ object GraftTables {
         .getOrElse(Map.empty[String, (Long, Long)])
       val newFiles = written.filter(f => newStats.contains(f) ||
         !spark.read.parquet(root.resolve(f).toString).isEmpty)
+      val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
+        tip.colStats.keys.toSeq.sorted)
       val files = tip.files.filterNot(affected) ++ newFiles
+      // Declare columns if the tip never did — a delete that empties
+      // the table must leave it readable (resolve needs declared
+      // columns when no files remain to infer from).
+      val cols = tip.columns.orElse(Some(
+        snap.schema.fields.zipWithIndex.map { case (f, i) =>
+          TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString,
+            snap.physicalOf(f.name))
+        }.toSeq))
       TxnLog.tryCommitManifest(root, TxnLog.Manifest(
         tipVersion + 1, tipVersion, "delete", files,
         (tip.stats -- affected) ++ newStats, tip.statsKey,
-        tip.partitions -- affected, tip.columns,
-        TxnLog.fileSizes(root, files, tip.sizes))) match {
+        tip.partitions -- affected, cols,
+        TxnLog.fileSizes(root, files, tip.sizes),
+        colStats = tip.colStats.map { case (c, perFile) =>
+          c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
+        })) match {
         case Some(_) => return
         case None => attempt += 1 // lost the race: replan on the new tip
       }
@@ -790,7 +827,9 @@ final class GraftMicroBatchStream(
       endM.copy(files = fresh,
         stats = endM.stats.view.filterKeys(fresh.toSet).toMap,
         partitions = endM.partitions.view.filterKeys(fresh.toSet).toMap,
-        sizes = endM.sizes.view.filterKeys(fresh.toSet).toMap)
+        sizes = endM.sizes.view.filterKeys(fresh.toSet).toMap,
+        colStats = endM.colStats.view.mapValues(
+          _.view.filterKeys(fresh.toSet).toMap).toMap)
     }
   }
 
@@ -892,17 +931,26 @@ object GraftPruning {
   }
 
   /** The files of `m` a scan with the given pushed filters must open:
-    * metadata-only pruning on (a) the declared statsKey's committed
-    * [min, max] per file and (b) per-file partition values. Any
-    * filter shape not understood keeps the file — conservative by
-    * construction. */
+    * metadata-only pruning on (a) the committed [min, max] bounds per
+    * file — the declared statsKey's AND every column carried in the
+    * manifest's multi-column `colStats` — and (b) per-file partition
+    * values. Any filter shape not understood keeps the file —
+    * conservative by construction. */
   def prune(m: TxnLog.Manifest,
       filters: Seq[Expression]): Seq[String] = {
-    val keyBounds = m.statsKey.map { k =>
+    def queryBounds(c: String): (Long, Long) =
       filters.foldLeft((Long.MinValue, Long.MaxValue)) {
-        case (acc, f) => intersect(acc, boundsOf(k, f))
+        case (acc, f) => intersect(acc, boundsOf(c, f))
       }
-    }
+    val keyBounds = m.statsKey.map(queryBounds)
+    // One (column, constrained query range, per-file entries) triple
+    // per colStats column the filters actually constrain.
+    val colBounds: Seq[((Long, Long), Map[String, (Long, Long)])] =
+      m.colStats.toSeq.flatMap { case (c, perFile) =>
+        val b = queryBounds(c)
+        if (b == (Long.MinValue, Long.MaxValue)) None
+        else Some((b, perFile))
+      }
     val partEq: Map[String, Set[String]] = filters.flatMap {
       case Cmp(c, v, "=") => partValueOf(v).map(s => c -> Set(s))
       case In(a: Attribute, vs) if vs.nonEmpty &&
@@ -915,18 +963,22 @@ object GraftPruning {
         else None
       case _ => None
     }.groupMapReduce(_._1)(_._2)(_ intersect _)
+    // No entry = UNKNOWN (a generic commit may not have computed
+    // stats) — keep the file; pruning must never be a correctness
+    // dependency. A known no-non-NULL-values file carries the
+    // explicit TxnLog.EmptyRange entry, whose empty interval fails
+    // the intersection test and prunes.
+    def rangeOk(entry: Option[(Long, Long)], lo: Long, hi: Long): Boolean =
+      entry match {
+        case None => true
+        case Some((kmin, kmax)) => kmin <= hi && kmax >= lo
+      }
     m.files.filter { f =>
       val statsOk = keyBounds.forall { case (lo, hi) =>
         if (lo == Long.MinValue && hi == Long.MaxValue) true
-        else m.stats.get(f) match {
-          // No entry = UNKNOWN (a generic commit may not have
-          // computed stats) — keep the file; pruning must never be a
-          // correctness dependency. A known no-non-NULL-keys file
-          // carries the explicit TxnLog.EmptyRange entry, whose empty
-          // interval fails the intersection test below and prunes.
-          case None => true
-          case Some((kmin, kmax)) => kmin <= hi && kmax >= lo
-        }
+        else rangeOk(m.stats.get(f), lo, hi)
+      } && colBounds.forall { case ((lo, hi), perFile) =>
+        rangeOk(perFile.get(f), lo, hi)
       }
       val partsOk = m.partitions.get(f) match {
         case None => true

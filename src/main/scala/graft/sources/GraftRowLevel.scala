@@ -184,6 +184,8 @@ final class GraftReplaceDataWrite(
     val scanned = op.scannedFiles.toSet
     val keptFiles =
       snap.manifest.files.filterNot(scanned) ++ newFiles
+    val newColStats = TxnLog.colStatsFor(spark, snap.root, newFiles,
+      snap.manifest.colStats.keys.toSeq.sorted)
     val observed = snap.manifest.version
     TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
       observed + 1, observed, "replace", keptFiles,
@@ -192,7 +194,10 @@ final class GraftReplaceDataWrite(
       partitions = snap.manifest.partitions -- scanned,
       columns = snap.manifest.columns,
       sizes = TxnLog.fileSizes(snap.root, keptFiles,
-        snap.manifest.sizes))) match {
+        snap.manifest.sizes),
+      colStats = snap.manifest.colStats.map { case (c, perFile) =>
+        c -> ((perFile -- scanned) ++ newColStats.getOrElse(c, Map.empty))
+      })) match {
       case Some(_) => ()
       case None => sys.error(
         s"concurrent commit on ${snap.root} during a row-level " +

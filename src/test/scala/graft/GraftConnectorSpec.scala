@@ -583,6 +583,36 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       AttributeReference("year", LongType)(), Literal(3L)))) == Seq("a"))
   }
 
+  test("multi-column colStats prune independently of the statsKey") {
+    val id = AttributeReference("id", LongType)()
+    val ts = AttributeReference("ts", LongType)()
+    val m = TxnLog.Manifest(0L, -1L, "create", Seq("a", "b", "c"),
+      Map("a" -> (1L, 50L), "b" -> (51L, 100L), "c" -> (1L, 100L)),
+      Some("id"),
+      colStats = Map("ts" -> Map("a" -> (1000L, 1999L),
+        "b" -> (1000L, 1999L), "c" -> (2000L, 2999L))))
+    // A ts-only filter prunes on colStats even though ts is not the
+    // statsKey.
+    assert(GraftPruning.prune(m,
+      Seq(GreaterThanOrEqual(ts, Literal(2500L)))) == Seq("c"))
+    // Conjunction across columns intersects both prunings.
+    assert(GraftPruning.prune(m, Seq(EqualTo(id, Literal(60L)),
+      LessThanOrEqual(ts, Literal(1500L)))) == Seq("b"))
+    // File c spans both columns' ranges, so it survives a conjunction
+    // the narrower files fail…
+    assert(GraftPruning.prune(m, Seq(EqualTo(id, Literal(60L)),
+      GreaterThanOrEqual(ts, Literal(2500L)))) == Seq("c"))
+    // …and a ts below every file's range opens nothing.
+    assert(GraftPruning.prune(m,
+      Seq(LessThanOrEqual(ts, Literal(500L)))) == Seq.empty)
+    // A file with no entry for a constrained column is kept; an
+    // EmptyRange entry prunes.
+    val m2 = m.copy(colStats = Map("ts" -> Map("a" -> (1000L, 1999L),
+      "c" -> TxnLog.EmptyRange)))
+    assert(GraftPruning.prune(m2,
+      Seq(GreaterThanOrEqual(ts, Literal(2500L)))) == Seq("b"))
+  }
+
   test("a stats-less append never poisons key-filtered reads (r13 advice)") {
     val tbl = quartileTable()
     Seq((1000L, 1L)).toDF("id", "v").coalesce(1)
@@ -679,6 +709,22 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       .load(tbl.toString).count() == 100L)
     assert(spark.read.format("graft").option("FROMVERSION", "0")
       .load(tbl.toString).count() == 1L)
+  }
+
+  test("a delete that empties an undeclared-columns table leaves it readable") {
+    val tbl = quartileTable() // created raw: no declared columns
+    GraftTables.registerCatalog(spark)
+    // The first connector write declares columns from the resolved
+    // schema, so even a later total wipe keeps the table resolvable.
+    Seq((1000L, 1L)).toDF("id", "v")
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(TxnLog.readManifest(tbl, 1L).columns.isDefined)
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id >= 0")
+    val emptied = GraftTables.read(spark, tbl)
+    assert(emptied.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(emptied.count() == 0L)
+    // And history is intact.
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
   }
 
   test("a replayed (appId, batchId) commit aborts as a no-op, even past the pre-check") {

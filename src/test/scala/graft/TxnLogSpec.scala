@@ -88,7 +88,10 @@ class TxnLogSpec extends AnyFunSuite {
     val m = TxnLog.Manifest(0L, -1L, "create", hostile,
       Map(hostile.head -> (1L, 2L)), Some("k"),
       Map(hostile.head -> Map("year" -> "19,95")),
-      Some(Seq(TxnLog.ColumnDef(1, "a\"b", "bigint", "a,b"))))
+      Some(Seq(TxnLog.ColumnDef(1, "a\"b", "bigint", "a,b"))),
+      txns = Map("app\"x" -> 3L),
+      colStats = Map("c,1" -> Map(hostile.head -> (5L, 9L),
+        hostile.last -> TxnLog.EmptyRange)))
     assert(TxnLog.parse(TxnLog.render(m)) == m)
   }
 
@@ -167,6 +170,31 @@ class TxnLogSpec extends AnyFunSuite {
     // The hive null marker must never equal a string literal.
     assert(TxnLog.partitionValuesFromPaths(
       Seq("k=__HIVE_DEFAULT_PARTITION__/p.parquet")).isEmpty)
+  }
+
+  test("commits fold per-app watermarks: lastTxn answers from the tip alone") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"))
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(1L, 0L, "append",
+      Seq("f0", "f1"), txn = Some("appA" -> 7L)))
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(2L, 1L, "append",
+      Seq("f0", "f1", "f2"), txn = Some("appB" -> 3L)))
+    TxnLog.tryCommit(t, 2L, "append", Seq("f0", "f1", "f2", "f3"))
+    // The fold is transitive: the UNSTAMPED tip still carries both
+    // apps' high-water marks.
+    assert(TxnLog.readManifest(t, 3L).txns ==
+      Map("appA" -> 7L, "appB" -> 3L))
+    // O(tip) for real: delete every older manifest (harsher than any
+    // expire) — the watermarks still answer from the tip.
+    Seq(0L, 1L, 2L).foreach(v => Files.delete(
+      TxnLog.logDir(t).resolve(f"$v%08d.json")))
+    assert(TxnLog.lastTxn(t, "appA").contains(7L))
+    assert(TxnLog.lastTxn(t, "appB").contains(3L))
+    assert(TxnLog.lastTxn(t, "appC").isEmpty)
+    // A replayed stamp never lowers the fold (merge is by MAX).
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(4L, 3L, "append",
+      Seq("f0"), txn = Some("appA" -> 5L)))
+    assert(TxnLog.lastTxn(t, "appA").contains(7L))
   }
 
   test("liveness derives from retained manifests only") {

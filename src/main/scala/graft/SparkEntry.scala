@@ -234,6 +234,7 @@ object SparkEntry {
     "table_update_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateSqlQuery(s, dir)),
     "table_multicol_skipping" -> ((s, dir) => SourceSinkQueries.tableMulticolSkippingQuery(s, dir)),
     "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
+    "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
     "sink_zorder_layout" -> ((s, dir) => SourceSinkQueries.sinkZorderLayout(s, dir)),
@@ -2751,6 +2752,24 @@ object SparkEntry {
                 true AS rewrite_scoped,
                 true AS stats_covered
          FROM o, r""",
+    // TIMESTAMP AS OF with deterministic commit stamps: the oracle
+    // replays the v0 aggregate (o) and the v1 aggregate (o with the
+    // %7 slice's cents restated as an appended batch).
+    "table_time_travel_ts" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b1 AS (SELECT CAST(12345 AS BIGINT) AS cents
+                FROM o WHERE o_orderkey % 7 = 0)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0ts,
+                (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_cents_v0ts,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) +
+                  (SELECT CAST(count(*) AS BIGINT) FROM b1) AS n_rows_v1ts,
+                (SELECT CAST(sum(cents) AS BIGINT) FROM o) +
+                  (SELECT CAST(sum(cents) AS BIGINT) FROM b1)
+                  AS sum_cents_v1ts,
+                true AS before_create_refused,
+                true AS pinned_write_refused""",
     // Multi-column manifest bounds: the oracle replays the h-range
     // aggregate; the opened-file counts are plan-witnessed pins.
     "table_multicol_skipping" ->

@@ -1172,6 +1172,60 @@ object SourceSinkQueries {
         lit(noopBeyond).as("noop_beyond_range"))
   }
 
+  /** table_time_travel_ts — `TIMESTAMP AS OF` over the log: every
+    * commit stamps its wall-clock in the manifest (here pinned to
+    * deterministic values, the knob tests and replicas with external
+    * clocks use), and a timestamp resolves to the HIGHEST version
+    * committed at or before it — Delta/Iceberg semantics, through
+    * both `.option("timestampAsOf", …)` (epoch millis or SQL
+    * timestamp string) and SQL `TIMESTAMP AS OF` via the catalog's
+    * v2 micros contract. Witnessed: between-commit instants pin the
+    * earlier version, an instant before the first commit errors
+    * loudly (never an empty table), and a timestamp-pinned snapshot
+    * refuses writes. The 100 TB use: "reproduce the training run's
+    * input as of last Tuesday 03:00" without anyone having recorded
+    * a version number. */
+  def tableTimeTravelTsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connts").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      base, ts = 1000000L))
+    orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(12345L).as("cents"))
+      .coalesce(1).write.parquet(tbl.resolve("d1").toString)
+    TxnLog.commitRetryWith(tbl, t => TxnLog.Manifest(0L, -1L, "append",
+      t.files ++ TxnLog.parquetsUnder(tbl, "d1"), ts = 2000000L))
+    def aggAt(ts: String) = spark.read.format("graft")
+      .option("timestampAsOf", ts).load(tbl.toString)
+      .agg(count(lit(1)), sum(col("cents"))).head()
+    val atV0 = aggAt("1500000") // between commits → the earlier one
+    val atV1 = aggAt("2000000")
+    val beforeCreateRefused =
+      try { aggAt("999999"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("committed at or before") }
+    val pinnedWriteRefused =
+      try {
+        orders.limit(1).write.format("graft").mode("append")
+          .option("timestampAsOf", "1000000").save(tbl.toString)
+        false
+      } catch { case e: Exception => e.getMessage.contains("immutable") }
+    spark.range(1).select(
+      lit(atV0.getLong(0)).as("n_rows_v0ts"),
+      lit(atV0.getLong(1)).as("sum_cents_v0ts"),
+      lit(atV1.getLong(0)).as("n_rows_v1ts"),
+      lit(atV1.getLong(1)).as("sum_cents_v1ts"),
+      lit(beforeCreateRefused).as("before_create_refused"),
+      lit(pinnedWriteRefused).as("pinned_write_refused"))
+  }
+
   /** table_update_sql — SQL `UPDATE` over the log as a GROUP-BASED
     * row-level operation ([[graft.sources.GraftRowLevelOperation]],
     * the v2 contract Spark's `RewriteUpdateTable` plans through): the

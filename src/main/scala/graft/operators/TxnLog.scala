@@ -114,7 +114,8 @@ object TxnLog {
       sizes: Map[String, Long] = Map.empty,
       txn: Option[(String, Long)] = None,
       txns: Map[String, Long] = Map.empty,
-      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      ts: Long = 0L)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -144,6 +145,25 @@ object TxnLog {
   }
 
   def latest(table: Path): Option[Long] = versions(table).lastOption
+
+  /** The version a timestamp pins: the HIGHEST retained version whose
+    * commit stamp is at or before `tsMillis` — Delta/Iceberg
+    * `TIMESTAMP AS OF` semantics ("the table as of that moment").
+    * Stamps are wall-clock advisory (a replica with a skewed clock
+    * can commit out of order); resolution is by version number among
+    * qualifying stamps, so a skewed stamp can widen but never
+    * un-order the answer. O(retained versions) manifest reads at
+    * resolution time only — monotonic chains could binary-search, but
+    * retention keeps the log short-lived. */
+  def versionAtTimestamp(table: Path, tsMillis: Long): Long = {
+    val at = versions(table).filter { v =>
+      val ts = readManifest(table, v).ts
+      ts != 0L && ts <= tsMillis
+    }
+    require(at.nonEmpty,
+      s"no version of $table was committed at or before epoch-ms $tsMillis")
+    at.max
+  }
 
   def readManifest(table: Path, version: Long): Manifest = {
     val txt = new String(Files.readAllBytes(manifestPath(table, version)),
@@ -205,6 +225,7 @@ object TxnLog {
         }
       }
     }
+    if (m.ts != 0L) root.put("ts", m.ts)
     mapper.writeValueAsString(root)
   }
 
@@ -250,7 +271,8 @@ object TxnLog {
       n.get("files").elements().asScala.map(_.asText).toSeq,
       stats,
       Option(n.get("statsKey")).map(_.asText),
-      partitions, columns, sizes, txn, txns, colStats)
+      partitions, columns, sizes, txn, txns, colStats,
+      Option(n.get("ts")).map(_.asLong).getOrElse(0L))
   }
 
   /** Per-app watermark maps merged by MAX — the fold every commit
@@ -320,10 +342,16 @@ object TxnLog {
       } else if (m0.txn.isDefined || m0.txns.nonEmpty)
         m0.copy(txns = mergeTxns(m0.txns, m0.txn.toList.toMap))
       else m0
+    // Stamp the commit wall-clock for timestamp time travel — unless
+    // the writer supplied its own stamp (tests pin deterministic
+    // clocks this way).
+    val stamped =
+      if (m.ts != 0L) m
+      else m.copy(ts = System.currentTimeMillis())
     val dir = logDir(table)
     Files.createDirectories(dir)
     val bytes =
-      render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      render(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = manifestPath(table, m.version)
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
     try {

@@ -205,8 +205,21 @@ object GraftTables {
       sys.error("graft source requires a path"))
     val root = Paths.get(path)
     val pinned = options.contains("versionasof") ||
-      options.contains("fromversion")
+      options.contains("fromversion") ||
+      options.contains("timestampasof")
+    require(!(options.contains("versionasof") &&
+      options.contains("timestampasof")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf accepts epoch millis or a SQL timestamp string;
+    // it resolves to the highest version committed at or before it.
+    val tsPin = options.get("timestampasof").map { s =>
+      val millis =
+        if (s.forall(_.isDigit)) s.toLong
+        else java.sql.Timestamp.valueOf(s).getTime
+      TxnLog.versionAtTimestamp(root, millis)
+    }
     val version = options.get("versionasof").map(_.toLong)
+      .orElse(tsPin)
       .orElse(TxnLog.latest(root)).getOrElse {
         // A streaming WRITE resolves its sink table before the first
         // batch can create it (DataStreamWriter probes the provider
@@ -784,6 +797,20 @@ final class GraftMicroBatchStream(
 
   private val root = snap.root
 
+  // Admission control: at most this many log versions per micro-batch
+  // (each version = one commit's file diff). A stream started against
+  // a long backlog — the 100 TB catch-up case — must not plan the
+  // whole history as one batch; capping by versions bounds every
+  // batch at the granularity writers committed in, composing with
+  // Trigger.AvailableNow (the pinned tip is reached over several
+  // capped batches, then the run terminates).
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+
   override def initialOffset(): Offset = GraftStreamOffset(
     Option(options.get("startingVersion")).map(_.toLong - 1L)
       .getOrElse(-1L))
@@ -801,8 +828,17 @@ final class GraftMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(latestOffset())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(latestOffset())
+      .asInstanceOf[GraftStreamOffset].version
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(maxVersionsPerTrigger.map { cap =>
+      // Count RETAINED versions (expiry can leave gaps in the
+      // numbering), so the capped end is always a readable manifest.
+      TxnLog.versions(root).filter(v => v > s && v <= target)
+        .take(cap.toInt).lastOption.getOrElse(s)
+    }.getOrElse(target))
+  }
 
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -1053,6 +1089,17 @@ final class GraftCatalog extends TableCatalog {
         ident)
     new GraftTable(GraftTables.resolve(Map(
       "path" -> root.toString, "versionAsOf" -> version)))
+  }
+
+  /** SQL `TIMESTAMP AS OF` — the v2 contract hands the literal as
+    * MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!Files.isDirectory(TxnLog.logDir(root)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    new GraftTable(GraftTables.resolve(Map("path" -> root.toString,
+      "timestampAsOf" -> (timestamp / 1000L).toString)))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =

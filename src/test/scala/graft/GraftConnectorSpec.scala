@@ -711,6 +711,48 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       .load(tbl.toString).count() == 1L)
   }
 
+  test("timestampAsOf pins the version committed at or before the instant") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"ts${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("a").toString)
+    (11L to 15L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("b").toString)
+    val fa = TxnLog.parquetsUnder(tbl, "a")
+    val fb = TxnLog.parquetsUnder(tbl, "b")
+    // Deterministic clocks: explicit stamps are respected verbatim.
+    TxnLog.tryCommitManifest(tbl, TxnLog.Manifest(0L, -1L, "create",
+      fa, ts = 1000000L))
+    TxnLog.tryCommitManifest(tbl, TxnLog.Manifest(1L, 0L, "append",
+      fa ++ fb, ts = 2000000L))
+    def countAt(ts: String): Long = spark.read.format("graft")
+      .option("timestampAsOf", ts).load(tbl.toString).count()
+    assert(countAt("1000000") == 10L)
+    assert(countAt("1500000") == 10L, "between commits → the earlier one")
+    assert(countAt("2000000") == 15L)
+    assert(countAt("99999999999") == 15L)
+    // A SQL-timestamp string parses in the JVM zone, matching the
+    // session's literal rendering.
+    assert(countAt(new java.sql.Timestamp(1500000L).toString) == 10L)
+    // Before the first commit: loud error, not an empty table.
+    val early = intercept[Exception](countAt("999999"))
+    assert(early.getMessage.contains("committed at or before"))
+    // SQL TIMESTAMP AS OF resolves through the catalog (micros).
+    GraftTables.registerCatalog(spark)
+    val lit = new java.sql.Timestamp(1500000L).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$tbl` TIMESTAMP AS OF TIMESTAMP'$lit'")
+      .head.getLong(0) == 10L)
+    // A timestamp-pinned snapshot is read-only, like any pinned past.
+    val e = intercept[Exception] {
+      Seq((99L, 99L)).toDF("id", "v").write.format("graft")
+        .mode("append").option("timestampAsOf", "1000000")
+        .save(tbl.toString)
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
   test("a delete that empties an undeclared-columns table leaves it readable") {
     val tbl = quartileTable() // created raw: no declared columns
     GraftTables.registerCatalog(spark)

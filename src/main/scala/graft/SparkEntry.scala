@@ -234,6 +234,7 @@ object SparkEntry {
     "table_update_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateSqlQuery(s, dir)),
     "table_multicol_skipping" -> ((s, dir) => SourceSinkQueries.tableMulticolSkippingQuery(s, dir)),
     "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
+    "table_merge_nmbs" -> ((s, dir) => SourceSinkQueries.tableMergeNmbsQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2808,6 +2809,33 @@ object SparkEntry {
            FROM o t FULL OUTER JOIN changes c
              ON t.o_orderkey = c.o_orderkey
            WHERE c.op IS NULL OR c.op <> 'del')
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0,
+                true AS single_atomic_commit
+         FROM merged""",
+    // MERGE with NOT MATCHED BY SOURCE arms: the oracle replays the
+    // full reconciliation — matched keys restated, source-only keys
+    // inserted, target-only keys deleted (%10==9) or bumped (+5).
+    "table_merge_nmbs" ->
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         changes AS (
+           SELECT o_orderkey, CAST(111 AS BIGINT) AS cents
+             FROM o WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT)
+             FROM o WHERE o_orderkey % 5 = 0),
+         merged AS (
+           SELECT CASE
+               WHEN t.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                 THEN c.cents
+               WHEN t.o_orderkey IS NULL THEN c.cents
+               ELSE t.cents + 5 END AS cents
+           FROM o t FULL OUTER JOIN changes c
+             ON t.o_orderkey = c.o_orderkey
+           WHERE NOT (c.o_orderkey IS NULL AND t.o_orderkey % 10 = 9))
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0,

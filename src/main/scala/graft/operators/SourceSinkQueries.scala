@@ -1334,6 +1334,55 @@ object SourceSinkQueries {
         lit(oneCommit).as("single_atomic_commit"))
   }
 
+  /** table_merge_nmbs — SQL `MERGE INTO` with `WHEN NOT MATCHED BY
+    * SOURCE` arms (Spark 3.4+ syntax): rows present in the target
+    * but absent from the source are DELETED or UPDATED by the merge
+    * itself — the full-reconciliation shape (mirror a dimension
+    * snapshot: upsert what the source has, retire what it dropped).
+    * Planned through the same group-based copy-on-write rewrite as
+    * [[tableMergeSqlQuery]] — by-source arms force the scan to span
+    * every file (no target-side predicate can prune a row that might
+    * be unmatched), which is the honest cost of reconciliation — and
+    * committed as ONE log version with v0 time-travelable. */
+  def tableMergeNmbsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connnmbs").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    graft.sources.GraftTables.registerCatalog(spark)
+    val k = col("o_orderkey")
+    // Source: %10==3 keys restated to 111; %5==0 keys shifted beyond
+    // the range as fresh inserts (disjoint classes — unique keys).
+    val changes = orders.filter(k % 10 === 3)
+      .select(k, lit(111L).as("cents"))
+      .unionByName(orders.filter(k % 5 === 0)
+        .select((k + 100000000L).as("o_orderkey"), lit(777L).as("cents")))
+    changes.createOrReplaceTempView("graft_merge_nmbs_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`$tbl` t USING graft_merge_nmbs_changes c
+         ON t.o_orderkey = c.o_orderkey
+         WHEN MATCHED THEN UPDATE SET t.cents = c.cents
+         WHEN NOT MATCHED THEN
+           INSERT (o_orderkey, cents) VALUES (c.o_orderkey, c.cents)
+         WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 9 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.cents = t.cents + 5""")
+    val oneCommit = TxnLog.versions(tbl) == Seq(0L, 1L)
+    val v0Rows = graft.sources.GraftTables.read(spark, tbl, Some(0L)).count()
+    graft.sources.GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(v0Rows).as("n_rows_v0"),
+        lit(oneCommit).as("single_atomic_commit"))
+  }
+
   /** stream_table_sink — `writeStream.format("graft")`: the log as a
     * structured-streaming SINK, composed table-to-table with the
     * streaming source (A → stream → B, both graft tables — continuous

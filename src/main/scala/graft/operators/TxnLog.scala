@@ -300,8 +300,16 @@ object TxnLog {
   /** [[lastTxn]] evaluated against a tip manifest already in hand. */
   def lastTxnAt(table: Path, t: Manifest, app: String): Option[Long] = {
     val folded = mergeTxns(t.txns, t.txn.toList.toMap)
-    if (folded.nonEmpty) folded.get(app)
-    else {
+    folded.get(app).orElse {
+      // The fold may be PARTIAL on an upgraded table: older manifests
+      // stamped `txn` before the fold existed, then one new commit
+      // folded only its immediate parent — so an app MISSING from a
+      // non-empty fold is not proof it never committed. Fall back to
+      // the O(retained versions) stamp scan whenever the fold has no
+      // entry for `app`; [[expire]] keeps each app's high-water
+      // stamped manifest, so the scan stays correct under retention,
+      // and the app's next commit stamps it into the fold, so the
+      // scan runs once per (app, table) lifetime — not per batch.
       val ids = versions(table).flatMap(v =>
         readManifest(table, v).txn.collect {
           case (a, b) if a == app => b
@@ -327,21 +335,30 @@ object TxnLog {
   /** One optimistic commit attempt of `m.version = parent + 1`.
     * Returns the new version, or None iff another committer won that
     * version (the put-if-absent failure) — any other I/O failure
-    * propagates. */
-  def tryCommitManifest(table: Path, m0: Manifest): Option[Long] = {
+    * propagates. `parentHint`: the parent manifest when the caller
+    * already holds it (every rebase-and-retry path does — it just
+    * read the tip it is committing against), saving the re-read this
+    * primitive would otherwise pay per attempt for the txn fold. */
+  def tryCommitManifest(table: Path, m0: Manifest,
+      parentHint: Option[Manifest] = None): Option[Long] = {
     // Fold the parent's accumulated per-app watermarks (plus its own
     // stamp) into this manifest's `txns` — maintained at the
     // PRIMITIVE so every committed chain carries the fold and
     // [[lastTxn]] stays O(tip) no matter which commit path built it.
-    val m =
+    val parentM = parentHint.filter(_.version == m0.parent).orElse {
       if (m0.parent >= 0L &&
-          Files.isRegularFile(manifestPath(table, m0.parent))) {
-        val p = readManifest(table, m0.parent)
+          Files.isRegularFile(manifestPath(table, m0.parent)))
+        Some(readManifest(table, m0.parent))
+      else None
+    }
+    val m = parentM match {
+      case Some(p) =>
         m0.copy(txns = mergeTxns(p.txns, p.txn.toList.toMap,
           m0.txns, m0.txn.toList.toMap))
-      } else if (m0.txn.isDefined || m0.txns.nonEmpty)
+      case None if m0.txn.isDefined || m0.txns.nonEmpty =>
         m0.copy(txns = mergeTxns(m0.txns, m0.txn.toList.toMap))
-      else m0
+      case None => m0
+    }
     // Stamp the commit wall-clock for timestamp time travel — unless
     // the writer supplied its own stamp (tests pin deterministic
     // clocks this way).
@@ -431,7 +448,7 @@ object TxnLog {
       // so READERS never touch the filesystem to plan.
       val next = next0.copy(sizes = fileSizes(table, next0.files,
         next0.sizes ++ t.sizes))
-      tryCommitManifest(table, next) match {
+      tryCommitManifest(table, next, parentHint = Some(t)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1
       }
@@ -465,6 +482,33 @@ object TxnLog {
           _.view.filterKeys(surviving).toMap).toMap)
     }, maxAttempts)
 
+  /** Map an `input_file_name()` URI back to its table-relative
+    * manifest path by RELATIVIZING the decoded path against the table
+    * root — full-path attribution, so two files sharing a basename in
+    * different subdirectories (`a/part-0.parquet`, `b/part-0.parquet`
+    * — any partitioned layout) each land on their own manifest entry.
+    * Falls back to a basename match only when the URI does not decode
+    * or does not live under the root (never expected for files a
+    * commit just staged). */
+  private[graft] def attributeFile(
+      table: Path, uri: String, files: Seq[String]): String = {
+    val decoded =
+      try {
+        val u = new java.net.URI(uri)
+        Option(u.getPath).filter(_.nonEmpty).getOrElse(uri)
+      } catch { case _: java.net.URISyntaxException => uri }
+    val root =
+      table.toAbsolutePath.normalize.toString.stripSuffix("/") + "/"
+    val exact =
+      if (decoded.startsWith(root)) {
+        val rel = decoded.stripPrefix(root)
+        files.find(_ == rel)
+      } else None
+    exact
+      .orElse(files.find(_.split('/').last == uri.split('/').last))
+      .getOrElse(uri.split('/').last)
+  }
+
   /** Per-file [min, max] of `key` for the given (relative) files — the
     * stats a commit carries so later MERGEs plan from metadata. One
     * key-column scan of exactly those files. A file whose key column
@@ -483,11 +527,27 @@ object TxnLog {
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
       .collect()
       .map { r =>
-        val base = r.getString(0).split('/').last
-        val rel = files.find(_.split('/').last == base).getOrElse(base)
+        val rel = attributeFile(table, r.getString(0), files)
         if (r.isNullAt(1) || r.isNullAt(2)) rel -> EmptyRange
         else rel -> (r.getLong(1), r.getLong(2))
       }.toMap
+  }
+
+  /** Per-file ROW COUNTS for the given (relative) files, in ONE scan
+    * — the batched replacement for per-file `isEmpty` probes on
+    * commit paths that must drop empty outputs. A zero-row file
+    * produces no group and therefore no entry: `counts.getOrElse(f,
+    * 0L) > 0` is the emptiness test. */
+  def rowCounts(spark: SparkSession, table: Path,
+      files: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) Map.empty
+    else spark.read.parquet(files.map(f => table.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => attributeFile(table, r.getString(0), files) -> r.getLong(1))
+      .toMap
   }
 
   /** Per-file [min, max] for EVERY column in `cols` — the manifest's
@@ -497,26 +557,50 @@ object TxnLog {
     * those files regardless of how many columns ride along. Same
     * entry conventions as [[keyStats]]: an all-NULL column in a file
     * gets the explicit [[EmptyRange]]; a zero-row file gets no entry
-    * (unknown, never pruned). Columns are read as BIGINT, so any
-    * integral column participates; declare only columns whose values
-    * fit a long. */
+    * (unknown, never pruned).
+    *
+    * INTEGRAL CONTRACT, enforced loudly: declared columns must exist
+    * in the files' schema and be integral (byte/short/int/long). A
+    * blind BIGINT cast of anything else is a CORRECTNESS hazard, not
+    * a degradation — a TIMESTAMP casts to epoch SECONDS while pushed
+    * Catalyst literals compare in micros, and a cast that nulls out
+    * non-NULL data would write the [[EmptyRange]] entry, pruning
+    * every file; the row-level CoW scan plans its rewrite set from
+    * these bounds, so a wrong prune silently loses rows. Refusing at
+    * stats-computation time keeps a bad declaration from ever
+    * reaching a manifest. */
   def colStatsFor(
       spark: SparkSession, table: Path, files: Seq[String],
       cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || cols.isEmpty) return cols.map(_ -> Map.empty[String, (Long, Long)]).toMap
+    val df = spark.read
+      .parquet(files.map(f => table.resolve(f).toString): _*)
+    cols.foreach { c =>
+      val field = df.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"colStats column `$c` does not exist in the " +
+          s"table schema ${df.schema.fieldNames.mkString("[", ", ", "]")}"))
+      field.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => sys.error(
+          s"colStats column `$c` has non-integral type " +
+            s"${other.simpleString}: manifest bounds compare as BIGINT, " +
+            "so only byte/short/int/long columns may be declared")
+      }
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("bigint")).as(s"mn_$c"),
       max(col(c).cast("bigint")).as(s"mx_$c")))
-    val rows = spark.read
-      .parquet(files.map(f => table.resolve(f).toString): _*)
+    val rows = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     cols.zipWithIndex.map { case (c, i) =>
       c -> rows.map { r =>
-        val base = r.getString(0).split('/').last
-        val rel = files.find(_.split('/').last == base).getOrElse(base)
+        val rel = attributeFile(table, r.getString(0), files)
         val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
         if (r.isNullAt(mnI) || r.isNullAt(mxI)) rel -> EmptyRange
         else rel -> (r.getLong(mnI), r.getLong(mxI))
@@ -666,10 +750,11 @@ object TxnLog {
       // stats row). Committing it would leave a no-entry file that
       // forces every later merge back to the bootstrap scan — drop
       // empty outputs from the file set; keep a (rare)
-      // rows-but-all-NULL-keys file, which is data (and now carries
-      // the explicit EmptyRange entry).
-      val newFiles = written.filter(f => newStats.contains(f) ||
-        !spark.read.parquet(table.resolve(f).toString).isEmpty)
+      // rows-but-all-NULL-keys file, which is data (and carries the
+      // explicit EmptyRange entry). The stats scan already decided
+      // this: a file is in `newStats` iff it has ≥1 row — no per-file
+      // probe jobs.
+      val newFiles = written.filter(newStats.contains)
       // A COW rewrite does NOT commute the way an append does: losing
       // the race means the files this attempt read (and replaced) may
       // no longer be the tip's — blindly unioning file sets would
@@ -692,7 +777,7 @@ object TxnLog {
         sizes = fileSizes(table, keptFiles, tip.sizes),
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
-        })) match {
+        }), parentHint = Some(tip)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }

@@ -212,10 +212,24 @@ object GraftTables {
       "versionAsOf and timestampAsOf are mutually exclusive")
     // timestampAsOf accepts epoch millis or a SQL timestamp string;
     // it resolves to the highest version committed at or before it.
+    // The string form is interpreted in SPARK'S SESSION TIMEZONE
+    // (spark.sql.session.timeZone), matching `TIMESTAMP AS OF`
+    // semantics — not the JVM default zone, which can differ and
+    // silently pin a different version.
     val tsPin = options.get("timestampasof").map { s =>
       val millis =
         if (s.forall(_.isDigit)) s.toLong
-        else java.sql.Timestamp.valueOf(s).getTime
+        else {
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          val zone = DateTimeUtils.getZoneId(
+            SparkSession.getActiveSession
+              .map(_.sessionState.conf.sessionLocalTimeZone)
+              .getOrElse(java.util.TimeZone.getDefault.getID))
+          DateTimeUtils.stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+            .map(DateTimeUtils.microsToMillis)
+            .getOrElse(sys.error(s"unparseable timestampAsOf: $s"))
+        }
       TxnLog.versionAtTimestamp(root, millis)
     }
     val version = options.get("versionasof").map(_.toLong)
@@ -433,8 +447,20 @@ object GraftTables {
     import org.apache.spark.sql.functions.lit
     val spark = SparkSession.active
     val root = snap.root
-    val exprs = filters.toSeq.map(f => GraftFilters.toCatalyst(f)
+    // DELETE predicates arrive with LOGICAL column names; manifest
+    // stats and the parquet bytes both speak PHYSICAL names, so on a
+    // column-mapped table rewrite the attributes before pruning or
+    // filtering — the same mapping the row-level CoW scan applies
+    // ([[GraftCowScanBuilder.physFilters]]).
+    val exprs0 = filters.toSeq.map(f => GraftFilters.toCatalyst(f)
       .getOrElse(sys.error(s"untranslatable DELETE predicate: $f")))
+    val exprs =
+      if (!snap.isMapped) exprs0
+      else exprs0.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(snap.physicalOf(a.name))
+      })
     val pred = exprs
       .map(org.apache.spark.sql.graftshim.BatchDF.column)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -457,11 +483,13 @@ object GraftTables {
         s"${stagingCounter.incrementAndGet()}"
       out.write.parquet(root.resolve(attemptDir).toString)
       val written = TxnLog.parquetsUnder(root, attemptDir)
+      // ONE batched count scan finds the empty outputs to drop — not
+      // a read job per written file.
+      val counts = TxnLog.rowCounts(spark, root, written)
+      val newFiles = written.filter(f => counts.getOrElse(f, 0L) > 0L)
       val newStats = tip.statsKey
-        .map(k => TxnLog.keyStats(spark, root, written, k))
+        .map(k => TxnLog.keyStats(spark, root, newFiles, k))
         .getOrElse(Map.empty[String, (Long, Long)])
-      val newFiles = written.filter(f => newStats.contains(f) ||
-        !spark.read.parquet(root.resolve(f).toString).isEmpty)
       val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
         tip.colStats.keys.toSeq.sorted)
       val files = tip.files.filterNot(affected) ++ newFiles
@@ -480,7 +508,7 @@ object GraftTables {
         TxnLog.fileSizes(root, files, tip.sizes),
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
-        })) match {
+        }), parentHint = Some(tip)) match {
         case Some(_) => return
         case None => attempt += 1 // lost the race: replan on the new tip
       }
@@ -505,7 +533,7 @@ final class GraftTable(snap: GraftSnapshot) extends Table
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    !snap.pinned && !snap.isMapped &&
+    !snap.pinned &&
       filters.forall(GraftFilters.toCatalyst(_).isDefined)
 
   override def deleteWhere(
@@ -835,8 +863,12 @@ final class GraftMicroBatchStream(
     GraftStreamOffset(maxVersionsPerTrigger.map { cap =>
       // Count RETAINED versions (expiry can leave gaps in the
       // numbering), so the capped end is always a readable manifest.
+      // Clamp: a cap beyond Int.MaxValue must saturate, not overflow
+      // negative (take(negative) would return empty and stall the
+      // stream at the start offset forever).
       TxnLog.versions(root).filter(v => v > s && v <= target)
-        .take(cap.toInt).lastOption.getOrElse(s)
+        .take(math.min(cap, Int.MaxValue.toLong).toInt)
+        .lastOption.getOrElse(s)
     }.getOrElse(target))
   }
 

@@ -55,11 +55,14 @@ import graft.operators.TxnLog
   *    configured-scan idiom). An UPDATE touching 10% of the key
   *    range rewrites ~10% of files at 100 TB, not the table.
   *
-  * The commit targets EXACTLY the snapshot the statement read and
-  * REFUSES on conflict instead of rebasing: a group rewrite does not
-  * commute with concurrent commits, so blind retry would silently
-  * clobber them — the statement fails loudly and the user retries
-  * (Delta's ConcurrentModificationException discipline). */
+  * The commit targets the snapshot the statement read; on a lost
+  * race it REBASES automatically iff every intervening commit is
+  * DISJOINT from the rewrite's groups (appends, rewrites of
+  * unscanned files — Delta's WriteSerializable allowance), and
+  * refuses loudly only on TRUE overlap: a commit that rewrote a
+  * scanned file does not commute with this statement, so blind retry
+  * would silently clobber it (Delta's
+  * ConcurrentModificationException discipline). */
 final class GraftRowLevelOperation(
     snap: GraftSnapshot, cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
@@ -182,27 +185,54 @@ final class GraftReplaceDataWrite(
     // condition's stats pruned survives untouched, with its stats,
     // partition values, and sizes carried forward.
     val scanned = op.scannedFiles.toSet
-    val keptFiles =
-      snap.manifest.files.filterNot(scanned) ++ newFiles
     val newColStats = TxnLog.colStatsFor(spark, snap.root, newFiles,
       snap.manifest.colStats.keys.toSeq.sorted)
-    val observed = snap.manifest.version
-    TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
-      observed + 1, observed, "replace", keptFiles,
-      (snap.manifest.stats -- scanned) ++ newStats,
-      snap.manifest.statsKey,
-      partitions = snap.manifest.partitions -- scanned,
-      columns = snap.manifest.columns,
-      sizes = TxnLog.fileSizes(snap.root, keptFiles,
-        snap.manifest.sizes),
-      colStats = snap.manifest.colStats.map { case (c, perFile) =>
-        c -> ((perFile -- scanned) ++ newColStats.getOrElse(c, Map.empty))
-      })) match {
-      case Some(_) => ()
-      case None => sys.error(
-        s"concurrent commit on ${snap.root} during a row-level " +
-          "operation: a group rewrite cannot rebase — retry the statement")
+    // Conflict discipline (the Delta/Iceberg WriteSerializable
+    // check): a lost commit race REBASES onto the new tip iff every
+    // intervening commit is DISJOINT from the rewrite's groups —
+    // append-only commits and rewrites of unscanned files commute
+    // with this operation (their files survive the rebased commit
+    // untouched; rows a concurrent append landed were never seen by
+    // this statement, exactly WriteSerializable's insert semantics).
+    // A commit that removed/rewrote any SCANNED file does NOT
+    // commute — rebasing would clobber it — so the statement refuses
+    // loudly and the user retries against fresh data.
+    var base = snap.manifest
+    var attempts = 0
+    while (attempts < 10) {
+      val keptFiles = base.files.filterNot(scanned) ++ newFiles
+      TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
+        base.version + 1, base.version, "replace", keptFiles,
+        (base.stats -- scanned) ++ newStats,
+        base.statsKey,
+        partitions = base.partitions -- scanned,
+        columns = base.columns,
+        sizes = TxnLog.fileSizes(snap.root, keptFiles, base.sizes),
+        colStats = base.colStats.map { case (c, perFile) =>
+          c -> ((perFile -- scanned) ++ newColStats.getOrElse(c, Map.empty))
+        }), parentHint = Some(base)) match {
+        case Some(_) => return
+        case None =>
+          attempts += 1
+          val tipM = TxnLog.tip(snap.root)
+          // Walk the intervening chain; each step's REMOVED set is
+          // what that commit rewrote/deleted.
+          val vs = TxnLog.versions(snap.root)
+            .filter(v => v > base.version && v <= tipM.version).sorted
+          var prevFiles = base.files.toSet
+          vs.foreach { v =>
+            val mv = TxnLog.readManifest(snap.root, v)
+            val removed = prevFiles -- mv.files.toSet
+            if (removed.exists(scanned)) sys.error(
+              s"concurrent commit $v on ${snap.root} rewrote files " +
+                "this row-level operation planned: the group rewrite " +
+                "does not commute — retry the statement")
+            prevFiles = mv.files.toSet
+          }
+          base = tipM
+      }
     }
+    sys.error(s"row-level commit lost 10 races on ${snap.root}")
   }
 
   // Staged files of an aborted write are reclaimed by the age-guarded

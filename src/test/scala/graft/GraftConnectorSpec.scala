@@ -732,9 +732,16 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(countAt("1500000") == 10L, "between commits → the earlier one")
     assert(countAt("2000000") == 15L)
     assert(countAt("99999999999") == 15L)
-    // A SQL-timestamp string parses in the JVM zone, matching the
-    // session's literal rendering.
-    assert(countAt(new java.sql.Timestamp(1500000L).toString) == 10L)
+    // A SQL-timestamp string parses in SPARK'S SESSION ZONE (UTC
+    // here), matching TIMESTAMP AS OF literal semantics.
+    assert(countAt("1970-01-01 00:25:00") == 10L)
+    // Proof it is the session zone, not the JVM default: under a
+    // +05:30 session zone the SAME instant renders as 05:55 local —
+    // and a naive-UTC (or JVM-zone) parse of that string would pin
+    // the LATER version instead.
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try assert(countAt("1970-01-01 05:55:00") == 10L)
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Before the first commit: loud error, not an empty table.
     val early = intercept[Exception](countAt("999999"))
     assert(early.getMessage.contains("committed at or before"))
@@ -751,6 +758,46 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
         .save(tbl.toString)
     }
     assert(e.getMessage.contains("immutable"))
+  }
+
+  test("SQL DELETE rewrites through the column mapping after a RENAME") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"dm${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    // Physical bytes (id, cents), two range files, stats on id.
+    (1L to 50L).map(i => (i, i * 100L)).toDF("id", "cents")
+      .repartitionByRange(2, $"id").sortWithinPartitions("id")
+      .write.parquet(tbl.resolve("d0").toString)
+    val files = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
+      files, TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"), columns = Some(Seq(
+        TxnLog.ColumnDef(1, "id", "bigint", "id"),
+        TxnLog.ColumnDef(2, "cents", "bigint", "cents")))))
+    // v1: RENAME both columns — manifest-only, bytes keep old names.
+    TxnLog.commitRetryWith(tbl, tip => tip.copy(action = "evolve-schema",
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "doc_id", "bigint", "id"),
+        TxnLog.ColumnDef(2, "cents_total", "bigint", "cents")))))
+    GraftTables.registerCatalog(spark)
+    // The DELETE predicate arrives under the LOGICAL name; pruning
+    // and the rewrite must speak the PHYSICAL one.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE doc_id <= 10")
+    val v1 = TxnLog.readManifest(tbl, 1L)
+    val v2 = TxnLog.readManifest(tbl, 2L)
+    // action "delete" = the metadata-planned deleteWhere path ran
+    // (not the full row-level "replace" fallback), and only the
+    // low-range file was rewritten.
+    assert(v2.action == "delete")
+    assert(v2.files.count(v1.files.toSet) == 1,
+      s"the high-range file must survive by name: $v2")
+    val tip = GraftTables.read(spark, tbl)
+    assert(tip.count() == 40L)
+    assert(tip.agg(min($"doc_id")).head.getLong(0) == 11L)
+    assert(tip.agg(sum($"cents_total")).head.getLong(0) ==
+      (11L to 50L).map(_ * 100L).sum)
+    // The pinned past still reads everything under its own names.
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 50L)
   }
 
   test("a delete that empties an undeclared-columns table leaves it readable") {

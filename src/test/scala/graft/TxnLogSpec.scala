@@ -8,7 +8,7 @@ import graft.operators.TxnLog
 /** The commit protocol in isolation: put-if-absent atomicity, rebase-
   * and-retry under a real two-thread race, version pinning, and
   * log-derived liveness. Pure filesystem — no SparkSession needed. */
-class TxnLogSpec extends AnyFunSuite {
+class TxnLogSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshTable(): Path = {
     val p = graft.util.Scratch.dir("graft_txnlog")
@@ -204,5 +204,92 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.liveFiles(t, Seq(0L, 1L)) == Set("f0", "f1", "f2"))
     // Expiring version 0 frees exactly the file only it referenced.
     assert(TxnLog.liveFiles(t, Seq(1L)) == Set("f0", "f2"))
+  }
+
+  test("lastTxnAt scans the stamp chain when the fold is PARTIAL (upgraded table)") {
+    val t = freshTable()
+    // v0 and v1: PRE-FOLD manifests (txn stamp, no txns map) written
+    // straight to the log, the shape an older engine left behind.
+    Files.createDirectories(TxnLog.logDir(t))
+    def writeRaw(m: TxnLog.Manifest): Unit = Files.write(
+      TxnLog.logDir(t).resolve(f"${m.version}%08d.json"),
+      TxnLog.render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeRaw(TxnLog.Manifest(0L, -1L, "create", Seq("f0"),
+      txn = Some("appA" -> 5L), ts = 1L))
+    writeRaw(TxnLog.Manifest(1L, 0L, "append", Seq("f0", "f1"),
+      txn = Some("appB" -> 2L), ts = 2L))
+    // v2: the first post-fold commit — it folds only its immediate
+    // parent, so its txns carries appB but NOT appA.
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(2L, 1L, "append",
+      Seq("f0", "f1", "f2"), txn = Some("appC" -> 9L), ts = 3L))
+    val tip = TxnLog.readManifest(t, 2L)
+    assert(tip.txns == Map("appB" -> 2L, "appC" -> 9L))
+    // appA is MISSING from the non-empty fold; a fold-only lookup
+    // would answer None and re-commit appA's batch 5 on replay. The
+    // stamp-scan fallback finds it.
+    assert(TxnLog.lastTxn(t, "appA").contains(5L))
+    assert(TxnLog.lastTxn(t, "appB").contains(2L))
+    assert(TxnLog.lastTxn(t, "never-committed").isEmpty)
+  }
+
+  test("keyStats/colStatsFor attribute ranges by FULL PATH, not basename") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // Two files with IDENTICAL basenames in different subdirectories
+    // — any partitioned layout does this — holding disjoint ranges.
+    Files.createDirectories(t.resolve("a"))
+    Files.createDirectories(t.resolve("b"))
+    def oneFile(sub: String, lo: Long, hi: Long): Unit = {
+      val tmp = t.resolve(s"stage_$sub")
+      (lo to hi).toDF("id").coalesce(1).write.parquet(tmp.toString)
+      val part = TxnLog.parquetsUnder(t, s"stage_$sub").head
+      Files.move(t.resolve(part), t.resolve(s"$sub/part-0.parquet"))
+    }
+    oneFile("a", 1L, 10L)
+    oneFile("b", 1000L, 2000L)
+    val files = Seq("a/part-0.parquet", "b/part-0.parquet")
+    val ks = TxnLog.keyStats(spark, t, files, "id")
+    assert(ks == Map("a/part-0.parquet" -> (1L, 10L),
+      "b/part-0.parquet" -> (1000L, 2000L)))
+    val cs = TxnLog.colStatsFor(spark, t, files, Seq("id"))
+    assert(cs("id") == ks)
+    val counts = TxnLog.rowCounts(spark, t, files)
+    assert(counts == Map("a/part-0.parquet" -> 10L,
+      "b/part-0.parquet" -> 1001L))
+  }
+
+  test("rowCounts: zero-row files get NO entry (the emptiness probe)") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1)
+      .write.parquet(t.resolve("d").toString)
+    spark.range(0).select($"id").coalesce(1)
+      .write.parquet(t.resolve("e").toString)
+    val files = TxnLog.parquetsUnder(t, "d") ++ TxnLog.parquetsUnder(t, "e")
+    val counts = TxnLog.rowCounts(spark, t, files)
+    assert(files.size == 2 && counts.size == 1)
+    assert(counts.values.toSeq == Seq(3L))
+  }
+
+  test("colStatsFor REFUSES non-integral and missing declared columns") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score")
+      .coalesce(1).write.parquet(t.resolve("d").toString)
+    val files = TxnLog.parquetsUnder(t, "d")
+    // Integral column: fine.
+    assert(TxnLog.colStatsFor(spark, t, files, Seq("id"))("id")
+      .values.toSeq == Seq((1L, 2L)))
+    // A string column would cast to all-NULL = EmptyRange = every
+    // file wrongly pruned; a double silently truncates. Both refuse.
+    val e1 = intercept[RuntimeException](
+      TxnLog.colStatsFor(spark, t, files, Seq("name")))
+    assert(e1.getMessage.contains("non-integral"))
+    val e2 = intercept[RuntimeException](
+      TxnLog.colStatsFor(spark, t, files, Seq("score")))
+    assert(e2.getMessage.contains("non-integral"))
+    val e3 = intercept[RuntimeException](
+      TxnLog.colStatsFor(spark, t, files, Seq("no_such_col")))
+    assert(e3.getMessage.contains("does not exist"))
   }
 }

@@ -2060,18 +2060,27 @@ object SourceSinkQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         datediff(to_date(col("o_orderdate")),
           to_date(lit("1995-01-01"))).as("d"))
+    // ONE pass over the input collects everything driver-side work
+    // needs — row count (file-count sizing), per-dimension bounds
+    // (Morton scaling), and the result aggregates (count/sum are
+    // layout-invariant, so reading them here instead of re-scanning
+    // the written table saves a whole pass; at 100 TB each avoided
+    // scan is the dominant cost).
+    val b = orders.agg(
+      count(lit(1)).as("n"),
+      round(sum(col("o_totalprice")), 2).as("sumP"),
+      min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
+      min(col("d")).as("d0"), max(col("d")).as("d1"),
+      min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"))
+      .collect()(0)
     // File count derived from the data size (~600 rows/file, clamped):
     // the 3-vs-2-D comparison needs enough files that each 3-D file's
     // per-dimension extent is meaningfully smaller than the slice —
     // with a fixed small count, large corpora leave every file spanning
     // a quarter of each axis and the measured margin collapses into
     // boundary noise (observed at sf0.1 with 64 files).
-    val nFiles = math.min(256L, math.max(64L, orders.count() / 600L)).toInt
-    val b = orders.agg(
-      min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
-      min(col("d")).as("d0"), max(col("d")).as("d1"),
-      min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"))
-      .collect()(0)
+    val nFiles =
+      math.min(256L, math.max(64L, b.getAs[Long]("n") / 600L)).toInt
     val (c0, c1) = (b.getAs[Long]("c0"), b.getAs[Long]("c1"))
     val (d0, d1) = (b.getAs[Int]("d0"), b.getAs[Int]("d1"))
     val (p0, p1) = (b.getAs[Double]("p0"), b.getAs[Double]("p1"))
@@ -2115,9 +2124,8 @@ object SourceSinkQueries {
     val beats =
       if (bothFull) candidates(r3) < candidates(r2)
       else candidates(r3) <= candidates(r2)
-    spark.read.parquet(z3Path).agg(
-        count(lit(1)).as("n_rows"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+    Seq((b.getAs[Long]("n"), b.getAs[Double]("sumP")))
+      .toDF("n_rows", "sum_price")
       .select(col("n_rows"), col("sum_price"),
         lit(r3.nonEmpty && r2.nonEmpty).as("layouts_nonempty"),
         lit(candidates(r3) < r3.length).as("zorder3d_prunes"),

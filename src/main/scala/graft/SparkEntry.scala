@@ -235,6 +235,7 @@ object SparkEntry {
     "table_multicol_skipping" -> ((s, dir) => SourceSinkQueries.tableMulticolSkippingQuery(s, dir)),
     "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
     "table_merge_nmbs" -> ((s, dir) => SourceSinkQueries.tableMergeNmbsQuery(s, dir)),
+    "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2841,6 +2842,20 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_v0,
                 true AS single_atomic_commit
          FROM merged""",
+    // Delta-manifest log: 13 commits (create + 12 appends) store as
+    // full snapshots at v0/v10 and deltas between; witnesses (storage
+    // form census, delta size bound, carried stats) engine-checked.
+    "table_manifest_checkpoint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rows_v0,
+                CAST(2 AS BIGINT) AS full_manifests,
+                CAST(11 AS BIGINT) AS delta_manifests,
+                true AS delta_bytes_bounded,
+                true AS stats_carried
+         FROM orders""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

@@ -1580,6 +1580,73 @@ object SourceSinkQueries {
         "n_cols")
   }
 
+  /** table_manifest_checkpoint — commit-metadata SCALING: a table that
+    * takes many small appends stores each commit as a DELTA manifest
+    * (adds/removes + per-file entries for the adds only) with a FULL
+    * snapshot every [[TxnLog.DeltaCheckpointInterval]]th commit — the
+    * Delta-log actions-and-checkpoint cadence. Without this, every
+    * commit rewrites the whole file list and cumulative log metadata
+    * goes QUADRATIC in file count: a million-file table at 100 TB
+    * taking 1000 appends/day would write ~10^9 manifest entries a day;
+    * with it, commit metadata is O(changed files) and a cold read pays
+    * at most one full snapshot + (interval − 1) deltas. The query
+    * drives 13 commits (create + 12 appends) and pins: the storage-form
+    * census (full at v0 and v10, deltas between), every delta smaller
+    * than the full tip, resolved reads exact at the tip AND at pinned
+    * v0 (snapshot isolation across the mixed-form chain), and carried
+    * per-file stats/sizes surviving the delta encoding end to end. */
+  def tableManifestCheckpointQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connckpt").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    // 13 disjoint slices by key class: slice 0 is the create, each of
+    // 1..12 lands as its own append commit.
+    for (q <- 0 to 12)
+      orders.filter(col("o_orderkey") % 13 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val base = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    for (q <- 1 to 12) {
+      val add = TxnLog.parquetsUnder(tbl, s"b$q")
+      TxnLog.commitRetry(tbl, "append", tip => tip.files ++ add,
+        statsFor = _ => TxnLog.keyStats(spark, tbl, add, "o_orderkey"))
+    }
+    // Storage-form census straight off the raw log bytes.
+    val raw = (0L to 12L).map(v => new String(
+      java.nio.file.Files.readAllBytes(
+        TxnLog.logDir(tbl).resolve(f"$v%08d.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val isDelta = raw.map(_.contains("\"base\""))
+    val fullManifests = isDelta.count(!_).toLong
+    val deltaManifests = isDelta.count(identity).toLong
+    val fullTipBytes = raw(10).length
+    val deltaBytesBounded = isDelta.zip(raw).forall {
+      case (d, j) => !d || j.length < fullTipBytes
+    }
+    // Carried metadata survives the delta encoding: the tip declares
+    // the stats key and covers EVERY file with stats and sizes.
+    val tipM = TxnLog.readManifest(tbl, 12L)
+    val statsCarried = tipM.statsKey.contains("o_orderkey") &&
+      tipM.files.size == 13 &&
+      tipM.files.forall(tipM.stats.contains) &&
+      tipM.files.forall(tipM.sizes.contains)
+    // Resolved reads: the tip sees all 13 slices, pinned v0 sees one.
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    val v0Rows = GraftTables.read(spark, tbl, Some(0L)).count()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), v0Rows,
+      fullManifests, deltaManifests, deltaBytesBounded, statsCarried))
+      .toDF("n_rows", "sum_cents", "n_rows_v0",
+        "full_manifests", "delta_manifests",
+        "delta_bytes_bounded", "stats_carried")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

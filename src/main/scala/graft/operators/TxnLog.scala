@@ -115,7 +115,8 @@ object TxnLog {
       txn: Option[(String, Long)] = None,
       txns: Map[String, Long] = Map.empty,
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      deltaDepth: Int = 0)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -157,7 +158,10 @@ object TxnLog {
     * retention keeps the log short-lived. */
   def versionAtTimestamp(table: Path, tsMillis: Long): Long = {
     val at = versions(table).filter { v =>
-      val ts = readManifest(table, v).ts
+      // ts/txn are whole-table fields carried verbatim by BOTH storage
+      // forms — read them raw, skipping delta-chain resolution.
+      val ts = Option(rawNode(table, v).get("ts"))
+        .map(_.asLong).getOrElse(0L)
       ts != 0L && ts <= tsMillis
     }
     require(at.nonEmpty,
@@ -165,15 +169,114 @@ object TxnLog {
     at.max
   }
 
+  /** The RESOLVED manifest of `version`. Since round 15 a manifest may
+    * be stored as a DELTA against its parent (`base`/`adds`/`removes`
+    * plus per-file map entries for the adds only — the Delta-log
+    * actions / Iceberg manifest-list idea): commit metadata is then
+    * O(changed files) instead of O(table files), which is what keeps
+    * cumulative log size from going quadratic on a million-file table
+    * committing small batches. Resolution walks the base chain (bounded
+    * by [[DeltaCheckpointInterval]] — every Nth commit is a full
+    * snapshot) and applies each delta; callers always see the full
+    * snapshot form, so every consumer of this API is unchanged. */
   def readManifest(table: Path, version: Long): Manifest = {
     val txt = new String(Files.readAllBytes(manifestPath(table, version)),
       java.nio.charset.StandardCharsets.UTF_8)
-    parse(txt)
+    parseAny(txt) match {
+      case Right(full) => full
+      case Left(d) => applyDelta(readManifest(table, d.base), d)
+    }
   }
 
   // Jackson's ObjectMapper is thread-safe after configuration; Spark
   // ships it, so the log's durable format costs no new dependency.
   private val mapper = new ObjectMapper()
+
+  /** The stored JSON of one manifest, unresolved — for whole-table
+    * fields (`ts`, `txn`, `base`) both storage forms carry verbatim. */
+  private def rawNode(
+      table: Path, version: Long): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(new String(
+      Files.readAllBytes(manifestPath(table, version)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def rawTxn(table: Path, version: Long): Option[(String, Long)] =
+    Option(rawNode(table, version).get("txn")).map(t =>
+      (t.get("app").asText, t.get("batch").asLong))
+
+  /** A delta-form manifest as stored on disk: the file-list CHANGES
+    * against the resolved parent (`base` — always the parent version),
+    * per-file map entries only for files whose entry is new or changed,
+    * and the whole-table fields (`statsKey`/`columns`/`txn`/`txns`/`ts`)
+    * verbatim. Private: resolution is [[readManifest]]'s job. */
+  private final case class Delta(
+      version: Long, parent: Long, action: String, base: Long,
+      adds: Seq[String], removes: Seq[String],
+      stats: Map[String, (Long, Long)],
+      statsKey: Option[String],
+      partitions: Map[String, Map[String, String]],
+      columns: Option[Seq[ColumnDef]],
+      sizes: Map[String, Long],
+      txn: Option[(String, Long)],
+      txns: Map[String, Long],
+      colStats: Map[String, Map[String, (Long, Long)]],
+      ts: Long)
+
+  private def putRanges(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, m: Map[String, (Long, Long)]): Unit =
+    if (m.nonEmpty) {
+      val st = root.putObject(name)
+      m.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val a = st.putArray(f); a.add(lo); a.add(hi)
+      }
+    }
+
+  private def putCommon(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      stats: Map[String, (Long, Long)], statsKey: Option[String],
+      partitions: Map[String, Map[String, String]],
+      columns: Option[Seq[ColumnDef]], sizes: Map[String, Long],
+      txn: Option[(String, Long)], txns: Map[String, Long],
+      colStats: Map[String, Map[String, (Long, Long)]], ts: Long): Unit = {
+    putRanges(root, "stats", stats)
+    statsKey.foreach(root.put("statsKey", _))
+    if (partitions.nonEmpty) {
+      val pn = root.putObject("partitions")
+      partitions.toSeq.sortBy(_._1).foreach { case (f, kv) =>
+        val o = pn.putObject(f)
+        kv.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      }
+    }
+    columns.foreach { cols =>
+      val cn = root.putArray("columns")
+      cols.foreach { c =>
+        val o = cn.addObject()
+        o.put("id", c.id); o.put("name", c.name)
+        o.put("type", c.typ); o.put("physical", c.physical)
+      }
+    }
+    if (sizes.nonEmpty) {
+      val sn = root.putObject("sizes")
+      sizes.toSeq.sortBy(_._1).foreach { case (f, n) => sn.put(f, n) }
+    }
+    txn.foreach { case (app, batch) =>
+      val t = root.putObject("txn")
+      t.put("app", app); t.put("batch", batch)
+    }
+    if (txns.nonEmpty) {
+      val tn = root.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (a, b) => tn.put(a, b) }
+    }
+    if (colStats.nonEmpty) {
+      val cs = root.putObject("colStats")
+      colStats.toSeq.sortBy(_._1).foreach { case (c, perFile) =>
+        val o = cs.putObject(c)
+        perFile.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+          val a = o.putArray(f); a.add(lo); a.add(hi)
+        }
+      }
+    }
+    if (ts != 0L) root.put("ts", ts)
+  }
 
   def render(m: Manifest): String = {
     val root = mapper.createObjectNode()
@@ -182,56 +285,33 @@ object TxnLog {
     root.put("action", m.action)
     val fs = root.putArray("files")
     m.files.foreach(fs.add)
-    if (m.stats.nonEmpty) {
-      val st = root.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
-        val a = st.putArray(f); a.add(lo); a.add(hi)
-      }
-    }
-    m.statsKey.foreach(root.put("statsKey", _))
-    if (m.partitions.nonEmpty) {
-      val pn = root.putObject("partitions")
-      m.partitions.toSeq.sortBy(_._1).foreach { case (f, kv) =>
-        val o = pn.putObject(f)
-        kv.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
-      }
-    }
-    m.columns.foreach { cols =>
-      val cn = root.putArray("columns")
-      cols.foreach { c =>
-        val o = cn.addObject()
-        o.put("id", c.id); o.put("name", c.name)
-        o.put("type", c.typ); o.put("physical", c.physical)
-      }
-    }
-    if (m.sizes.nonEmpty) {
-      val sn = root.putObject("sizes")
-      m.sizes.toSeq.sortBy(_._1).foreach { case (f, n) => sn.put(f, n) }
-    }
-    m.txn.foreach { case (app, batch) =>
-      val t = root.putObject("txn")
-      t.put("app", app); t.put("batch", batch)
-    }
-    if (m.txns.nonEmpty) {
-      val tn = root.putObject("txns")
-      m.txns.toSeq.sortBy(_._1).foreach { case (a, b) => tn.put(a, b) }
-    }
-    if (m.colStats.nonEmpty) {
-      val cs = root.putObject("colStats")
-      m.colStats.toSeq.sortBy(_._1).foreach { case (c, perFile) =>
-        val o = cs.putObject(c)
-        perFile.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
-          val a = o.putArray(f); a.add(lo); a.add(hi)
-        }
-      }
-    }
-    if (m.ts != 0L) root.put("ts", m.ts)
+    putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
+      m.sizes, m.txn, m.txns, m.colStats, m.ts)
     mapper.writeValueAsString(root)
   }
 
-  def parse(txt: String): Manifest = {
+  private def renderDelta(d: Delta): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", d.version)
+    root.put("parent", d.parent)
+    root.put("action", d.action)
+    root.put("base", d.base)
+    val as = root.putArray("adds"); d.adds.foreach(as.add)
+    val rs = root.putArray("removes"); d.removes.foreach(rs.add)
+    // Note putCommon writes a DECLARED colStats column even when every
+    // entry is inherited (an empty per-column object), so resolution
+    // keeps the column set.
+    putCommon(root, d.stats, d.statsKey, d.partitions, d.columns,
+      d.sizes, d.txn, d.txns, d.colStats, d.ts)
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseCommon(n: com.fasterxml.jackson.databind.JsonNode): (
+      Map[String, (Long, Long)], Option[String],
+      Map[String, Map[String, String]], Option[Seq[ColumnDef]],
+      Map[String, Long], Option[(String, Long)], Map[String, Long],
+      Map[String, Map[String, (Long, Long)]], Long) = {
     import scala.jdk.CollectionConverters._
-    val n = mapper.readTree(txt)
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
         e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong)
@@ -265,14 +345,93 @@ object TxnLog {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
-    Manifest(
-      n.get("version").asLong, n.get("parent").asLong,
-      n.get("action").asText,
-      n.get("files").elements().asScala.map(_.asText).toSeq,
-      stats,
-      Option(n.get("statsKey")).map(_.asText),
-      partitions, columns, sizes, txn, txns, colStats,
+    (stats, Option(n.get("statsKey")).map(_.asText), partitions, columns,
+      sizes, txn, txns, colStats,
       Option(n.get("ts")).map(_.asLong).getOrElse(0L))
+  }
+
+  /** Parse a stored manifest: `Right(full snapshot)` or `Left(delta)`
+    * — the `base` field is what marks the delta form. */
+  private def parseAny(txt: String): Either[Delta, Manifest] = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(txt)
+    val (stats, statsKey, partitions, columns, sizes, txn, txns,
+      colStats, ts) = parseCommon(n)
+    Option(n.get("base")) match {
+      case Some(b) =>
+        Left(Delta(
+          n.get("version").asLong, n.get("parent").asLong,
+          n.get("action").asText, b.asLong,
+          n.get("adds").elements().asScala.map(_.asText).toSeq,
+          n.get("removes").elements().asScala.map(_.asText).toSeq,
+          stats, statsKey, partitions, columns, sizes, txn, txns,
+          colStats, ts))
+      case None =>
+        Right(Manifest(
+          n.get("version").asLong, n.get("parent").asLong,
+          n.get("action").asText,
+          n.get("files").elements().asScala.map(_.asText).toSeq,
+          stats, statsKey, partitions, columns, sizes, txn, txns,
+          colStats, ts))
+    }
+  }
+
+  /** Parse a FULL-form manifest (the public round-trip of [[render]]);
+    * a delta form needs chain access — use [[readManifest]]. */
+  def parse(txt: String): Manifest = parseAny(txt) match {
+    case Right(full) => full
+    case Left(d) => sys.error(
+      s"version ${d.version} is a delta manifest (base ${d.base}); " +
+        "resolve it through readManifest")
+  }
+
+  /** Resolve `d` against its resolved base: surviving files keep the
+    * base's per-file entries, adds bring their own, whole-table fields
+    * come from the delta. Inverse of [[deltaOf]] by construction. */
+  private def applyDelta(base: Manifest, d: Delta): Manifest = {
+    val removed = d.removes.toSet
+    val files = base.files.filterNot(removed) ++ d.adds
+    val surviving = files.toSet
+    Manifest(d.version, d.parent, d.action, files,
+      stats = base.stats.view.filterKeys(surviving).toMap ++ d.stats,
+      statsKey = d.statsKey,
+      partitions =
+        base.partitions.view.filterKeys(surviving).toMap ++ d.partitions,
+      columns = d.columns,
+      sizes = base.sizes.view.filterKeys(surviving).toMap ++ d.sizes,
+      txn = d.txn, txns = d.txns,
+      colStats = d.colStats.map { case (c, perFile) =>
+        c -> (base.colStats.getOrElse(c, Map.empty)
+          .view.filterKeys(surviving).toMap ++ perFile)
+      },
+      ts = d.ts, deltaDepth = base.deltaDepth + 1)
+  }
+
+  /** The delta encoding of `m` against its resolved parent `p`, iff it
+    * reproduces `m` EXACTLY on resolution — a manifest that (say)
+    * dropped a surviving file's stats entry has no exact delta and is
+    * stored full. Returns None when not exactly representable. */
+  private def deltaOf(m: Manifest, p: Manifest): Option[Delta] = {
+    val pSet = p.files.toSet
+    val mSet = m.files.toSet
+    val d = Delta(m.version, m.parent, m.action, p.version,
+      adds = m.files.filterNot(pSet),
+      removes = p.files.filterNot(mSet),
+      stats = m.stats.filter { case (k, v) => !p.stats.get(k).contains(v) },
+      statsKey = m.statsKey,
+      partitions = m.partitions.filter { case (k, v) =>
+        !p.partitions.get(k).contains(v) },
+      columns = m.columns,
+      sizes = m.sizes.filter { case (k, v) => !p.sizes.get(k).contains(v) },
+      txn = m.txn, txns = m.txns,
+      colStats = m.colStats.map { case (c, perFile) =>
+        c -> perFile.filter { case (k, v) =>
+          !p.colStats.getOrElse(c, Map.empty).get(k).contains(v) }
+      },
+      ts = m.ts)
+    if (applyDelta(p, d).copy(deltaDepth = 0) == m.copy(deltaDepth = 0))
+      Some(d)
+    else None
   }
 
   /** Per-app watermark maps merged by MAX — the fold every commit
@@ -295,7 +454,30 @@ object TxnLog {
     * each app's high-water stamped manifest, so that fallback stays
     * correct under retention. */
   def lastTxn(table: Path, app: String): Option[Long] =
-    lastTxnAt(table, tip(table), app)
+    latest(table) match {
+      case None => None
+      case Some(v) =>
+        // The fold (`txns` + own `txn` stamp) is a whole-table field
+        // both storage forms carry VERBATIM — answer from the raw tip
+        // file in one read, no delta-chain resolution.
+        import scala.jdk.CollectionConverters._
+        val n = rawNode(table, v)
+        val txns = Option(n.get("txns")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap)
+          .getOrElse(Map.empty[String, Long])
+        val own = Option(n.get("txn")).map(t =>
+          (t.get("app").asText, t.get("batch").asLong))
+        val folded = mergeTxns(txns, own.toList.toMap)
+        folded.get(app).orElse(txnStampScan(table, app))
+    }
+
+  /** The O(retained versions) scan of raw `txn` stamps — the fallback
+    * when a fold has no entry for `app` (see [[lastTxnAt]]). */
+  private def txnStampScan(table: Path, app: String): Option[Long] = {
+    val ids = versions(table).flatMap(v =>
+      rawTxn(table, v).collect { case (a, b) if a == app => b })
+    if (ids.isEmpty) None else Some(ids.max)
+  }
 
   /** [[lastTxn]] evaluated against a tip manifest already in hand. */
   def lastTxnAt(table: Path, t: Manifest, app: String): Option[Long] = {
@@ -310,11 +492,7 @@ object TxnLog {
       // stamped manifest, so the scan stays correct under retention,
       // and the app's next commit stamps it into the fold, so the
       // scan runs once per (app, table) lifetime — not per batch.
-      val ids = versions(table).flatMap(v =>
-        readManifest(table, v).txn.collect {
-          case (a, b) if a == app => b
-        })
-      if (ids.isEmpty) None else Some(ids.max)
+      txnStampScan(table, app)
     }
   }
 
@@ -332,15 +510,29 @@ object TxnLog {
       }
     }.toMap
 
+  /** Every Nth manifest in a delta chain is a FULL snapshot (the
+    * Delta-log checkpoint cadence): resolution depth — and therefore
+    * the manifest reads a cold [[tip]] pays — is bounded by this, while
+    * commits in between stay O(changed files). */
+  val DeltaCheckpointInterval: Int = 10
+
   /** One optimistic commit attempt of `m.version = parent + 1`.
     * Returns the new version, or None iff another committer won that
     * version (the put-if-absent failure) — any other I/O failure
     * propagates. `parentHint`: the parent manifest when the caller
     * already holds it (every rebase-and-retry path does — it just
     * read the tip it is committing against), saving the re-read this
-    * primitive would otherwise pay per attempt for the txn fold. */
+    * primitive would otherwise pay per attempt for the txn fold.
+    *
+    * STORAGE FORM is chosen here, invisibly to callers: when the
+    * parent resolves, its chain depth is under `checkpointEvery`, and
+    * the change set is strictly smaller than the full file list, the
+    * manifest lands as a DELTA (O(changed files) bytes); otherwise —
+    * first commit, deep chain, wholesale rewrite, or a manifest no
+    * exact delta reproduces — it lands full. */
   def tryCommitManifest(table: Path, m0: Manifest,
-      parentHint: Option[Manifest] = None): Option[Long] = {
+      parentHint: Option[Manifest] = None,
+      checkpointEvery: Int = DeltaCheckpointInterval): Option[Long] = {
     // Fold the parent's accumulated per-app watermarks (plus its own
     // stamp) into this manifest's `txns` — maintained at the
     // PRIMITIVE so every committed chain carries the fold and
@@ -367,8 +559,13 @@ object TxnLog {
       else m.copy(ts = System.currentTimeMillis())
     val dir = logDir(table)
     Files.createDirectories(dir)
-    val bytes =
-      render(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val body = parentM
+      .filter(p => p.deltaDepth + 1 < checkpointEvery)
+      .flatMap(p => deltaOf(stamped, p)
+        .filter(d => d.adds.size + d.removes.size < stamped.files.size)
+        .map(renderDelta))
+      .getOrElse(render(stamped))
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = manifestPath(table, m.version)
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
     try {
@@ -824,12 +1021,31 @@ object TxnLog {
   def expire(table: Path, retainLast: Int): Seq[Long] = {
     val all = versions(table)
     val highWater: Set[Long] = all
-      .flatMap(v => readManifest(table, v).txn.map {
+      .flatMap(v => rawTxn(table, v).map {
         case (app, batch) => (app, batch, v)
       })
       .groupBy(_._1).values
       .map(_.maxBy(s => (s._2, s._3))._3).toSet
     val drop = all.dropRight(retainLast).filterNot(highWater)
+    val dropSet = drop.toSet
+    // A RETAINED delta manifest whose base is about to drop is first
+    // MATERIALIZED in place as the equivalent full snapshot (identical
+    // resolved content, so the swap is semantically invisible) —
+    // otherwise deleting its base would orphan the delta chain. One
+    // rewrite per broken chain edge; done before any deletion so
+    // resolution still sees every base.
+    all.filterNot(dropSet).foreach { r =>
+      Option(rawNode(table, r).get("base")).map(_.asLong)
+        .filter(dropSet).foreach { _ =>
+          val full = render(readManifest(table, r))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val tmp = Files.createTempFile(logDir(table), ".tmp-", ".json")
+          Files.write(tmp, full)
+          Files.move(tmp, manifestPath(table, r),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
     drop.foreach(v => Files.delete(
       logDir(table).resolve(f"$v%08d.json")))
     drop

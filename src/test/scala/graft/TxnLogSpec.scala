@@ -175,11 +175,15 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
   test("commits fold per-app watermarks: lastTxn answers from the tip alone") {
     val t = freshTable()
     TxnLog.tryCommit(t, -1L, "create", Seq("f0"))
+    // checkpointEvery = 1 pins FULL storage: this test deletes older
+    // manifests out-of-band (harsher than expire, which materializes
+    // broken chain edges first), so every tip must be self-contained.
     TxnLog.tryCommitManifest(t, TxnLog.Manifest(1L, 0L, "append",
-      Seq("f0", "f1"), txn = Some("appA" -> 7L)))
+      Seq("f0", "f1"), txn = Some("appA" -> 7L)), checkpointEvery = 1)
     TxnLog.tryCommitManifest(t, TxnLog.Manifest(2L, 1L, "append",
-      Seq("f0", "f1", "f2"), txn = Some("appB" -> 3L)))
-    TxnLog.tryCommit(t, 2L, "append", Seq("f0", "f1", "f2", "f3"))
+      Seq("f0", "f1", "f2"), txn = Some("appB" -> 3L)), checkpointEvery = 1)
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(3L, 2L, "append",
+      Seq("f0", "f1", "f2", "f3")), checkpointEvery = 1)
     // The fold is transitive: the UNSTAMPED tip still carries both
     // apps' high-water marks.
     assert(TxnLog.readManifest(t, 3L).txns ==
@@ -291,5 +295,97 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     val e3 = intercept[RuntimeException](
       TxnLog.colStatsFor(spark, t, files, Seq("no_such_col")))
     assert(e3.getMessage.contains("does not exist"))
+  }
+
+  // --- delta manifests (round 15): O(changed files) commit metadata ---
+
+  private def rawJson(t: Path, v: Long): String =
+    new String(Files.readAllBytes(
+      TxnLog.logDir(t).resolve(f"$v%08d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("append commits land as deltas, full checkpoints every Nth, " +
+      "and resolve to the exact full snapshot") {
+    val t = freshTable()
+    // v0: create (no parent → full). Then 14 single-file appends.
+    TxnLog.commitRetry(t, "create", _ => Seq("f0"),
+      statsFor = _ => Map("f0" -> (0L, 9L)), statsKey = Some("k"))
+    (1 to 14).foreach { i =>
+      TxnLog.commitRetry(t, "append", tip => tip.files :+ s"f$i",
+        statsFor = _ => Map(s"f$i" -> (i * 10L, i * 10L + 9L)))
+    }
+    // Storage form: full at v0 and v10 (depth resets), delta between.
+    (0L to 14L).foreach { v =>
+      val isFull = !rawJson(t, v).contains("\"base\"")
+      assert(isFull == (v == 0L || v == 10L),
+        s"v$v storage form: expected ${if (v % 10 == 0) "full" else "delta"}")
+    }
+    // A mid-chain delta's bytes are O(1 file), not O(all files).
+    assert(!rawJson(t, 9L).contains("\"f3\""))
+    // Resolution: every version's files and carried stats are exact.
+    (0L to 14L).foreach { v =>
+      val m = TxnLog.readManifest(t, v)
+      assert(m.files == (0L to v).map(i => s"f$i"))
+      assert(m.statsKey.contains("k"))
+      assert(m.stats("f0") == (0L, 9L))
+      assert(m.stats(s"f$v") == (v * 10L, v * 10L + 9L))
+      assert(m.version == v && m.parent == v - 1)
+    }
+    // O(changed files) metadata: a delta's size does not grow with the
+    // table's file count — v9's (9 files in) is no bigger than v1's —
+    // while the full form grows linearly.
+    assert(rawJson(t, 9L).length <= rawJson(t, 1L).length,
+      s"delta growth: v9 ${rawJson(t, 9L).length} vs v1 ${rawJson(t, 1L).length}")
+    assert(rawJson(t, 9L).length < rawJson(t, 10L).length,
+      s"delta v9 not smaller than full v10")
+  }
+
+  test("a manifest no exact delta reproduces is stored FULL") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0", "f1"),
+      stats = Map("f0" -> (0L, 1L), "f1" -> (2L, 3L)),
+      statsKey = Some("k"))
+    // v1 keeps both files but DROPS f1's stats entry — surviving-file
+    // entry removal has no delta encoding, so the form must be full.
+    TxnLog.tryCommitManifest(t, TxnLog.Manifest(1L, 0L, "weird",
+      Seq("f0", "f1"), Map("f0" -> (0L, 1L)), Some("k")))
+    assert(!rawJson(t, 1L).contains("\"base\""))
+    val m = TxnLog.readManifest(t, 1L)
+    assert(m.stats == Map("f0" -> (0L, 1L)))
+  }
+
+  test("metadata-only txn-stamp commits are empty-change deltas and " +
+      "replay watermarks survive resolution") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"))
+    TxnLog.commitRetryWith(t, tip => TxnLog.Manifest(0L, 0L, "txn",
+      tip.files, txn = Some(("appA", 7L))))
+    assert(rawJson(t, 1L).contains("\"base\""))
+    assert(rawJson(t, 1L).contains("\"adds\":[]"))
+    assert(TxnLog.lastTxn(t, "appA").contains(7L))
+    assert(TxnLog.readManifest(t, 1L).files == Seq("f0"))
+  }
+
+  test("expire materializes a retained delta whose base drops; " +
+      "chains stay resolvable") {
+    val t = freshTable()
+    TxnLog.commitRetry(t, "create", _ => Seq("f0"),
+      statsFor = _ => Map("f0" -> (0L, 9L)), statsKey = Some("k"))
+    (1 to 5).foreach { i =>
+      TxnLog.commitRetry(t, "append", tip => tip.files :+ s"f$i",
+        statsFor = _ => Map(s"f$i" -> (i * 10L, i * 10L + 9L)))
+    }
+    assert(rawJson(t, 4L).contains("\"base\""))
+    val dropped = TxnLog.expire(t, 2)
+    assert(dropped == Seq(0L, 1L, 2L, 3L))
+    // v4 (the oldest retained, formerly a delta on dropped v3) was
+    // rewritten full; v5 stays a delta on the retained v4.
+    assert(!rawJson(t, 4L).contains("\"base\""))
+    assert(rawJson(t, 5L).contains("\"base\""))
+    (4L to 5L).foreach { v =>
+      val m = TxnLog.readManifest(t, v)
+      assert(m.files == (0L to v).map(i => s"f$i"))
+      assert(m.stats("f0") == (0L, 9L), s"v$v lost carried stats")
+    }
   }
 }

@@ -236,6 +236,8 @@ object SparkEntry {
     "table_merge_sql" -> ((s, dir) => SourceSinkQueries.tableMergeSqlQuery(s, dir)),
     "table_merge_nmbs" -> ((s, dir) => SourceSinkQueries.tableMergeNmbsQuery(s, dir)),
     "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
+    "table_restore" -> ((s, dir) => SourceSinkQueries.tableRestoreQuery(s, dir)),
+    "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2856,6 +2858,47 @@ object SparkEntry {
                 true AS delta_bytes_bounded,
                 true AS stats_carried
          FROM orders""",
+    // RESTORE to v1 after a mistaken delete: tip = slices %3 in (0,1);
+    // pinned v2 = slice 1 only; manifest witnesses engine-checked.
+    "table_restore" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rows_v2,
+                CAST(3 AS BIGINT) AS restored_version,
+                true AS restore_is_delta,
+                true AS restore_commit_ok,
+                true AS stats_covered
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+    // CDF from file diffs: v1 append inserts %4==1; v2 CoW merge
+    // updates %8==0 (cents+11) and inserts %4==2; v3 CoW-deletes
+    // %8==1. Carried rows cancel, so the oracle is the key classes.
+    "table_cdf_read" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders)
+         SELECT CAST(1 AS BIGINT) AS commit_version,
+                'insert' AS change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents
+         FROM o WHERE k % 4 = 1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'insert',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+         FROM o WHERE k % 4 = 2
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'update_preimage',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+         FROM o WHERE k % 8 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'update_postimage',
+                CAST(count(*) AS BIGINT), CAST(sum(c + 11) AS BIGINT)
+         FROM o WHERE k % 8 = 0
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'delete',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+         FROM o WHERE k % 8 = 1""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

@@ -1647,6 +1647,100 @@ object SourceSinkQueries {
         "delta_bytes_bounded", "stats_carried")
   }
 
+  /** table_restore — RESTORE TABLE to an old version as ONE new commit
+    * (the Delta RESTORE semantic): after a create, an append, and a
+    * mistaken delete, `TxnLog.restore(tbl, 1)` re-points the tip to
+    * the pre-delete snapshot without moving a byte of data — the
+    * rolled-back files were never removed, so the commit is manifest
+    * metadata only (a DELTA manifest of O(files changed since) bytes,
+    * witnessed on the raw log). History stays intact: the deleted
+    * state still time-travels at v2, and the restored tip carries the
+    * old snapshot's full stats/sizes coverage so skipping works
+    * immediately. */
+  def tableRestoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connrestore").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    for (q <- 0 to 1)
+      orders.filter(col("o_orderkey") % 3 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val b1 = TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b1, "o_orderkey"))
+    // v2: the mistaken delete drops the create slice's files.
+    TxnLog.commitRetry(tbl, "delete", tip => tip.files.filterNot(b0.toSet))
+    val restoredV = TxnLog.restore(tbl, 1L).version
+    val m3 = TxnLog.readManifest(tbl, restoredV)
+    val m1 = TxnLog.readManifest(tbl, 1L)
+    val restoreCommitOk = m3.action == "restore" &&
+      m3.files.toSet == m1.files.toSet &&
+      m3.ts != 0L && m3.ts >= TxnLog.readManifest(tbl, 2L).ts
+    val restoreIsDelta = new String(Files.readAllBytes(
+      TxnLog.logDir(tbl).resolve(f"$restoredV%08d.json")),
+      java.nio.charset.StandardCharsets.UTF_8).contains("\"base\"")
+    val statsCovered = m3.statsKey.contains("o_orderkey") &&
+      m3.files.forall(m3.stats.contains) &&
+      m3.files.forall(m3.sizes.contains)
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    val v2Rows = GraftTables.read(spark, tbl, Some(2L)).count()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), v2Rows, restoredV,
+      restoreIsDelta, restoreCommitOk, statsCovered))
+      .toDF("n_rows", "sum_cents", "n_rows_v2", "restored_version",
+        "restore_is_delta", "restore_commit_ok", "stats_covered")
+  }
+
+  /** table_cdf_read — row-level CHANGE DATA FEED computed from the
+    * log's file diffs alone ([[TxnLog.changes]]): appends are pure
+    * inserts, and a copy-on-write rewrite is classified row-by-row
+    * (full outer join of removed vs added files on the merge key, rows
+    * carried verbatim cancel) — so the feed is EXACT even though CoW
+    * granularity is whole files, and costs O(changed files) per
+    * commit, never a table scan. The table takes an append, a CoW
+    * merge (update half the create slice + insert a new class), and a
+    * CoW delete; the query aggregates the feed per (commit,
+    * change_type), which the oracle replays from the key classes. */
+  def tableCdfReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conncdf").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    for (q <- 0 to 1)
+      orders.filter(col("o_orderkey") % 4 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val b1 = TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b1, "o_orderkey"))
+    // v2: CoW merge — update half the create slice, insert %4==2.
+    val updates = orders.filter(col("o_orderkey") % 8 === 0)
+      .withColumn("cents", col("cents") + 11L)
+    val inserts = orders.filter(col("o_orderkey") % 4 === 2)
+    TxnLog.mergeCowByKey(spark, tbl,
+      updates.unionByName(inserts).withColumn("op", lit("upsert")),
+      "o_orderkey", "m2")
+    // v3: CoW delete of half the append slice.
+    TxnLog.mergeCowByKey(spark, tbl,
+      orders.filter(col("o_orderkey") % 8 === 1)
+        .withColumn("op", lit("delete")),
+      "o_orderkey", "m3")
+    TxnLog.changes(spark, tbl, 0L, 3L, "o_orderkey")
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

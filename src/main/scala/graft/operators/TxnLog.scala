@@ -1008,6 +1008,124 @@ object TxnLog {
       stats, effKey, columns = t.columns, colStats = newColStats))
   }
 
+  /** RESTORE the table to `toVersion` as a NEW commit — the Delta
+    * RESTORE semantic (Delta Lake PROTOCOL.md "restore"): the tip
+    * becomes content-identical to that snapshot (files, per-file
+    * stats/sizes/partition values, declared schema) while every
+    * intermediate state stays time-travelable, because restore is
+    * just one more manifest — nothing is deleted, and the rolled-back
+    * snapshot's data files still exist (only [[expire]]+[[vacuum]]
+    * reclaims). Under delta storage the commit costs O(files changed
+    * since `toVersion`) bytes. `ts` is cleared so the commit gets a
+    * FRESH timestamp ([[versionAtTimestamp]] stays monotone) and
+    * `txn` so replay watermarks keep folding from the parent chain
+    * rather than re-stamping an old batch. */
+  def restore(table: Path, toVersion: Long): Committed = {
+    val target = readManifest(table, toVersion)
+    commitRetryWith(table, t => {
+      // Same file SET as the target, ordered survivors-in-tip-order
+      // then re-added: a file list is a set semantically (readers and
+      // pruning never depend on order), and this ordering is exactly
+      // what delta resolution produces — so the restore commit gets
+      // its exact O(changed files) delta encoding instead of falling
+      // back to a full snapshot on a spurious order mismatch.
+      val targetSet = target.files.toSet
+      val tipSet = t.files.toSet
+      target.copy(action = "restore",
+        files = t.files.filter(targetSet) ++
+          target.files.filterNot(tipSet),
+        txn = None, ts = 0L)
+    })
+  }
+
+  /** Row-level CHANGE DATA FEED over the window `(fromVersion,
+    * toVersion]`, computed purely from the log's file diffs — no
+    * per-commit change files needed, because every commit is either
+    * an append or a copy-on-write file swap: appended files are pure
+    * inserts, files dropped without replacement pure deletes, and a
+    * rewrite commit is classified row-by-row with a full outer join
+    * of its removed vs added files on the table's unique, non-NULL
+    * `key` — rows the rewrite carried verbatim cancel out, so the
+    * feed is exact even though CoW granularity is whole files.
+    * Output = the data columns plus `_change_type` (insert / delete /
+    * update_preimage / update_postimage) and `_commit_version`.
+    *
+    * Scale: work per commit is O(its changed files) — the whole feed
+    * reads exactly the files the window's commits touched, never the
+    * table; the per-commit join shuffles only changed rows (AQE
+    * broadcasts small sides). Column-mapped tables are read under
+    * each side's own manifest and renamed to logical, so the feed
+    * spans RENAME commits. */
+  def changes(spark: SparkSession, table: Path,
+      fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"changes window ($fromVersion, $toVersion] is inverted")
+    def logical(df: DataFrame, m: Manifest): DataFrame = m.columns match {
+      case Some(cols) =>
+        val byPhys = cols.map(c => c.physical -> c.name).toMap
+        df.select(df.columns.toSeq.map(c =>
+          col(c).as(byPhys.getOrElse(c, c))): _*)
+      case None => df
+    }
+    def readFiles(fs: Seq[String], m: Manifest): DataFrame = logical(
+      spark.read.parquet(fs.map(f => table.resolve(f).toString): _*), m)
+    val perCommit: Seq[DataFrame] = versions(table)
+      .filter(v => v > fromVersion && v <= toVersion).flatMap { v =>
+        val prev = readManifest(table, v - 1)
+        val cur = readManifest(table, v)
+        val prevSet = prev.files.toSet
+        val curSet = cur.files.toSet
+        val added = cur.files.filterNot(prevSet)
+        val removed = prev.files.filterNot(curSet)
+        if (added.isEmpty && removed.isEmpty) None // metadata-only
+        else if (removed.isEmpty) Some(
+          readFiles(added, cur)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        else if (added.isEmpty) Some(
+          readFiles(removed, prev)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        else {
+          val post = readFiles(added, cur)
+          val pre = readFiles(removed, prev)
+          val cols = post.columns.toSeq
+          require(pre.columns.toSeq == cols,
+            s"changes at v$v: schema drift across the rewrite " +
+              s"(${pre.columns.mkString(",")} vs ${cols.mkString(",")})")
+          val a = post.select(col(key).as("_k"),
+            struct(cols.map(col): _*).as("_post"))
+          val r = pre.select(col(key).as("_k"),
+            struct(cols.map(col): _*).as("_pre"))
+          val classified = r.join(a, Seq("_k"), "full_outer")
+            .select(col("_pre"), col("_post"),
+              when(col("_pre").isNull, lit("insert"))
+                .when(col("_post").isNull, lit("delete"))
+                .when(col("_pre") <=> col("_post"), lit("carried"))
+                .otherwise(lit("update")).as("_cls"))
+            .filter(col("_cls") =!= "carried")
+          Some(classified.select(explode(
+            when(col("_cls") === "update", array(
+              struct(col("_pre").as("_row"),
+                lit("update_preimage").as("_ct")),
+              struct(col("_post").as("_row"),
+                lit("update_postimage").as("_ct"))))
+              .when(col("_cls") === "insert", array(
+                struct(col("_post").as("_row"), lit("insert").as("_ct"))))
+              .otherwise(array(
+                struct(col("_pre").as("_row"), lit("delete").as("_ct"))))
+          ).as("_e"))
+            .select(col("_e._row.*") +: Seq(
+              col("_e._ct").as("_change_type"),
+              lit(v).as("_commit_version")): _*))
+        }
+      }
+    require(perCommit.nonEmpty,
+      s"no data-changing commits in ($fromVersion, $toVersion] at $table")
+    perCommit.reduce(_.unionByName(_))
+  }
+
   /** Expire all but the last `retainLast` versions: their manifests
     * are deleted, which is what makes their exclusively-referenced
     * files vacuum-eligible. EXCEPTION: for every streaming writer

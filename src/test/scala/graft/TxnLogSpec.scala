@@ -366,6 +366,85 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.readManifest(t, 1L).files == Seq("f0"))
   }
 
+  // --- restore + change data feed (round 15) ---
+
+  test("restore re-points the tip to an old snapshot with fresh ts " +
+      "and carried stats; history stays intact") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"),
+      Map("f0" -> (0L, 9L)), Some("k"))
+    TxnLog.tryCommit(t, 0L, "append", Seq("f0", "f1"),
+      Map("f0" -> (0L, 9L), "f1" -> (10L, 19L)), Some("k"))
+    TxnLog.commitRetry(t, "delete", _ => Seq("f1"))
+    val c = TxnLog.restore(t, 1L)
+    assert(c.version == 3L)
+    val m = TxnLog.readManifest(t, 3L)
+    assert(m.action == "restore")
+    // Survivors keep tip order, re-added files append — the ordering
+    // delta resolution produces, so the commit stores as a delta.
+    assert(m.files == Seq("f1", "f0"))
+    assert(rawJson(t, 3L).contains("\"base\""))
+    assert(m.stats == Map("f0" -> (0L, 9L), "f1" -> (10L, 19L)))
+    assert(m.statsKey.contains("k"))
+    // Fresh timestamp, never the restored snapshot's old one —
+    // versionAtTimestamp stays monotone across a restore.
+    assert(m.ts != 0L && m.ts >= TxnLog.readManifest(t, 2L).ts)
+    assert(m.ts >= TxnLog.readManifest(t, 1L).ts)
+    // The rolled-back state still time-travels.
+    assert(TxnLog.readManifest(t, 2L).files == Seq("f1"))
+  }
+
+  test("changes: CDF from file diffs classifies insert/update/delete " +
+      "and drops rows the rewrite carried verbatim") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    Seq((3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b1").toString)
+    TxnLog.commitRetry(t, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(t, "b1"))
+    // v2: CoW rewrite of b0 — k=1 updated, k=2 deleted, b1 untouched.
+    Seq((1L, "A")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b2").toString)
+    val b0 = TxnLog.parquetsUnder(t, "b0").toSet
+    TxnLog.commitRetry(t, "merge", tip =>
+      tip.files.filterNot(b0) ++ TxnLog.parquetsUnder(t, "b2"))
+    val feed = TxnLog.changes(spark, t, 0L, 2L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (3L, "c", "insert", 1L),
+      (1L, "a", "update_preimage", 2L),
+      (1L, "A", "update_postimage", 2L),
+      (2L, "b", "delete", 2L)))
+  }
+
+  test("changes: metadata-only commits contribute nothing; a restore " +
+      "surfaces the rollback as row-level changes") {
+    val t = freshTable()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    // v1: txn stamp only — no file change, so no feed rows.
+    TxnLog.commitRetryWith(t, tip => TxnLog.Manifest(0L, 0L, "txn",
+      tip.files, txn = Some(("app", 1L))))
+    TxnLog.commitRetry(t, "delete", _ => Seq.empty)
+    TxnLog.restore(t, 0L)
+    val feed = TxnLog.changes(spark, t, 0L, 3L, "k")
+    assert(feed.filter(col("_commit_version") === 1L).count() == 0)
+    val byType = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(byType == Set((2L, "delete", 2L), (3L, "insert", 2L)))
+    // A window holding only the metadata commit is refused loudly.
+    val e = intercept[IllegalArgumentException](
+      TxnLog.changes(spark, t, 0L, 1L, "k"))
+    assert(e.getMessage.contains("no data-changing commits"))
+  }
+
   test("expire materializes a retained delta whose base drops; " +
       "chains stay resolvable") {
     val t = freshTable()

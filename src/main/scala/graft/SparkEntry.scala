@@ -238,6 +238,8 @@ object SparkEntry {
     "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
     "table_restore" -> ((s, dir) => SourceSinkQueries.tableRestoreQuery(s, dir)),
     "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
+    "table_delete_mor" -> ((s, dir) => SourceSinkQueries.tableDeleteMorQuery(s, dir)),
+    "table_mor_maintenance" -> ((s, dir) => SourceSinkQueries.tableMorMaintenanceQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2899,6 +2901,39 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT), 'delete',
                 CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
          FROM o WHERE k % 8 = 1""",
+    // Merge-on-read delete: %10==0 of the create slice MoR-deleted
+    // (zero rewrites), then re-inserted at +1 cent (sequence scoping);
+    // the connector scan applies the delete; v1 pinned is complete.
+    "table_delete_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 5 IN (0, 1))
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) + sum(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS sum_cents,
+                CAST(count(*) AS BIGINT) AS n_rows_v1,
+                true AS zero_rewrite,
+                true AS sql_matches
+         FROM o""",
+    // MoR maintenance: delete pends on the low range-file, a CoW merge
+    // (+5 cents on %10==3 of the high range) stays scoped to the high
+    // file, materializeDeletes rewrites exactly the low file + clears.
+    "table_mor_maintenance" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders),
+              m AS (SELECT CAST(floor(max(k) / 2.0) AS BIGINT) AS mid
+                    FROM o)
+         SELECT CAST((SELECT count(*) FROM o, m
+                      WHERE (k <= mid AND k % 10 <> 0) OR k > mid)
+                     AS BIGINT) AS n_rows,
+                CAST((SELECT sum(c) FROM o, m
+                      WHERE (k <= mid AND k % 10 <> 0) OR k > mid)
+                     + (SELECT 5 * count(*) FROM o, m
+                        WHERE k > mid AND k % 10 = 3)
+                     AS BIGINT) AS sum_cents,
+                true AS merge_scoped,
+                true AS materialized""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

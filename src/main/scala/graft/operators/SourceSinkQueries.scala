@@ -1741,6 +1741,118 @@ object SourceSinkQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** table_delete_mor — MERGE-ON-READ delete (Iceberg v2 equality
+    * deletes): [[TxnLog.deleteByKeyMor]] writes the deleted keys as
+    * their own small parquet and the commit references it — O(deleted
+    * keys) bytes, ZERO data files rewritten (witnessed: the file list
+    * is bit-identical across the delete) — where copy-on-write would
+    * rewrite every affected file; at 100 TB this is the difference
+    * between a delete and a compaction. The graft connector applies
+    * pending deletes INSIDE its DSv2 scan ([[GraftMor]]), so the
+    * DataFrame read, the SQL catalog read (witnessed equal), count
+    * pushdown, and time travel all stay correct with no plan rewrite.
+    * Deletes are SEQUENCE-scoped: re-appending a deleted key lands a
+    * file whose seq is above the delete's, so the re-insert survives
+    * (witnessed via a +1-cent marker the oracle replays). */
+  def tableDeleteMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmor").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    for (q <- 0 to 1)
+      orders.filter(col("o_orderkey") % 5 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val b1 = TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b1, "o_orderkey"))
+    val preFiles = TxnLog.tip(tbl).files
+    // v2: MoR-delete the %10==0 half of the create slice.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      orders.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+      "o_orderkey", "d2")
+    val m2 = TxnLog.tip(tbl)
+    val zeroRewrite = m2.files == preFiles &&
+      m2.action == "delete-mor" && m2.deletes.size == 1
+    // v3: re-insert the deleted keys, marked +1 cent (seq scoping).
+    orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("cents", col("cents") + 1L)
+      .write.format("graft").mode("append").save(tbl.toString)
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    GraftTables.registerCatalog(spark)
+    val sqlSum = spark.sql(
+      s"SELECT sum(cents) AS s FROM graft.`$tbl`").head().getLong(0)
+    val v1Rows = GraftTables.read(spark, tbl, Some(1L)).count()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), v1Rows,
+      zeroRewrite, sqlSum == agg.getLong(1)))
+      .toDF("n_rows", "sum_cents", "n_rows_v1",
+        "zero_rewrite", "sql_matches")
+  }
+
+  /** table_mor_maintenance — repaying the merge-on-read debt: with a
+    * delete pending, a stats-scoped CoW merge rewrites ONLY the files
+    * its batch can touch (the pending delete is applied during that
+    * read and keeps applying to untouched files by sequence), and
+    * [[TxnLog.materializeDeletes]] then rewrites exactly the
+    * still-targeted files and clears the list — the merge's output
+    * survives by name. Layout: two RANGE-disjoint files split at
+    * floor(max(key)/2), so the merge's file scope is provably one
+    * file. */
+  def tableMorMaintenanceQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmormt").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    orders.filter(col("o_orderkey") <= mid)
+      .coalesce(1).write.parquet(tbl.resolve("lo").toString)
+    orders.filter(col("o_orderkey") > mid)
+      .coalesce(1).write.parquet(tbl.resolve("hi").toString)
+    val lo = TxnLog.parquetsUnder(tbl, "lo")
+    TxnLog.commitRetry(tbl, "create", _ => lo,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, lo, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val hi = TxnLog.parquetsUnder(tbl, "hi")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ hi,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, hi, "o_orderkey"))
+    // v2: MoR-delete %10==0 of the LOW file.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      orders.filter(col("o_orderkey") <= mid &&
+        col("o_orderkey") % 10 === 0).select("o_orderkey"),
+      "o_orderkey", "d2")
+    // v3: CoW merge updating %10==3 of the HIGH range (+5 cents) —
+    // stats scope the rewrite to the high file alone.
+    TxnLog.mergeCowByKey(spark, tbl,
+      orders.filter(col("o_orderkey") > mid &&
+        col("o_orderkey") % 10 === 3)
+        .withColumn("cents", col("cents") + 5L)
+        .withColumn("op", lit("upsert")),
+      "o_orderkey", "m3")
+    val m3 = TxnLog.tip(tbl)
+    val mergeScoped = m3.deletes.nonEmpty && // still pending
+      lo.forall(m3.files.contains) &&        // low file untouched
+      hi.forall(f => !m3.files.contains(f))  // high file rewritten
+    // v4: materialize — rewrites exactly the still-targeted low file.
+    TxnLog.materializeDeletes(spark, tbl, "mz")
+    val m4 = TxnLog.tip(tbl)
+    val materialized = m4.deletes.isEmpty &&
+      lo.forall(f => !m4.files.contains(f)) && // low rewritten
+      m4.files.exists(_.startsWith("m3"))      // merge output survives
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), mergeScoped, materialized))
+      .toDF("n_rows", "sum_cents", "merge_scoped", "materialized")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

@@ -116,9 +116,24 @@ object TxnLog {
       txns: Map[String, Long] = Map.empty,
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       ts: Long = 0L,
-      deltaDepth: Int = 0)
+      deltaDepth: Int = 0,
+      seqs: Map[String, Long] = Map.empty,
+      deletes: Seq[DeleteFile] = Seq.empty)
 
   final case class Committed(version: Long, conflicts: Int)
+
+  /** One pending EQUALITY-DELETE file (the Iceberg v2 merge-on-read
+    * idea): `path` is a small parquet of deleted key values under
+    * column `key` (the PHYSICAL column name — immutable across
+    * renames), `seq` the commit version that added it, `bytes` its
+    * size (so scan planning stays filesystem-free). A delete applies
+    * to rows of data files whose per-file sequence ([[Manifest.seqs]])
+    * is STRICTLY BELOW `seq` — files appended later escape, which is
+    * what lets a deleted key be legitimately re-inserted. Readers
+    * anti-join pending deletes at scan time; [[compact]] /
+    * [[materializeDeletes]] fold them back into data files. */
+  final case class DeleteFile(
+      path: String, key: String, seq: Long, bytes: Long)
 
   /** The explicit "no non-NULL keys in this file" stats entry: an
     * empty interval that intersects no query range, so such a file
@@ -220,7 +235,9 @@ object TxnLog {
       txn: Option[(String, Long)],
       txns: Map[String, Long],
       colStats: Map[String, Map[String, (Long, Long)]],
-      ts: Long)
+      ts: Long,
+      seqs: Map[String, Long],
+      deletes: Seq[DeleteFile])
 
   private def putRanges(root: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, m: Map[String, (Long, Long)]): Unit =
@@ -236,7 +253,8 @@ object TxnLog {
       partitions: Map[String, Map[String, String]],
       columns: Option[Seq[ColumnDef]], sizes: Map[String, Long],
       txn: Option[(String, Long)], txns: Map[String, Long],
-      colStats: Map[String, Map[String, (Long, Long)]], ts: Long): Unit = {
+      colStats: Map[String, Map[String, (Long, Long)]], ts: Long,
+      seqs: Map[String, Long], deletes: Seq[DeleteFile]): Unit = {
     putRanges(root, "stats", stats)
     statsKey.foreach(root.put("statsKey", _))
     if (partitions.nonEmpty) {
@@ -276,6 +294,18 @@ object TxnLog {
       }
     }
     if (ts != 0L) root.put("ts", ts)
+    if (seqs.nonEmpty) {
+      val qn = root.putObject("seqs")
+      seqs.toSeq.sortBy(_._1).foreach { case (f, q) => qn.put(f, q) }
+    }
+    if (deletes.nonEmpty) {
+      val dn = root.putArray("deletes")
+      deletes.foreach { d =>
+        val o = dn.addObject()
+        o.put("path", d.path); o.put("key", d.key)
+        o.put("seq", d.seq); o.put("bytes", d.bytes)
+      }
+    }
   }
 
   def render(m: Manifest): String = {
@@ -286,7 +316,7 @@ object TxnLog {
     val fs = root.putArray("files")
     m.files.foreach(fs.add)
     putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
-      m.sizes, m.txn, m.txns, m.colStats, m.ts)
+      m.sizes, m.txn, m.txns, m.colStats, m.ts, m.seqs, m.deletes)
     mapper.writeValueAsString(root)
   }
 
@@ -302,7 +332,7 @@ object TxnLog {
     // entry is inherited (an empty per-column object), so resolution
     // keeps the column set.
     putCommon(root, d.stats, d.statsKey, d.partitions, d.columns,
-      d.sizes, d.txn, d.txns, d.colStats, d.ts)
+      d.sizes, d.txn, d.txns, d.colStats, d.ts, d.seqs, d.deletes)
     mapper.writeValueAsString(root)
   }
 
@@ -310,7 +340,8 @@ object TxnLog {
       Map[String, (Long, Long)], Option[String],
       Map[String, Map[String, String]], Option[Seq[ColumnDef]],
       Map[String, Long], Option[(String, Long)], Map[String, Long],
-      Map[String, Map[String, (Long, Long)]], Long) = {
+      Map[String, Map[String, (Long, Long)]], Long,
+      Map[String, Long], Seq[DeleteFile]) = {
     import scala.jdk.CollectionConverters._
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
@@ -345,9 +376,18 @@ object TxnLog {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+    val seqs = Option(n.get("seqs")).map { qn =>
+      qn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val deletes = Option(n.get("deletes")).map { dn =>
+      dn.elements().asScala.map { d =>
+        DeleteFile(d.get("path").asText, d.get("key").asText,
+          d.get("seq").asLong, d.get("bytes").asLong)
+      }.toSeq
+    }.getOrElse(Seq.empty[DeleteFile])
     (stats, Option(n.get("statsKey")).map(_.asText), partitions, columns,
       sizes, txn, txns, colStats,
-      Option(n.get("ts")).map(_.asLong).getOrElse(0L))
+      Option(n.get("ts")).map(_.asLong).getOrElse(0L), seqs, deletes)
   }
 
   /** Parse a stored manifest: `Right(full snapshot)` or `Left(delta)`
@@ -356,7 +396,7 @@ object TxnLog {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(txt)
     val (stats, statsKey, partitions, columns, sizes, txn, txns,
-      colStats, ts) = parseCommon(n)
+      colStats, ts, seqs, deletes) = parseCommon(n)
     Option(n.get("base")) match {
       case Some(b) =>
         Left(Delta(
@@ -365,14 +405,14 @@ object TxnLog {
           n.get("adds").elements().asScala.map(_.asText).toSeq,
           n.get("removes").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts))
+          colStats, ts, seqs, deletes))
       case None =>
         Right(Manifest(
           n.get("version").asLong, n.get("parent").asLong,
           n.get("action").asText,
           n.get("files").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts))
+          colStats, ts, seqs = seqs, deletes = deletes))
     }
   }
 
@@ -404,7 +444,9 @@ object TxnLog {
         c -> (base.colStats.getOrElse(c, Map.empty)
           .view.filterKeys(surviving).toMap ++ perFile)
       },
-      ts = d.ts, deltaDepth = base.deltaDepth + 1)
+      ts = d.ts, deltaDepth = base.deltaDepth + 1,
+      seqs = base.seqs.view.filterKeys(surviving).toMap ++ d.seqs,
+      deletes = d.deletes)
   }
 
   /** The delta encoding of `m` against its resolved parent `p`, iff it
@@ -428,7 +470,9 @@ object TxnLog {
         c -> perFile.filter { case (k, v) =>
           !p.colStats.getOrElse(c, Map.empty).get(k).contains(v) }
       },
-      ts = m.ts)
+      ts = m.ts,
+      seqs = m.seqs.filter { case (k, v) => !p.seqs.get(k).contains(v) },
+      deletes = m.deletes)
     if (applyDelta(p, d).copy(deltaDepth = 0) == m.copy(deltaDepth = 0))
       Some(d)
     else None
@@ -543,13 +587,44 @@ object TxnLog {
         Some(readManifest(table, m0.parent))
       else None
     }
-    val m = parentM match {
+    val mTxns = parentM match {
       case Some(p) =>
         m0.copy(txns = mergeTxns(p.txns, p.txn.toList.toMap,
           m0.txns, m0.txn.toList.toMap))
       case None if m0.txn.isDefined || m0.txns.nonEmpty =>
         m0.copy(txns = mergeTxns(m0.txns, m0.txn.toList.toMap))
       case None => m0
+    }
+    // Fold per-file sequence numbers, also at the primitive: survivors
+    // inherit the parent's (caller-provided entries win — restore
+    // reinstates old ones), files never seen before are stamped with
+    // THIS commit's version. Sequences are what scope merge-on-read
+    // equality deletes ([[DeleteFile]]): a delete applies only to
+    // files whose seq is strictly below its own.
+    val m = {
+      val inherited = parentM.map(_.seqs).getOrElse(Map.empty[String, Long])
+        .view.filterKeys(mTxns.files.toSet).toMap
+      val known = inherited ++ mTxns.seqs
+      mTxns.copy(seqs = known ++ mTxns.files.filterNot(known.contains)
+        .map(_ -> mTxns.version))
+    }
+    // SAFETY: dropping a pending equality delete is only legal when no
+    // surviving file is still targeted by it (file rewritten/removed —
+    // compact and materializeDeletes; or every file replaced —
+    // overwrite). A commit path that forgot to carry `deletes` forward
+    // while keeping old files would silently RESURRECT deleted rows —
+    // refuse it loudly here, at the primitive, whatever path built it.
+    parentM.foreach { p =>
+      val dropped = p.deletes.filterNot(m.deletes.toSet)
+      if (dropped.nonEmpty) {
+        val resurrected = m.files.filter { f =>
+          p.seqs.get(f).exists(s => dropped.exists(_.seq > s))
+        }
+        require(resurrected.isEmpty,
+          s"commit drops pending equality delete(s) still applying to " +
+            s"${resurrected.take(3).mkString(", ")} — carry the parent's " +
+            "deletes forward or rewrite those files first")
+      }
     }
     // Stamp the commit wall-clock for timestamp time travel — unless
     // the writer supplied its own stamp (tests pin deterministic
@@ -676,7 +751,11 @@ object TxnLog {
         t.stats.view.filterKeys(surviving).toMap ++ statsFor(t),
         statsKey.orElse(t.statsKey), columns = t.columns,
         colStats = t.colStats.view.mapValues(
-          _.view.filterKeys(surviving).toMap).toMap)
+          _.view.filterKeys(surviving).toMap).toMap,
+        // Pending merge-on-read deletes ride along like stats — a
+        // generic commit must never be the thing that drops them (the
+        // tryCommitManifest guard would refuse it anyway).
+        deletes = t.deletes)
     }, maxAttempts)
 
   /** Map an `input_file_name()` URI back to its table-relative
@@ -845,15 +924,159 @@ object TxnLog {
   /** Files referenced by ANY of the retained versions — the liveness
     * set vacuum must never touch. */
   def liveFiles(table: Path, retained: Seq[Long]): Set[String] =
-    retained.flatMap(readManifest(table, _).files).toSet
+    retained.flatMap { v =>
+      val m = readManifest(table, v)
+      // Equality-delete files are manifest-referenced data too —
+      // vacuum must not reclaim them while a retained version needs
+      // them to produce correct reads.
+      m.files ++ m.deletes.map(_.path)
+    }.toSet
 
-  /** Pin one version and read exactly its files. */
+  /** Pin one version and read exactly its files — with any pending
+    * merge-on-read equality deletes applied. */
   def readVersion(
       spark: SparkSession, table: Path, version: Long): DataFrame = {
     val m = readManifest(table, version)
     require(m.files.nonEmpty, s"version $version is an empty table")
-    spark.read.parquet(
-      m.files.map(f => table.resolve(f).toString): _*)
+    morRead(spark, table, m)
+  }
+
+  /** Read rows of `m` (optionally restricted to `onlyFiles`) with
+    * pending equality deletes APPLIED: data files group by the delete
+    * files that apply to them (per-file seq strictly below the
+    * delete's), and each group anti-joins the broadcast union of its
+    * applicable delete keys — per delete KEY column, so deletes issued
+    * against different keys over time compose. No pending deletes → a
+    * plain parquet read. Work is O(selected files + delete files);
+    * delete sides are broadcast (compaction keeps them small). */
+  private[graft] def morRead(spark: SparkSession, table: Path,
+      m: Manifest, onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val files = onlyFiles.getOrElse(m.files)
+    def readAbs(fs: Seq[String]): DataFrame =
+      spark.read.parquet(fs.map(f => table.resolve(f).toString): _*)
+    if (m.deletes.isEmpty) readAbs(files)
+    else {
+      val groups = files.groupBy(f =>
+        m.deletes.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
+      groups.toSeq.sortBy(_._2.head).map { case (dels, fs) =>
+        dels.groupBy(_.key).toSeq.sortBy(_._1)
+          .foldLeft(readAbs(fs)) { case (acc, (k, ds)) =>
+            acc.join(
+              broadcast(readAbs(ds.map(_.path)).select(col(k)).distinct()),
+              Seq(k), "left_anti")
+          }
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** MERGE-ON-READ delete — the Iceberg v2 equality-delete-file idea
+    * (spec §"Equality delete files"): the deleted key values are
+    * written as their own SMALL parquet file and the commit merely
+    * references it, so the commit costs O(deleted keys) bytes and
+    * rewrites ZERO data files — against copy-on-write's amplification
+    * of a whole file per touched row, the difference between a delete
+    * and a compaction at 100 TB. Readers apply pending deletes at scan
+    * time ([[morRead]]; the graft connector applies them inside its
+    * DSv2 scan), sequence-scoped: the delete applies only to files
+    * whose [[Manifest.seqs]] entry is strictly below the delete's
+    * commit version, so later appends may legitimately re-insert a
+    * deleted key. NULL keys never match an equality delete and are
+    * ignored. [[materializeDeletes]] / [[compact]] repay the read-time
+    * debt. */
+  def deleteByKeyMor(spark: SparkSession, table: Path,
+      keys: DataFrame, key: String, subdir: String): Committed = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val kt = keys.schema(key).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"deleteByKeyMor key '$key' must be integral, got $kt — " +
+        "equality deletes share the statsKey convention")
+    val t0 = tip(table)
+    require(t0.version >= 0L,
+      s"deleteByKeyMor needs an existing table at $table")
+    // The physical column name is immutable across renames — the
+    // delete file carries it so scans of any later mapping still hit
+    // the raw bytes' column.
+    val physKey = t0.columns
+      .flatMap(_.find(_.name == key).map(_.physical)).getOrElse(key)
+    keys.select(col(key).as(physKey)).where(col(physKey).isNotNull)
+      .distinct().coalesce(1)
+      .write.parquet(table.resolve(subdir).toString)
+    val written = parquetsUnder(table, subdir)
+    commitRetryWith(table, t => {
+      // Data files not yet sequence-stamped predate this delete —
+      // stamp them with the PARENT version so the delete (seq =
+      // parent + 1) applies to them.
+      val legacy = t.files.filterNot(t.seqs.contains)
+        .map(_ -> t.version).toMap
+      t.copy(action = "delete-mor",
+        seqs = t.seqs ++ legacy,
+        deletes = t.deletes ++ written.map(p => DeleteFile(
+          p, physKey, t.version + 1, Files.size(table.resolve(p)))),
+        txn = None, ts = 0L)
+    })
+  }
+
+  /** Fold every pending equality delete back into the data files:
+    * rewrite ONLY the files at least one delete applies to (with the
+    * deletes applied during the read), carry the untouched files, and
+    * clear the delete list — legal because untouched means no delete
+    * targeted them (the [[tryCommitManifest]] guard re-proves it). The
+    * merge-on-read debt is repaid at O(affected bytes), not a full
+    * compaction. */
+  def materializeDeletes(spark: SparkSession, table: Path,
+      subdir: String, targetFileBytes: Long = 128L << 20): Committed = {
+    val t0 = tip(table)
+    if (t0.deletes.isEmpty) return Committed(t0.version, 0)
+    val affected = t0.files.filter(f =>
+      t0.deletes.exists(d => t0.seqs.getOrElse(f, -1L) < d.seq))
+    // Every targeted file already rewritten (e.g. by CoW merges) —
+    // the list is pure metadata debt; clear it in place.
+    if (affected.isEmpty)
+      return commitRetryWith(table, t => {
+        require(t.version == t0.version,
+          s"concurrent commit v${t.version} during materializeDeletes " +
+            s"planned against v${t0.version}; retry")
+        t.copy(action = "materialize", deletes = Seq.empty,
+          txn = None, ts = 0L)
+      })
+    val affectedBytes = affected
+      .map(f => Files.size(table.resolve(f))).sum
+    val nOut = math.max(1L,
+      (affectedBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    morRead(spark, table, t0, Some(affected)).coalesce(nOut)
+      .write.parquet(table.resolve(subdir).toString)
+    val written0 = parquetsUnder(table, subdir)
+    val newStats = t0.statsKey
+      .map(k => keyStats(spark, table, written0, k))
+      .getOrElse(Map.empty[String, (Long, Long)])
+    // A rewrite that deleted everything can leave a zero-row file —
+    // drop it like mergeCowByKey does (no entry in a stats scan = no
+    // rows) to keep the tip fully stats-covered.
+    val written =
+      if (t0.statsKey.isEmpty) written0
+      else written0.filter(newStats.contains)
+    val newColStats =
+      colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
+    val affectedSet = affected.toSet
+    commitRetryWith(table, t => {
+      // Like a CoW merge, this rewrite does not commute: it replaced
+      // the files of the tip it READ. A concurrent commit means the
+      // plan is stale — fail loudly rather than publish it.
+      require(t.version == t0.version,
+        s"concurrent commit v${t.version} during materializeDeletes " +
+          s"planned against v${t0.version}; retry")
+      Manifest(0L, 0L, "materialize",
+        t0.files.filterNot(affectedSet) ++ written,
+        stats = (t0.stats -- affected) ++ newStats,
+        statsKey = t0.statsKey,
+        partitions = t0.partitions -- affected,
+        columns = t0.columns,
+        colStats = t0.colStats.map { case (c, pf) =>
+          c -> ((pf -- affected) ++ newColStats.getOrElse(c, Map.empty))
+        })
+    })
   }
 
   /** Key-scoped copy-on-write MERGE as a log commit: `batch` carries
@@ -918,8 +1141,12 @@ object TxnLog {
         if (affected.isEmpty)
           batch.filter(col("op") =!= "delete").drop("op")
         else
-          spark.read
-            .parquet(affected.toSeq.map(f => table.resolve(f).toString): _*)
+          // morRead applies any PENDING equality deletes to the
+          // affected files before merging — the rewrite's new files
+          // get a fresh seq, so those deletes stop applying to them
+          // exactly when their effect is baked in. Untouched files
+          // keep the delete list (carried below) by seq scoping.
+          morRead(spark, table, tip, Some(affected.toSeq.sorted))
             .as("t")
             .join(batch.as("s"), Seq(key), "full_outer")
             .filter(col("s.op").isNull || col("s.op") =!= "delete")
@@ -974,7 +1201,8 @@ object TxnLog {
         sizes = fileSizes(table, keptFiles, tip.sizes),
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
-        }), parentHint = Some(tip)) match {
+        },
+        deletes = tip.deletes), parentHint = Some(tip)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }

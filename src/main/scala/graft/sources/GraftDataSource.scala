@@ -388,7 +388,10 @@ object GraftTables {
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats ++ newStats, tip.statsKey,
           partitions = tip.partitions, columns = cols, txn = txn,
-          colStats = mergedColStats)
+          colStats = mergedColStats,
+          // Pending merge-on-read deletes ride along; the appended
+          // files' fresh seq keeps them out of the deletes' scope.
+          deletes = tip.deletes)
     })
   }
 
@@ -417,7 +420,8 @@ object GraftTables {
       else
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats, tip.statsKey, partitions = tip.partitions,
-          columns = tip.columns.orElse(Some(cols)), txn = txn)
+          columns = tip.columns.orElse(Some(cols)), txn = txn,
+          deletes = tip.deletes)
     })
   }
 
@@ -447,6 +451,12 @@ object GraftTables {
     import org.apache.spark.sql.functions.lit
     val spark = SparkSession.active
     val root = snap.root
+    // A copy-on-write rewrite that read files WITHOUT applying pending
+    // equality deletes would bake the deleted rows into fresh-seq
+    // files — silent resurrection. Refuse until the debt is repaid.
+    require(snap.manifest.deletes.isEmpty,
+      s"$root has pending merge-on-read deletes; run " +
+        "TxnLog.materializeDeletes (or compact) before SQL DELETE")
     // DELETE predicates arrive with LOGICAL column names; manifest
     // stats and the parquet bytes both speak PHYSICAL names, so on a
     // column-mapped table rewrite the attributes before pruning or
@@ -546,6 +556,10 @@ final class GraftTable(snap: GraftSnapshot) extends Table
     require(!snap.pinned,
       s"cannot run a row-level operation on ${name()}: the pinned " +
         "past is immutable")
+    require(snap.manifest.deletes.isEmpty,
+      s"${name()} has pending merge-on-read deletes; run " +
+        "TxnLog.materializeDeletes (or compact) before UPDATE/MERGE " +
+        "— a CoW rewrite would resurrect the deleted rows")
     GraftRowLevelBuilder(snap, info)
   }
 
@@ -663,37 +677,93 @@ final class GraftScanBuilder(
   // physical footers don't carry.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = !snap.isMapped && prunedInner.supportCompletePushDown(agg)
+      : Boolean = !snap.isMapped && snap.manifest.deletes.isEmpty &&
+    prunedInner.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (snap.isMapped) return false
+    // Mapped tables: the aggregate references logical names the
+    // physical footers don't carry. Pending merge-on-read deletes:
+    // footer statistics still count the deleted rows.
+    if (snap.isMapped || snap.manifest.deletes.nonEmpty) return false
     aggPushed = prunedInner.pushAggregation(agg)
     aggPushed
   }
 
   /** The parquet scan over exactly `files`, with this builder's
-    * pushed (physical-name) filters and pruned columns applied. */
+    * pushed (physical-name) filters and pruned columns applied.
+    * `extraPhys`: physical columns to force-include beyond the pruned
+    * set — the merge-on-read path needs the delete-key column in every
+    * row even when the query pruned it away. */
   private def parquetScanOver(files: Seq[String],
-      sizes: Map[String, Long], filters: Seq[Expression]): Scan = {
+      sizes: Map[String, Long], filters: Seq[Expression],
+      extraPhys: Seq[String] = Seq.empty): Scan = {
     val index = new ManifestFileIndex(spark, snap.root, files,
       sizes, snap.physicalSchema)
     val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
       snap.physicalSchema, options)
     inner.pushFilters(filters)
     val physRequired = StructType(requiredSchema.fields.map(f =>
-      f.copy(name = snap.physicalOf(f.name))))
+      f.copy(name = snap.physicalOf(f.name))) ++
+      extraPhys.filterNot(requiredSchema.fieldNames.map(snap.physicalOf)
+        .contains).map(snap.physicalSchema(_)))
     inner.pruneColumns(physRequired)
     inner.build()
   }
 
+  /** Plan a merge-on-read scan: pruned data files group by the deletes
+    * that apply to them (per-file seq strictly below the delete's
+    * commit — later appends escape); each group's inner parquet scan
+    * force-includes its delete-key columns, and the deleted keys are
+    * collected ONCE here (O(pending deleted keys), the Iceberg
+    * eq-delete bound) into sorted arrays the reader binary-searches.
+    * See [[GraftMor]]. */
+  private def buildMor(pf: Seq[Expression], kept: Seq[String]): Scan = {
+    val m = snap.manifest
+    val keysByFile: Map[String, Array[Long]] = m.deletes.map { d =>
+      d.path -> spark.read.parquet(snap.root.resolve(d.path).toString)
+        .select(org.apache.spark.sql.functions.col(d.key).cast("long"))
+        .na.drop().distinct()
+        .collect().map(_.getLong(0)).sorted
+    }.toMap
+    val outPhys = GraftMor.physRequired(snap, requiredSchema)
+    val groups = kept.groupBy(f =>
+        m.deletes.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
+      .toSeq.sortBy(_._2.head)
+      .map { case (dels, fs) =>
+        val extra =
+          dels.map(_.key).distinct.filterNot(outPhys.fieldNames.contains)
+        val inner = parquetScanOver(fs, m.sizes, pf, extra)
+        val innerSchema = inner.readSchema()
+        val keyFilters = dels.groupBy(_.key).toSeq.sortBy(_._1).map {
+          case (k, ds) =>
+            val keys = ds.flatMap(d => keysByFile(d.path))
+              .distinct.sorted.toArray
+            (innerSchema.fieldIndex(k), innerSchema(k).dataType, keys)
+        }
+        val project =
+          if (extra.isEmpty) None
+          else Some(outPhys.fields.toSeq.map(f =>
+            (innerSchema.fieldIndex(f.name), f.dataType)))
+        GraftMor.Group(inner, keyFilters, project)
+      }
+    val outSchema = StructType(outPhys.fields.map(f =>
+      f.copy(name = snap.logicalOf(f.name))))
+    val totalBytes = math.max(kept.flatMap(m.sizes.get).sum, 1L)
+    new GraftScan(groups.head.scan, snap, pf, options,
+      diff => parquetScanOver(diff.files, diff.sizes, pf),
+      mor = Some(GraftMor.Plan(groups, outSchema, totalBytes)))
+  }
+
   override def build(): Scan = {
     val pf = physFilters
+    val kept = GraftPruning.prune(snap.manifest, pf)
+    if (snap.manifest.deletes.nonEmpty && kept.nonEmpty && !aggPushed)
+      return buildMor(pf, kept)
     val inner =
       if (aggPushed) prunedInner.build() // scan output = the aggregate
-      else parquetScanOver(GraftPruning.prune(snap.manifest, pf),
-        snap.manifest.sizes, pf)
+      else parquetScanOver(kept, snap.manifest.sizes, pf)
     new GraftScan(inner, snap, pf, options,
       diff => parquetScanOver(diff.files, diff.sizes, pf))
   }
@@ -711,43 +781,63 @@ final class GraftScan(
     val inner: Scan, snap: GraftSnapshot,
     physFilters: Seq[Expression],
     options: CaseInsensitiveStringMap,
-    scanOverDiff: TxnLog.Manifest => Scan)
+    scanOverDiff: TxnLog.Manifest => Scan,
+    mor: Option[GraftMor.Plan] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType =
-    if (!snap.isMapped) inner.readSchema()
-    else StructType(inner.readSchema().fields.map(f =>
-      f.copy(name = snap.logicalOf(f.name))))
+  override def readSchema(): StructType = mor match {
+    case Some(p) => p.logicalSchema
+    case None =>
+      if (!snap.isMapped) inner.readSchema()
+      else StructType(inner.readSchema().fields.map(f =>
+        f.copy(name = snap.logicalOf(f.name))))
+  }
 
   // The inner FileScan reports size/row statistics from the PRUNED
   // file set; hiding them behind this wrapper would make every graft
   // relation look defaultSizeInBytes-huge and never auto-broadcast —
   // the silent join-strategy regression, so delegate.
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = inner match {
-    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-      s.estimateStatistics()
-    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      : org.apache.spark.sql.connector.read.Statistics = mor match {
+    case Some(p) => new org.apache.spark.sql.connector.read.Statistics {
+      // Manifest-sizes estimate (a slight over-count: deleted rows
+      // still weigh in) — present so small MoR tables still broadcast.
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        java.util.OptionalLong.of(p.sizeBytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
+    }
+    case None => inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     }
   }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    inner.toBatch
+    mor match {
+      case Some(p) => new GraftMor.MorBatch(p.groups)
+      case None => inner.toBatch
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(snap, physFilters, options, scanOverDiff)
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    inner.columnarSupportMode()
+    if (mor.isDefined) Scan.ColumnarSupportMode.UNSUPPORTED
+    else inner.columnarSupportMode()
 
   override def description(): String =
-    s"Graft(${inner.description()})"
+    if (mor.isDefined)
+      s"GraftMoR(${mor.get.groups.size} groups, ${inner.description()})"
+    else s"Graft(${inner.description()})"
 }
 
 /** A `FileIndex` served ENTIRELY from manifest metadata: paths come

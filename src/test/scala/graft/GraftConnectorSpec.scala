@@ -837,4 +837,59 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, tbl).count() == 3L)
     assert(TxnLog.lastTxn(tbl, "app").contains(1L))
   }
+
+  // --- merge-on-read equality deletes through the connector (r15) ---
+
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("scan applies pending equality deletes: DataFrame, SQL, " +
+      "pruned-column, count(*), filter, time travel, re-insert") {
+    val tbl = quartileTable()
+    // Delete ids 10..20 and 60 — spans files q0 and q2.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      ((10L to 20L) :+ 60L).toDF("id"), "id", "d1")
+    val df = GraftTables.read(spark, tbl)
+    val expect =
+      (1L to 100L).filterNot(i => (i >= 10L && i <= 20L) || i == 60L)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == expect)
+    // Key column pruned away: the scan force-includes it for the
+    // filter and projects it back out.
+    assert(df.select("v").as[Long].collect().sorted.toSeq ==
+      expect.map(_ * 10L))
+    // count(*): footer-stats aggregate pushdown is disabled under MoR.
+    assert(df.count() == expect.size.toLong)
+    // Pushed filters compose with the delete filter (ids 1..25 minus
+    // 10..20 = 14 rows), and file pruning still applies.
+    assert(df.filter($"id" <= 25L).count() == 14L)
+    // SQL through the catalog sees the same table.
+    GraftTables.registerCatalog(spark)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft.`$tbl`")
+      .as[Long].head() == expect.map(_ * 10L).sum)
+    // Time travel to the pre-delete snapshot is unaffected.
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    // Re-insert through the connector write path: the appended file's
+    // seq is above the delete's, so the new row survives.
+    Seq((60L, 999L)).toDF("id", "v").write.format("graft")
+      .mode("append").save(tbl.toString)
+    assert(GraftTables.read(spark, tbl).filter($"id" === 60L)
+      .as[(Long, Long)].collect().toSeq == Seq((60L, 999L)))
+  }
+
+  test("SQL DELETE and UPDATE refuse on pending MoR deletes; " +
+      "materializeDeletes repays and re-enables them") {
+    val tbl = quartileTable()
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(1L).toDF("id"), "id", "d1")
+    GraftTables.registerCatalog(spark)
+    val e = intercept[Throwable](
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 2"))
+    assert(causeChain(e).contains("merge-on-read"))
+    val e2 = intercept[Throwable](
+      spark.sql(s"UPDATE graft.`$tbl` SET v = 0 WHERE id = 2"))
+    assert(causeChain(e2).contains("merge-on-read"))
+    TxnLog.materializeDeletes(spark, tbl, "mz")
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 2")
+    assert(GraftTables.read(spark, tbl).count() == 98L)
+  }
 }

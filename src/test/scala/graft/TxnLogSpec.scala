@@ -445,6 +445,94 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("no data-changing commits"))
   }
 
+  // --- merge-on-read equality deletes (round 15) ---
+
+  test("deleteByKeyMor rewrites zero data files; reads apply it; " +
+      "later appends re-insert by sequence scoping") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    val before = TxnLog.tip(t).files
+    TxnLog.deleteByKeyMor(spark, t, Seq(2L, 99L).toDF("k"), "k", "d1")
+    val m1 = TxnLog.tip(t)
+    assert(m1.action == "delete-mor")
+    assert(m1.files == before) // no data file touched
+    assert(m1.deletes.size == 1 && m1.deletes.head.seq == 1L)
+    assert(TxnLog.readVersion(spark, t, 1L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // The pre-delete snapshot still reads complete.
+    assert(TxnLog.readVersion(spark, t, 0L).count() == 3)
+    // Re-insert: the new file's seq (2) is above the delete's (1).
+    Seq((2L, "B")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b1").toString)
+    TxnLog.commitRetry(t, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(t, "b1"))
+    assert(TxnLog.readVersion(spark, t, 2L)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c"), (2L, "B")))
+  }
+
+  test("a commit dropping pending deletes that still target surviving " +
+      "files is refused; commitRetry carries them") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    TxnLog.deleteByKeyMor(spark, t, Seq(1L).toDF("k"), "k", "d1")
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t,
+        TxnLog.Manifest(2L, 1L, "oops", TxnLog.tip(t).files))
+    }
+    assert(e.getMessage.contains("equality delete"))
+    TxnLog.commitRetry(t, "touch", tip => tip.files)
+    assert(TxnLog.tip(t).deletes.nonEmpty)
+  }
+
+  test("merge over pending deletes applies them to affected files " +
+      "only; materializeDeletes rewrites the targeted rest and clears") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    val b0 = TxnLog.parquetsUnder(t, "b0")
+    TxnLog.commitRetry(t, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, t, b0, "k"),
+      statsKey = Some("k"))
+    Seq((10L, 100L), (11L, 110L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b1").toString)
+    val b1 = TxnLog.parquetsUnder(t, "b1")
+    TxnLog.commitRetry(t, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, t, b1, "k"))
+    TxnLog.deleteByKeyMor(spark, t, Seq(1L).toDF("k"), "k", "d1")
+    // Merge upserting k=10: stats scope the rewrite to b1; the delete
+    // still pends against b0, and the commit carries it.
+    TxnLog.mergeCowByKey(spark, t,
+      Seq((10L, 101L, "upsert")).toDF("k", "c", "op"), "k", "m1")
+    val m = TxnLog.tip(t)
+    assert(m.deletes.nonEmpty)
+    assert(TxnLog.readVersion(spark, t, m.version)
+      .as[(Long, Long)].collect().toSet ==
+      Set((2L, 20L), (10L, 101L), (11L, 110L)))
+    TxnLog.materializeDeletes(spark, t, "mz")
+    val mm = TxnLog.tip(t)
+    assert(mm.deletes.isEmpty)
+    // Only still-targeted files were rewritten: the merge output (seq
+    // above the delete's) survives by name, b0 is gone.
+    assert(mm.files.exists(_.startsWith("m1")))
+    assert(!mm.files.exists(b0.toSet))
+    assert(TxnLog.readVersion(spark, t, mm.version)
+      .as[(Long, Long)].collect().toSet ==
+      Set((2L, 20L), (10L, 101L), (11L, 110L)))
+    // The delete file stays vacuum-protected while a retained version
+    // references it, and is reclaimable once none does.
+    val dfile = m.deletes.head.path
+    assert(TxnLog.liveFiles(t, TxnLog.versions(t)).contains(dfile))
+    assert(!TxnLog.liveFiles(t, Seq(mm.version)).contains(dfile))
+  }
+
   test("expire materializes a retained delta whose base drops; " +
       "chains stay resolvable") {
     val t = freshTable()

@@ -240,6 +240,8 @@ object SparkEntry {
     "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
     "table_delete_mor" -> ((s, dir) => SourceSinkQueries.tableDeleteMorQuery(s, dir)),
     "table_mor_maintenance" -> ((s, dir) => SourceSinkQueries.tableMorMaintenanceQuery(s, dir)),
+    "table_clone" -> ((s, dir) => SourceSinkQueries.tableCloneQuery(s, dir)),
+    "table_constraints" -> ((s, dir) => SourceSinkQueries.tableConstraintsQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2916,8 +2918,10 @@ object SparkEntry {
                 true AS sql_matches
          FROM o""",
     // MoR maintenance: delete pends on the low range-file, a CoW merge
-    // (+5 cents on %10==3 of the high range) stays scoped to the high
-    // file, materializeDeletes rewrites exactly the low file + clears.
+    // (+5 on %10==3 of the high range) stays scoped to the high file,
+    // a SQL UPDATE (+9 on %10==6 of the low range) rewrites the low
+    // file WITH the pending delete applied, then materializeDeletes
+    // finds pure metadata debt and clears in place.
     "table_mor_maintenance" ->
       """WITH o AS (SELECT o_orderkey AS k,
                            CAST(round(o_totalprice * 100) AS BIGINT) AS c
@@ -2929,11 +2933,44 @@ object SparkEntry {
                      AS BIGINT) AS n_rows,
                 CAST((SELECT sum(c) FROM o, m
                       WHERE (k <= mid AND k % 10 <> 0) OR k > mid)
+                     + (SELECT 9 * count(*) FROM o, m
+                        WHERE k <= mid AND k % 10 = 6)
                      + (SELECT 5 * count(*) FROM o, m
                         WHERE k > mid AND k % 10 = 3)
                      AS BIGINT) AS sum_cents,
                 true AS merge_scoped,
+                true AS update_over_mor,
                 true AS materialized""",
+    // Shallow clone: zero-copy metadata commit; clone merged (+7 on
+    // %10==1 of the high range) while the source stays bit-stable.
+    "table_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders),
+              m AS (SELECT CAST(floor(max(k) / 2.0) AS BIGINT) AS mid
+                    FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) + (SELECT 7 * count(*) FROM o, m
+                               WHERE k > mid AND k % 10 = 1)
+                     AS BIGINT) AS sum_cents,
+                true AS zero_copy,
+                true AS clone_scoped,
+                true AS src_unchanged
+         FROM o""",
+    // CHECK constraints: cents_pos refuses the %3==2 batch while set
+    // (rows frozen at %3 in (0,1)); after the drop it lands negated.
+    "table_constraints" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN k % 3 = 2 THEN -c ELSE c END)
+                     AS BIGINT) AS sum_cents,
+                CAST(sum(CASE WHEN k % 3 < 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rows_refused,
+                true AS carried,
+                true AS refused
+         FROM o""",
     // Streaming INTO the log: table B accumulates o then the %7 batch
     // (each moved exactly once; replay no-op engine-witnessed).
     "stream_table_sink" ->

@@ -1840,17 +1840,136 @@ object SourceSinkQueries {
     val mergeScoped = m3.deletes.nonEmpty && // still pending
       lo.forall(m3.files.contains) &&        // low file untouched
       hi.forall(f => !m3.files.contains(f))  // high file rewritten
-    // v4: materialize — rewrites exactly the still-targeted low file.
-    TxnLog.materializeDeletes(spark, tbl, "mz")
+    // v4: SQL UPDATE over the PENDING delete (+9 cents on %10==6 of
+    // the low range): the group-based CoW rewrite applies the delete
+    // to the low file it replaces — deleted rows are not resurrected
+    // by the fresh-seq output — and carries the list.
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"UPDATE graft.`$tbl` SET cents = cents + 9 " +
+      s"WHERE o_orderkey <= $mid AND o_orderkey % 10 = 6")
     val m4 = TxnLog.tip(tbl)
-    val materialized = m4.deletes.isEmpty &&
-      lo.forall(f => !m4.files.contains(f)) && // low rewritten
+    val updateOverMor = m4.deletes.nonEmpty &&
+      lo.forall(f => !m4.files.contains(f)) && // low rewritten by UPDATE
       m4.files.exists(_.startsWith("m3"))      // merge output survives
+    // v5: every targeted file is rewritten by now — materialize
+    // detects pure metadata debt and clears the list in place.
+    TxnLog.materializeDeletes(spark, tbl, "mz")
+    val m5 = TxnLog.tip(tbl)
+    val materialized = m5.deletes.isEmpty && m5.files == m4.files
     val agg = GraftTables.read(spark, tbl)
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
     import spark.implicits._
-    Seq((agg.getLong(0), agg.getLong(1), mergeScoped, materialized))
-      .toDF("n_rows", "sum_cents", "merge_scoped", "materialized")
+    Seq((agg.getLong(0), agg.getLong(1),
+      mergeScoped, updateOverMor, materialized))
+      .toDF("n_rows", "sum_cents",
+        "merge_scoped", "update_over_mor", "materialized")
+  }
+
+  /** table_clone — SHALLOW CLONE (Delta's zero-copy clone): the clone
+    * of a table is ONE metadata commit referencing the source
+    * snapshot's files by absolute path — cloning a 100 TB table costs
+    * no data movement (witnessed: zero parquet bytes under the clone
+    * directory after the clone). Carried per-file stats make skipping
+    * work from the first read. The clone then evolves independently: a
+    * stats-scoped CoW merge (+7 cents on %10==1 of the high range)
+    * rewrites the referenced high file into a CLONE-LOCAL file, while
+    * the source's log, file list, and rows stay bit-stable
+    * (witnessed). The sandbox-at-scale primitive: dev/test copies of
+    * production tables for the price of a manifest. */
+  def tableCloneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("connclone")
+    val src = base.resolve("src")
+    val dst = base.resolve("dev")
+    Files.createDirectories(src)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    orders.filter(col("o_orderkey") <= mid)
+      .coalesce(1).write.parquet(src.resolve("lo").toString)
+    orders.filter(col("o_orderkey") > mid)
+      .coalesce(1).write.parquet(src.resolve("hi").toString)
+    val lo = TxnLog.parquetsUnder(src, "lo")
+    TxnLog.commitRetry(src, "create", _ => lo,
+      statsFor = _ => TxnLog.keyStats(spark, src, lo, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val hi = TxnLog.parquetsUnder(src, "hi")
+    TxnLog.commitRetry(src, "append", tip => tip.files ++ hi,
+      statsFor = _ => TxnLog.keyStats(spark, src, hi, "o_orderkey"))
+    val srcFiles = TxnLog.tip(src).files
+    TxnLog.cloneShallow(src, dst)
+    val m0 = TxnLog.readManifest(dst, 0L)
+    val zeroCopy = TxnLog.dataFiles(dst).isEmpty &&
+      m0.action == "clone" && m0.files.size == 2 &&
+      m0.files.forall(m0.stats.contains)
+    // Evolve the clone: merge scoped to the (referenced) high file.
+    TxnLog.mergeCowByKey(spark, dst,
+      orders.filter(col("o_orderkey") > mid &&
+        col("o_orderkey") % 10 === 1)
+        .withColumn("cents", col("cents") + 7L)
+        .withColumn("op", lit("upsert")),
+      "o_orderkey", "m1")
+    val m1 = TxnLog.tip(dst)
+    val absLo = src.toAbsolutePath.normalize.resolve(lo.head).toString
+    val cloneScoped = m1.files.exists(_.startsWith("m1")) &&
+      m1.files.contains(absLo) && m1.files.size == 2
+    val srcUnchanged = TxnLog.latest(src).contains(1L) &&
+      TxnLog.tip(src).files == srcFiles &&
+      TxnLog.readVersion(spark, src, 1L).count() ==
+        GraftTables.read(spark, dst).count()
+    val agg = GraftTables.read(spark, dst)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      zeroCopy, cloneScoped, srcUnchanged))
+      .toDF("n_rows", "sum_cents",
+        "zero_copy", "clone_scoped", "src_unchanged")
+  }
+
+  /** table_constraints — CHECK constraints as table metadata (Delta's
+    * `ALTER TABLE ADD CONSTRAINT`): `TxnLog.setConstraint` commits a
+    * SQL predicate every DataFrame-level write must satisfy; a batch
+    * carrying one violating row is REFUSED WHOLE before any bytes
+    * stage (one conditional-aggregate validation pass — O(batch),
+    * which is what keeps enforcement viable on 100 TB ingest). The
+    * constraint is carried implicitly by every later commit (the
+    * metadata fold at the commit primitive), survives unrelated
+    * appends, and `dropConstraint` lifts it — after which the formerly
+    * violating batch lands (the oracle replays it with negated
+    * cents). */
+  def tableConstraintsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conncheck").resolve("orders")
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    GraftTables.createFrom(tbl, orders.filter(col("o_orderkey") % 3 === 0))
+    TxnLog.setConstraint(tbl, "cents_pos", "cents > 0")
+    // A clean batch passes validation and lands.
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    val carried = TxnLog.tip(tbl).constraints == Map("cents_pos" -> "cents > 0")
+    // A batch with violating rows is refused whole.
+    val bad = orders.filter(col("o_orderkey") % 3 === 2)
+      .withColumn("cents", -col("cents"))
+    val refused =
+      try {
+        bad.write.format("graft").mode("append").save(tbl.toString); false
+      } catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("CHECK constraint 'cents_pos'")))
+      }
+    val rowsWhileRefused = GraftTables.read(spark, tbl).count()
+    // Drop the constraint: the same batch now lands.
+    TxnLog.dropConstraint(tbl, "cents_pos")
+    bad.write.format("graft").mode("append").save(tbl.toString)
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), rowsWhileRefused,
+      carried, refused))
+      .toDF("n_rows", "sum_cents", "n_rows_refused", "carried", "refused")
   }
 
   /** table_commit_torture — N-writer serializability, staged so the

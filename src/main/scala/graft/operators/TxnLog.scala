@@ -118,7 +118,8 @@ object TxnLog {
       ts: Long = 0L,
       deltaDepth: Int = 0,
       seqs: Map[String, Long] = Map.empty,
-      deletes: Seq[DeleteFile] = Seq.empty)
+      deletes: Seq[DeleteFile] = Seq.empty,
+      constraints: Map[String, String] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -237,7 +238,8 @@ object TxnLog {
       colStats: Map[String, Map[String, (Long, Long)]],
       ts: Long,
       seqs: Map[String, Long],
-      deletes: Seq[DeleteFile])
+      deletes: Seq[DeleteFile],
+      constraints: Map[String, String])
 
   private def putRanges(root: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, m: Map[String, (Long, Long)]): Unit =
@@ -254,7 +256,8 @@ object TxnLog {
       columns: Option[Seq[ColumnDef]], sizes: Map[String, Long],
       txn: Option[(String, Long)], txns: Map[String, Long],
       colStats: Map[String, Map[String, (Long, Long)]], ts: Long,
-      seqs: Map[String, Long], deletes: Seq[DeleteFile]): Unit = {
+      seqs: Map[String, Long], deletes: Seq[DeleteFile],
+      constraints: Map[String, String]): Unit = {
     putRanges(root, "stats", stats)
     statsKey.foreach(root.put("statsKey", _))
     if (partitions.nonEmpty) {
@@ -306,6 +309,10 @@ object TxnLog {
         o.put("seq", d.seq); o.put("bytes", d.bytes)
       }
     }
+    if (constraints.nonEmpty) {
+      val cn = root.putObject("constraints")
+      constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
   }
 
   def render(m: Manifest): String = {
@@ -316,7 +323,8 @@ object TxnLog {
     val fs = root.putArray("files")
     m.files.foreach(fs.add)
     putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
-      m.sizes, m.txn, m.txns, m.colStats, m.ts, m.seqs, m.deletes)
+      m.sizes, m.txn, m.txns, m.colStats, m.ts, m.seqs, m.deletes,
+      m.constraints)
     mapper.writeValueAsString(root)
   }
 
@@ -325,6 +333,11 @@ object TxnLog {
     root.put("version", d.version)
     root.put("parent", d.parent)
     root.put("action", d.action)
+    // The delta form is a reader-v2 feature: stamp it so an older
+    // reader refuses loudly instead of misreading (see
+    // [[SupportedReaderVersion]]). Full-form manifests stay
+    // unstamped — readable by any reader.
+    root.put("minReader", 2)
     root.put("base", d.base)
     val as = root.putArray("adds"); d.adds.foreach(as.add)
     val rs = root.putArray("removes"); d.removes.foreach(rs.add)
@@ -332,7 +345,8 @@ object TxnLog {
     // entry is inherited (an empty per-column object), so resolution
     // keeps the column set.
     putCommon(root, d.stats, d.statsKey, d.partitions, d.columns,
-      d.sizes, d.txn, d.txns, d.colStats, d.ts, d.seqs, d.deletes)
+      d.sizes, d.txn, d.txns, d.colStats, d.ts, d.seqs, d.deletes,
+      d.constraints)
     mapper.writeValueAsString(root)
   }
 
@@ -341,7 +355,7 @@ object TxnLog {
       Map[String, Map[String, String]], Option[Seq[ColumnDef]],
       Map[String, Long], Option[(String, Long)], Map[String, Long],
       Map[String, Map[String, (Long, Long)]], Long,
-      Map[String, Long], Seq[DeleteFile]) = {
+      Map[String, Long], Seq[DeleteFile], Map[String, String]) = {
     import scala.jdk.CollectionConverters._
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
@@ -385,18 +399,37 @@ object TxnLog {
           d.get("seq").asLong, d.get("bytes").asLong)
       }.toSeq
     }.getOrElse(Seq.empty[DeleteFile])
+    val constraints = Option(n.get("constraints")).map { cn =>
+      cn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
     (stats, Option(n.get("statsKey")).map(_.asText), partitions, columns,
       sizes, txn, txns, colStats,
-      Option(n.get("ts")).map(_.asLong).getOrElse(0L), seqs, deletes)
+      Option(n.get("ts")).map(_.asLong).getOrElse(0L), seqs, deletes,
+      constraints)
   }
+
+  /** The highest stored-manifest format this reader understands — the
+    * Delta/Iceberg protocol-version idea: a manifest written by a
+    * newer writer carries `minReader` above this and is REFUSED loudly
+    * instead of silently misread (a pre-delta reader would otherwise
+    * NPE on a delta manifest's missing `files`, or worse, a future
+    * field could change semantics it would silently ignore). Writers
+    * stamp `minReader` only when a manifest actually uses a feature
+    * (delta form = 2), so old tables stay readable by old readers. */
+  val SupportedReaderVersion: Int = 2
 
   /** Parse a stored manifest: `Right(full snapshot)` or `Left(delta)`
     * — the `base` field is what marks the delta form. */
   private def parseAny(txt: String): Either[Delta, Manifest] = {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(txt)
+    Option(n.get("minReader")).map(_.asInt).foreach { mr =>
+      require(mr <= SupportedReaderVersion,
+        s"manifest requires reader version $mr; this engine supports " +
+          s"up to $SupportedReaderVersion — upgrade before reading")
+    }
     val (stats, statsKey, partitions, columns, sizes, txn, txns,
-      colStats, ts, seqs, deletes) = parseCommon(n)
+      colStats, ts, seqs, deletes, constraints) = parseCommon(n)
     Option(n.get("base")) match {
       case Some(b) =>
         Left(Delta(
@@ -405,14 +438,15 @@ object TxnLog {
           n.get("adds").elements().asScala.map(_.asText).toSeq,
           n.get("removes").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts, seqs, deletes))
+          colStats, ts, seqs, deletes, constraints))
       case None =>
         Right(Manifest(
           n.get("version").asLong, n.get("parent").asLong,
           n.get("action").asText,
           n.get("files").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts, seqs = seqs, deletes = deletes))
+          colStats, ts, seqs = seqs, deletes = deletes,
+          constraints = constraints))
     }
   }
 
@@ -446,7 +480,7 @@ object TxnLog {
       },
       ts = d.ts, deltaDepth = base.deltaDepth + 1,
       seqs = base.seqs.view.filterKeys(surviving).toMap ++ d.seqs,
-      deletes = d.deletes)
+      deletes = d.deletes, constraints = d.constraints)
   }
 
   /** The delta encoding of `m` against its resolved parent `p`, iff it
@@ -472,7 +506,7 @@ object TxnLog {
       },
       ts = m.ts,
       seqs = m.seqs.filter { case (k, v) => !p.seqs.get(k).contains(v) },
-      deletes = m.deletes)
+      deletes = m.deletes, constraints = m.constraints)
     if (applyDelta(p, d).copy(deltaDepth = 0) == m.copy(deltaDepth = 0))
       Some(d)
     else None
@@ -601,13 +635,23 @@ object TxnLog {
     // THIS commit's version. Sequences are what scope merge-on-read
     // equality deletes ([[DeleteFile]]): a delete applies only to
     // files whose seq is strictly below its own.
-    val m = {
+    val mSeqs = {
       val inherited = parentM.map(_.seqs).getOrElse(Map.empty[String, Long])
         .view.filterKeys(mTxns.files.toSet).toMap
       val known = inherited ++ mTxns.seqs
       mTxns.copy(seqs = known ++ mTxns.files.filterNot(known.contains)
         .map(_ -> mTxns.version))
     }
+    // CHECK constraints are table metadata every commit carries
+    // implicitly (the Delta metaData-replay discipline): a commit with
+    // none declared inherits the parent's. Only the actions that MEAN
+    // to change the set — constraint/drop-constraint/restore — take
+    // their (possibly empty) map verbatim.
+    val m =
+      if (Set("constraint", "drop-constraint", "restore")(mSeqs.action) ||
+          mSeqs.constraints.nonEmpty) mSeqs
+      else parentM.map(p => mSeqs.copy(constraints = p.constraints))
+        .getOrElse(mSeqs)
     // SAFETY: dropping a pending equality delete is only legal when no
     // surviving file is still targeted by it (file rewritten/removed —
     // compact and materializeDeletes; or every file replaced —
@@ -1110,6 +1154,11 @@ object TxnLog {
       return Committed(latest(table).getOrElse(
         sys.error(s"mergeCowByKey needs an existing table at $table")), 0)
     val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
+    // Upserted rows must satisfy the table's CHECK constraints (one
+    // pass, pre-merge; tombstones are exempt — they remove rows).
+    checkConstraints(
+      batch.filter(col("op") =!= "delete").drop("op"),
+      tip(table).constraints)
     val valueCols = batch.columns.filterNot(c => c == key || c == "op")
     var attempt = 0
     var conflicts = 0
@@ -1263,6 +1312,90 @@ object TxnLog {
         files = t.files.filter(targetSet) ++
           target.files.filterNot(tipSet),
         txn = None, ts = 0L)
+    })
+  }
+
+  /** Declare (or replace) a CHECK constraint — the Delta `ALTER TABLE
+    * ADD CONSTRAINT` feature: `pred` is a SQL boolean expression over
+    * the table's logical columns; from this commit on, every
+    * DataFrame-level write path ([[graft.sources.GraftTables.insert]],
+    * [[mergeCowByKey]]) validates its batch with [[checkConstraints]]
+    * and REFUSES writes carrying a violating row. SQL semantics: a row
+    * violates only when the predicate evaluates to FALSE — NULL
+    * passes, like standard CHECK. Constraints are table metadata every
+    * later commit carries implicitly (see the fold in
+    * [[tryCommitManifest]]); raw file-list commits ([[tryCommit]])
+    * bypass validation by design — the log records, engines enforce,
+    * exactly Delta's contract. */
+  def setConstraint(table: Path, name: String, pred: String): Committed =
+    commitRetryWith(table, t => t.copy(action = "constraint",
+      constraints = t.constraints + (name -> pred), txn = None, ts = 0L))
+
+  /** Remove a CHECK constraint; later writes stop validating it. */
+  def dropConstraint(table: Path, name: String): Committed =
+    commitRetryWith(table, t => t.copy(action = "drop-constraint",
+      constraints = t.constraints - name, txn = None, ts = 0L))
+
+  /** Validate `data` against CHECK constraints in ONE pass (a single
+    * conditional aggregate however many constraints ride along) and
+    * refuse loudly on the first violated one. NULL predicate results
+    * pass (SQL CHECK semantics). */
+  def checkConstraints(
+      data: DataFrame, constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val ordered = constraints.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, p) =>
+      sum(when(expr(s"not coalesce(($p), true)"), lit(1L))
+        .otherwise(lit(0L))).as(n)
+    }
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, p), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L,
+        s"CHECK constraint '$n' ($p) violated by $bad row(s); " +
+          "write refused")
+    }
+  }
+
+  /** SHALLOW CLONE (the Delta Lake feature of the same name): create
+    * a NEW table at `dst` whose first manifest references the SOURCE
+    * snapshot's data files by ABSOLUTE path — zero bytes copied, the
+    * clone of a 100 TB table is one metadata commit. The clone then
+    * evolves independently: appends land inside `dst`, and any CoW
+    * rewrite (merge/delete/compact) replaces referenced source files
+    * with clone-local ones, never touching the source. Per-file
+    * stats/sizes/partition values are carried (re-keyed to the
+    * absolute paths), so skipping works from the first read.
+    *
+    * Caveats, same as Delta's: vacuuming the SOURCE can reclaim files
+    * a clone still references (the clone's references are invisible
+    * to the source's log) — clones are sandboxes, not backups. A
+    * source with PENDING merge-on-read deletes is refused: its delete
+    * files' sequence numbers are meaningless in the clone's log;
+    * materialize first. */
+  def cloneShallow(src: Path, dst: Path,
+      version: Option[Long] = None): Committed = {
+    val v = version.orElse(latest(src)).getOrElse(
+      sys.error(s"no committed version to clone at $src"))
+    val m = readManifest(src, v)
+    require(m.deletes.isEmpty,
+      s"$src@v$v has pending merge-on-read deletes; run " +
+        "materializeDeletes before cloning")
+    val srcRoot = src.toAbsolutePath.normalize
+    def abs(f: String): String = srcRoot.resolve(f).toString
+    Files.createDirectories(dst)
+    commitRetryWith(dst, t => {
+      require(t.version < 0L, s"clone target $dst already has a log")
+      Manifest(0L, 0L, "clone", m.files.map(abs),
+        stats = m.stats.map { case (f, r) => abs(f) -> r },
+        statsKey = m.statsKey,
+        partitions = m.partitions.map { case (f, p) => abs(f) -> p },
+        columns = m.columns,
+        sizes = m.sizes.map { case (f, n) => abs(f) -> n },
+        colStats = m.colStats.view.mapValues(
+          _.map { case (f, r) => abs(f) -> r }).toMap,
+        constraints = m.constraints)
     })
   }
 

@@ -336,6 +336,10 @@ object GraftTables {
       s"graft insert schema mismatch: table has ${cols.mkString(",")}, " +
         s"write has ${data.columns.mkString(",")}")
     import org.apache.spark.sql.functions.col
+    // CHECK constraints validate against LOGICAL names, before any
+    // bytes are staged — a violating batch is refused whole (one
+    // conditional-aggregate pass, the Delta invariant discipline).
+    TxnLog.checkConstraints(data, snap.manifest.constraints)
     // Project to declared order under PHYSICAL names (column mapping),
     // casting to the declared logical types.
     val physical = data.select(cols.toSeq.map(c =>
@@ -451,12 +455,6 @@ object GraftTables {
     import org.apache.spark.sql.functions.lit
     val spark = SparkSession.active
     val root = snap.root
-    // A copy-on-write rewrite that read files WITHOUT applying pending
-    // equality deletes would bake the deleted rows into fresh-seq
-    // files — silent resurrection. Refuse until the debt is repaid.
-    require(snap.manifest.deletes.isEmpty,
-      s"$root has pending merge-on-read deletes; run " +
-        "TxnLog.materializeDeletes (or compact) before SQL DELETE")
     // DELETE predicates arrive with LOGICAL column names; manifest
     // stats and the parquet bytes both speak PHYSICAL names, so on a
     // column-mapped table rewrite the attributes before pruning or
@@ -481,8 +479,12 @@ object GraftTables {
       val tip = TxnLog.readManifest(root, tipVersion)
       val affected = GraftPruning.prune(tip, exprs).toSet
       if (affected.isEmpty) return // no file can match: metadata no-op
-      val keep = spark.read
-        .parquet(affected.toSeq.map(f => root.resolve(f).toString): _*)
+      // morRead applies any PENDING equality deletes to the affected
+      // files before the rewrite — a raw read would bake deleted rows
+      // into fresh-seq files (silent resurrection). The list is
+      // carried below; untouched files stay scoped by sequence.
+      val keep = TxnLog
+        .morRead(spark, root, tip, Some(affected.toSeq.sorted))
         .filter(!pred.eqNullSafe(lit(true)))
       val affectedBytes = affected.toSeq
         .map(f => tip.sizes.getOrElse(f, Files.size(root.resolve(f)))).sum
@@ -518,7 +520,8 @@ object GraftTables {
         TxnLog.fileSizes(root, files, tip.sizes),
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
-        }), parentHint = Some(tip)) match {
+        },
+        deletes = tip.deletes), parentHint = Some(tip)) match {
         case Some(_) => return
         case None => attempt += 1 // lost the race: replan on the new tip
       }
@@ -556,10 +559,6 @@ final class GraftTable(snap: GraftSnapshot) extends Table
     require(!snap.pinned,
       s"cannot run a row-level operation on ${name()}: the pinned " +
         "past is immutable")
-    require(snap.manifest.deletes.isEmpty,
-      s"${name()} has pending merge-on-read deletes; run " +
-        "TxnLog.materializeDeletes (or compact) before UPDATE/MERGE " +
-        "— a CoW rewrite would resurrect the deleted rows")
     GraftRowLevelBuilder(snap, info)
   }
 
@@ -692,68 +691,28 @@ final class GraftScanBuilder(
   }
 
   /** The parquet scan over exactly `files`, with this builder's
-    * pushed (physical-name) filters and pruned columns applied.
-    * `extraPhys`: physical columns to force-include beyond the pruned
-    * set — the merge-on-read path needs the delete-key column in every
-    * row even when the query pruned it away. */
+    * pushed (physical-name) filters and pruned columns applied. */
   private def parquetScanOver(files: Seq[String],
-      sizes: Map[String, Long], filters: Seq[Expression],
-      extraPhys: Seq[String] = Seq.empty): Scan = {
+      sizes: Map[String, Long], filters: Seq[Expression]): Scan = {
     val index = new ManifestFileIndex(spark, snap.root, files,
       sizes, snap.physicalSchema)
     val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
       snap.physicalSchema, options)
     inner.pushFilters(filters)
     val physRequired = StructType(requiredSchema.fields.map(f =>
-      f.copy(name = snap.physicalOf(f.name))) ++
-      extraPhys.filterNot(requiredSchema.fieldNames.map(snap.physicalOf)
-        .contains).map(snap.physicalSchema(_)))
+      f.copy(name = snap.physicalOf(f.name))))
     inner.pruneColumns(physRequired)
     inner.build()
   }
 
-  /** Plan a merge-on-read scan: pruned data files group by the deletes
-    * that apply to them (per-file seq strictly below the delete's
-    * commit — later appends escape); each group's inner parquet scan
-    * force-includes its delete-key columns, and the deleted keys are
-    * collected ONCE here (O(pending deleted keys), the Iceberg
-    * eq-delete bound) into sorted arrays the reader binary-searches.
-    * See [[GraftMor]]. */
+  /** Plan a merge-on-read scan over the pruned files — the shared
+    * [[GraftMor.plan]] groups them by applicable delete and wraps the
+    * group scans with the key-filtering reader. */
   private def buildMor(pf: Seq[Expression], kept: Seq[String]): Scan = {
-    val m = snap.manifest
-    val keysByFile: Map[String, Array[Long]] = m.deletes.map { d =>
-      d.path -> spark.read.parquet(snap.root.resolve(d.path).toString)
-        .select(org.apache.spark.sql.functions.col(d.key).cast("long"))
-        .na.drop().distinct()
-        .collect().map(_.getLong(0)).sorted
-    }.toMap
-    val outPhys = GraftMor.physRequired(snap, requiredSchema)
-    val groups = kept.groupBy(f =>
-        m.deletes.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
-      .toSeq.sortBy(_._2.head)
-      .map { case (dels, fs) =>
-        val extra =
-          dels.map(_.key).distinct.filterNot(outPhys.fieldNames.contains)
-        val inner = parquetScanOver(fs, m.sizes, pf, extra)
-        val innerSchema = inner.readSchema()
-        val keyFilters = dels.groupBy(_.key).toSeq.sortBy(_._1).map {
-          case (k, ds) =>
-            val keys = ds.flatMap(d => keysByFile(d.path))
-              .distinct.sorted.toArray
-            (innerSchema.fieldIndex(k), innerSchema(k).dataType, keys)
-        }
-        val project =
-          if (extra.isEmpty) None
-          else Some(outPhys.fields.toSeq.map(f =>
-            (innerSchema.fieldIndex(f.name), f.dataType)))
-        GraftMor.Group(inner, keyFilters, project)
-      }
-    val outSchema = StructType(outPhys.fields.map(f =>
-      f.copy(name = snap.logicalOf(f.name))))
-    val totalBytes = math.max(kept.flatMap(m.sizes.get).sum, 1L)
-    new GraftScan(groups.head.scan, snap, pf, options,
+    val p = GraftMor.plan(spark, snap, kept, requiredSchema, pf, options)
+    new GraftScan(p.groups.head.scan, snap, pf, options,
       diff => parquetScanOver(diff.files, diff.sizes, pf),
-      mor = Some(GraftMor.Plan(groups, outSchema, totalBytes)))
+      mor = Some(p))
   }
 
   override def build(): Scan = {

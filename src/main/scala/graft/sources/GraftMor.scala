@@ -124,4 +124,61 @@ private[sources] object GraftMor {
     val wanted = requested.fieldNames.map(snap.physicalOf).toSet
     StructType(snap.physicalSchema.fields.filter(f => wanted(f.name)))
   }
+
+  /** Plan the full MoR read over `kept` files: collect the deleted
+    * keys ONCE on the driver (O(pending deleted keys), the Iceberg
+    * eq-delete bound), group files by applicable deletes, and build
+    * each group's inner parquet scan with its delete-key columns
+    * force-included. `filters` are pushed to the inner scans when
+    * given — the copy-on-write row-level scan passes none (its
+    * contract forbids data filters), the plain read path passes its
+    * residual filters. */
+  def plan(spark: org.apache.spark.sql.SparkSession, snap: GraftSnapshot,
+      kept: Seq[String], requested: StructType,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Plan = {
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+    val m = snap.manifest
+    val keysByFile: Map[String, Array[Long]] = m.deletes.map { d =>
+      d.path -> spark.read.parquet(snap.root.resolve(d.path).toString)
+        .select(org.apache.spark.sql.functions.col(d.key).cast("long"))
+        .na.drop().distinct()
+        .collect().map(_.getLong(0)).sorted
+    }.toMap
+    val outPhys = physRequired(snap, requested)
+    def scanOver(files: Seq[String], extra: Seq[String]): Scan = {
+      val index = new ManifestFileIndex(spark, snap.root, files,
+        m.sizes, snap.physicalSchema)
+      val b = ParquetScanBuilder(spark, index, snap.physicalSchema,
+        snap.physicalSchema, options)
+      if (filters.nonEmpty) b.pushFilters(filters)
+      b.pruneColumns(StructType(outPhys.fields ++
+        extra.filterNot(outPhys.fieldNames.contains)
+          .map(snap.physicalSchema(_))))
+      b.build()
+    }
+    val groups = kept.groupBy(f =>
+        m.deletes.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
+      .toSeq.sortBy(_._2.head)
+      .map { case (dels, fs) =>
+        val extra =
+          dels.map(_.key).distinct.filterNot(outPhys.fieldNames.contains)
+        val inner = scanOver(fs, extra)
+        val innerSchema = inner.readSchema()
+        val keyFilters = dels.groupBy(_.key).toSeq.sortBy(_._1).map {
+          case (k, ds) =>
+            val keys = ds.flatMap(d => keysByFile(d.path))
+              .distinct.sorted.toArray
+            (innerSchema.fieldIndex(k), innerSchema(k).dataType, keys)
+        }
+        val project =
+          if (extra.isEmpty) None
+          else Some(outPhys.fields.toSeq.map(f =>
+            (innerSchema.fieldIndex(f.name), f.dataType)))
+        Group(inner, keyFilters, project)
+      }
+    val outSchema = StructType(outPhys.fields.map(f =>
+      f.copy(name = snap.logicalOf(f.name))))
+    Plan(groups, outSchema, math.max(kept.flatMap(m.sizes.get).sum, 1L))
+  }
 }

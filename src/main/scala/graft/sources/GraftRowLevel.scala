@@ -132,6 +132,19 @@ final class GraftCowScanBuilder(
   override def build(): Scan = {
     val kept = GraftPruning.prune(snap.manifest, physFilters)
     op.scannedFiles = kept
+    // With equality deletes pending, the CoW scan must return every
+    // SURVIVING row of the planned files — and only surviving rows: a
+    // rewrite that read raw files would bake deleted rows into
+    // fresh-seq files (silent resurrection). The shared MoR planner
+    // applies them inside the scan; the command's condition is still
+    // NOT pushed (the CoW contract below).
+    if (snap.manifest.deletes.nonEmpty && kept.nonEmpty) {
+      val p = GraftMor.plan(spark, snap, kept, requiredSchema,
+        Seq.empty, options)
+      return new GraftScan(p.groups.head.scan, snap, Seq.empty, options,
+        _ => sys.error("a row-level operation scan cannot stream"),
+        mor = Some(p))
+    }
     val index = new ManifestFileIndex(spark, snap.root, kept,
       snap.manifest.sizes, snap.physicalSchema)
     val inner = ParquetScanBuilder(spark, index, snap.physicalSchema,
@@ -210,7 +223,11 @@ final class GraftReplaceDataWrite(
         sizes = TxnLog.fileSizes(snap.root, keptFiles, base.sizes),
         colStats = base.colStats.map { case (c, perFile) =>
           c -> ((perFile -- scanned) ++ newColStats.getOrElse(c, Map.empty))
-        }), parentHint = Some(base)) match {
+        },
+        // The scan APPLIED the snapshot's pending equality deletes to
+        // the files it replaces (fresh seq, coverage baked in); the
+        // list rides along for the untouched files it still scopes.
+        deletes = base.deletes), parentHint = Some(base)) match {
         case Some(_) => return
         case None =>
           attempts += 1
@@ -227,6 +244,16 @@ final class GraftReplaceDataWrite(
               s"concurrent commit $v on ${snap.root} rewrote files " +
                 "this row-level operation planned: the group rewrite " +
                 "does not commute — retry the statement")
+            // A concurrent NEW equality delete does not commute
+            // either: this statement's output files carry a fresh seq
+            // and would ESCAPE it, resurrecting rows the delete must
+            // remove. (A delete that vanished means a materialize ran
+            // — caught above via the files it rewrote.)
+            val known = snap.manifest.deletes.toSet
+            if (mv.deletes.exists(d => !known(d))) sys.error(
+              s"concurrent merge-on-read delete at commit $v on " +
+                s"${snap.root} does not commute with this row-level " +
+                "operation — retry the statement")
             prevFiles = mv.files.toSet
           }
           base = tipM

@@ -877,19 +877,30 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSeq == Seq((60L, 999L)))
   }
 
-  test("SQL DELETE and UPDATE refuse on pending MoR deletes; " +
-      "materializeDeletes repays and re-enables them") {
+  test("SQL UPDATE and DELETE run over pending MoR deletes: the CoW " +
+      "rewrite applies them to the files it replaces, never resurrects") {
     val tbl = quartileTable()
-    TxnLog.deleteByKeyMor(spark, tbl, Seq(1L).toDF("id"), "id", "d1")
+    // Pending MoR delete of ids 1..5 — targets every file by seq, but
+    // only q0 holds the keys.
+    TxnLog.deleteByKeyMor(spark, tbl, (1L to 5L).toDF("id"), "id", "d1")
     GraftTables.registerCatalog(spark)
-    val e = intercept[Throwable](
-      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 2"))
-    assert(causeChain(e).contains("merge-on-read"))
-    val e2 = intercept[Throwable](
-      spark.sql(s"UPDATE graft.`$tbl` SET v = 0 WHERE id = 2"))
-    assert(causeChain(e2).contains("merge-on-read"))
+    // UPDATE id=10 (file q0): the rewrite of q0 must carry rows
+    // 6..25 only — ids 1..5 applied during the CoW scan, not revived
+    // by the fresh-seq output file.
+    spark.sql(s"UPDATE graft.`$tbl` SET v = 0 WHERE id = 10")
+    val m = TxnLog.tip(tbl)
+    assert(m.deletes.nonEmpty) // still carried for untouched files
+    val rows = GraftTables.read(spark, tbl)
+      .as[(Long, Long)].collect().toMap
+    assert(rows.size == 95)
+    assert((1L to 5L).forall(!rows.contains(_)))
+    assert(rows(10L) == 0L)
+    // DELETE id=30 (file q1) composes the same way.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 30")
+    assert(GraftTables.read(spark, tbl).count() == 94L)
+    // materializeDeletes clears the rest; results are unchanged.
     TxnLog.materializeDeletes(spark, tbl, "mz")
-    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 2")
-    assert(GraftTables.read(spark, tbl).count() == 98L)
+    assert(TxnLog.tip(tbl).deletes.isEmpty)
+    assert(GraftTables.read(spark, tbl).count() == 94L)
   }
 }

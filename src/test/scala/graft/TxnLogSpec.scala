@@ -533,6 +533,94 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(!TxnLog.liveFiles(t, Seq(mm.version)).contains(dfile))
   }
 
+  test("cloneShallow is a zero-copy metadata commit; the clone " +
+      "evolves without touching the source") {
+    val src = freshTable()
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "c")
+      .coalesce(1).write.parquet(src.resolve("b0").toString)
+    val b0 = TxnLog.parquetsUnder(src, "b0")
+    TxnLog.commitRetry(src, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, src, b0, "k"),
+      statsKey = Some("k"))
+    val dst = freshTable()
+    TxnLog.cloneShallow(src, dst)
+    // Zero bytes copied: no parquet lives under the clone.
+    assert(TxnLog.dataFiles(dst).isEmpty)
+    val m0 = TxnLog.readManifest(dst, 0L)
+    assert(m0.action == "clone")
+    assert(m0.files.forall(java.nio.file.Paths.get(_).isAbsolute))
+    assert(m0.statsKey.contains("k") &&
+      m0.files.forall(m0.stats.contains) &&
+      m0.files.forall(m0.sizes.contains))
+    assert(TxnLog.readVersion(spark, dst, 0L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    // A merge on the clone rewrites the referenced file into a LOCAL
+    // one; the source stays bit-stable.
+    TxnLog.mergeCowByKey(spark, dst,
+      Seq((2L, 21L, "upsert")).toDF("k", "c", "op"), "k", "m1")
+    assert(TxnLog.readVersion(spark, dst, 1L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 21L)))
+    assert(TxnLog.tip(dst).files.forall(f =>
+      !java.nio.file.Paths.get(f).isAbsolute))
+    assert(TxnLog.latest(src).contains(0L))
+    assert(TxnLog.readVersion(spark, src, 0L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    // Cloning a source with pending MoR deletes is refused.
+    TxnLog.deleteByKeyMor(spark, src, Seq(1L).toDF("k"), "k", "d1")
+    val e = intercept[IllegalArgumentException](
+      TxnLog.cloneShallow(src, freshTable()))
+    assert(e.getMessage.contains("pending"))
+  }
+
+  test("a manifest stamped with a future reader version is refused " +
+      "loudly, never silently misread") {
+    val t = freshTable()
+    TxnLog.tryCommit(t, -1L, "create", Seq("f0"))
+    Files.write(TxnLog.logDir(t).resolve(f"${1L}%08d.json"),
+      """{"version":1,"parent":0,"action":"future","minReader":99,
+        |"files":["f0"]}""".stripMargin.replace("\n", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](TxnLog.readManifest(t, 1L))
+    assert(e.getMessage.contains("reader version 99"))
+    // Delta-form manifests carry minReader=2 — within support.
+    TxnLog.tryCommit(t, -1L, "noop", Seq.empty) // no-op: v0 exists
+    assert(TxnLog.readManifest(t, 0L).files == Seq("f0"))
+  }
+
+  test("CHECK constraints: set/enforce/carry/drop; NULL passes; " +
+      "restore reinstates the constraint state of its target") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, Some(10L)), (2L, None)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    TxnLog.setConstraint(t, "c_pos", "c > 0")
+    // NULL predicate results pass (SQL CHECK), FALSE violates.
+    TxnLog.checkConstraints(
+      Seq((3L, Some(5L)), (4L, None)).toDF("k", "c"),
+      TxnLog.tip(t).constraints)
+    val e = intercept[IllegalArgumentException](TxnLog.checkConstraints(
+      Seq((5L, Some(-1L))).toDF("k", "c"), TxnLog.tip(t).constraints))
+    assert(e.getMessage.contains("c_pos"))
+    // Merge validates upserts against the tip's constraints.
+    val e2 = intercept[IllegalArgumentException](TxnLog.mergeCowByKey(
+      spark, t, Seq((1L, -7L, "upsert")).toDF("k", "c", "op"), "k", "m1"))
+    assert(e2.getMessage.contains("c_pos"))
+    // Generic commits carry the map implicitly (the metadata fold).
+    TxnLog.commitRetry(t, "touch", tip => tip.files)
+    assert(TxnLog.tip(t).constraints == Map("c_pos" -> "c > 0"))
+    // Restore to the pre-constraint snapshot drops it; restore back
+    // past the drop… and dropConstraint removes it explicitly.
+    TxnLog.restore(t, 0L)
+    assert(TxnLog.tip(t).constraints.isEmpty)
+    TxnLog.setConstraint(t, "c_pos", "c > 0")
+    TxnLog.dropConstraint(t, "c_pos")
+    assert(TxnLog.tip(t).constraints.isEmpty)
+    TxnLog.commitRetry(t, "touch", tip => tip.files)
+    assert(TxnLog.tip(t).constraints.isEmpty)
+  }
+
   test("expire materializes a retained delta whose base drops; " +
       "chains stay resolvable") {
     val t = freshTable()

@@ -242,6 +242,8 @@ object SparkEntry {
     "table_mor_maintenance" -> ((s, dir) => SourceSinkQueries.tableMorMaintenanceQuery(s, dir)),
     "table_clone" -> ((s, dir) => SourceSinkQueries.tableCloneQuery(s, dir)),
     "table_constraints" -> ((s, dir) => SourceSinkQueries.tableConstraintsQuery(s, dir)),
+    "table_schema_add_drop" -> ((s, dir) => SourceSinkQueries.tableSchemaAddDropQuery(s, dir)),
+    "table_alter_sql" -> ((s, dir) => SourceSinkQueries.tableAlterSqlQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2956,6 +2958,34 @@ object SparkEntry {
                 true AS zero_copy,
                 true AS clone_scoped,
                 true AS src_unchanged
+         FROM o""",
+    // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
+    // rename cents->cents_total (pinned v3 types it int), widen to
+    // bigint, drop note (pinned v4 still sums it).
+    "table_alter_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 4 IN (0, 1))
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                'bigint' AS tip_type,
+                'int' AS v3_type,
+                CAST((SELECT sum(k % 5) FROM o WHERE k % 4 = 1)
+                     AS BIGINT) AS sum_note_pinned,
+                true AS note_dropped
+         FROM o""",
+    // ADD/DROP COLUMN manifest-only: note added (old rows NULL, %2==1
+    // appended with k%7), cents dropped then re-added (NULL — the old
+    // bytes never resurrect); pinned pre-drop still reads cents.
+    "table_schema_add_drop" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN k % 2 = 1 THEN k % 7 END)
+                     AS BIGINT) AS sum_note,
+                CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_note_null,
+                CAST(0 AS BIGINT) AS n_cents_after_readd,
+                true AS schema_evolved
          FROM o""",
     // CHECK constraints: cents_pos refuses the %3==2 batch while set
     // (rows frozen at %3 in (0,1)); after the drop it lands negated.

@@ -1972,6 +1972,86 @@ object SourceSinkQueries {
       .toDF("n_rows", "sum_cents", "n_rows_refused", "carried", "refused")
   }
 
+  /** table_schema_add_drop — ADD/DROP COLUMN as manifest-only commits,
+    * completing the column-mapping evolution set (RENAME/WIDEN since
+    * r13): ADD mints a fresh physical name, so files written before it
+    * read NULL (parquet missing-column semantics — zero data movement
+    * at 100 TB) while later appends carry values; DROP removes only
+    * the ColumnDef — the bytes stay, pinned pre-drop versions still
+    * read them (witnessed); re-ADDing a dropped name mints a NEW
+    * id+physical, so the old bytes are never resurrected (witnessed:
+    * the re-added column is NULL on every row). */
+  def tableSchemaAddDropQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connschema").resolve("orders")
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    GraftTables.createFrom(tbl, orders.filter(col("o_orderkey") % 2 === 0))
+    TxnLog.addColumn(tbl, "note", "bigint")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("note", col("o_orderkey") % 7)
+      .write.format("graft").mode("append").save(tbl.toString)
+    val agg2 = GraftTables.read(spark, tbl).agg(
+      count(lit(1)).as("n"),
+      sum(col("note")).as("sum_note"),
+      sum(when(col("note").isNull, 1L).otherwise(0L)).as("nulls")).head()
+    TxnLog.dropColumn(tbl, "cents")
+    val droppedGone =
+      !GraftTables.read(spark, tbl).columns.contains("cents")
+    // The pre-drop snapshot still reads the dropped column's bytes.
+    val pinned = GraftTables.read(spark, tbl, Some(2L))
+    val pinnedHasCents = pinned.columns.contains("cents") &&
+      pinned.filter(col("cents").isNotNull).count() == agg2.getLong(0)
+    TxnLog.addColumn(tbl, "cents", "bigint")
+    val centsAfterReadd = GraftTables.read(spark, tbl)
+      .filter(col("cents").isNotNull).count()
+    import spark.implicits._
+    Seq((agg2.getLong(0), agg2.getLong(1), agg2.getLong(2),
+      centsAfterReadd, droppedGone && pinnedHasCents))
+      .toDF("n_rows", "sum_note", "n_note_null",
+        "n_cents_after_readd", "schema_evolved")
+  }
+
+  /** table_alter_sql — the evolution ops through plain SQL:
+    * `ALTER TABLE ADD COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE /
+    * DROP COLUMN` route through [[GraftCatalog.alterTable]] to the
+    * manifest-only commits ([[TxnLog.addColumn]]/renameColumn/
+    * widenColumn/dropColumn). The chain: add `note`, append with
+    * values, rename `cents`→`cents_total` (pinned v3 still types it
+    * int — witnessed), widen to bigint (no byte rewritten), drop
+    * `note` (pinned v4 still sums it — witnessed). Every step is one
+    * metadata put; at 100 TB the alternative is a table rewrite. */
+  def tableAlterSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connalter").resolve("orders")
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("int").as("cents"))
+    GraftTables.createFrom(tbl, orders.filter(col("o_orderkey") % 4 === 0))
+    GraftTables.registerCatalog(spark)
+    val t = s"graft.`$tbl`"
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note BIGINT)")
+    orders.filter(col("o_orderkey") % 4 === 1)
+      .withColumn("note", col("o_orderkey") % 5)
+      .write.format("graft").mode("append").save(tbl.toString)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN cents TO cents_total")
+    val v3Type = GraftTables.read(spark, tbl, Some(3L))
+      .schema("cents_total").dataType.simpleString
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN cents_total TYPE BIGINT")
+    val sumNotePinned = GraftTables.read(spark, tbl, Some(4L))
+      .agg(sum(col("note"))).head().getLong(0)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    val tip = GraftTables.read(spark, tbl)
+    val agg = tip.agg(count(lit(1)).as("n"),
+      sum(col("cents_total")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      tip.schema("cents_total").dataType.simpleString, v3Type,
+      sumNotePinned, !tip.columns.contains("note")))
+      .toDF("n_rows", "sum_cents", "tip_type", "v3_type",
+        "sum_note_pinned", "note_dropped")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

@@ -1358,6 +1358,111 @@ object TxnLog {
     }
   }
 
+  /** ADD COLUMN as a manifest-only commit (completing the
+    * column-mapping evolution set: RENAME and WIDEN exist since r13).
+    * The new column gets a FRESH physical name (`c<id>v<version>` —
+    * unique because at most one schema commit lands per version), so
+    * it can never collide with the bytes of a column dropped earlier:
+    * files written before the ADD simply lack the physical column and
+    * read as NULL (the standard parquet missing-column semantic);
+    * files written after carry it. Zero data movement at any scale. */
+  def addColumn(table: Path, name: String, typ: String): Committed =
+    commitRetryWith(table, t => {
+      val cols = t.columns.getOrElse(sys.error(
+        s"$table declares no columns; only declared-schema tables " +
+          "evolve (create through the connector or declare columns)"))
+      require(!cols.exists(_.name == name),
+        s"column '$name' already exists on $table")
+      val id = cols.map(_.id).max + 1
+      t.copy(action = "schema",
+        columns = Some(cols :+
+          ColumnDef(id, name, typ, s"c${id}v${t.version + 1}")),
+        txn = None, ts = 0L)
+    })
+
+  /** DROP COLUMN as a manifest-only commit: the ColumnDef vanishes
+    * from the declared schema — the bytes stay in the files (pinned
+    * pre-drop versions still read them), but no later reader requests
+    * the physical column. Re-ADDing the same logical name mints a NEW
+    * id + physical, so the dropped bytes are never resurrected — the
+    * re-added column reads NULL everywhere until written. Refused when
+    * a CHECK constraint still references the column. */
+  def dropColumn(table: Path, name: String): Committed =
+    commitRetryWith(table, t => {
+      val cols = t.columns.getOrElse(sys.error(
+        s"$table declares no columns; nothing to drop"))
+      require(cols.exists(_.name == name),
+        s"no column '$name' on $table")
+      require(cols.size > 1, s"cannot drop the last column of $table")
+      val referenced = constraintReferencing(t, name)
+      require(referenced.isEmpty,
+        s"column '$name' is referenced by CHECK constraint(s) " +
+          s"${referenced.keys.mkString(", ")} — drop them first")
+      t.copy(action = "schema",
+        columns = Some(cols.filterNot(_.name == name)),
+        txn = None, ts = 0L)
+    })
+
+  private def constraintReferencing(
+      t: Manifest, name: String): Map[String, String] =
+    t.constraints.filter { case (_, pred) =>
+      ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+        .findFirstIn(pred).isDefined
+    }
+
+  /** RENAME COLUMN as a manifest-only commit: the ColumnDef keeps its
+    * stable id and physical name, only the logical `name` changes —
+    * pinned readers resolve through their own manifest's mapping, so
+    * both sides of the rename read the same bytes (the r13
+    * column-mapping semantics, as a first-class op). Refused while a
+    * CHECK constraint references the old name — its predicate text
+    * would silently stop binding. */
+  def renameColumn(
+      table: Path, name: String, newName: String): Committed =
+    commitRetryWith(table, t => {
+      val cols = t.columns.getOrElse(sys.error(
+        s"$table declares no columns; only declared-schema tables " +
+          "evolve"))
+      require(cols.exists(_.name == name), s"no column '$name' on $table")
+      require(!cols.exists(_.name == newName),
+        s"column '$newName' already exists on $table")
+      val referenced = constraintReferencing(t, name)
+      require(referenced.isEmpty,
+        s"column '$name' is referenced by CHECK constraint(s) " +
+          s"${referenced.keys.mkString(", ")} — drop them first")
+      t.copy(action = "schema", columns = Some(cols.map(c =>
+        if (c.name == name) c.copy(name = newName) else c)),
+        txn = None, ts = 0L)
+    })
+
+  /** The type changes that are metadata-only: the Spark 4 vectorized
+    * parquet reader widens narrower physical pages during the read, so
+    * moving RIGHT along a chain never rewrites a byte. Anything else
+    * (narrowing, cross-chain) would need a table rewrite — refused. */
+  private val WidenChains: Seq[Seq[String]] = Seq(
+    Seq("tinyint", "smallint", "int", "bigint"),
+    Seq("float", "double"))
+
+  /** WIDEN a column's logical type as a manifest-only commit (the r13
+    * widening semantics as a first-class op); see [[WidenChains]]. */
+  def widenColumn(table: Path, name: String, newType: String): Committed =
+    commitRetryWith(table, t => {
+      val cols = t.columns.getOrElse(sys.error(
+        s"$table declares no columns; only declared-schema tables " +
+          "evolve"))
+      val c = cols.find(_.name == name).getOrElse(
+        sys.error(s"no column '$name' on $table"))
+      val ok = WidenChains.exists { ch =>
+        val (i, j) = (ch.indexOf(c.typ), ch.indexOf(newType))
+        i >= 0 && j > i
+      }
+      require(ok, s"cannot alter '$name' ${c.typ} -> $newType: only " +
+        "widening is metadata-only (rewrite the table to narrow)")
+      t.copy(action = "schema", columns = Some(cols.map(x =>
+        if (x.name == name) x.copy(typ = newType) else x)),
+        txn = None, ts = 0L)
+    })
+
   /** SHALLOW CLONE (the Delta Lake feature of the same name): create
     * a NEW table at `dst` whose first manifest references the SOURCE
     * snapshot's data files by ABSOLUTE path — zero bytes copied, the

@@ -1196,10 +1196,38 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft tables are created through the TxnLog commit protocol")
 
+  /** SQL `ALTER TABLE` routed to the manifest-only evolution commits:
+    * ADD COLUMNS / DROP COLUMN / RENAME COLUMN / ALTER COLUMN TYPE
+    * (widening) each land as one metadata commit — no data movement at
+    * any scale. Nested fields and anything else (narrowing, position
+    * moves, property changes) are refused loudly. */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve through the TxnLog commit protocol")
+      ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!Files.isDirectory(TxnLog.logDir(root)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    def topLevel(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested column ${fieldNames.mkString(".")} is not supported")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        TxnLog.addColumn(root, topLevel(a.fieldNames),
+          a.dataType.catalogString)
+      case d: TableChange.DeleteColumn =>
+        TxnLog.dropColumn(root, topLevel(d.fieldNames))
+      case r: TableChange.RenameColumn =>
+        TxnLog.renameColumn(root, topLevel(r.fieldNames), r.newName)
+      case u: TableChange.UpdateColumnType =>
+        TxnLog.widenColumn(root, topLevel(u.fieldNames),
+          u.newDataType.catalogString)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = false
 

@@ -903,4 +903,32 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.tip(tbl).deletes.isEmpty)
     assert(GraftTables.read(spark, tbl).count() == 94L)
   }
+
+  test("ADD/DROP COLUMN are manifest-only: pre-ADD files read NULL, " +
+      "pinned pre-DROP reads the bytes, re-ADD never resurrects") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"s${System.nanoTime()}")
+    GraftTables.createFrom(tbl, Seq((1L, 10L)).toDF("id", "v"))
+    TxnLog.addColumn(tbl, "w", "bigint")
+    Seq((2L, 20L, 200L)).toDF("id", "v", "w")
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(GraftTables.read(spark, tbl)
+      .as[(Long, Long, Option[Long])].collect().toSet ==
+      Set((1L, 10L, None), (2L, 20L, Some(200L))))
+    TxnLog.dropColumn(tbl, "v")
+    assert(GraftTables.read(spark, tbl).columns.toSeq == Seq("id", "w"))
+    // The pre-drop snapshot still reads the dropped bytes.
+    assert(GraftTables.read(spark, tbl, Some(2L))
+      .select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // Re-ADD mints a fresh physical: the old bytes stay buried.
+    TxnLog.addColumn(tbl, "v", "bigint")
+    assert(GraftTables.read(spark, tbl)
+      .filter($"v".isNotNull).count() == 0L)
+    // A CHECK constraint blocks dropping the column it references.
+    TxnLog.setConstraint(tbl, "w_pos", "w > 0")
+    val e = intercept[IllegalArgumentException](
+      TxnLog.dropColumn(tbl, "w"))
+    assert(e.getMessage.contains("w_pos"))
+  }
 }

@@ -621,6 +621,29 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.tip(t).constraints.isEmpty)
   }
 
+  test("renameColumn keeps id+physical; widenColumn walks the chain " +
+      "only rightward; constraint references block a rename") {
+    val t = freshTable()
+    TxnLog.commitRetryWith(t, _ => TxnLog.Manifest(0L, -1L, "create",
+      Seq.empty, columns = Some(Seq(
+        TxnLog.ColumnDef(1, "k", "bigint", "k"),
+        TxnLog.ColumnDef(2, "v", "int", "v")))))
+    TxnLog.widenColumn(t, "v", "bigint")
+    assert(TxnLog.tip(t).columns.get.find(_.name == "v").get.typ ==
+      "bigint")
+    val e = intercept[IllegalArgumentException](
+      TxnLog.widenColumn(t, "v", "int"))
+    assert(e.getMessage.contains("widening"))
+    TxnLog.setConstraint(t, "vpos", "v > 0")
+    val e2 = intercept[IllegalArgumentException](
+      TxnLog.renameColumn(t, "v", "w"))
+    assert(e2.getMessage.contains("vpos"))
+    TxnLog.dropConstraint(t, "vpos")
+    TxnLog.renameColumn(t, "v", "w")
+    val w = TxnLog.tip(t).columns.get.find(_.name == "w").get
+    assert(w.physical == "v" && w.id == 2)
+  }
+
   test("expire materializes a retained delta whose base drops; " +
       "chains stay resolvable") {
     val t = freshTable()

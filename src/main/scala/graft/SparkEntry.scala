@@ -244,6 +244,7 @@ object SparkEntry {
     "table_constraints" -> ((s, dir) => SourceSinkQueries.tableConstraintsQuery(s, dir)),
     "table_schema_add_drop" -> ((s, dir) => SourceSinkQueries.tableSchemaAddDropQuery(s, dir)),
     "table_alter_sql" -> ((s, dir) => SourceSinkQueries.tableAlterSqlQuery(s, dir)),
+    "table_delete_mor_sql" -> ((s, dir) => SourceSinkQueries.tableDeleteMorSqlQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2959,6 +2960,17 @@ object SparkEntry {
                 true AS clone_scoped,
                 true AS src_unchanged
          FROM o""",
+    // SQL DELETE routed to an equality-delete commit under mor mode:
+    // the 5 smallest even keys vanish, zero data files rewritten.
+    "table_delete_mor_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 2 = 0),
+              del AS (SELECT k FROM o ORDER BY k LIMIT 5)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS mor_routed
+         FROM o WHERE k NOT IN (SELECT k FROM del)""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

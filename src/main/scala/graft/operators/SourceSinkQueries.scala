@@ -2052,6 +2052,46 @@ object SourceSinkQueries {
         "sum_note_pinned", "note_dropped")
   }
 
+  /** table_delete_mor_sql — the GDPR-delete path through plain SQL:
+    * with `spark.graft.delete.mode = mor`, a `DELETE … WHERE key IN
+    * (…)` routes to an EQUALITY-DELETE commit
+    * ([[GraftTables.deleteWhere]] → [[TxnLog.deleteByKeyMor]]) —
+    * O(deleted keys) bytes, ZERO data files rewritten (witnessed: the
+    * file list is bit-identical and the commit action is delete-mor) —
+    * where the default mode pays a copy-on-write rewrite of every
+    * affected file. Non-key predicates fall back to CoW, so the
+    * routing is an optimization, never a semantics change. */
+  def tableDeleteMorSqlQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmorsql").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 2 === 0)
+    orders.coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    import spark.implicits._
+    val delKeys = orders.orderBy(col("o_orderkey")).limit(5)
+      .select("o_orderkey").as[Long].collect()
+    GraftTables.registerCatalog(spark)
+    val preFiles = TxnLog.tip(tbl).files
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(s"DELETE FROM graft.`$tbl` " +
+      s"WHERE o_orderkey IN (${delKeys.mkString(", ")})")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val m1 = TxnLog.tip(tbl)
+    val morRouted = m1.action == "delete-mor" &&
+      m1.deletes.size == 1 && m1.files == preFiles
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1), morRouted))
+      .toDF("n_rows", "sum_cents", "mor_routed")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

@@ -455,6 +455,35 @@ object GraftTables {
     import org.apache.spark.sql.functions.lit
     val spark = SparkSession.active
     val root = snap.root
+    // MERGE-ON-READ routing: with `spark.graft.delete.mode = mor`, a
+    // DELETE whose whole predicate is key-equality on the table's
+    // stats key (IN-list / =) commits as an EQUALITY-DELETE file —
+    // O(deleted keys) bytes, zero data files rewritten — instead of a
+    // copy-on-write rewrite: the GDPR-delete path through plain SQL.
+    // Anything else (ranges, other columns, conjunctions) falls back
+    // to CoW below.
+    if (spark.conf.getOption("spark.graft.delete.mode")
+        .exists(_.equalsIgnoreCase("mor"))) {
+      val logicalKey = snap.manifest.statsKey.map(snap.logicalOf)
+      val keyVals: Option[Seq[Long]] = (filters.toSeq, logicalKey) match {
+        case (Seq(org.apache.spark.sql.sources.EqualTo(a, v: Number)),
+            Some(lk)) if a == lk => Some(Seq(v.longValue))
+        case (Seq(org.apache.spark.sql.sources.In(a, vs)), Some(lk))
+            if a == lk && vs.nonEmpty &&
+              vs.forall(_.isInstanceOf[Number]) =>
+          Some(vs.toSeq.map(_.asInstanceOf[Number].longValue).distinct)
+        case _ => None
+      }
+      keyVals.foreach { vals =>
+        val session = spark
+        import session.implicits._
+        TxnLog.deleteByKeyMor(spark, root, vals.toDF(logicalKey.get),
+          logicalKey.get,
+          s"mor${System.currentTimeMillis()}-" +
+            s"${stagingCounter.incrementAndGet()}")
+        return
+      }
+    }
     // DELETE predicates arrive with LOGICAL column names; manifest
     // stats and the parquet bytes both speak PHYSICAL names, so on a
     // column-mapped table rewrite the attributes before pruning or

@@ -840,10 +840,6 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
 
   // --- merge-on-read equality deletes through the connector (r15) ---
 
-  private def causeChain(t: Throwable): String =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-
   test("scan applies pending equality deletes: DataFrame, SQL, " +
       "pruned-column, count(*), filter, time travel, re-insert") {
     val tbl = quartileTable()

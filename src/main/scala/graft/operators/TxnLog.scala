@@ -1155,10 +1155,12 @@ object TxnLog {
         sys.error(s"mergeCowByKey needs an existing table at $table")), 0)
     val (bmn, bmx) = (bounds.getLong(0), bounds.getLong(1))
     // Upserted rows must satisfy the table's CHECK constraints (one
-    // pass, pre-merge; tombstones are exempt — they remove rows).
-    checkConstraints(
-      batch.filter(col("op") =!= "delete").drop("op"),
-      tip(table).constraints)
+    // pass, pre-merge; tombstones are exempt — they remove rows). If a
+    // constraint commit races in, the rebase loop below re-validates
+    // against the tip it rebases onto.
+    val upserts = batch.filter(col("op") =!= "delete").drop("op")
+    var consChecked = tip(table).constraints
+    checkConstraints(upserts, consChecked)
     val valueCols = batch.columns.filterNot(c => c == key || c == "op")
     var attempt = 0
     var conflicts = 0
@@ -1166,6 +1168,10 @@ object TxnLog {
       val tipVersion = latest(table).getOrElse(
         sys.error(s"mergeCowByKey needs an existing table at $table"))
       val tip = readManifest(table, tipVersion)
+      if (tip.constraints != consChecked) {
+        checkConstraints(upserts, tip.constraints)
+        consChecked = tip.constraints
+      }
       onPlanned(attempt)
       // Affected-file planning is METADATA-ONLY when the tip's
       // manifest DECLARES stats for this key (`statsKey` — set by
@@ -1398,6 +1404,12 @@ object TxnLog {
       require(referenced.isEmpty,
         s"column '$name' is referenced by CHECK constraint(s) " +
           s"${referenced.keys.mkString(", ")} — drop them first")
+      // A pending equality delete keyed on this column would leave
+      // scans unable to bind its key — repay the debt first.
+      val phys = cols.find(_.name == name).get.physical
+      require(!t.deletes.exists(_.key == phys),
+        s"column '$name' keys pending equality delete(s) on $table — " +
+          "run materializeDeletes first")
       t.copy(action = "schema",
         columns = Some(cols.filterNot(_.name == name)),
         txn = None, ts = 0L)

@@ -364,6 +364,11 @@ object GraftTables {
         if (TxnLog.lastTxnAt(snap.root, tip, app).exists(_ >= batch))
           TxnLog.abortCommit()
       }
+      // A constraint commit that raced in between our resolve and this
+      // attempt: re-validate against the TIP's set (one extra batch
+      // pass, only in that rare window) so no unvalidated rows land.
+      if (tip.constraints != snap.manifest.constraints)
+        TxnLog.checkConstraints(data, tip.constraints)
       val newStats = tip.statsKey.map(k => statsCache.getOrElseUpdate(k,
         TxnLog.keyStats(spark, snap.root, newFiles, k)))
         .getOrElse(Map.empty[String, (Long, Long)])

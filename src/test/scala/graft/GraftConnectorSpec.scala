@@ -926,5 +926,10 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       TxnLog.dropColumn(tbl, "w"))
     assert(e.getMessage.contains("w_pos"))
+    // A pending equality delete blocks dropping its key column.
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(99L).toDF("id"), "id", "d1")
+    val e2 = intercept[IllegalArgumentException](
+      TxnLog.dropColumn(tbl, "id"))
+    assert(e2.getMessage.contains("equality delete"))
   }
 }

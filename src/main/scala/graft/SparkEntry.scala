@@ -245,6 +245,7 @@ object SparkEntry {
     "table_schema_add_drop" -> ((s, dir) => SourceSinkQueries.tableSchemaAddDropQuery(s, dir)),
     "table_alter_sql" -> ((s, dir) => SourceSinkQueries.tableAlterSqlQuery(s, dir)),
     "table_delete_mor_sql" -> ((s, dir) => SourceSinkQueries.tableDeleteMorSqlQuery(s, dir)),
+    "table_optimize_small" -> ((s, dir) => SourceSinkQueries.tableOptimizeSmallQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
     "split_group_aware" -> ((s, dir) => Sampling.splitGroupAware(s, dir)),
@@ -2960,6 +2961,15 @@ object SparkEntry {
                 true AS clone_scoped,
                 true AS src_unchanged
          FROM o""",
+    // Incremental OPTIMIZE: six small appends bin-packed into one
+    // file, the big create surviving by name; content bit-stable.
+    "table_optimize_small" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                true AS optimized,
+                true AS second_call_noop
+         FROM orders""",
     // SQL DELETE routed to an equality-delete commit under mor mode:
     // the 5 smallest even keys vanish, zero data files rewritten.
     "table_delete_mor_sql" ->

@@ -2092,6 +2092,55 @@ object SourceSinkQueries {
       .toDF("n_rows", "sum_cents", "mor_routed")
   }
 
+  /** table_optimize_small — INCREMENTAL OPTIMIZE
+    * ([[TxnLog.compactSmall]], the Delta OPTIMIZE / Iceberg
+    * rewrite-with-size-filter semantics): after a big create and six
+    * small streaming-style appends, packing with `minFileBytes` set to
+    * the big file's size bin-packs EXACTLY the six small files into
+    * one output while the big file survives BY NAME — O(small-file
+    * bytes), never O(table), the compaction one can schedule
+    * continuously at 100 TB. The packed tip is fully stats-covered
+    * (skipping keeps working) and a second call is a no-op (at most
+    * one sub-threshold file remains — witnessed by the unchanged
+    * version). */
+  def tableOptimizeSmallQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connopt").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.filter(col("o_orderkey") % 3 =!= 0)
+      .coalesce(1).write.parquet(tbl.resolve("big").toString)
+    val big = TxnLog.parquetsUnder(tbl, "big")
+    TxnLog.commitRetry(tbl, "create", _ => big,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, big, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    for (q <- 0 until 6) {
+      orders.filter(col("o_orderkey") % 18 === q * 3)
+        .coalesce(1).write.parquet(tbl.resolve(s"s$q").toString)
+      val add = TxnLog.parquetsUnder(tbl, s"s$q")
+      TxnLog.commitRetry(tbl, "append", tip => tip.files ++ add,
+        statsFor = _ => TxnLog.keyStats(spark, tbl, add, "o_orderkey"))
+    }
+    val bigSize = Files.size(tbl.resolve(big.head))
+    TxnLog.compactSmall(spark, tbl, "opt",
+      minFileBytes = bigSize, targetFileBytes = Long.MaxValue / 4)
+    val m = TxnLog.tip(tbl)
+    val optimized = m.action == "optimize" &&
+      big.forall(m.files.contains) && // the big file survives by name
+      m.files.size == 2 &&            // six small files packed into one
+      m.files.forall(m.stats.contains) // skipping coverage healed
+    val secondNoop = TxnLog.compactSmall(spark, tbl, "opt2",
+      minFileBytes = bigSize,
+      targetFileBytes = Long.MaxValue / 4).version == m.version
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), optimized, secondNoop))
+      .toDF("n_rows", "sum_cents", "optimized", "second_call_noop")
+  }
+
   /** table_commit_torture — N-writer serializability, staged so the
     * conflict count is DETERMINISTIC: four writers (two overlapping
     * COW upserts, one delete, one pure-insert append — all with

@@ -1604,6 +1604,59 @@ object TxnLog {
     perCommit.reduce(_.unionByName(_))
   }
 
+  /** OPTIMIZE-style INCREMENTAL compaction (Delta's OPTIMIZE / Iceberg
+    * rewrite_data_files with a size filter): bin-pack ONLY the files
+    * smaller than `minFileBytes` into ~`targetFileBytes` outputs,
+    * leaving well-sized files untouched by name — O(small-file bytes),
+    * never O(table), which is the compaction one can actually schedule
+    * continuously at 100 TB (a full [[compact]] of a petabyte table is
+    * a special event; sweeping up last hour's streaming commits is
+    * routine). Pending equality deletes targeting the packed files are
+    * applied during the rewrite; the list is carried for survivors.
+    * Fewer than two qualifying files is a no-op (nothing to pack). */
+  def compactSmall(spark: SparkSession, table: Path, subdir: String,
+      minFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20): Committed = {
+    val t0 = tip(table)
+    def sizeOf(f: String): Long =
+      t0.sizes.getOrElse(f, Files.size(table.resolve(f)))
+    val small = t0.files.filter(f => sizeOf(f) < minFileBytes)
+    if (small.size < 2) return Committed(t0.version, 0)
+    val smallBytes = small.map(sizeOf).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    morRead(spark, table, t0, Some(small)).coalesce(nOut)
+      .write.parquet(table.resolve(subdir).toString)
+    val written0 = parquetsUnder(table, subdir)
+    val newStats = t0.statsKey
+      .map(k => keyStats(spark, table, written0, k))
+      .getOrElse(Map.empty[String, (Long, Long)])
+    val written =
+      if (t0.statsKey.isEmpty) written0
+      else written0.filter(newStats.contains)
+    val newColStats =
+      colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
+    val smallSet = small.toSet
+    commitRetryWith(table, t => {
+      // A pack rewrite does not commute (same discipline as
+      // materializeDeletes): a concurrent commit means the plan is
+      // stale — fail loudly rather than publish it.
+      require(t.version == t0.version,
+        s"concurrent commit v${t.version} during compactSmall " +
+          s"planned against v${t0.version}; retry")
+      Manifest(0L, 0L, "optimize",
+        t0.files.filterNot(smallSet) ++ written,
+        stats = (t0.stats -- small) ++ newStats,
+        statsKey = t0.statsKey,
+        partitions = t0.partitions -- small,
+        columns = t0.columns,
+        colStats = t0.colStats.map { case (c, pf) =>
+          c -> ((pf -- small) ++ newColStats.getOrElse(c, Map.empty))
+        },
+        deletes = t0.deletes)
+    })
+  }
+
   /** Expire all but the last `retainLast` versions: their manifests
     * are deleted, which is what makes their exclusively-referenced
     * files vacuum-eligible. EXCEPTION: for every streaming writer

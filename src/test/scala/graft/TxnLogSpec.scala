@@ -644,6 +644,41 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(w.physical == "v" && w.id == 2)
   }
 
+  test("compactSmall packs only sub-threshold files and applies " +
+      "pending deletes to what it packs") {
+    val t = freshTable()
+    import spark.implicits._
+    (1L to 50L).map(i => (i, i * 10L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("big").toString)
+    val big = TxnLog.parquetsUnder(t, "big")
+    TxnLog.commitRetry(t, "create", _ => big,
+      statsFor = _ => TxnLog.keyStats(spark, t, big, "k"),
+      statsKey = Some("k"))
+    for ((k, s) <- Seq((100L, "s0"), (101L, "s1"))) {
+      Seq((k, k * 10L)).toDF("k", "c")
+        .coalesce(1).write.parquet(t.resolve(s).toString)
+      TxnLog.commitRetry(t, "append",
+        tip => tip.files ++ TxnLog.parquetsUnder(t, s),
+        statsFor = _ => TxnLog.keyStats(spark, t,
+          TxnLog.parquetsUnder(t, s), "k"))
+    }
+    // Pending MoR delete: k=100 sits in a small file (applied during
+    // the pack), k=2 in the big one (stays pending by seq scoping).
+    TxnLog.deleteByKeyMor(spark, t, Seq(100L, 2L).toDF("k"), "k", "d")
+    TxnLog.compactSmall(spark, t, "opt",
+      minFileBytes = Files.size(t.resolve(big.head)),
+      targetFileBytes = Long.MaxValue / 4)
+    val m = TxnLog.tip(t)
+    assert(m.action == "optimize")
+    assert(big.forall(m.files.contains)) // big file survives by name
+    assert(m.files.size == 2)            // two smalls packed into one
+    assert(m.deletes.nonEmpty)           // still pends against big
+    val expect = (1L to 50L).filterNot(_ == 2L).map(i => (i, i * 10L))
+      .toSet + ((101L, 1010L))
+    assert(TxnLog.readVersion(spark, t, m.version)
+      .as[(Long, Long)].collect().toSet == expect)
+  }
+
   test("expire materializes a retained delta whose base drops; " +
       "chains stay resolvable") {
     val t = freshTable()

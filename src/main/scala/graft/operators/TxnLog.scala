@@ -658,7 +658,10 @@ object TxnLog {
     // overwrite). A commit path that forgot to carry `deletes` forward
     // while keeping old files would silently RESURRECT deleted rows —
     // refuse it loudly here, at the primitive, whatever path built it.
-    parentM.foreach { p =>
+    // EXEMPT: `restore`, whose entire point is to reinstate an old
+    // snapshot wholesale — rolling back past a delete intentionally
+    // brings its rows back.
+    if (m.action != "restore") parentM.foreach { p =>
       val dropped = p.deletes.filterNot(m.deletes.toSet)
       if (dropped.nonEmpty) {
         val resurrected = m.files.filter { f =>

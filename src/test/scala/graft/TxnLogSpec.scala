@@ -472,6 +472,14 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.readVersion(spark, t, 2L)
       .as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (3L, "c"), (2L, "B")))
+    // RESTORE past the delete intentionally resurrects: the v0 state
+    // comes back whole (the resurrect guard exempts restore).
+    TxnLog.restore(t, 0L)
+    val r = TxnLog.tip(t)
+    assert(r.deletes.isEmpty)
+    assert(TxnLog.readVersion(spark, t, r.version)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
   test("a commit dropping pending deletes that still target surviving " +

@@ -900,6 +900,27 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, tbl).count() == 94L)
   }
 
+  test("MoR deletes compose with column mapping: delete by the " +
+      "renamed name, scan and CoW UPDATE apply by physical key") {
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"m${System.nanoTime()}")
+    GraftTables.createFrom(tbl,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    TxnLog.renameColumn(tbl, "id", "key")
+    // Delete by the NEW logical name; the delete file records the
+    // immutable PHYSICAL column, so any later mapping still binds.
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(2L).toDF("key"), "key", "d1")
+    assert(TxnLog.tip(tbl).deletes.head.key == "id")
+    assert(GraftTables.read(spark, tbl)
+      .select("key").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // Row-level UPDATE over the pending delete on the MAPPED table:
+    // the CoW scan applies it, nothing resurrects.
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"UPDATE graft.`$tbl` SET v = 0 WHERE key = 3")
+    assert(GraftTables.read(spark, tbl)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (3L, 0L)))
+  }
+
   test("ADD/DROP COLUMN are manifest-only: pre-ADD files read NULL, " +
       "pinned pre-DROP reads the bytes, re-ADD never resurrects") {
     val tbl = graft.util.Scratch.dir("graft_connector")

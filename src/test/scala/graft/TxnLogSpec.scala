@@ -652,6 +652,28 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(w.physical == "v" && w.id == 2)
   }
 
+  test("changes reads each diff side under its own manifest's " +
+      "mapping: the feed spans a RENAME") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetryWith(t, _ => TxnLog.Manifest(0L, -1L, "create",
+      TxnLog.parquetsUnder(t, "b0"),
+      columns = Some(Seq(
+        TxnLog.ColumnDef(1, "k", "bigint", "k"),
+        TxnLog.ColumnDef(2, "c", "bigint", "c")))))
+    TxnLog.renameColumn(t, "c", "cents") // v1: manifest-only
+    // v2: CoW update of k=1 — physical bytes still carry column "c".
+    TxnLog.mergeCowByKey(spark, t,
+      Seq((1L, 11L, "upsert")).toDF("k", "c", "op"), "k", "m2")
+    val feed = TxnLog.changes(spark, t, 1L, 2L, "k")
+    assert(feed.columns.contains("cents")) // logical, not physical
+    assert(feed.select("k", "cents", "_change_type")
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "update_preimage"), (1L, 11L, "update_postimage")))
+  }
+
   test("compactSmall packs only sub-threshold files and applies " +
       "pending deletes to what it packs") {
     val t = freshTable()

@@ -579,7 +579,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM (SELECT doc_id, text FROM documents
-               UNION ALL SELECT doc_id + 10000, text FROM documents)
+               UNION ALL SELECT doc_id + 100000000000, text FROM documents)
          GROUP BY text ORDER BY doc_id""",
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1616,7 +1616,7 @@ object SparkEntry {
     },
     "pipeline_corpus_curation" ->
       """WITH u AS (SELECT doc_id, text FROM documents
-                    UNION ALL SELECT doc_id + 10000, text FROM documents),
+                    UNION ALL SELECT doc_id + 100000000000, text FROM documents),
          q AS (SELECT doc_id, text,
                  len(string_split(text, ' ')) AS n_tok,
                  CAST(len(list_filter(string_split(text, ' '),
@@ -1783,7 +1783,7 @@ object SparkEntry {
     "pipeline_pretrain_curation" ->
       """WITH d0 AS (SELECT doc_id, text, lang FROM documents),
          u AS (SELECT * FROM d0
-               UNION ALL SELECT doc_id + 10000, text, lang FROM d0),
+               UNION ALL SELECT doc_id + 100000000000, text, lang FROM d0),
          q AS (SELECT doc_id, text, lang,
                  len(string_split(text, ' ')) AS n_tok,
                  CAST(len(list_filter(string_split(text, ' '),
@@ -2102,7 +2102,7 @@ object SparkEntry {
                      WHERE doc_id % 2 = 0),
          inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
                  UNION ALL
-                 SELECT doc_id + 10000, text FROM documents
+                 SELECT doc_id + 100000000000, text FROM documents
                  WHERE doc_id % 2 = 0 AND doc_id < 100)
          SELECT (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
                 (SELECT CAST(count(*) AS BIGINT) FROM inc
@@ -2192,7 +2192,7 @@ object SparkEntry {
                      WHERE doc_id % 2 = 0),
          inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
                  UNION ALL
-                 SELECT doc_id + 10000, text FROM documents
+                 SELECT doc_id + 100000000000, text FROM documents
                  WHERE doc_id % 2 = 0 AND doc_id < 100),
          nw AS (SELECT doc_id FROM inc
                 WHERE md5(text) NOT IN (SELECT fp FROM ex))
@@ -2336,7 +2336,7 @@ object SparkEntry {
       """WITH even AS (SELECT min(doc_id) AS doc_id, text
                        FROM documents WHERE doc_id % 2 = 0
                        GROUP BY text),
-         fresh AS (SELECT min(doc_id) + 10000 AS doc_id
+         fresh AS (SELECT min(doc_id) + 100000000000 AS doc_id
                    FROM documents d
                    WHERE NOT EXISTS
                      (SELECT 1 FROM even e WHERE e.text = d.text)
@@ -2353,7 +2353,7 @@ object SparkEntry {
          ba AS (SELECT doc_id, string_split(text, ' ') AS ws
                 FROM documents WHERE doc_id % 2 = 1
                 UNION ALL
-                SELECT doc_id + 10000, string_split(text, ' ')
+                SELECT doc_id + 100000000000, string_split(text, ' ')
                 FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
          shc AS (SELECT DISTINCT doc_id,
                    ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
@@ -2387,7 +2387,7 @@ object SparkEntry {
          ba AS (SELECT doc_id, string_split(text, ' ') AS ws
                 FROM documents WHERE doc_id % 2 = 1
                 UNION ALL
-                SELECT doc_id + 10000, string_split(text, ' ')
+                SELECT doc_id + 100000000000, string_split(text, ' ')
                 FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
          shc AS (SELECT DISTINCT doc_id,
                    ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
@@ -2423,7 +2423,7 @@ object SparkEntry {
          ba AS (SELECT doc_id, string_split(text, ' ') AS ws
                 FROM documents WHERE doc_id % 2 = 1
                 UNION ALL
-                SELECT doc_id + 10000, string_split(text, ' ')
+                SELECT doc_id + 100000000000, string_split(text, ' ')
                 FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
          shc AS (SELECT DISTINCT doc_id,
                    ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle

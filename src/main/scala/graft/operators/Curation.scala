@@ -158,7 +158,7 @@ object Curation {
     val existing = d.filter(col("doc_id") % 2 === 0)
     val incoming = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
     val fresh = incrementalDedup(existing, incoming)
     incoming.agg(count(lit(1)).as("n_incoming"))
       .crossJoin(fresh.agg(count(lit(1)).as("n_new")))
@@ -303,7 +303,7 @@ object Curation {
     * chain. */
   def pretrainCuration(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"), col("lang"))
-    val u = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+    val u = d.union(d.withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
     val toks = TextOps.tokens(col("text"))
     val quality = u.select(col("doc_id"), col("text"), col("lang"),
         size(toks).as("n_tok"),
@@ -425,7 +425,7 @@ object Curation {
     val existing = d.filter(col("doc_id") % 2 === 0)
     val incoming = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
     val fresh = bloomPrefilterDedup(existing, incoming)
     fresh.agg(count(lit(1)).as("n_new"),
         min(col("doc_id")).as("min_new_id"),

@@ -24,13 +24,13 @@ object Dedup {
     * are only faithful if no GENUINE doc_id reaches the offset — a
     * collision would silently merge two documents' shingle sets (here)
     * or alias audit ids (there). */
-  private[graft] val ReKeyOffset = 10000L
+  private[graft] val ReKeyOffset = 100000000000L
 
   /** Pins the `doc_id < ReKeyOffset` fixture assumption declaratively:
     * identity on every valid id, `raise_error` on violation. A pure
     * codegen'd conditional — zero cost while the assumption holds, a
     * loud failure instead of corrupt output if a future fixture breaks
-    * it (the oracle SQL keeps the plain `doc_id + 10000` literal, so
+    * it (the oracle SQL keeps the plain `doc_id + 100000000000` literal,
     * hashes are unchanged). */
   private[graft] def pinnedDocId(c: Column): Column =
     when(c >= 0 && c < ReKeyOffset, c).otherwise(raise_error(concat(
@@ -53,7 +53,7 @@ object Dedup {
     * n_copies=2. */
   def exactDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select(col("doc_id"), col("text"))
-    val copy = base.withColumn("doc_id", col("doc_id") + 10000)
+    val copy = base.withColumn("doc_id", col("doc_id") + ReKeyOffset)
     exactDedup(base.union(copy), "doc_id", "text")
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
@@ -943,7 +943,7 @@ object Dedup {
     val corpus = d.filter(col("doc_id") % 2 === 0)
     val batch = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
     val (bands, rows) = chooseBands(threshold, k)
     lshBands(minHashSignaturesOfShingles(shingleArrays(corpus), k),
         bands, rows)
@@ -993,7 +993,7 @@ object Dedup {
     val corpus = d.filter(col("doc_id") % 2 === 0)
     val batch = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
     val (bands, rows) = chooseBands(threshold, k)
     // Upper 32 bits of the band key — shiftright keeps the value in
     // int range, so the cast is ANSI-safe; equal 64-bit keys always
@@ -1078,7 +1078,7 @@ object Dedup {
     val corpus = d.filter(col("doc_id") % 2 === 0)
     val batch = d.filter(col("doc_id") % 2 === 1)
       .union(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
     val (bands, rows) = chooseBands(threshold, k)
     // Shingle each relation ONCE and slice/reuse from the checkpointed
     // form: the 8 appends, the probe build, and the final verify all

@@ -236,7 +236,11 @@ object Packing {
       col("n_tokens").cast("bigint").as("n_tok"), col("chunk_md5"))
     val deduped = Dedup.exactDedup(gids, "gid", "chunk_md5")
       .select(col("gid"), col("n_tok"))
-    exclusivePrefixSum(deduped, "gid", "n_tok")
+    // gid = doc_id·1024 + chunk: at the 10^10-doc / 100 TB design
+    // point gids reach ~10^13, past the prefix-sum's 2^36 default —
+    // state 2^44 (1.7e10 docs' worth of slots) for one extra tiny
+    // reduction level instead of a loud capacity trip at scale.
+    exclusivePrefixSum(deduped, "gid", "n_tok", capacityIds = 1L << 44)
       .select(col("gid"), col("n_tok"),
         floor(col("prior") / budget).cast("bigint").as("shard"))
       .groupBy("shard")

@@ -94,7 +94,7 @@ object Sampling {
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val d = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val u = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+    val u = d.union(d.withColumn("doc_id", col("doc_id") + graft.operators.Dedup.ReKeyOffset))
     val toks = TextOps.tokens(col("text"))
     val quality = u.select(col("doc_id"), col("text"),
         size(toks).as("n_tok"),

@@ -383,7 +383,8 @@ object Streaming {
     *
     * The oracle replays the feed in SQL: run 1 lands the even-id half
     * (first-per-text by min doc_id), run 2 lands a re-keyed FULL copy
-    * (survivors = texts absent from the even half, at doc_id+10000). */
+    * (survivors = texts absent from the even half, re-keyed by
+    * [[graft.operators.Dedup.ReKeyOffset]]). */
   def streamIncrementalDedupQuery(spark: SparkSession, dir: String,
       nBuckets: Int = 8): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")

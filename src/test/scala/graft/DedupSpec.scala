@@ -194,7 +194,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("incremental LSH index probe recovers every injected exact copy") {
     val pairs = Dedup.minhashIndexIncrementalQuery(spark, sfDir)
       .as[(Long, Long, Double)].collect()
-    // Every re-keyed copy (even id < 100 → id + 10000) must pair with
+    // Every re-keyed copy (even id < 100 → id + ReKeyOffset) pairs with
     // its original at jaccard 1.0 — an exact duplicate cannot be
     // missed by threshold-tuned banding.
     val nDocs = graft.operators.Relational.table(spark, sfDir, "documents")
@@ -202,11 +202,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val copies = (0L until math.min(100L, nDocs) by 2).toSeq
     copies.foreach { c =>
       assert(pairs.exists { case (a, b, j) =>
-        a == c && b == c + 10000 && j == 1.0 },
-        s"missing exact-copy pair ($c, ${c + 10000})")
+        a == c && b == c + Dedup.ReKeyOffset && j == 1.0 },
+        s"missing exact-copy pair ($c, ${c + Dedup.ReKeyOffset})")
     }
     pairs.foreach { case (a, b, j) =>
-      assert(a % 2 == 0 && (b % 2 == 1 || b >= 10000),
+      assert(a % 2 == 0 && (b % 2 == 1 || b >= Dedup.ReKeyOffset),
         "pairs must cross corpus → batch")
       assert(j >= 0.8)
     }

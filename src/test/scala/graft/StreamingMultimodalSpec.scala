@@ -139,13 +139,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
     val even = docs.filter(col("doc_id") % 2 === 0)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
     val fresh = docs.join(even.select("text"), Seq("text"), "left_anti")
-      .groupBy("text").agg((min("doc_id") + 10000L).as("doc_id"))
+      .groupBy("text").agg(
+        (min("doc_id") + graft.operators.Dedup.ReKeyOffset).as("doc_id"))
     val want = (even.select("doc_id").as[Long].collect() ++
       fresh.select("doc_id").as[Long].collect()).sorted.toSeq
     assert(got == want)
-    assert(got.exists(_ >= 10000L),
+    assert(got.exists(_ >= graft.operators.Dedup.ReKeyOffset),
       "run 2 must contribute genuinely new texts through the probe")
-    assert(got.exists(_ < 10000L), "run 1 survivors must persist")
+    assert(got.exists(_ < graft.operators.Dedup.ReKeyOffset),
+      "run 1 survivors must persist")
     // Run 2's batch holds both novel texts (bloom-negative, must skip
     // the anti-join) and cross-run duplicates (might-contain, must
     // take it) — the split has to exercise BOTH paths to dedup right.

@@ -238,6 +238,7 @@ object SparkEntry {
     "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
     "table_restore" -> ((s, dir) => SourceSinkQueries.tableRestoreQuery(s, dir)),
     "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
+    "table_cdf_mor" -> ((s, dir) => SourceSinkQueries.tableCdfMorQuery(s, dir)),
     "table_delete_mor" -> ((s, dir) => SourceSinkQueries.tableDeleteMorQuery(s, dir)),
     "table_mor_maintenance" -> ((s, dir) => SourceSinkQueries.tableMorMaintenanceQuery(s, dir)),
     "table_clone" -> ((s, dir) => SourceSinkQueries.tableCloneQuery(s, dir)),
@@ -2907,6 +2908,27 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT), 'delete',
                 CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
          FROM o WHERE k % 8 = 1""",
+    // CDF across merge-on-read: v1 append inserts %4==1; v2 delete-mor
+    // surfaces %8==0 as deletes AT ITS OWN commit (no file change);
+    // v3 materialize rewrites files but nets zero feed rows; v4
+    // re-inserts %8==0 at +1 cent.
+    "table_cdf_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders)
+         SELECT CAST(1 AS BIGINT) AS commit_version,
+                'insert' AS change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents
+         FROM o WHERE k % 4 = 1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'delete',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+         FROM o WHERE k % 8 = 0
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), 'insert',
+                CAST(count(*) AS BIGINT), CAST(sum(c + 1) AS BIGINT)
+         FROM o WHERE k % 8 = 0""",
     // Merge-on-read delete: %10==0 of the create slice MoR-deleted
     // (zero rewrites), then re-inserted at +1 cent (sequence scoping);
     // the connector scan applies the delete; v1 pinned is complete.

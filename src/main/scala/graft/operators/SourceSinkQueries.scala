@@ -1741,6 +1741,56 @@ object SourceSinkQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** table_cdf_mor — the change feed across MERGE-ON-READ commits. A
+    * delete-mor commit changes no data files, so a file-diff-only CDF
+    * would classify it metadata-only and silently LOSE the deletions
+    * (or replay them later at the materialize version — the wrong
+    * commit). [[TxnLog.changes]] handles both MoR shapes exactly:
+    * the delete-mor commit's newly-referenced delete keys semi-join
+    * the files the delete scopes (sequence strictly below), emitted
+    * as `delete` rows AT THAT COMMIT; and because every diff side is
+    * read merge-on-read under its own manifest, the later
+    * materialize rewrite — which changes files but no visible row —
+    * nets ZERO feed rows instead of re-deleting. The window spans
+    * create → append → delete-mor → materialize → re-insert; the
+    * oracle replays the key classes (v3 contributes nothing). */
+  def tableCdfMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("conncdfmor").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    for (q <- 0 to 1)
+      orders.filter(col("o_orderkey") % 4 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val b1 = TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b1, "o_orderkey"))
+    // v2: MoR-delete %8==0 (half the create slice) — zero rewrites.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"),
+      "o_orderkey", "d2")
+    // v3: repay the debt — rewrites the affected files without
+    // changing a visible row; must contribute NOTHING to the feed.
+    TxnLog.materializeDeletes(spark, tbl, "m3")
+    // v4: re-insert the deleted keys at +1 cent (fresh sequence).
+    orders.filter(col("o_orderkey") % 8 === 0)
+      .withColumn("cents", col("cents") + 1L)
+      .coalesce(1).write.parquet(tbl.resolve("b4").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "b4"),
+      statsFor = _ => TxnLog.keyStats(spark, tbl,
+        TxnLog.parquetsUnder(tbl, "b4"), "o_orderkey"))
+    TxnLog.changes(spark, tbl, 0L, 4L, "o_orderkey")
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** table_delete_mor — MERGE-ON-READ delete (Iceberg v2 equality
     * deletes): [[TxnLog.deleteByKeyMor]] writes the deleted keys as
     * their own small parquet and the commit references it — O(deleted

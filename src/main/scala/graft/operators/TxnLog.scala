@@ -1290,8 +1290,19 @@ object TxnLog {
       .getOrElse(Map.empty[String, (Long, Long)])
     val newColStats =
       colStatsFor(spark, table, newFiles, tipM.colStats.keys.toSeq.sorted)
-    commitRetryWith(table, t => Manifest(0L, 0L, "compact", newFiles,
-      stats, effKey, columns = t.columns, colStats = newColStats))
+    commitRetryWith(table, t => {
+      // A full rewrite does not commute (same discipline as
+      // compactSmall/materializeDeletes): a concurrent append or
+      // delete-mor landing between the read and this commit would be
+      // silently discarded — its files/deletes are absent from this
+      // plan, and the resurrect guard cannot see a rewrite whose
+      // outputs carry no seqs entries. Fail loudly; caller replans.
+      require(t.version == tipVersion,
+        s"concurrent commit v${t.version} during compact planned " +
+          s"against v$tipVersion; retry")
+      Manifest(0L, 0L, "compact", newFiles,
+        stats, effKey, columns = t.columns, colStats = newColStats)
+    })
   }
 
   /** RESTORE the table to `toVersion` as a NEW commit — the Delta
@@ -1536,12 +1547,24 @@ object TxnLog {
     * table; the per-commit join shuffles only changed rows (AQE
     * broadcasts small sides). Column-mapped tables are read under
     * each side's own manifest and renamed to logical, so the feed
-    * spans RENAME commits. */
+    * spans RENAME commits.
+    *
+    * Merge-on-read aware, two ways. (1) Every side is read through
+    * [[morRead]] under ITS OWN manifest, so rows a pending equality
+    * delete already removed never appear as pre-images — a
+    * materialize commit (which rewrites affected files without
+    * changing a visible row) correctly nets to ZERO change rows
+    * instead of replaying old deletions at the wrong version. (2) A
+    * delete-mor commit changes no files (added/removed both empty)
+    * but DOES change visible rows: the newly-referenced delete file's
+    * keys are semi-joined against the files the delete scopes (seq
+    * strictly below), emitted as `delete` rows at that commit. */
   def changes(spark: SparkSession, table: Path,
       fromVersion: Long, toVersion: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"changes window ($fromVersion, $toVersion] is inverted")
+    val live = versions(table).toSet
     def logical(df: DataFrame, m: Manifest): DataFrame = m.columns match {
       case Some(cols) =>
         val byPhys = cols.map(c => c.physical -> c.name).toMap
@@ -1549,17 +1572,54 @@ object TxnLog {
           col(c).as(byPhys.getOrElse(c, c))): _*)
       case None => df
     }
-    def readFiles(fs: Seq[String], m: Manifest): DataFrame = logical(
-      spark.read.parquet(fs.map(f => table.resolve(f).toString): _*), m)
+    def readFiles(fs: Seq[String], m: Manifest): DataFrame =
+      logical(morRead(spark, table, m, Some(fs)), m)
     val perCommit: Seq[DataFrame] = versions(table)
       .filter(v => v > fromVersion && v <= toVersion).flatMap { v =>
+        // expire() leaves gaps: a commit whose immediate parent is
+        // gone has no pre-image to diff against — refuse cleanly
+        // (Delta raises the same retention error for CDF windows
+        // that outlive deleted commit files).
+        require(live(v - 1),
+          s"CDF window ($fromVersion, $toVersion] exceeds retention " +
+            s"at $table: version ${v - 1} (parent of $v) was expired")
         val prev = readManifest(table, v - 1)
         val cur = readManifest(table, v)
         val prevSet = prev.files.toSet
         val curSet = cur.files.toSet
         val added = cur.files.filterNot(prevSet)
         val removed = prev.files.filterNot(curSet)
-        if (added.isEmpty && removed.isEmpty) None // metadata-only
+        val prevDeletes = prev.deletes.toSet
+        val newDeletes = cur.deletes.filterNot(prevDeletes)
+        if (newDeletes.nonEmpty) {
+          // A delete-mor commit references new delete files and
+          // touches no data files (deleteByKeyMor's only shape; a
+          // commit doing both has no defined row diff here).
+          require(added.isEmpty && removed.isEmpty,
+            s"changes at v$v: commit both adds equality deletes and " +
+              "changes data files — unsupported commit shape for CDF")
+          val dels = newDeletes.flatMap { d =>
+            // Rows visible at v-1 (prev deletes applied) in the files
+            // this delete scopes, whose key the delete names. The
+            // delete file carries the PHYSICAL key column, matching
+            // the raw parquet read inside morRead — rename to logical
+            // only after the join.
+            val scoped = cur.files.filter(f =>
+              cur.seqs.getOrElse(f, -1L) < d.seq)
+            if (scoped.isEmpty) None // nothing in scope = no row change
+            else {
+              val keys = spark.read
+                .parquet(table.resolve(d.path).toString)
+                .select(col(d.key)).distinct()
+              Some(morRead(spark, table, prev, Some(scoped))
+                .join(broadcast(keys), Seq(d.key), "left_semi"))
+            }
+          }.reduceOption(_.unionByName(_))
+          dels.map(df => logical(df, cur)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        }
+        else if (added.isEmpty && removed.isEmpty) None // metadata-only
         else if (removed.isEmpty) Some(
           readFiles(added, cur)
             .withColumn("_change_type", lit("insert"))

@@ -187,6 +187,24 @@ final class GraftReplaceDataWrite(
       new SerializableConfiguration(job.getConfiguration))
   }
 
+  // CHECK constraints guard every data-adding write (Delta enforces
+  // invariants on UPDATE/MERGE outputs, not just inserts): validate
+  // the staged files — physical columns renamed to logical, the names
+  // constraint predicates bind — before publishing. Rows the rewrite
+  // carried verbatim re-validate too; they were valid when written
+  // and stay valid, so the pass costs one scan of O(written bytes).
+  private def validateConstraints(
+      constraints: Map[String, String], newFiles: Seq[String]): Unit = {
+    if (constraints.isEmpty || newFiles.isEmpty) return
+    import org.apache.spark.sql.functions.col
+    val staged = spark.read.parquet(
+      newFiles.map(f => snap.root.resolve(f).toString): _*)
+    TxnLog.checkConstraints(
+      staged.select(staged.columns.toSeq.map(c =>
+        col(c).as(snap.logicalOf(c))): _*),
+      constraints)
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.map(_.asInstanceOf[GraftWrittenFile])
     val newFiles = written.filter(_.rows > 0).map(_.relPath).toSeq.sorted
@@ -212,7 +230,15 @@ final class GraftReplaceDataWrite(
     // loudly and the user retries against fresh data.
     var base = snap.manifest
     var attempts = 0
+    // Validate against the snapshot's constraint set; a rebase onto a
+    // tip whose set CHANGED (concurrent ADD CONSTRAINT) re-validates
+    // under the new set before committing under it.
+    var checkedUnder: Map[String, String] = null
     while (attempts < 10) {
+      if (base.constraints != checkedUnder) {
+        validateConstraints(base.constraints, newFiles)
+        checkedUnder = base.constraints
+      }
       val keptFiles = base.files.filterNot(scanned) ++ newFiles
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, "replace", keptFiles,

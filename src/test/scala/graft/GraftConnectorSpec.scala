@@ -953,4 +953,36 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       TxnLog.dropColumn(tbl, "id"))
     assert(e2.getMessage.contains("equality delete"))
   }
+
+  test("CHECK constraints guard row-level SQL writes: a violating " +
+      "UPDATE or MERGE refuses to commit, valid ones land") {
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    TxnLog.setConstraint(tbl, "v_pos", "v > 0")
+    val sumBefore = GraftTables.read(spark, tbl)
+      .agg(sum($"v")).head.getLong(0)
+    val tipBefore = TxnLog.tip(tbl).version
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    // UPDATE landing a negative v: refused, nothing published.
+    val e = intercept[Throwable](
+      spark.sql(s"UPDATE graft.`$tbl` SET v = -5 WHERE id <= 10"))
+    assert(messageChain(e).contains("v_pos"), messageChain(e))
+    assert(TxnLog.tip(tbl).version == tipBefore,
+      "a refused row-level write must publish no commit")
+    assert(GraftTables.read(spark, tbl)
+      .agg(sum($"v")).head.getLong(0) == sumBefore)
+    // MERGE inserting a violating row through the same write path.
+    Seq((500L, -1L)).toDF("id", "v").createOrReplaceTempView("badrows")
+    val e2 = intercept[Throwable](spark.sql(
+      s"""MERGE INTO graft.`$tbl` t USING badrows c ON t.id = c.id
+         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (c.id, c.v)"""))
+    assert(messageChain(e2).contains("v_pos"), messageChain(e2))
+    assert(TxnLog.tip(tbl).version == tipBefore)
+    // The same statements with valid values still land.
+    spark.sql(s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id <= 10")
+    assert(GraftTables.read(spark, tbl)
+      .agg(sum($"v")).head.getLong(0) == sumBefore + 10L)
+  }
 }

@@ -445,6 +445,60 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("no data-changing commits"))
   }
 
+  test("changes is merge-on-read aware: a delete-mor commit surfaces " +
+      "its deletions at its own version, already-deleted rows are " +
+      "not re-emitted, and a materialize nets zero feed rows") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    // v1 delete-mor of k=2: no file changes, but the feed must carry
+    // the deletion AT v1 (a file-diff-only CDF would lose it).
+    TxnLog.deleteByKeyMor(spark, t, Seq(2L).toDF("k"), "k", "d1")
+    assert(TxnLog.tip(t).files == TxnLog.readManifest(t, 0L).files)
+    val feed1 = TxnLog.changes(spark, t, 0L, 1L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed1 == Set((2L, "b", "delete", 1L)))
+    // v2 deletes k=2 (again — already gone) and k=3: only k=3 is a
+    // visible row change, because the pre-image side reads
+    // merge-on-read under v1's manifest.
+    TxnLog.deleteByKeyMor(spark, t, Seq(2L, 3L).toDF("k"), "k", "d2")
+    val feed2 = TxnLog.changes(spark, t, 1L, 2L, "k")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed2 == Set((3L, "c", "delete", 2L)))
+    // v3 materialize rewrites the affected file without changing a
+    // visible row — it must contribute NOTHING (re-deleting here
+    // would replay k=2/k=3 at the wrong version).
+    TxnLog.materializeDeletes(spark, t, "m3")
+    assert(TxnLog.readManifest(t, 3L).action == "materialize")
+    assert(TxnLog.changes(spark, t, 2L, 3L, "k").count() == 0L)
+    val whole = TxnLog.changes(spark, t, 0L, 3L, "k")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(whole == Set((2L, "delete", 1L), (3L, "delete", 2L)))
+  }
+
+  test("changes refuses a CDF window whose parent manifest was " +
+      "expired, and still serves windows inside retention") {
+    val t = freshTable()
+    import spark.implicits._
+    for (i <- 0 to 3) {
+      Seq((i.toLong, s"r$i")).toDF("k", "v")
+        .coalesce(1).write.parquet(t.resolve(s"b$i").toString)
+      TxnLog.commitRetry(t, if (i == 0) "create" else "append",
+        tip => (if (i == 0) Seq.empty else tip.files) ++
+          TxnLog.parquetsUnder(t, s"b$i"))
+    }
+    TxnLog.expire(t, retainLast = 2) // keeps v2, v3
+    val e = intercept[IllegalArgumentException](
+      TxnLog.changes(spark, t, 0L, 3L, "k"))
+    assert(e.getMessage.contains("exceeds retention"))
+    assert(TxnLog.changes(spark, t, 2L, 3L, "k").count() == 1L)
+  }
+
   // --- merge-on-read equality deletes (round 15) ---
 
   test("deleteByKeyMor rewrites zero data files; reads apply it; " +

@@ -229,6 +229,7 @@ object SparkEntry {
     "table_connector_write" -> ((s, dir) => SourceSinkQueries.tableConnectorWriteQuery(s, dir)),
     "table_incremental_read" -> ((s, dir) => SourceSinkQueries.tableIncrementalReadQuery(s, dir)),
     "stream_table_feed" -> ((s, dir) => SourceSinkQueries.streamTableFeedQuery(s, dir)),
+    "stream_cdf_feed" -> ((s, dir) => SourceSinkQueries.streamCdfFeedQuery(s, dir)),
     "stream_table_sink" -> ((s, dir) => SourceSinkQueries.streamTableSinkQuery(s, dir)),
     "table_delete_where" -> ((s, dir) => SourceSinkQueries.tableDeleteWhereQuery(s, dir)),
     "table_update_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateSqlQuery(s, dir)),
@@ -3083,6 +3084,71 @@ object SparkEntry {
                   (SELECT CAST(count(*) AS BIGINT) FROM b2)
                   AS n_resumed_increment,
                 (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_from_v2""",
+    // CDF stream: v0 snapshot-as-inserts (%4==0), v1 append inserts
+    // (%4==1), v2 CoW UPDATE pre/post-images (+7 on %8==0, carried
+    // rows cancel), v3 MoR-delete of %8==4 at its own version; the
+    // drain increments pin exactly-once movement.
+    "stream_cdf_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders)
+         SELECT CAST(0 AS BIGINT) AS commit_version,
+                'insert' AS change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM o
+                 WHERE k % 4 = 0) AS n_initial,
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 1)
+                  + 2 * (SELECT CAST(count(*) AS BIGINT) FROM o
+                         WHERE k % 8 = 0)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM o
+                     WHERE k % 8 = 4) AS n_resumed,
+                CAST(0 AS BIGINT) AS n_idle
+         FROM o WHERE k % 4 = 0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'insert',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 0),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 1)
+                  + 2 * (SELECT CAST(count(*) AS BIGINT) FROM o
+                         WHERE k % 8 = 0)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM o
+                     WHERE k % 8 = 4),
+                CAST(0 AS BIGINT)
+         FROM o WHERE k % 4 = 1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'update_preimage',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 0),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 1)
+                  + 2 * (SELECT CAST(count(*) AS BIGINT) FROM o
+                         WHERE k % 8 = 0)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM o
+                     WHERE k % 8 = 4),
+                CAST(0 AS BIGINT)
+         FROM o WHERE k % 8 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'update_postimage',
+                CAST(count(*) AS BIGINT), CAST(sum(c + 7) AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 0),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 1)
+                  + 2 * (SELECT CAST(count(*) AS BIGINT) FROM o
+                         WHERE k % 8 = 0)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM o
+                     WHERE k % 8 = 4),
+                CAST(0 AS BIGINT)
+         FROM o WHERE k % 8 = 0
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'delete',
+                CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 0),
+                (SELECT CAST(count(*) AS BIGINT) FROM o WHERE k % 4 = 1)
+                  + 2 * (SELECT CAST(count(*) AS BIGINT) FROM o
+                         WHERE k % 8 = 0)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM o
+                     WHERE k % 8 = 4),
+                CAST(0 AS BIGINT)
+         FROM o WHERE k % 8 = 4""",
     // Incremental reads: each window is a pure function of the two
     // deterministic append batches; the refusal/stability booleans are
     // engine-witnessed.

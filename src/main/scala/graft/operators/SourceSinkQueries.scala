@@ -1121,6 +1121,75 @@ object SourceSinkQueries {
         lit(nFromV2).as("n_from_v2"))
   }
 
+  /** stream_cdf_feed — the CHANGE DATA FEED as a streaming source
+    * (`readStream.format("graft").option("readChangeFeed", "true")`,
+    * [[graft.sources.GraftCdfSource]]): where stream_table_feed reads
+    * append diffs only (and refuses rewrites), this stream carries
+    * row-level inserts, update pre/post-images and deletes — what an
+    * incremental consumer of an UPDATE/DELETE-bearing table actually
+    * needs. Witnessed as a consumer would run it: (1) a fresh
+    * AvailableNow drain takes the snapshot as `insert` rows at v0;
+    * (2) an append, a SQL UPDATE (copy-on-write rewrite — rows the
+    * rewrite carried verbatim must CANCEL) and a merge-on-read
+    * equality delete (no files change — the feed must still surface
+    * the deletions) land; (3) the checkpoint-RESUMED stream emits
+    * exactly those changes, each stamped with its own commit version;
+    * (4) an idle re-drain moves nothing. Offsets are log versions, so
+    * each batch costs O(files its commits touched) — never a rescan
+    * of the table after batch one. */
+  def streamCdfFeedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("conncdffeed")
+    val tbl = root.resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.filter(col("o_orderkey") % 4 === 0)
+      .coalesce(1).write.parquet(tbl.resolve("d0").toString)
+    val base = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => base,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def drain(): Long = {
+      val before =
+        if (!java.nio.file.Files.isDirectory(Paths.get(out))) 0L
+        else spark.read.parquet(out).count()
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .load(tbl.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count() - before
+    }
+    val nInitial = drain()
+    // v1: append the %4==1 slice.
+    orders.filter(col("o_orderkey") % 4 === 1)
+      .coalesce(1).write.format("graft").mode("append").save(tbl.toString)
+    // v2: copy-on-write UPDATE — +7 cents on the %8==0 half.
+    GraftTables.registerCatalog(spark)
+    spark.sql(
+      s"UPDATE graft.`$tbl` SET cents = cents + 7 WHERE o_orderkey % 8 = 0")
+    // v3: merge-on-read delete of the %8==4 keys — zero files change,
+    // yet the resumed feed must carry these as `delete` rows at v3.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      orders.filter(col("o_orderkey") % 8 === 4).select("o_orderkey"),
+      "o_orderkey", "del3")
+    val nResumed = drain()
+    val nIdle = drain()
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_initial", lit(nInitial))
+      .withColumn("n_resumed", lit(nResumed))
+      .withColumn("n_idle", lit(nIdle))
+  }
+
   /** table_delete_where — `DELETE FROM graft.`path` WHERE pred` in
     * plain SQL ([[graft.sources.GraftTable]] implements the v2
     * `SupportsDelete` contract): manifest stats scope the rewrite to
@@ -3224,6 +3293,15 @@ object SourceSinkQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
+    // Bench-drift attribution (r15 suspect, adjudicated r16): the
+    // 0.72→1.42 s move was HOST, not code — this function and
+    // runAvailableNow were byte-identical r14→r15 (comment-only
+    // diffs), r15's host calibrated 1.304× slower with ragged probes
+    // (calib_spread 1.745), and on a calib-1.00 host the query
+    // re-measures at 0.96-1.2 s across 8 runs. A/B-ing
+    // statePartitions=8 / noDataBatches=false here measured NO win
+    // (single-batch stream: per-store commit cost is paid once), so
+    // the defaults stay.
     graft.streaming.Streaming
       .runAvailableNow(agg, base.resolve("ckpt").toString)
       .orderBy("event_type")

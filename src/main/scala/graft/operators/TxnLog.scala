@@ -7,6 +7,7 @@ import java.nio.file.{Files, Path, StandardOpenOption}
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** A versioned transaction log for a parquet table directory — the
   * commit protocol the lakehouse ops ([[SourceSinkQueries.mergeCow]]
@@ -1560,7 +1561,8 @@ object TxnLog {
     * keys are semi-joined against the files the delete scopes (seq
     * strictly below), emitted as `delete` rows at that commit. */
   def changes(spark: SparkSession, table: Path,
-      fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+      fromVersion: Long, toVersion: Long, key: String,
+      emptyAs: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"changes window ($fromVersion, $toVersion] is inverted")
@@ -1662,8 +1664,19 @@ object TxnLog {
               lit(v).as("_commit_version")): _*))
         }
       }
-    require(perCommit.nonEmpty,
-      s"no data-changing commits in ($fromVersion, $toVersion] at $table")
+    if (perCommit.isEmpty) {
+      // A window of pure metadata commits: a streaming consumer
+      // (whose windows are whatever versions landed between triggers)
+      // needs an EMPTY batch of the declared feed shape, while the
+      // batch API keeps failing loudly — a user asking for a feed
+      // over nothing is usually a version-arithmetic bug.
+      emptyAs match {
+        case Some(schema) => return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None => throw new IllegalArgumentException(
+          s"no data-changing commits in ($fromVersion, $toVersion] at $table")
+      }
+    }
     perCommit.reduce(_.unionByName(_))
   }
 

@@ -71,7 +71,8 @@ import graft.operators.TxnLog
   * the qualifying files. */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -82,8 +83,42 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(GraftTables.resolve(properties.asScala.toMap))
+      properties: JMap[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    new GraftTable(GraftTables.resolve(opts), cdf = GraftCdfSource.isCdf(opts))
+  }
+
+  /** V1 streaming-source half of `readChangeFeed`: when the option is
+    * set, [[GraftTable.capabilities]] drops MICRO_BATCH_READ and
+    * Spark's stream resolution falls back to this provider — the
+    * route a CDF batch needs, because it is a computed plan (joins
+    * classifying rewrites), not a file scan an InputPartition can
+    * express. Non-CDF streams never reach here (the DSv2
+    * [[GraftMicroBatchStream]] keeps serving them); the schema half
+    * still answers for both because Spark materializes the V1
+    * fallback relation eagerly. */
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val snapSchema =
+      GraftTables.resolve(parameters).schema
+    (shortName(),
+      if (GraftCdfSource.isCdf(parameters))
+        GraftCdfSource.feedSchema(snapSchema)
+      else snapSchema)
+  }
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(GraftCdfSource.isCdf(parameters),
+      "the graft V1 source serves readChangeFeed streams only; " +
+        "plain streams read through the DSv2 micro-batch path")
+    GraftCdfSource.fromParameters(sqlContext, parameters)
+  }
 
   /** `df.writeStream.format("graft")` — the sink commits each
     * micro-batch through the log with a (appId, batchId) `txn` stamp,
@@ -572,7 +607,8 @@ object GraftTables {
       classOf[GraftCatalog].getName)
 }
 
-final class GraftTable(snap: GraftSnapshot) extends Table
+final class GraftTable(snap: GraftSnapshot, cdf: Boolean = false)
+  extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -601,15 +637,23 @@ final class GraftTable(snap: GraftSnapshot) extends Table
 
   override def schema(): StructType = snap.schema
 
+  // With readChangeFeed set, MICRO_BATCH_READ is withheld so stream
+  // resolution falls back to the V1 CDF source ([[GraftCdfSource]] —
+  // a CDF batch is a computed plan, not a partitionable file scan).
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (cdf) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!cdf,
+      "readChangeFeed is a streaming option (readStream.format(\"graft\")); " +
+        "batch change feeds are served by TxnLog.changes")
     new GraftScanBuilder(SparkSession.active, snap, options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!snap.pinned,

@@ -370,6 +370,64 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       base.resolve("out2").toString) == 10L)
   }
 
+  test("readChangeFeed streams the CDF: snapshot as inserts, then " +
+      "updates, MoR deletes and appends at their own versions " +
+      "across a checkpoint resume; metadata commits batch empty") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = quartileTable()
+    val base = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"cdf${System.nanoTime()}")
+    val (ckpt, out) = (base.resolve("ckpt").toString,
+      base.resolve("out").toString)
+    def drain(): Long = {
+      val before =
+        if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(out))) 0L
+        else spark.read.parquet(out).count()
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .load(tbl.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count() - before
+    }
+    // Batch one of a fresh checkpoint: the snapshot as inserts.
+    assert(drain() == 100L)
+    assert(spark.read.parquet(out)
+      .filter($"_change_type" === "insert" && $"_commit_version" === 0L)
+      .count() == 100L)
+    // v1 append, v2 CoW UPDATE (10 rows of the q0 file; carried rows
+    // must cancel), v3 merge-on-read delete (no files change — the
+    // feed must still carry the 2 deletions at v3).
+    (101L to 110L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("graft").mode("append").save(tbl.toString)
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id <= 10")
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(50L, 51L).toDF("id"), "id", "d3")
+    assert(drain() == 10L + 20L + 2L)
+    val byKind = spark.read.parquet(out)
+      .filter($"_commit_version" >= 1L)
+      .groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(byKind == Set(
+      (1L, "insert", 10L),
+      (2L, "update_preimage", 10L), (2L, "update_postimage", 10L),
+      (3L, "delete", 2L)))
+    // The delete pre-images carry the CURRENT (post-update) values.
+    assert(spark.read.parquet(out)
+      .filter($"_change_type" === "delete").select($"id")
+      .as[Long].collect().toSet == Set(50L, 51L))
+    // A metadata-only commit window drains as an EMPTY batch, not an
+    // error (the batch API keeps refusing: covered in TxnLogSpec).
+    TxnLog.setConstraint(tbl, "v_any", "v IS NOT NULL OR v IS NULL")
+    assert(drain() == 0L)
+    // Idle drain: no new versions, nothing emitted.
+    assert(drain() == 0L)
+    TxnLog.dropConstraint(tbl, "v_any")
+  }
+
   test("MIN/MAX/COUNT push down to parquet footers over the pruned file set") {
     val tbl = quartileTable()
     // The delegation honors Spark's own gate: parquet footer

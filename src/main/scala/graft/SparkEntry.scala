@@ -238,6 +238,8 @@ object SparkEntry {
     "table_merge_nmbs" -> ((s, dir) => SourceSinkQueries.tableMergeNmbsQuery(s, dir)),
     "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
     "table_restore" -> ((s, dir) => SourceSinkQueries.tableRestoreQuery(s, dir)),
+    "table_restore_sql" -> ((s, dir) => SourceSinkQueries.tableRestoreSqlQuery(s, dir)),
+    "table_optimize_sql" -> ((s, dir) => SourceSinkQueries.tableOptimizeSqlQuery(s, dir)),
     "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
     "table_cdf_mor" -> ((s, dir) => SourceSinkQueries.tableCdfMorQuery(s, dir)),
     "table_delete_mor" -> ((s, dir) => SourceSinkQueries.tableDeleteMorQuery(s, dir)),
@@ -2870,6 +2872,25 @@ object SparkEntry {
          FROM orders""",
     // RESTORE to v1 after a mistaken delete: tip = slices %3 in (0,1);
     // pinned v2 = slice 1 only; manifest witnesses engine-checked.
+    // CALL graft.restore via the procedure catalog: same fixture as
+    // table_restore, so the oracle is the two surviving key classes.
+    "table_restore_sql" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 3 IN (0, 1))
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS call_ok
+         FROM o""",
+    // CALL graft.optimize packs the six %3==0 crumbs; big (%3!=0)
+    // survives — the table is the full orders relation throughout.
+    "table_optimize_sql" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS call_ok,
+                true AS second_call_noop
+         FROM o""",
     "table_restore" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -1766,6 +1766,87 @@ object SourceSinkQueries {
         "restore_is_delta", "restore_commit_ok", "stats_covered")
   }
 
+  /** table_restore_sql — RESTORE driven from PLAIN SQL:
+    * `CALL graft.restore(table => …, version => …)` through the DSv2
+    * procedure catalog ([[graft.sources.GraftProcedures]], Spark 4's
+    * native `CALL` statement — the Iceberg
+    * `CALL catalog.system.rollback_to_snapshot` shape), so a SQL-only
+    * tool can undo a bad write with no engine-API access. Same
+    * fixture as table_restore (create → append → mistaken delete);
+    * the CALL result row carries the restored-to and new versions,
+    * and the restored tip is re-read through the catalog to prove
+    * the rollback is visible to SQL too. */
+  def tableRestoreSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connrestoresql").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    for (q <- 0 to 1)
+      orders.filter(col("o_orderkey") % 3 === q)
+        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    val b0 = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    val b1 = TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "append", tip => tip.files ++ b1,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, b1, "o_orderkey"))
+    TxnLog.commitRetry(tbl, "delete", tip => tip.files.filterNot(b0.toSet))
+    GraftTables.registerCatalog(spark)
+    val call = spark.sql(
+      s"CALL graft.restore(table => '$tbl', version => 1)").head()
+    val callOk = call.getLong(0) == 1L && call.getLong(1) == 3L &&
+      TxnLog.tip(tbl).action == "restore"
+    spark.sql(s"SELECT o_orderkey, cents FROM graft.`$tbl`")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("call_ok", lit(callOk))
+  }
+
+  /** table_optimize_sql — incremental OPTIMIZE from PLAIN SQL:
+    * `CALL graft.optimize(table => …, min_file_bytes => …)` →
+    * [[TxnLog.compactSmall]] (the Iceberg
+    * `CALL catalog.system.rewrite_data_files` shape). One big file +
+    * six streaming-sized crumbs: the CALL packs exactly the crumbs
+    * (result row pins 7 → 2 files), the big file survives by name,
+    * and a second CALL is a version-stable no-op — the maintenance
+    * loop a 100 TB deployment schedules hourly, now runnable by any
+    * SQL client. */
+  def tableOptimizeSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connoptsql").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.filter(col("o_orderkey") % 3 =!= 0)
+      .coalesce(1).write.parquet(tbl.resolve("big").toString)
+    val big = TxnLog.parquetsUnder(tbl, "big")
+    TxnLog.commitRetry(tbl, "create", _ => big,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, big, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    for (q <- 0 until 6) {
+      orders.filter(col("o_orderkey") % 18 === q * 3)
+        .coalesce(1).write.parquet(tbl.resolve(s"s$q").toString)
+      val add = TxnLog.parquetsUnder(tbl, s"s$q")
+      TxnLog.commitRetry(tbl, "append", tip => tip.files ++ add,
+        statsFor = _ => TxnLog.keyStats(spark, tbl, add, "o_orderkey"))
+    }
+    GraftTables.registerCatalog(spark)
+    val bigSize = Files.size(tbl.resolve(big.head))
+    val call = spark.sql(s"CALL graft.optimize(table => '$tbl', " +
+      s"min_file_bytes => $bigSize)").head()
+    val m = TxnLog.tip(tbl)
+    val callOk = call.getLong(1) == 7L && call.getLong(2) == 2L &&
+      m.action == "optimize" && big.forall(m.files.contains) &&
+      m.files.forall(m.stats.contains)
+    val secondNoop = spark.sql(s"CALL graft.optimize(table => '$tbl', " +
+      s"min_file_bytes => $bigSize)").head().getLong(0) == m.version
+    spark.sql(s"SELECT cents FROM graft.`$tbl`")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("call_ok", lit(callOk))
+      .withColumn("second_call_noop", lit(secondNoop))
+  }
+
   /** table_cdf_read — row-level CHANGE DATA FEED computed from the
     * log's file diffs alone ([[TxnLog.changes]]): appends are pure
     * inserts, and a copy-on-write rewrite is classified row-by-row

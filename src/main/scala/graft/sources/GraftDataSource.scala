@@ -1220,9 +1220,22 @@ object GraftPruning {
   * `VERSION AS OF n` resolves through `loadTable(ident, version)` —
   * the v2 time-travel contract. Read-only: the write path is the
   * commit protocol ([[TxnLog]]), not SQL DDL. */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
+
+  /** SQL `CALL graft.restore(...)` / `optimize` /
+    * `materialize_deletes` / `expire` — table maintenance as DSv2
+    * stored procedures ([[GraftProcedures]]), the Iceberg `CALL`
+    * shape on Spark 4's native procedure API. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) GraftProcedures.list() else Array.empty
 
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit =

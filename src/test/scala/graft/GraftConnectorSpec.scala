@@ -428,6 +428,46 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     TxnLog.dropConstraint(tbl, "v_any")
   }
 
+  test("CALL procedures run table maintenance from SQL: restore, " +
+      "optimize, materialize_deletes, expire") {
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    // v1: a mistaken SQL DELETE empties the low quartile.
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id <= 25")
+    assert(GraftTables.read(spark, tbl).count() == 75L)
+    // CALL restore → v2, content-identical to v0.
+    val res = spark.sql(
+      s"CALL graft.restore(table => '$tbl', version => 0)").head
+    assert(res.getLong(0) == 0L && res.getLong(1) == 2L)
+    assert(GraftTables.read(spark, tbl).count() == 100L)
+    assert(TxnLog.tip(tbl).action == "restore")
+    // CALL optimize (defaults): all four quartile files are tiny →
+    // packed into one; rows unchanged.
+    val opt = spark.sql(s"CALL graft.optimize(table => '$tbl')").head
+    assert(opt.getLong(1) == 4L && opt.getLong(2) == 1L,
+      s"expected 4 -> 1 files, got $opt")
+    assert(GraftTables.read(spark, tbl).count() == 100L)
+    // A MoR delete, then CALL materialize_deletes clears the debt.
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(1L, 2L).toDF("id"), "id", "dp")
+    val mat = spark.sql(
+      s"CALL graft.materialize_deletes(table => '$tbl')").head
+    assert(mat.getLong(1) == 1L) // one pending delete file folded
+    assert(TxnLog.tip(tbl).deletes.isEmpty)
+    assert(GraftTables.read(spark, tbl).count() == 98L)
+    // CALL expire: keep the last 2 versions, vacuum behind them.
+    val exp = spark.sql(s"CALL graft.expire(table => '$tbl', " +
+      "retain_last => 2, vacuum_horizon_ms => 1)").head
+    assert(exp.getLong(0) >= 1L)
+    assert(GraftTables.read(spark, tbl).count() == 98L)
+    // Unknown procedures fail, naming the available ones in the chain.
+    val e = intercept[Exception](spark.sql(s"CALL graft.zorder('$tbl')"))
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("zorder") &&
+      (chain.contains("available") || chain.contains("FAILED_TO_LOAD")),
+      chain)
+  }
+
   test("MIN/MAX/COUNT push down to parquet footers over the pruned file set") {
     val tbl = quartileTable()
     // The delegation honors Spark's own gate: parquet footer

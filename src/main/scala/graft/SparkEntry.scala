@@ -238,6 +238,7 @@ object SparkEntry {
     "table_merge_nmbs" -> ((s, dir) => SourceSinkQueries.tableMergeNmbsQuery(s, dir)),
     "table_manifest_checkpoint" -> ((s, dir) => SourceSinkQueries.tableManifestCheckpointQuery(s, dir)),
     "table_restore" -> ((s, dir) => SourceSinkQueries.tableRestoreQuery(s, dir)),
+    "table_clone_mor" -> ((s, dir) => SourceSinkQueries.tableCloneMorQuery(s, dir)),
     "table_restore_sql" -> ((s, dir) => SourceSinkQueries.tableRestoreSqlQuery(s, dir)),
     "table_optimize_sql" -> ((s, dir) => SourceSinkQueries.tableOptimizeSqlQuery(s, dir)),
     "table_cdf_read" -> ((s, dir) => SourceSinkQueries.tableCdfReadQuery(s, dir)),
@@ -2872,6 +2873,22 @@ object SparkEntry {
          FROM orders""",
     // RESTORE to v1 after a mistaken delete: tip = slices %3 in (0,1);
     // pinned v2 = slice 1 only; manifest witnesses engine-checked.
+    // Clone across pending MoR deletes: the clone reads the source's
+    // visible set, then locally deletes %10==5 and appends %10==3 at
+    // 777 — final = %10==6 (c) + re-inserted %10==0 (c+1) + %10==3.
+    "table_clone_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders)
+         SELECT CAST((SELECT count(*) FROM o WHERE k % 10 IN (6, 0, 3))
+                     AS BIGINT) AS n_rows,
+                CAST((SELECT sum(c) FROM o WHERE k % 10 = 6)
+                   + (SELECT sum(c + 1) FROM o WHERE k % 10 = 0)
+                   + 777 * (SELECT count(*) FROM o WHERE k % 10 = 3)
+                     AS BIGINT) AS sum_cents,
+                true AS deletes_carried_translated,
+                true AS clone_reads_source,
+                true AS src_unchanged""",
     // CALL graft.restore via the procedure catalog: same fixture as
     // table_restore, so the oracle is the two surviving key classes.
     "table_restore_sql" ->

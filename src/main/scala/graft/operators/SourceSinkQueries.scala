@@ -1766,6 +1766,82 @@ object SourceSinkQueries {
         "restore_is_delta", "restore_commit_ok", "stats_covered")
   }
 
+  /** table_clone_mor — SHALLOW CLONE of a table with PENDING
+    * merge-on-read deletes ([[TxnLog.cloneShallow]]'s cross-log
+    * sequence translation): the source's seq numbers are source-log
+    * coordinates, so the clone maps them order-preserving into the
+    * NEGATIVE range — every carried `seqs(file) < delete.seq` verdict
+    * is unchanged (the clone reads exactly what the source reads,
+    * witnessed: a key the source MoR-deleted stays gone, a later
+    * re-insert that ESCAPED the delete stays visible), while every
+    * seq the clone's own log mints (≥ 1) sorts above all carried
+    * history — a NEW delete on the clone targets all carried files
+    * and a NEW append escapes all carried deletes. Still zero bytes
+    * copied; the source never notices the clone's writes. */
+  def tableCloneMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("connclonemor")
+    val src = base.resolve("src")
+    val dst = base.resolve("dev")
+    Files.createDirectories(src)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.filter(col("o_orderkey") % 5 <= 1) // %10 in {0,1,5,6}
+      .coalesce(1).write.parquet(src.resolve("b0").toString)
+    val b0 = TxnLog.parquetsUnder(src, "b0")
+    TxnLog.commitRetry(src, "create", _ => b0,
+      statsFor = _ => TxnLog.keyStats(spark, src, b0, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    // v1: MoR-delete %10==0; v2: re-insert them at +1 cent (escapes
+    // the delete by seq); v3: MoR-delete %10==1.
+    TxnLog.deleteByKeyMor(spark, src,
+      orders.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+      "o_orderkey", "d1")
+    orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("cents", col("cents") + 1L)
+      .coalesce(1).write.parquet(src.resolve("b2").toString)
+    TxnLog.commitRetry(src, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(src, "b2"),
+      statsFor = _ => TxnLog.keyStats(spark, src,
+        TxnLog.parquetsUnder(src, "b2"), "o_orderkey"))
+    TxnLog.deleteByKeyMor(spark, src,
+      orders.filter(col("o_orderkey") % 10 === 1).select("o_orderkey"),
+      "o_orderkey", "d3")
+    val srcBefore = GraftTables.read(spark, src)
+      .agg(count(lit(1)), sum(col("cents"))).head()
+    TxnLog.cloneShallow(src, dst)
+    val m0 = TxnLog.readManifest(dst, 0L)
+    val carried = TxnLog.dataFiles(dst).isEmpty &&
+      m0.action == "clone" && m0.deletes.size == 2 &&
+      m0.deletes.forall(_.seq < 0L) &&
+      m0.files.forall(f => m0.seqs.getOrElse(f, 1L) < 0L)
+    val cloneReadsSource = GraftTables.read(spark, dst)
+      .agg(count(lit(1)), sum(col("cents"))).head().toSeq ==
+      srcBefore.toSeq
+    // Clone-local evolution: a NEW MoR delete (%10==5) targets the
+    // carried files; a NEW append (%10==3 at 777) escapes the carried
+    // deletes. The source sees neither.
+    TxnLog.deleteByKeyMor(spark, dst,
+      orders.filter(col("o_orderkey") % 10 === 5).select("o_orderkey"),
+      "o_orderkey", "cd")
+    orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("cents", lit(777L))
+      .coalesce(1).write.parquet(dst.resolve("cb").toString)
+    TxnLog.commitRetry(dst, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(dst, "cb"))
+    val srcUnchanged = GraftTables.read(spark, src)
+      .agg(count(lit(1)), sum(col("cents"))).head().toSeq ==
+      srcBefore.toSeq
+    val agg = GraftTables.read(spark, dst)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      carried, cloneReadsSource, srcUnchanged))
+      .toDF("n_rows", "sum_cents",
+        "deletes_carried_translated", "clone_reads_source",
+        "src_unchanged")
+  }
+
   /** table_restore_sql — RESTORE driven from PLAIN SQL:
     * `CALL graft.restore(table => …, version => …)` through the DSv2
     * procedure catalog ([[graft.sources.GraftProcedures]], Spark 4's

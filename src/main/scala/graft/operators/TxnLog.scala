@@ -1502,26 +1502,47 @@ object TxnLog {
     *
     * Caveats, same as Delta's: vacuuming the SOURCE can reclaim files
     * a clone still references (the clone's references are invisible
-    * to the source's log) — clones are sandboxes, not backups. A
-    * source with PENDING merge-on-read deletes is refused: its delete
-    * files' sequence numbers are meaningless in the clone's log;
-    * materialize first. */
+    * to the source's log) — clones are sandboxes, not backups.
+    *
+    * A source with PENDING merge-on-read deletes clones correctly:
+    * its sequence numbers are source-log coordinates, so they are
+    * TRANSLATED order-preserving into the NEGATIVE range (highest
+    * source seq → -1). That keeps every carried file/delete pair's
+    * `seqs(f) < d.seq` verdict identical — scans of the clone apply
+    * exactly the deletes the source's scans apply — while every seq
+    * the CLONE's own log will ever mint (commit version + 1 ≥ 1)
+    * sorts ABOVE the carried history: a new delete on the clone
+    * correctly targets all carried files, a new append correctly
+    * escapes all carried deletes. Files the source never stamped
+    * (implicit seq -1) join the translation as their own rank, so
+    * the default-`-1` fallback in readers can never mis-scope them. */
   def cloneShallow(src: Path, dst: Path,
       version: Option[Long] = None): Committed = {
     val v = version.orElse(latest(src)).getOrElse(
       sys.error(s"no committed version to clone at $src"))
     val m = readManifest(src, v)
-    require(m.deletes.isEmpty,
-      s"$src@v$v has pending merge-on-read deletes; run " +
-        "materializeDeletes before cloning")
     val srcRoot = src.toAbsolutePath.normalize
     def abs(f: String): String = srcRoot.resolve(f).toString
+    // Order-preserving seq translation into negatives (see scaladoc).
+    val srcSeqOf: String => Long = f => m.seqs.getOrElse(f, -1L)
+    val distinctSeqs: Seq[Long] =
+      (m.files.map(srcSeqOf) ++ m.deletes.map(_.seq)).distinct.sorted
+    val xlate: Map[Long, Long] = distinctSeqs.zipWithIndex.map {
+      case (s, i) => s -> (i.toLong - distinctSeqs.size)
+    }.toMap
+    val cloneSeqs: Map[String, Long] =
+      if (m.deletes.isEmpty) Map.empty // no scoping to preserve
+      else m.files.map(f => abs(f) -> xlate(srcSeqOf(f))).toMap
+    val cloneDeletes: Seq[DeleteFile] = m.deletes.map(d =>
+      d.copy(path = abs(d.path), seq = xlate(d.seq)))
     Files.createDirectories(dst)
     commitRetryWith(dst, t => {
       require(t.version < 0L, s"clone target $dst already has a log")
       Manifest(0L, 0L, "clone", m.files.map(abs),
         stats = m.stats.map { case (f, r) => abs(f) -> r },
         statsKey = m.statsKey,
+        seqs = cloneSeqs,
+        deletes = cloneDeletes,
         partitions = m.partitions.map { case (f, p) => abs(f) -> p },
         columns = m.columns,
         sizes = m.sizes.map { case (f, n) => abs(f) -> n },

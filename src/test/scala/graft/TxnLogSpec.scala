@@ -628,11 +628,59 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxnLog.latest(src).contains(0L))
     assert(TxnLog.readVersion(spark, src, 0L)
       .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
-    // Cloning a source with pending MoR deletes is refused.
+    // Cloning a source with pending MoR deletes carries them
+    // (seq-translated — the dedicated spec below); the clone reads
+    // what the source reads, zero copies either way.
     TxnLog.deleteByKeyMor(spark, src, Seq(1L).toDF("k"), "k", "d1")
-    val e = intercept[IllegalArgumentException](
-      TxnLog.cloneShallow(src, freshTable()))
-    assert(e.getMessage.contains("pending"))
+    val dst2 = freshTable()
+    TxnLog.cloneShallow(src, dst2)
+    assert(TxnLog.readVersion(spark, dst2, 0L)
+      .as[(Long, Long)].collect().toSet == Set((2L, 20L)))
+  }
+
+  test("cloneShallow carries pending MoR deletes: order-preserving " +
+      "negative seq translation keeps scoping exact, and the clone's " +
+      "own commits sort above all carried history") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    TxnLog.deleteByKeyMor(spark, t, Seq(2L).toDF("k"), "k", "d1") // seq 1
+    Seq((2L, "B")).toDF("k", "v") // re-insert escapes d1 (seq 2 > 1)
+      .coalesce(1).write.parquet(t.resolve("b2").toString)
+    TxnLog.commitRetry(t, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(t, "b2"))
+    TxnLog.deleteByKeyMor(spark, t, Seq(3L).toDF("k"), "k", "d3") // seq 3
+    def rows(p: Path): Set[(Long, String)] =
+      TxnLog.readVersion(spark, p, TxnLog.latest(p).get)
+        .as[(Long, String)].collect().toSet
+    assert(rows(t) == Set((1L, "a"), (2L, "B")))
+    val dst = freshTable().resolve("clone")
+    TxnLog.cloneShallow(t, dst)
+    val cm = TxnLog.tip(dst)
+    // Verbatim delete application: the clone reads what the source reads.
+    assert(rows(dst) == Set((1L, "a"), (2L, "B")))
+    // Source seqs {0(b0), 1(d1), 2(b2), 3(d3)} -> {-4,-3,-2,-1}.
+    assert(cm.deletes.map(_.seq).sorted == Seq(-3L, -1L))
+    assert(cm.files.flatMap(cm.seqs.get).sorted == Seq(-4L, -2L))
+    // A NEW delete on the clone (seq 1) targets ALL carried files —
+    // k=1 dies in b0; the source never notices.
+    TxnLog.deleteByKeyMor(spark, dst, Seq(1L).toDF("k"), "k", "cd")
+    assert(rows(dst) == Set((2L, "B")))
+    assert(rows(t) == Set((1L, "a"), (2L, "B")))
+    // A NEW append on the clone (seq 2) escapes every carried delete,
+    // even re-inserting the source-deleted k=3.
+    Seq((3L, "z")).toDF("k", "v")
+      .coalesce(1).write.parquet(dst.resolve("cb").toString)
+    TxnLog.commitRetry(dst, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(dst, "cb"))
+    assert(rows(dst) == Set((2L, "B"), (3L, "z")))
+    // materialize on the clone repays the whole carried debt locally.
+    TxnLog.materializeDeletes(spark, dst, "cm")
+    assert(TxnLog.tip(dst).deletes.isEmpty)
+    assert(rows(dst) == Set((2L, "B"), (3L, "z")))
+    assert(rows(t) == Set((1L, "a"), (2L, "B")))
   }
 
   test("a manifest stamped with a future reader version is refused " +

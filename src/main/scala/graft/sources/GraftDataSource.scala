@@ -142,7 +142,18 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(sys.error("graft streaming sink needs a " +
         "checkpointLocation (or explicit txnAppId) to be exactly-once"))
-    new GraftStreamingSink(Paths.get(path), appId)
+    // `option("constraint.<name>", "<sql predicate>")` declares CHECK
+    // constraints a stream-CREATED table is born with — batch 0
+    // validates against them BEFORE the create commit (previously the
+    // first batch bypassed validation entirely because the table, and
+    // hence its constraint set, did not exist yet). On an existing
+    // table they must match what the manifest already declares.
+    val constraints = parameters.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("constraint.") =>
+        k.substring("constraint.".length) -> v
+    }
+    new GraftStreamingSink(Paths.get(path), appId, constraints)
   }
 }
 
@@ -154,7 +165,8 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
   * it — exactly-once without coordination beyond the log. A first
   * batch into a fresh path CREATES the table with declared columns
   * from the batch schema. */
-final class GraftStreamingSink(root: Path, appId: String)
+final class GraftStreamingSink(root: Path, appId: String,
+    constraints: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -171,10 +183,20 @@ final class GraftStreamingSink(root: Path, appId: String)
     // re-wrap its physical plan as a batch frame — the V1-sink idiom.
     val batch = org.apache.spark.sql.graftshim.BatchDF.from(data)
     if (TxnLog.latest(root).isEmpty)
-      GraftTables.createFrom(root, batch, txn)
-    else
-      GraftTables.insert(GraftTables.resolve(Map("path" -> root.toString)),
-        batch, overwrite = false, txn)
+      GraftTables.createFrom(root, batch, txn, constraints)
+    else {
+      val snap = GraftTables.resolve(Map("path" -> root.toString))
+      // Declared sink constraints must agree with the live table's —
+      // a silently narrower set would let later batches skip checks
+      // the writer believes are on.
+      constraints.foreach { case (n, p) =>
+        require(snap.manifest.constraints.get(n).contains(p),
+          s"streaming sink declares constraint '$n' ($p) but table " +
+            s"$root carries ${snap.manifest.constraints.getOrElse(n,
+              "<none>")}; ALTER the table instead of the sink option")
+      }
+      GraftTables.insert(snap, batch, overwrite = false, txn)
+    }
   }
 
   override def toString: String = s"GraftSink[$root]"
@@ -447,8 +469,14 @@ object GraftTables {
     * OTHER writer created the table meanwhile, the create degrades to
     * an append so it cannot clobber their files. */
   def createFrom(root: Path, data: DataFrame,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      constraints: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(root)
+    // Batch 0 of a stream-created table validates against the
+    // DECLARED constraints before any bytes are staged — the table it
+    // creates is then born carrying them, so every later batch
+    // validates through [[insert]]'s tip-constraint pass.
+    TxnLog.checkConstraints(data, constraints)
     val newFiles = stage(root, data)
     val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
       TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
@@ -460,12 +488,19 @@ object GraftTables {
       }
       if (tip.version < 0L)
         TxnLog.Manifest(0L, 0L, "create",
-          newFiles, columns = Some(cols), txn = txn)
-      else
+          newFiles, columns = Some(cols), txn = txn,
+          constraints = constraints)
+      else {
+        // Some OTHER writer created the table while we staged; the
+        // create degrades to an append — which must honor THAT
+        // table's constraint set, not just ours.
+        if (tip.constraints != constraints)
+          TxnLog.checkConstraints(data, tip.constraints)
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats, tip.statsKey, partitions = tip.partitions,
           columns = tip.columns.orElse(Some(cols)), txn = txn,
           deletes = tip.deletes)
+      }
     })
   }
 

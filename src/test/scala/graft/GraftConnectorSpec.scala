@@ -545,6 +545,47 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, b).count() == 123L)
   }
 
+  test("writeStream.format(graft): batch 0 of a stream-created table honors declared CHECK constraints") {
+    import org.apache.spark.sql.streaming.Trigger
+    val a = quartileTable() // ids 0..99 — half violate `id < 50`
+    val base = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"cons${System.nanoTime()}")
+    def pump(out: java.nio.file.Path, ck: String, pred: String): Unit = {
+      val q = spark.readStream.format("graft").load(a.toString)
+        .writeStream.format("graft").option("path", out.toString)
+        .option("checkpointLocation", ck)
+        .option("constraint.bounded", pred)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // A violating FIRST batch fails the query — no create commit lands
+    // (this used to slide through: the table didn't exist yet, so no
+    // constraint set existed to validate against).
+    val bad = base.resolve("bad")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      pump(bad, base.resolve("ckbad").toString, "id < 50")
+    }
+    assert(e.getMessage.contains("bounded") ||
+      Option(e.getCause).exists(_.getMessage.contains("bounded")))
+    assert(TxnLog.latest(bad).isEmpty, "violating batch 0 must not commit")
+    // A passing first batch creates the table BORN with the constraint;
+    // later direct writes validate against it with no sink option.
+    val good = base.resolve("good")
+    pump(good, base.resolve("ckgood").toString, "id >= 0")
+    assert(TxnLog.readManifest(good, 0L).constraints ==
+      Map("bounded" -> "id >= 0"))
+    intercept[Exception] {
+      Seq((-5L, 1L)).toDF("id", "v")
+        .write.format("graft").mode("append").save(good.toString)
+    }
+    // A sink option that disagrees with the live table's set refuses.
+    intercept[Exception] {
+      new graft.sources.GraftStreamingSink(good, "other-app",
+        Map("bounded" -> "id >= 10"))
+        .addBatch(0L, Seq((11L, 1L)).toDF("id", "v"))
+    }
+  }
+
   test("SQL DELETE FROM rewrites only stats-affected files as a log commit") {
     val tbl = quartileTable()
     GraftTables.registerCatalog(spark)

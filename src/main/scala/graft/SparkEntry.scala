@@ -3564,8 +3564,8 @@ object SparkEntry {
                 CAST((SELECT count(*) FROM
                         (SELECT DISTINCT date_trunc('hour', ts), event_type
                          FROM events WHERE event_id % 2 = 1))
-                  AS BIGINT) AS n_late_dropped,
-                true AS drops_match_late_groups
+                  AS BIGINT) AS n_late_groups,
+                true AS drops_in_band
          FROM a GROUP BY window_start, event_type
          ORDER BY window_start, event_type""",
     // CDC apply: the final table state is a pure function of the base

@@ -719,19 +719,21 @@ object Streaming {
     * on-time windows finalize and emit). The exactly-once parquet file
     * sink accumulates the appended windows across both restarts, and
     * the dropped-row count is read from the engine's own
-    * `numRowsDroppedByWatermark` state metric — asserted EQUAL to the
-    * late half's distinct (window, event_type) GROUP count, with zero
-    * drops in run 1. (Group count, not input-row count: the watermark
-    * filter sits at the state store, BEHIND the map-side partial
-    * aggregation, so what gets dropped-and-counted is partial-agg rows
-    * — measured 482 groups for 500 late inputs at sf0.001. That
-    * placement is itself the scale design: late data costs a partial
-    * agg, never state.) The final window
-    * table equals the batch aggregate over the on-time half alone: at
-    * 100 TB/day this pair (bounded state + counted drops) is the
-    * difference between a stream that runs forever and one that OOMs
-    * on day three — and the metric is what makes silent data loss
-    * visible to the operator. */
+    * `numRowsDroppedByWatermark` state metric. The watermark filter
+    * sits at the state store, BEHIND the map-side partial aggregation,
+    * so what gets dropped-and-counted is partial-agg rows — one per
+    * (late group × map task that saw it). That placement is itself the
+    * scale design (late data costs a partial agg, never state), and it
+    * makes the exact count split-dependent, so the witness pins the
+    * SPLIT-ROBUST band instead: drops == 0 in run 1, and in run 2
+    * distinct-late-groups <= drops <= late-input-rows — bounds that
+    * hold however the scheduler carves the batch (the late half lands
+    * as THREE files here precisely so the batch genuinely splits).
+    * The final window table equals the batch aggregate over the
+    * on-time half alone: at 100 TB/day this pair (bounded state +
+    * counted drops) is the difference between a stream that runs
+    * forever and one that OOMs on day three — and the metric is what
+    * makes silent data loss visible to the operator. */
   def streamLateDropQuery(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.util.Scratch.dir("graft_latedrop")
     val srcDir = base.resolve("in")
@@ -740,16 +742,7 @@ object Streaming {
     Files.createDirectories(srcDir)
     val onTime = eventsHalf(spark, dir, 0)
     def run(): Long = {
-      // repartition(1) ahead of the aggregate: the dropped-rows metric
-      // counts PARTIAL-AGG rows, which equal the distinct late group
-      // count only while each group's late rows reach one map task.
-      // landSingleFile keeps the batch in one file today, but a larger
-      // file or a lower maxPartitionBytes would split it and the strict
-      // drops == groups pin below would flip as a phantom failure —
-      // collapsing the source side makes the equality hold by
-      // construction, independent of split config.
-      val q = windowedCounts(
-        eventsStream(spark, srcDir.toString).repartition(1))
+      val q = windowedCounts(eventsStream(spark, srcDir.toString))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n_events"),
           col("sum_value"))
@@ -772,16 +765,25 @@ object Streaming {
       .withColumn("ts", col("ts") - lit(tenDaysNs))
     val fence = eventsHalf(spark, dir, 1).limit(1)
       .withColumn("ts", lit(maxA + threeHoursNs))
-    landSingleFile(late.unionByName(fence), base, srcDir, "b.parquet")
+    // Multi-file late batch (the very shape the old repartition(1) pin
+    // could not survive): two late shards plus the fence.
+    landSingleFile(late.filter(col("event_id") % 4 === 1),
+      base, srcDir, "b1.parquet")
+    landSingleFile(late.filter(col("event_id") % 4 === 3),
+      base, srcDir, "b2.parquet")
+    landSingleFile(fence, base, srcDir, "b3.parquet")
     val dropsRun2 = run()
     val nLateGroups = graft.operators.Relational.table(spark, dir, "events")
       .filter(col("event_id") % 2 === 1)
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .distinct().count()
+    val nLateRows = graft.operators.Relational.table(spark, dir, "events")
+      .filter(col("event_id") % 2 === 1).count()
     spark.read.parquet(outPath)
-      .withColumn("n_late_dropped", lit(dropsRun2))
-      .withColumn("drops_match_late_groups",
-        lit(dropsRun1 == 0L && dropsRun2 == nLateGroups))
+      .withColumn("n_late_groups", lit(nLateGroups))
+      .withColumn("drops_in_band",
+        lit(dropsRun1 == 0L && dropsRun2 >= nLateGroups &&
+          dropsRun2 <= nLateRows))
       .orderBy("window_start", "event_type")
   }
 

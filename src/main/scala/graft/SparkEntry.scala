@@ -250,6 +250,7 @@ object SparkEntry {
     "table_schema_add_drop" -> ((s, dir) => SourceSinkQueries.tableSchemaAddDropQuery(s, dir)),
     "table_alter_sql" -> ((s, dir) => SourceSinkQueries.tableAlterSqlQuery(s, dir)),
     "table_delete_mor_sql" -> ((s, dir) => SourceSinkQueries.tableDeleteMorSqlQuery(s, dir)),
+    "table_delete_mor_pos" -> ((s, dir) => SourceSinkQueries.tableDeleteMorPosQuery(s, dir)),
     "table_optimize_small" -> ((s, dir) => SourceSinkQueries.tableOptimizeSmallQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
@@ -3042,6 +3043,19 @@ object SparkEntry {
                 CAST(sum(c) AS BIGINT) AS sum_cents,
                 true AS mor_routed
          FROM o WHERE k NOT IN (SELECT k FROM del)""",
+    // Position-delete MoR on a keyless table: predicate delete (cents
+    // > 3e7) lands as (file, ordinal) positions, then an equality
+    // delete (keys ending in 9) composes; one scan applies both.
+    "table_delete_mor_pos" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS pos_routed,
+                true AS both_forms_pending,
+                true AS delete_bytes_small
+         FROM o WHERE NOT (c > 30000000) AND NOT (k % 10 = 9)""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

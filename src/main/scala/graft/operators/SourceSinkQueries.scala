@@ -2335,8 +2335,10 @@ object SourceSinkQueries {
     * O(deleted keys) bytes, ZERO data files rewritten (witnessed: the
     * file list is bit-identical and the commit action is delete-mor) —
     * where the default mode pays a copy-on-write rewrite of every
-    * affected file. Non-key predicates fall back to CoW, so the
-    * routing is an optimization, never a semantics change. */
+    * affected file. Non-key predicates route to POSITION deletes
+    * instead ([[tableDeleteMorPosQuery]]), so MoR mode is total —
+    * and either way the routing is an optimization, never a
+    * semantics change. */
   def tableDeleteMorSqlQuery(
       spark: SparkSession, dir: String): DataFrame = {
     val tbl = tmpDir("connmorsql").resolve("orders")
@@ -2366,6 +2368,61 @@ object SourceSinkQueries {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
     Seq((agg.getLong(0), agg.getLong(1), morRouted))
       .toDF("n_rows", "sum_cents", "mor_routed")
+  }
+
+  /** table_delete_mor_pos — merge-on-read delete by POSITION (the
+    * Iceberg v2 position-delete / Delta deletion-vector shape,
+    * [[TxnLog.deleteByPosMor]]): on a KEYLESS table — no stats key,
+    * so equality deletes cannot express the result — a MoR-mode
+    * predicate `DELETE` commits a small (file_path, row ordinal)
+    * delete file: O(deleted rows) bytes (witnessed: the delete file
+    * is smaller than the data it logically edits), ZERO data files
+    * rewritten (witnessed: the file list is bit-identical, commit
+    * action delete-mor, kind pos). An equality delete then composes
+    * on top, and one scan applies BOTH pending forms — ordinals
+    * binary-searched against the reader-generated parquet row index,
+    * keys against the broadcast key array. At 100 TB this is the
+    * GDPR-delete path for tables that never declared a key. */
+  def tableDeleteMorPosQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmorpos").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 2 === 1)
+    // Keyless on purpose: created WITHOUT a stats key, the shape
+    // where position deletes are the only MoR form available.
+    orders.filter(col("o_orderkey") % 4 === 1)
+      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    orders.filter(col("o_orderkey") % 4 === 3)
+      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    val files = TxnLog.parquetsUnder(tbl, "b0") ++
+      TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "create", _ => files)
+    GraftTables.registerCatalog(spark)
+    val preFiles = TxnLog.tip(tbl).files
+    val dataBytes = preFiles.map(f => Files.size(tbl.resolve(f))).sum
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(s"DELETE FROM graft.`$tbl` WHERE cents > 30000000")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val m1 = TxnLog.tip(tbl)
+    val posRouted = m1.action == "delete-mor" && m1.files == preFiles &&
+      m1.deletes.size == 1 && m1.deletes.head.kind == "pos"
+    val deleteBytesSmall = m1.deletes.head.bytes < dataBytes
+    // An equality delete composes on top of the pending positions.
+    TxnLog.deleteByKeyMor(spark, tbl,
+      orders.filter(col("o_orderkey") % 10 === 9).select("o_orderkey"),
+      "o_orderkey", "eq1")
+    val m2 = TxnLog.tip(tbl)
+    val bothPending = m2.deletes.map(_.kind).sorted == Seq("eq", "pos")
+    import spark.implicits._
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1), posRouted, bothPending,
+        deleteBytesSmall))
+      .toDF("n_rows", "sum_cents", "pos_routed", "both_forms_pending",
+        "delete_bytes_small")
   }
 
   /** table_optimize_small — INCREMENTAL OPTIMIZE

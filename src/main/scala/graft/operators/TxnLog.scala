@@ -124,18 +124,32 @@ object TxnLog {
 
   final case class Committed(version: Long, conflicts: Int)
 
-  /** One pending EQUALITY-DELETE file (the Iceberg v2 merge-on-read
-    * idea): `path` is a small parquet of deleted key values under
-    * column `key` (the PHYSICAL column name — immutable across
-    * renames), `seq` the commit version that added it, `bytes` its
-    * size (so scan planning stays filesystem-free). A delete applies
-    * to rows of data files whose per-file sequence ([[Manifest.seqs]])
-    * is STRICTLY BELOW `seq` — files appended later escape, which is
-    * what lets a deleted key be legitimately re-inserted. Readers
-    * anti-join pending deletes at scan time; [[compact]] /
+  /** One pending merge-on-read DELETE file, in one of two forms (the
+    * two Iceberg v2 delete shapes).
+    *
+    * EQUALITY (`kind = "eq"`, the default): `path` is a small parquet
+    * of deleted key values under column `key` (the PHYSICAL column
+    * name — immutable across renames). The delete applies to rows of
+    * data files whose per-file sequence ([[Manifest.seqs]]) is
+    * STRICTLY BELOW `seq` — files appended later escape, which is
+    * what lets a deleted key be legitimately re-inserted.
+    *
+    * POSITION (`kind = "pos"`, Iceberg "Position delete files" /
+    * Delta deletion vectors): `path` is a small parquet of
+    * (`file_path`, `pos`) rows — the TABLE-RELATIVE data file and the
+    * 0-based parquet row ordinal within it (`key` is empty, unused).
+    * The delete applies to exactly the rows it names; scoping is by
+    * FILE MEMBERSHIP, not sequence (a named file is immutable, so the
+    * reference can never drift). This is the shape a predicate DELETE
+    * produces on a table with no key column.
+    *
+    * `seq` is the commit version that added the delete, `bytes` its
+    * size (so scan planning stays filesystem-free). Readers apply
+    * pending deletes at scan time; [[compact]] /
     * [[materializeDeletes]] fold them back into data files. */
   final case class DeleteFile(
-      path: String, key: String, seq: Long, bytes: Long)
+      path: String, key: String, seq: Long, bytes: Long,
+      kind: String = "eq")
 
   /** The explicit "no non-NULL keys in this file" stats entry: an
     * empty interval that intersects no query range, so such a file
@@ -308,6 +322,9 @@ object TxnLog {
         val o = dn.addObject()
         o.put("path", d.path); o.put("key", d.key)
         o.put("seq", d.seq); o.put("bytes", d.bytes)
+        // "eq" stays implicit so pre-position-delete manifests parse
+        // identically and eq-only tables stay readable by old readers.
+        if (d.kind != "eq") o.put("kind", d.kind)
       }
     }
     if (constraints.nonEmpty) {
@@ -321,6 +338,10 @@ object TxnLog {
     root.put("version", m.version)
     root.put("parent", m.parent)
     root.put("action", m.action)
+    // Position deletes are a reader-v3 feature: a reader that only
+    // knows equality deletes would silently treat the (file_path, pos)
+    // file as a key list — stamp so it refuses loudly instead.
+    if (m.deletes.exists(_.kind == "pos")) root.put("minReader", 3)
     val fs = root.putArray("files")
     m.files.foreach(fs.add)
     putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
@@ -338,7 +359,8 @@ object TxnLog {
     // reader refuses loudly instead of misreading (see
     // [[SupportedReaderVersion]]). Full-form manifests stay
     // unstamped — readable by any reader.
-    root.put("minReader", 2)
+    root.put("minReader",
+      if (d.deletes.exists(_.kind == "pos")) 3 else 2)
     root.put("base", d.base)
     val as = root.putArray("adds"); d.adds.foreach(as.add)
     val rs = root.putArray("removes"); d.removes.foreach(rs.add)
@@ -397,7 +419,8 @@ object TxnLog {
     val deletes = Option(n.get("deletes")).map { dn =>
       dn.elements().asScala.map { d =>
         DeleteFile(d.get("path").asText, d.get("key").asText,
-          d.get("seq").asLong, d.get("bytes").asLong)
+          d.get("seq").asLong, d.get("bytes").asLong,
+          Option(d.get("kind")).map(_.asText).getOrElse("eq"))
       }.toSeq
     }.getOrElse(Seq.empty[DeleteFile])
     val constraints = Option(n.get("constraints")).map { cn =>
@@ -417,7 +440,7 @@ object TxnLog {
     * field could change semantics it would silently ignore). Writers
     * stamp `minReader` only when a manifest actually uses a feature
     * (delta form = 2), so old tables stay readable by old readers. */
-  val SupportedReaderVersion: Int = 2
+  val SupportedReaderVersion: Int = 3
 
   /** Parse a stored manifest: `Right(full snapshot)` or `Left(delta)`
     * — the `base` field is what marks the delta form. */
@@ -665,11 +688,19 @@ object TxnLog {
     if (m.action != "restore") parentM.foreach { p =>
       val dropped = p.deletes.filterNot(m.deletes.toSet)
       if (dropped.nonEmpty) {
+        // Equality deletes target by sequence; position deletes target
+        // exactly the files they name (read here without Spark — the
+        // guard runs inside the commit primitive, and the delete file
+        // is O(pending deletes) small by construction).
+        val (droppedPos, droppedEq) = dropped.partition(_.kind == "pos")
+        val posTargets: Set[String] =
+          droppedPos.flatMap(d => posDeleteNamedFiles(table, d)).toSet
         val resurrected = m.files.filter { f =>
-          p.seqs.get(f).exists(s => dropped.exists(_.seq > s))
+          p.seqs.get(f).exists(s => droppedEq.exists(_.seq > s)) ||
+            posTargets(f)
         }
         require(resurrected.isEmpty,
-          s"commit drops pending equality delete(s) still applying to " +
+          s"commit drops pending delete file(s) still applying to " +
             s"${resurrected.take(3).mkString(", ")} — carry the parent's " +
             "deletes forward or rewrite those files first")
       }
@@ -1005,11 +1036,31 @@ object TxnLog {
       spark.read.parquet(fs.map(f => table.resolve(f).toString): _*)
     if (m.deletes.isEmpty) readAbs(files)
     else {
+      val eq = m.deletes.filter(_.kind != "pos")
+      val posByFile = posDeletePositions(spark, table,
+        m.deletes.filter(_.kind == "pos"))
+      // Position deletes name exact (file, ordinal) pairs, so each
+      // named file reads individually with its parquet row index
+      // (`_metadata.row_index`, correct under any split) anti-joined
+      // against its broadcast dropped-ordinal set. Named-file count
+      // is bounded by pending deletes — compaction cadence, as ever.
+      def readPosAware(fs: Seq[String]): DataFrame = {
+        val (named, plain) = fs.partition(posByFile.contains)
+        import spark.implicits._
+        (plain.headOption.map(_ => readAbs(plain)).toSeq ++
+          named.map { f =>
+            readAbs(Seq(f))
+              .withColumn("__graft_pos", col("_metadata.row_index"))
+              .join(broadcast(posByFile(f).toSeq.toDF("__graft_pos")),
+                Seq("__graft_pos"), "left_anti")
+              .drop("__graft_pos")
+          }).reduce(_.unionByName(_))
+      }
       val groups = files.groupBy(f =>
-        m.deletes.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
+        eq.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
       groups.toSeq.sortBy(_._2.head).map { case (dels, fs) =>
         dels.groupBy(_.key).toSeq.sortBy(_._1)
-          .foldLeft(readAbs(fs)) { case (acc, (k, ds)) =>
+          .foldLeft(readPosAware(fs)) { case (acc, (k, ds)) =>
             acc.join(
               broadcast(readAbs(ds.map(_.path)).select(col(k)).distinct()),
               Seq(k), "left_anti")
@@ -1066,6 +1117,94 @@ object TxnLog {
     })
   }
 
+  /** The distinct data files a POSITION delete file names — read
+    * WITHOUT Spark (parquet-hadoop row reader, `file_path` column
+    * projected), so the commit-time resurrect guard can run inside
+    * [[tryCommitManifest]] with no session in scope. O(delete bytes),
+    * which is small by the position-delete design point. */
+  def posDeleteNamedFiles(table: Path, d: DeleteFile): Set[String] = {
+    require(d.kind == "pos", s"not a position delete: $d")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      "message s { optional binary file_path (UTF8); }")
+    val hp = new org.apache.hadoop.fs.Path(table.resolve(d.path).toUri)
+    val out = scala.collection.mutable.Set.empty[String]
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hp)
+      .withConf(conf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        if (g.getFieldRepetitionCount("file_path") > 0)
+          out += g.getString("file_path", 0)
+        g = r.read()
+      }
+    } finally r.close()
+    out.toSet
+  }
+
+  /** The merged (data file → sorted row ordinals) map of a set of
+    * position delete files — the driver-side structure every reader
+    * of a pos-pending snapshot plans from. O(pending deleted rows),
+    * the same bound the equality path carries for its key arrays. */
+  def posDeletePositions(spark: SparkSession, table: Path,
+      ds: Seq[DeleteFile]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.col
+    if (ds.isEmpty) return Map.empty
+    spark.read
+      .parquet(ds.map(d => table.resolve(d.path).toString): _*)
+      .select(col("file_path"), col("pos").cast("long"))
+      .na.drop().distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+  }
+
+  /** MERGE-ON-READ delete by POSITION — the Iceberg v2 position-delete
+    * / Delta deletion-vector idea: `positions` carries (`file_path`,
+    * `pos`) rows naming exact parquet row ordinals inside existing
+    * data files. The commit writes them as a small delete file and
+    * merely references it: O(deleted rows) bytes, zero data files
+    * rewritten — the shape a predicate DELETE produces on a table
+    * with NO key column (where equality deletes cannot express the
+    * result). Readers drop the named ordinals at scan time; scoping
+    * is by file membership, so a concurrent rewrite of a named file
+    * aborts the commit (the positions would name rows of a file that
+    * no longer exists). */
+  def deleteByPosMor(spark: SparkSession, table: Path,
+      positions: DataFrame, subdir: String): Committed = {
+    import org.apache.spark.sql.functions.col
+    require(positions.columns.toSet == Set("file_path", "pos"),
+      s"deleteByPosMor expects (file_path, pos), " +
+        s"got ${positions.columns.mkString(",")}")
+    val t0 = tip(table)
+    require(t0.version >= 0L,
+      s"deleteByPosMor needs an existing table at $table")
+    positions
+      .select(col("file_path"), col("pos").cast("long").as("pos"))
+      .na.drop().distinct()
+      .sortWithinPartitions("file_path", "pos").coalesce(1)
+      .write.parquet(table.resolve(subdir).toString)
+    val written = parquetsUnder(table, subdir)
+    val named = written
+      .flatMap(p => posDeleteNamedFiles(table,
+        DeleteFile(p, "", 0L, 0L, kind = "pos"))).toSet
+    commitRetryWith(table, t => {
+      // Rebase safety: every named file must still be live — a
+      // concurrent CoW rewrite/compact relocated its rows, so the
+      // stored ordinals would delete the WRONG rows if carried.
+      val gone = named.diff(t.files.toSet)
+      require(gone.isEmpty,
+        s"deleteByPosMor positions name file(s) no longer at the tip " +
+          s"(${gone.take(3).mkString(", ")}) — replan against v${t.version}")
+      t.copy(action = "delete-mor",
+        deletes = t.deletes ++ written.map(p => DeleteFile(
+          p, "", t.version + 1, Files.size(table.resolve(p)),
+          kind = "pos")),
+        txn = None, ts = 0L)
+    })
+  }
+
   /** Fold every pending equality delete back into the data files:
     * rewrite ONLY the files at least one delete applies to (with the
     * deletes applied during the read), carry the untouched files, and
@@ -1077,8 +1216,14 @@ object TxnLog {
       subdir: String, targetFileBytes: Long = 128L << 20): Committed = {
     val t0 = tip(table)
     if (t0.deletes.isEmpty) return Committed(t0.version, 0)
+    // Equality deletes target by sequence; position deletes exactly
+    // the files they name.
+    val posNamed = t0.deletes.filter(_.kind == "pos")
+      .flatMap(d => posDeleteNamedFiles(table, d)).toSet
     val affected = t0.files.filter(f =>
-      t0.deletes.exists(d => t0.seqs.getOrElse(f, -1L) < d.seq))
+      t0.deletes.exists(d =>
+        d.kind != "pos" && t0.seqs.getOrElse(f, -1L) < d.seq) ||
+        posNamed(f))
     // Every targeted file already rewritten (e.g. by CoW merges) —
     // the list is pure metadata debt; clear it in place.
     if (affected.isEmpty)
@@ -1533,9 +1678,34 @@ object TxnLog {
     val cloneSeqs: Map[String, Long] =
       if (m.deletes.isEmpty) Map.empty // no scoping to preserve
       else m.files.map(f => abs(f) -> xlate(srcSeqOf(f))).toMap
-    val cloneDeletes: Seq[DeleteFile] = m.deletes.map(d =>
-      d.copy(path = abs(d.path), seq = xlate(d.seq)))
     Files.createDirectories(dst)
+    val cloneDeletes: Seq[DeleteFile] = m.deletes.map { d =>
+      if (d.kind != "pos") d.copy(path = abs(d.path), seq = xlate(d.seq))
+      else {
+        // A position delete's CONTENT names source-RELATIVE data
+        // files, which the clone references by ABSOLUTE path — so the
+        // membership scoping would miss every target. Rewrite the
+        // delete file clone-local with absolute names: O(delete
+        // bytes), which is tiny by design, so "zero DATA bytes
+        // copied" stands. (Also insulates the clone from the source
+        // materializing this delete and vacuuming the file.)
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.{col, udf}
+        val rootStr = srcRoot.toString // Path is not serializable
+        // resolve(), not concat: a clone-of-a-clone carries ABSOLUTE
+        // names already, which resolve passes through unchanged.
+        val absU = udf((f: String) =>
+          java.nio.file.Paths.get(rootStr).resolve(f).toString)
+        val sub = s"clonepos${System.nanoTime()}"
+        spark.read.parquet(src.resolve(d.path).toString)
+          .select(absU(col("file_path")).as("file_path"), col("pos"))
+          .coalesce(1)
+          .write.parquet(dst.resolve(sub).toString)
+        val p = parquetsUnder(dst, sub).head
+        d.copy(path = p, seq = xlate(d.seq),
+          bytes = Files.size(dst.resolve(p)))
+      }
+    }
     commitRetryWith(dst, t => {
       require(t.version < 0L, s"clone target $dst already has a log")
       Manifest(0L, 0L, "clone", m.files.map(abs),
@@ -1622,20 +1792,34 @@ object TxnLog {
             s"changes at v$v: commit both adds equality deletes and " +
               "changes data files — unsupported commit shape for CDF")
           val dels = newDeletes.flatMap { d =>
-            // Rows visible at v-1 (prev deletes applied) in the files
-            // this delete scopes, whose key the delete names. The
-            // delete file carries the PHYSICAL key column, matching
-            // the raw parquet read inside morRead — rename to logical
-            // only after the join.
-            val scoped = cur.files.filter(f =>
-              cur.seqs.getOrElse(f, -1L) < d.seq)
-            if (scoped.isEmpty) None // nothing in scope = no row change
-            else {
-              val keys = spark.read
-                .parquet(table.resolve(d.path).toString)
-                .select(col(d.key)).distinct()
-              Some(morRead(spark, table, prev, Some(scoped))
-                .join(broadcast(keys), Seq(d.key), "left_semi"))
+            if (d.kind == "pos") {
+              // A position delete names exact (file, ordinal) pairs:
+              // its feed rows are precisely what v-1 shows of the
+              // named files that v no longer shows — exceptAll keeps
+              // multiplicity right when identical rows share a file.
+              // O(named files), and named files are few by the
+              // position-delete design point.
+              val namedSet = posDeleteNamedFiles(table, d)
+              val named = cur.files.filter(namedSet)
+              if (named.isEmpty) None
+              else Some(morRead(spark, table, prev, Some(named))
+                .exceptAll(morRead(spark, table, cur, Some(named))))
+            } else {
+              // Rows visible at v-1 (prev deletes applied) in the
+              // files this delete scopes, whose key the delete names.
+              // The delete file carries the PHYSICAL key column,
+              // matching the raw parquet read inside morRead — rename
+              // to logical only after the join.
+              val scoped = cur.files.filter(f =>
+                cur.seqs.getOrElse(f, -1L) < d.seq)
+              if (scoped.isEmpty) None // nothing in scope = no change
+              else {
+                val keys = spark.read
+                  .parquet(table.resolve(d.path).toString)
+                  .select(col(d.key)).distinct()
+                Some(morRead(spark, table, prev, Some(scoped))
+                  .join(broadcast(keys), Seq(d.key), "left_semi"))
+              }
             }
           }.reduceOption(_.unionByName(_))
           dels.map(df => logical(df, cur)

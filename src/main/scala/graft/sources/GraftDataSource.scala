@@ -535,10 +535,13 @@ object GraftTables {
     // stats key (IN-list / =) commits as an EQUALITY-DELETE file —
     // O(deleted keys) bytes, zero data files rewritten — instead of a
     // copy-on-write rewrite: the GDPR-delete path through plain SQL.
-    // Anything else (ranges, other columns, conjunctions) falls back
-    // to CoW below.
-    if (spark.conf.getOption("spark.graft.delete.mode")
-        .exists(_.equalsIgnoreCase("mor"))) {
+    // Any OTHER predicate (ranges, other columns, conjunctions — or a
+    // table with no key column at all) commits as a POSITION-DELETE
+    // file instead (below, after predicate translation): MoR mode
+    // means MoR, whatever the predicate's shape.
+    val morMode = spark.conf.getOption("spark.graft.delete.mode")
+      .exists(_.equalsIgnoreCase("mor"))
+    if (morMode) {
       val logicalKey = snap.manifest.statsKey.map(snap.logicalOf)
       val keyVals: Option[Seq[Long]] = (filters.toSeq, logicalKey) match {
         case (Seq(org.apache.spark.sql.sources.EqualTo(a, v: Number)),
@@ -576,6 +579,65 @@ object GraftTables {
     val pred = exprs
       .map(org.apache.spark.sql.graftshim.BatchDF.column)
       .reduceOption(_ && _).getOrElse(lit(true))
+    // MoR, position form: the predicate's matching rows become a
+    // (file_path, pos) delete file — O(deleted rows) bytes committed,
+    // zero data files rewritten. This is the only MoR shape available
+    // when the predicate is not key-equality (Iceberg's position
+    // deletes / Delta's deletion vectors): equality deletes cannot
+    // express "these exact rows" without a key column.
+    if (morMode) {
+      import org.apache.spark.sql.functions.col
+      val tipVersion = TxnLog.latest(root).getOrElse(
+        sys.error(s"DELETE on a version-less table at $root"))
+      val tip = TxnLog.readManifest(root, tipVersion)
+      val affected = GraftPruning.prune(tip, exprs)
+      if (affected.isEmpty) return // no file can match: metadata no-op
+      // Raw read on purpose: a row a pending delete already dropped
+      // that matches the predicate just gets named again — dropping a
+      // dropped row is a no-op, and it keeps this pass one scan of
+      // O(affected bytes).
+      val hits = spark.read
+        .parquet(affected.map(f => root.resolve(f).toString): _*)
+        .filter(pred.eqNullSafe(lit(true)))
+        .select(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("pos"))
+      // Manifest entries resolve to the absolute paths the scan
+      // reports (URI-normalized on the driver — no string-format
+      // guessing), mapping each hit back to its manifest-relative
+      // file name. O(affected files) driver memory.
+      val rootAbs = root.toAbsolutePath.normalize
+      val relByAbs: Map[String, String] = affected.map(e =>
+        rootAbs.resolve(e).normalize.toString -> e).toMap
+      def normalize(reported: String): String = {
+        val p =
+          if (reported.startsWith("file:"))
+            java.nio.file.Paths.get(java.net.URI.create(
+              // Hadoop renders single-slash authority-less URIs
+              // (file:/x); java.nio wants the triple-slash form.
+              if (reported.startsWith("file:///")) reported
+              else "file://" + reported.substring(5)))
+          else java.nio.file.Paths.get(reported)
+        p.toAbsolutePath.normalize.toString
+      }
+      val session = spark
+      import session.implicits._
+      val fpMap = hits.select("__fp").distinct()
+        .collect().map(_.getString(0)).toSeq.map { a =>
+          a -> relByAbs.getOrElse(normalize(a), sys.error(
+            s"DELETE scan reported $a, not in the planned file set"))
+        }
+      val positions = hits.join(
+        org.apache.spark.sql.functions.broadcast(
+          fpMap.toDF("__fp", "file_path")), Seq("__fp"))
+        .select(col("file_path"), col("pos"))
+      // An empty hit set after the scan (stats pruned wider than the
+      // rows): metadata no-op, like the CoW path's empty prune.
+      if (fpMap.isEmpty) return
+      TxnLog.deleteByPosMor(spark, root, positions,
+        s"morpos${System.currentTimeMillis()}-" +
+          s"${stagingCounter.incrementAndGet()}")
+      return
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val tipVersion = TxnLog.latest(root).getOrElse(

@@ -428,6 +428,52 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     TxnLog.dropConstraint(tbl, "v_any")
   }
 
+  test("SQL DELETE in MoR mode with a non-key predicate commits a " +
+      "position delete; scans, pushed filters and time travel stay right") {
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    val before = TxnLog.tip(tbl).files
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try {
+      // A RANGE is not the key-equality shape, so eq deletes cannot
+      // express it — this is the position-delete path. Stats scope
+      // the position scan to the one file holding [10, 13].
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id BETWEEN 10 AND 13")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    val m = TxnLog.tip(tbl)
+    assert(m.action == "delete-mor" && m.files == before,
+      s"position delete must rewrite zero data files: $m")
+    assert(m.deletes.size == 1 && m.deletes.head.kind == "pos")
+    assert(TxnLog.posDeleteNamedFiles(tbl, m.deletes.head) ==
+      before.filter(_.startsWith("q0")).toSet,
+      "positions must name only the stats-affected file")
+    // Full read, filtered read (pushed into the MoR inner scan), and
+    // the pre-delete snapshot.
+    assert(GraftTables.read(spark, tbl).count() == 96L)
+    assert(GraftTables.read(spark, tbl).filter($"id" < 20L)
+      .select("id").as[Long].collect().toSet ==
+      ((1L to 9L) ++ (14L to 19L)).toSet)
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    // A second MoR predicate delete composes (different file, q3).
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(s"DELETE FROM graft.`$tbl` WHERE id >= 98")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(TxnLog.tip(tbl).deletes.size == 2)
+    assert(GraftTables.read(spark, tbl).count() == 93L)
+    // A MoR-mode predicate matching no file's stats is a metadata
+    // no-op; matching files but no rows commits nothing either.
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(s"DELETE FROM graft.`$tbl` WHERE id > 100000")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(TxnLog.tip(tbl).deletes.size == 2)
+    // CoW UPDATE over the pos-pending table must not resurrect: the
+    // rewrite reads through the MoR scan.
+    spark.sql(s"UPDATE graft.`$tbl` SET id = id WHERE id <= 25")
+    assert(GraftTables.read(spark, tbl).count() == 93L)
+    assert(GraftTables.read(spark, tbl)
+      .filter($"id".between(10L, 13L)).count() == 0L)
+  }
+
   test("CALL procedures run table maintenance from SQL: restore, " +
       "optimize, materialize_deletes, expire") {
     val tbl = quartileTable()

@@ -28,6 +28,82 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
       s"catalog entries leaked: ${(after -- before).toSeq.sorted}")
   }
 
+  test("every session-conf literal baked into main source is enumerated " +
+      "with a scale justification") {
+    // The 100 TB design review in test form: a conf literal a query
+    // bakes in (state-store count, shuffle width, broadcast threshold)
+    // is either (a) scoped + documented as fixture-scale with the
+    // cluster derivation stated, or (b) scale-independent. Adding a
+    // NEW literal without a justification entry fails this test;
+    // removing one leaves a stale entry that also fails. Parallelism
+    // confs in the driver mains (Bench/Verify/Smoke) are derived from
+    // host cores (`cpus`), never literals — also asserted.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root), s"no source at $root")
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    val statePat = """statePartitions\s*=\s*Some\((\d+)\)""".r
+    val shufPat = """"spark\.sql\.shuffle\.partitions",\s*"(\d+)"""".r
+    val bcastPat =
+      """autoBroadcastJoinThreshold"\s*(?:->|,)\s*"(-?\d+)"""".r
+    val confSetPat = """(?s)\.conf\.set\(\s*"([^"]+)"""".r
+    val found: Set[(String, String)] = files.flatMap { f =>
+      val rel = root.relativize(f).toString
+      val text = new String(java.nio.file.Files.readAllBytes(f))
+      statePat.findAllMatchIn(text)
+        .map(m => rel -> s"statePartitions=Some(${m.group(1)})") ++
+        shufPat.findAllMatchIn(text)
+          .map(m => rel -> s"shuffle.partitions=${m.group(1)}") ++
+        bcastPat.findAllMatchIn(text)
+          .map(m => rel -> s"autoBroadcastJoinThreshold=${m.group(1)}") ++
+        confSetPat.findAllMatchIn(text)
+          .map(m => rel -> s"conf.set(${m.group(1)})")
+    }.toSet
+    val justified: Map[(String, String), String] = Map(
+      ("streaming/Streaming.scala", "statePartitions=Some(8)") ->
+        ("SCOPED per-run (saved/restored around runAvailableNow) " +
+          "state-store count for the bounded oracle fixtures — every " +
+          "store pays a per-commit cost per micro-batch, so the count " +
+          "tracks stream volume, not session shuffle width (measured " +
+          "2-3x faster than 32 at bench volume); a cluster deployment " +
+          "passes a cores-proportional value through the same " +
+          "parameter (runAvailableNow scaladoc states the derivation)"),
+      ("RecallSweep.scala", "shuffle.partitions=8") ->
+        "diagnostic main (ANN recall sweep), not a driver query path",
+      ("Plans.scala", "shuffle.partitions=8") ->
+        ("plan-snapshot main: fixed width keeps PLANS.txt diffs " +
+          "host-independent; never a query path"),
+      ("operators/Skew.scala", "autoBroadcastJoinThreshold=-1") ->
+        ("deliberately disables broadcast inside a scoped " +
+          "save/restore block so the salted sort-merge join is the " +
+          "witnessed path — the broadcast shortcut would hide the " +
+          "skew mechanics the query exists to prove"),
+      ("operators/Relational.scala",
+        "conf.set(spark.sql.legacy.parquet.nanosAsLong)") ->
+        ("correctness conf for the legacy TIMESTAMP(NANOS) physical " +
+          "form in testdata generations <= r7; scale-independent"),
+      ("operators/SourceSinkQueries.scala",
+        "conf.set(spark.graft.delete.mode)") ->
+        ("MoR-routing pin for the delete fixtures, set/unset scoped " +
+          "per query; semantics-preserving either way by design"),
+      ("sources/GraftDataSource.scala",
+        "conf.set(spark.sql.catalog.graft)") ->
+        "catalog class-name registration; scale-independent")
+    assert(found.forall(justified.contains),
+      "conf literals with NO justification entry (add one, or derive " +
+        s"from env/cores): ${(found -- justified.keySet).toSeq.sorted}")
+    assert(justified.keySet.forall(found.contains),
+      "stale justification entries (literal no longer in source): " +
+        s"${(justified.keySet -- found).toSeq.sorted}")
+    // The driver mains size shuffle width from host cores, never a
+    // literal: the literal pattern must not match them.
+    Seq("Bench.scala", "Verify.scala", "Smoke.scala").foreach { m =>
+      assert(!found.exists(_._1 == m),
+        s"$m must derive parallelism from cores, found literal")
+    }
+  }
+
   test("persist-heavy queries do not accumulate persisted RDD blocks") {
     // Queries that persist intermediates (shared shingle relations,
     // candidate sets, prefix relations, signatures) must unpersist them

@@ -548,7 +548,7 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
       TxnLog.tryCommitManifest(t,
         TxnLog.Manifest(2L, 1L, "oops", TxnLog.tip(t).files))
     }
-    assert(e.getMessage.contains("equality delete"))
+    assert(e.getMessage.contains("still applying to"))
     TxnLog.commitRetry(t, "touch", tip => tip.files)
     assert(TxnLog.tip(t).deletes.nonEmpty)
   }
@@ -593,6 +593,100 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     val dfile = m.deletes.head.path
     assert(TxnLog.liveFiles(t, TxnLog.versions(t)).contains(dfile))
     assert(!TxnLog.liveFiles(t, Seq(mm.version)).contains(dfile))
+  }
+
+  test("deleteByPosMor rewrites zero data files; reads drop the exact " +
+      "ordinals; materialize folds; the resurrect guard holds") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    Seq((4L, "d"), (5L, "e")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b1").toString)
+    TxnLog.commitRetry(t, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(t, "b1"))
+    val before = TxnLog.tip(t).files
+    val f0 = TxnLog.parquetsUnder(t, "b0").head
+    val f1 = TxnLog.parquetsUnder(t, "b1").head
+    // Drop (2,"b") = ordinal 1 of b0 and (4,"d") = ordinal 0 of b1.
+    TxnLog.deleteByPosMor(spark, t,
+      Seq((f0, 1L), (f1, 0L)).toDF("file_path", "pos"), "p1")
+    val m = TxnLog.tip(t)
+    assert(m.action == "delete-mor" && m.files == before)
+    assert(m.deletes.size == 1 && m.deletes.head.kind == "pos" &&
+      m.deletes.head.key.isEmpty)
+    // Manifest round-trips the kind (deltaDepth is a resolution
+    // artifact, not stored); the v3 reader stamp is present.
+    assert(TxnLog.parse(TxnLog.render(m)) == m.copy(deltaDepth = 0))
+    assert(TxnLog.render(m).contains("\"minReader\":3"))
+    assert(TxnLog.posDeleteNamedFiles(t, m.deletes.head) == Set(f0, f1))
+    // Engine read and connector read both drop exactly those rows.
+    val want = Set((1L, "a"), (3L, "c"), (5L, "e"))
+    assert(TxnLog.readVersion(spark, t, m.version)
+      .as[(Long, String)].collect().toSet == want)
+    assert(graft.sources.GraftTables.read(spark, t)
+      .as[(Long, String)].collect().toSet == want)
+    // Time travel to the pre-delete snapshot stays whole.
+    assert(TxnLog.readVersion(spark, t, 1L).count() == 5)
+    // CDF: the pos-delete commit emits exactly the two dropped rows.
+    val feed = TxnLog.changes(spark, t, 1L, 2L, "k")
+    assert(feed.filter($"_change_type" === "delete")
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (4L, "d")))
+    // A commit dropping the pos delete while its named files survive
+    // is refused at the primitive.
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t,
+        TxnLog.Manifest(3L, 2L, "oops", TxnLog.tip(t).files))
+    }
+    assert(e.getMessage.contains("still applying to"))
+    // An eq delete composes on top (k=5 lives in b1, seq-scoped).
+    TxnLog.deleteByKeyMor(spark, t, Seq(5L).toDF("k"), "k", "d1")
+    val want2 = Set((1L, "a"), (3L, "c"))
+    assert(TxnLog.readVersion(spark, t, 3L)
+      .as[(Long, String)].collect().toSet == want2)
+    assert(graft.sources.GraftTables.read(spark, t)
+      .as[(Long, String)].collect().toSet == want2)
+    // Materialize rewrites ONLY targeted files and clears both forms.
+    TxnLog.materializeDeletes(spark, t, "mz")
+    val mm = TxnLog.tip(t)
+    assert(mm.deletes.isEmpty)
+    assert(TxnLog.readVersion(spark, t, mm.version)
+      .as[(Long, String)].collect().toSet == want2)
+  }
+
+  test("deleteByPosMor refuses positions naming files no longer live; " +
+      "cloneShallow rewrites pos delete contents to absolute names") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "c")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.deleteByPosMor(spark, t,
+        Seq(("nope/gone.parquet", 0L)).toDF("file_path", "pos"), "px")
+    }
+    assert(e.getMessage.contains("no longer at the tip"))
+    val f0 = TxnLog.parquetsUnder(t, "b0").head
+    TxnLog.deleteByPosMor(spark, t,
+      Seq((f0, 2L)).toDF("file_path", "pos"), "p1") // drops (3,30)
+    // Shallow clone: carried pos delete applies identically even
+    // though the clone references the source file by ABSOLUTE path.
+    val dst = freshTable()
+    Files.delete(dst)
+    TxnLog.cloneShallow(t, dst)
+    val cm = TxnLog.tip(dst)
+    assert(cm.deletes.size == 1 && cm.deletes.head.kind == "pos")
+    // The rewritten delete file lives in the CLONE and names the
+    // absolute source file the clone's manifest carries.
+    assert(!cm.deletes.head.path.startsWith("/"))
+    assert(TxnLog.posDeleteNamedFiles(dst, cm.deletes.head) ==
+      Set(t.toAbsolutePath.normalize.resolve(f0).toString))
+    assert(TxnLog.readVersion(spark, dst, 0L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    assert(graft.sources.GraftTables.read(spark, dst)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
   }
 
   test("cloneShallow is a zero-copy metadata commit; the clone " +

@@ -251,6 +251,7 @@ object SparkEntry {
     "table_alter_sql" -> ((s, dir) => SourceSinkQueries.tableAlterSqlQuery(s, dir)),
     "table_delete_mor_sql" -> ((s, dir) => SourceSinkQueries.tableDeleteMorSqlQuery(s, dir)),
     "table_delete_mor_pos" -> ((s, dir) => SourceSinkQueries.tableDeleteMorPosQuery(s, dir)),
+    "table_update_mor" -> ((s, dir) => SourceSinkQueries.tableUpdateMorQuery(s, dir)),
     "table_optimize_small" -> ((s, dir) => SourceSinkQueries.tableOptimizeSmallQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
@@ -3056,6 +3057,24 @@ object SparkEntry {
                 true AS both_forms_pending,
                 true AS delete_bytes_small
          FROM o WHERE NOT (c > 30000000) AND NOT (k % 10 = 9)""",
+    // MoR UPDATE via CALL: u1 subtracts 3e7 where cents > 3e7, u2
+    // (chained, hits rows u1 appended) adds 5 where key % 100 = 2.
+    "table_update_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 2 = 0),
+              u1 AS (SELECT k, CASE WHEN c > 30000000
+                                    THEN c - 30000000 ELSE c END AS c
+                     FROM o),
+              u2 AS (SELECT k, CASE WHEN k % 100 = 2
+                                    THEN c + 5 ELSE c END AS c
+                     FROM u1)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS mor_update,
+                true AS appended_only,
+                true AS pos_pending
+         FROM u2""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

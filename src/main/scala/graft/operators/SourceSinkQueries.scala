@@ -2425,6 +2425,58 @@ object SourceSinkQueries {
         "delete_bytes_small")
   }
 
+  /** table_update_mor — MERGE-ON-READ UPDATE
+    * ([[GraftTables.updateMor]] via `CALL graft.update_mor`, the
+    * Iceberg v2 `write.update.mode = merge-on-read` semantics):
+    * matched rows are re-appended with the assignment applied and
+    * their old ordinals POSITION-DELETED, both in ONE `update-mor`
+    * commit — O(matched rows), where copy-on-write UPDATE rewrites
+    * every affected file whole. Witnessed: no pre-existing data file
+    * leaves the manifest, the delete rides as kind=pos. A SECOND
+    * update then hits a row whose live version sits in the first
+    * update's APPENDED file — the chain works because position
+    * scoping is file membership and the provenance scan honors
+    * pending deletes before matching. */
+  def tableUpdateMorQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmorupd").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 2 === 0)
+    orders.filter(col("o_orderkey") % 4 === 0)
+      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    orders.filter(col("o_orderkey") % 4 === 2)
+      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    val files = TxnLog.parquetsUnder(tbl, "b0") ++
+      TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    GraftTables.registerCatalog(spark)
+    val preFiles = TxnLog.tip(tbl).files
+    spark.sql(s"CALL graft.update_mor(table => '$tbl', " +
+      "where => 'cents > 30000000', " +
+      "set_column => 'cents', set_expr => 'cents - 30000000')")
+    val m1 = TxnLog.tip(tbl)
+    val morUpdate = m1.action == "update-mor" &&
+      m1.deletes.nonEmpty && m1.deletes.forall(_.kind == "pos")
+    val appendedOnly = preFiles.forall(m1.files.contains)
+    // Chained: some % 100 == 2 keys were updated above already.
+    spark.sql(s"CALL graft.update_mor(table => '$tbl', " +
+      "where => 'o_orderkey % 100 = 2', " +
+      "set_column => 'cents', set_expr => 'cents + 5')")
+    val posPending = TxnLog.tip(tbl).deletes.forall(_.kind == "pos")
+    import spark.implicits._
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1), morUpdate, appendedOnly,
+        posPending))
+      .toDF("n_rows", "sum_cents", "mor_update", "appended_only",
+        "pos_pending")
+  }
+
   /** table_optimize_small — INCREMENTAL OPTIMIZE
     * ([[TxnLog.compactSmall]], the Delta OPTIMIZE / Iceberg
     * rewrite-with-size-filter semantics): after a big create and six

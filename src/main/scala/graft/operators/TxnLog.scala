@@ -1784,7 +1784,34 @@ object TxnLog {
         val removed = prev.files.filterNot(curSet)
         val prevDeletes = prev.deletes.toSet
         val newDeletes = cur.deletes.filterNot(prevDeletes)
-        if (newDeletes.nonEmpty) {
+        if (newDeletes.nonEmpty && cur.action == "update-mor") {
+          // An update-mor commit appends the rewritten rows AND
+          // position-deletes their old ordinals in one commit: the
+          // pre-images are what v-1 shows of the named files that v
+          // no longer shows, the post-images the appended files.
+          require(removed.isEmpty && newDeletes.forall(_.kind == "pos"),
+            s"changes at v$v: malformed update-mor commit " +
+              "(removed files or non-position deletes)")
+          val named = {
+            val n = newDeletes
+              .flatMap(d => posDeleteNamedFiles(table, d)).toSet
+            cur.files.filter(n)
+          }
+          val pre =
+            if (named.isEmpty) None
+            else Some(logical(
+              morRead(spark, table, prev, Some(named)).exceptAll(
+                morRead(spark, table, cur, Some(named))), cur)
+              .withColumn("_change_type", lit("update_preimage"))
+              .withColumn("_commit_version", lit(v)))
+          val post =
+            if (added.isEmpty) None
+            else Some(readFiles(added, cur)
+              .withColumn("_change_type", lit("update_postimage"))
+              .withColumn("_commit_version", lit(v)))
+          (pre.toSeq ++ post.toSeq).reduceOption(_.unionByName(_))
+        }
+        else if (newDeletes.nonEmpty) {
           // A delete-mor commit references new delete files and
           // touches no data files (deleteByKeyMor's only shape; a
           // commit doing both has no defined row diff here).

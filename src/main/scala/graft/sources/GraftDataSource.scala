@@ -605,25 +605,12 @@ object GraftTables {
       // reports (URI-normalized on the driver — no string-format
       // guessing), mapping each hit back to its manifest-relative
       // file name. O(affected files) driver memory.
-      val rootAbs = root.toAbsolutePath.normalize
-      val relByAbs: Map[String, String] = affected.map(e =>
-        rootAbs.resolve(e).normalize.toString -> e).toMap
-      def normalize(reported: String): String = {
-        val p =
-          if (reported.startsWith("file:"))
-            java.nio.file.Paths.get(java.net.URI.create(
-              // Hadoop renders single-slash authority-less URIs
-              // (file:/x); java.nio wants the triple-slash form.
-              if (reported.startsWith("file:///")) reported
-              else "file://" + reported.substring(5)))
-          else java.nio.file.Paths.get(reported)
-        p.toAbsolutePath.normalize.toString
-      }
+      val relByAbs = manifestRelByReportedAbs(root, affected)
       val session = spark
       import session.implicits._
       val fpMap = hits.select("__fp").distinct()
         .collect().map(_.getString(0)).toSeq.map { a =>
-          a -> relByAbs.getOrElse(normalize(a), sys.error(
+          a -> relByAbs.getOrElse(normalizeReportedPath(a), sys.error(
             s"DELETE scan reported $a, not in the planned file set"))
         }
       val positions = hits.join(
@@ -693,6 +680,163 @@ object GraftTables {
       }
     }
     sys.error(s"delete lost $maxAttempts races on $root")
+  }
+
+  /** A `_metadata.file_path` string the scan reported, normalized to
+    * the java.nio absolute-path form manifest entries resolve to —
+    * no string-format guessing (Hadoop renders single-slash
+    * authority-less URIs, `file:/x`; java.nio wants triple-slash). */
+  private def normalizeReportedPath(reported: String): String = {
+    val p =
+      if (reported.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(
+          if (reported.startsWith("file:///")) reported
+          else "file://" + reported.substring(5)))
+      else java.nio.file.Paths.get(reported)
+    p.toAbsolutePath.normalize.toString
+  }
+
+  /** normalized-absolute → manifest-relative for a planned file set. */
+  private def manifestRelByReportedAbs(
+      root: Path, files: Seq[String]): Map[String, String] = {
+    val rootAbs = root.toAbsolutePath.normalize
+    files.map(e => rootAbs.resolve(e).normalize.toString -> e).toMap
+  }
+
+  /** MERGE-ON-READ UPDATE (the Iceberg v2 `write.update.mode =
+    * merge-on-read` semantics): rows matching `where` are REWRITTEN as
+    * appended files with the `set` assignments applied, and their old
+    * ordinals are POSITION-DELETED — both in ONE commit (action
+    * `update-mor`), so readers see the update atomically. Cost is
+    * O(matched rows) written + O(matched rows) delete bytes, never a
+    * whole-file rewrite: at 100 TB, an UPDATE touching 0.1% of rows
+    * scattered across thousands of files pays for exactly those rows,
+    * where copy-on-write would rewrite every touched file.
+    *
+    * `where` is a SQL boolean and `set` maps column → SQL expression,
+    * both over LOGICAL column names (mapped tables handled). Pending
+    * deletes of BOTH forms are honored before matching — an already-
+    * deleted row is never updated back to life. The appended files get
+    * a fresh sequence, so pending equality deletes correctly do not
+    * apply to them (their effect was already folded into the read).
+    * Strictly versioned: positions name files of the planned tip, so a
+    * concurrent commit fails the attempt loudly (replan and retry). */
+  def updateMor(spark: SparkSession, root: Path,
+      where: String, set: Map[String, String]): TxnLog.Committed = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max => fmax}
+    require(set.nonEmpty, "updateMor needs at least one assignment")
+    val snap = resolve(Map("path" -> root.toString))
+    val t0 = snap.manifest
+    val logicalCols = snap.schema.fieldNames.toSeq
+    set.keys.foreach(c => require(logicalCols.contains(c),
+      s"updateMor sets unknown column '$c' " +
+        s"(table has ${logicalCols.mkString(",")})"))
+    val helperCols = Seq("__fp", "__pos", "__rel", "__seq")
+    helperCols.foreach(h => require(!logicalCols.contains(h),
+      s"updateMor reserves column name '$h'"))
+    val whereExpr = spark.sessionState.sqlParser.parseExpression(where)
+    val physWhere =
+      if (!snap.isMapped) whereExpr
+      else whereExpr.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(snap.physicalOf(a.name))
+      }
+    val affected = GraftPruning.prune(t0, Seq(physWhere))
+    if (affected.isEmpty) return TxnLog.Committed(t0.version, 0)
+    // Provenance read: raw physical bytes plus (file, ordinal), the
+    // rel name and per-file sequence joined in via a broadcast map —
+    // the MoR-aware scan WITH provenance that morRead (which loses
+    // metadata columns at its joins) cannot provide.
+    val raw = spark.read
+      .parquet(affected.map(f => root.resolve(f).toString): _*)
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val relByAbs = manifestRelByReportedAbs(root, affected)
+    val session = spark
+    import session.implicits._
+    val fpRows = raw.select("__fp").distinct()
+      .collect().map(_.getString(0)).toSeq.map { a =>
+        val rel = relByAbs.getOrElse(normalizeReportedPath(a), sys.error(
+          s"UPDATE scan reported $a, not in the planned file set"))
+        (a, rel, t0.seqs.getOrElse(rel, -1L))
+      }
+    var df = raw
+      .join(broadcast(fpRows.toDF("__fp", "__rel", "__seq")), Seq("__fp"))
+      .drop("__fp")
+    // Pending POSITION deletes: drop the named (file, ordinal) pairs.
+    val posByFile = TxnLog.posDeletePositions(spark, root,
+      t0.deletes.filter(_.kind == "pos"))
+    if (posByFile.nonEmpty)
+      df = df.join(broadcast(posByFile.toSeq
+          .flatMap { case (f, arr) => arr.map(p => (f, p)) }
+          .toDF("__rel", "__pos")),
+        Seq("__rel", "__pos"), "left_anti")
+    // Pending EQUALITY deletes, sequence-scoped per row's file: for
+    // key value v, deleted iff fileSeq < max(seq of deletes naming v).
+    t0.deletes.filter(_.kind != "pos").groupBy(_.key).toSeq.sortBy(_._1)
+      .foreach { case (k, ds) =>
+        val keySeqs = ds.map(d => spark.read
+            .parquet(root.resolve(d.path).toString)
+            .select(col(k).cast("long").as("__k"))
+            .na.drop().distinct()
+            .withColumn("__mseq", lit(d.seq)))
+          .reduce(_.unionByName(_))
+          .groupBy("__k").agg(fmax(col("__mseq")).as("__mseq"))
+        df = df.join(broadcast(keySeqs),
+          df(k).cast("long") === keySeqs("__k") &&
+            df("__seq") < keySeqs("__mseq"),
+          "left_anti")
+      }
+    // Survivors under LOGICAL names; match the predicate (pred IS
+    // TRUE, SQL UPDATE semantics). Persisted: read twice below.
+    val logicalDf = df.select(
+      snap.physicalSchema.fieldNames.toSeq.map(p =>
+        col(p).as(snap.logicalOf(p))) ++
+        Seq(col("__rel"), col("__pos")): _*)
+    val matched = logicalDf.filter(expr(where) <=> lit(true)).persist()
+    try {
+      if (matched.isEmpty) return TxnLog.Committed(t0.version, 0)
+      val stamp = s"upd${System.currentTimeMillis()}-" +
+        s"${stagingCounter.incrementAndGet()}"
+      val posSub = s"$stamp-pos"
+      val dataSub = s"$stamp-data"
+      matched.select(col("__rel").as("file_path"), col("__pos").as("pos"))
+        .sortWithinPartitions("file_path", "pos").coalesce(1)
+        .write.parquet(root.resolve(posSub).toString)
+      val posWritten = TxnLog.parquetsUnder(root, posSub)
+      // The rewritten rows, assignments applied, physical shape.
+      matched.select(logicalCols.map { c =>
+        set.get(c).map(expr).getOrElse(col(c))
+          .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
+      }: _*).write.parquet(root.resolve(dataSub).toString)
+      val written = TxnLog.parquetsUnder(root, dataSub)
+      val counts = TxnLog.rowCounts(spark, root, written)
+      val newFiles = written.filter(f => counts.getOrElse(f, 0L) > 0L)
+      val newStats = t0.statsKey
+        .map(k => TxnLog.keyStats(spark, root, newFiles, k))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
+        t0.colStats.keys.toSeq.sorted)
+      TxnLog.commitRetryWith(root, t => {
+        // Positions name files of the planned tip and the rewritten
+        // rows were read under its delete set — a concurrent commit
+        // invalidates both. Fail loudly; caller replans.
+        require(t.version == t0.version,
+          s"concurrent commit v${t.version} during updateMor planned " +
+            s"against v${t0.version}; retry")
+        t.copy(action = "update-mor",
+          files = t.files ++ newFiles,
+          stats = t.stats ++ newStats,
+          colStats = t.colStats.map { case (c, pf) =>
+            c -> (pf ++ newColStats.getOrElse(c, Map.empty))
+          },
+          deletes = t.deletes ++ posWritten.map(p => TxnLog.DeleteFile(
+            p, "", t.version + 1,
+            Files.size(root.resolve(p)), kind = "pos")),
+          txn = None, ts = 0L)
+      })
+    } finally matched.unpersist()
   }
 
   /** Register [[GraftCatalog]] as catalog `graft` on a LIVE session

@@ -174,9 +174,40 @@ object GraftProcedures {
     }
   }
 
+  private val UpdateMorSchema = StructType(Seq(
+    StructField("new_version", LongType),
+    StructField("files_appended", LongType)))
+
+  /** `CALL graft.update_mor(table, where, set_column, set_expr)` →
+    * [[GraftTables.updateMor]]: merge-on-read UPDATE — matched rows
+    * re-appended with the assignment applied, their old ordinals
+    * position-deleted, ONE commit. O(matched rows), never a file
+    * rewrite; the SQL `UPDATE` statement stays the copy-on-write
+    * path (multi-assignment updates go through the engine API). */
+  private object UpdateMorProcedure extends GraftProcedure(
+    "update_mor",
+    "merge-on-read UPDATE: append rewritten rows + position-delete " +
+      "their old ordinals in one commit",
+    Seq(("table", StringType, None),
+      ("where", StringType, None),
+      ("set_column", StringType, None),
+      ("set_expr", StringType, None)),
+    UpdateMorSchema) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val root = tableRoot(args)
+      val before = TxnLog.tip(root).files.size.toLong
+      val c = GraftTables.updateMor(SparkSession.active, root,
+        args.getUTF8String(1).toString,
+        Map(args.getUTF8String(2).toString ->
+          args.getUTF8String(3).toString))
+      result(UpdateMorSchema, c.version,
+        TxnLog.tip(root).files.size.toLong - before)
+    }
+  }
+
   private val byName: Map[String, UnboundProcedure] = Seq(
     RestoreProcedure, OptimizeProcedure,
-    MaterializeProcedure, ExpireProcedure)
+    MaterializeProcedure, ExpireProcedure, UpdateMorProcedure)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

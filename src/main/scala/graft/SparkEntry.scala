@@ -252,6 +252,7 @@ object SparkEntry {
     "table_delete_mor_sql" -> ((s, dir) => SourceSinkQueries.tableDeleteMorSqlQuery(s, dir)),
     "table_delete_mor_pos" -> ((s, dir) => SourceSinkQueries.tableDeleteMorPosQuery(s, dir)),
     "table_update_mor" -> ((s, dir) => SourceSinkQueries.tableUpdateMorQuery(s, dir)),
+    "table_history" -> ((s, dir) => SourceSinkQueries.tableHistoryQuery(s, dir)),
     "table_optimize_small" -> ((s, dir) => SourceSinkQueries.tableOptimizeSmallQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
@@ -3075,6 +3076,21 @@ object SparkEntry {
                 true AS appended_only,
                 true AS pos_pending
          FROM u2""",
+    // DESCRIBE HISTORY: the literal expected chain, newest first
+    // (create 1 file, append -> 2, delete-mor pends 1 delete, restore
+    // re-points to v0's single file and clears the pending set).
+    "table_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'restore',
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT), true),
+           (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'delete-mor',
+            CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+           (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'append',
+            CAST(2 AS BIGINT), CAST(0 AS BIGINT), true),
+           (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), 'create',
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT), true))
+         t(version, parent, action, n_files, n_pending_deletes,
+           ts_stamped)""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

@@ -2477,6 +2477,40 @@ object SourceSinkQueries {
         "pos_pending")
   }
 
+  /** table_history — `CALL graft.history(table)`, the Delta `DESCRIBE
+    * HISTORY` surface: one row per retained commit, newest first,
+    * straight from manifest metadata (O(retained versions), zero data
+    * files touched at any table size). The fixture drives a
+    * deterministic chain — create, append, merge-on-read delete,
+    * RESTORE — and the query returns the deterministic columns plus a
+    * wall-clock-stamped witness; the oracle is the literal expected
+    * history. This is the operator's audit window at 100 TB: what
+    * changed, when, by which streaming writer. */
+  def tableHistoryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connhist").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    TxnLog.commitRetry(tbl, "create",
+      _ => TxnLog.parquetsUnder(tbl, "b0"))
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    TxnLog.commitRetry(tbl, "append",
+      tip => tip.files ++ TxnLog.parquetsUnder(tbl, "b1"))
+    import spark.implicits._
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(2L).toDF("o_orderkey"),
+      "o_orderkey", "d1")
+    TxnLog.restore(tbl, 0L)
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"CALL graft.history(table => '$tbl')")
+      .select(col("version"), col("parent"), col("action"),
+        col("n_files"), col("n_pending_deletes"),
+        (col("ts_millis") > 0L).as("ts_stamped"))
+  }
+
   /** table_optimize_small — INCREMENTAL OPTIMIZE
     * ([[TxnLog.compactSmall]], the Delta OPTIMIZE / Iceberg
     * rewrite-with-size-filter semantics): after a big create and six

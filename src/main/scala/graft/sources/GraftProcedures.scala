@@ -205,9 +205,46 @@ object GraftProcedures {
     }
   }
 
+  private val HistorySchema = StructType(Seq(
+    StructField("version", LongType),
+    StructField("parent", LongType),
+    StructField("action", StringType),
+    StructField("ts_millis", LongType),
+    StructField("n_files", LongType),
+    StructField("n_pending_deletes", LongType),
+    StructField("txn_app", StringType),
+    StructField("txn_batch", LongType)))
+
+  /** `CALL graft.history(table[, limit])` — the Delta `DESCRIBE
+    * HISTORY` surface: one row per retained commit, newest first
+    * (version, action, wall-clock stamp, file/pending-delete counts,
+    * streaming txn stamp). Pure manifest metadata — no data files
+    * touched, O(retained versions) however large the table. */
+  private object HistoryProcedure extends GraftProcedure(
+    "history",
+    "commit history, newest first (DESCRIBE HISTORY)",
+    Seq(("table", StringType, None),
+      ("limit", LongType, Some(Long.MaxValue.toString))),
+    HistorySchema) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val root = tableRoot(args)
+      val limit = args.getLong(1)
+      TxnLog.versions(root).sorted.reverse.take(
+        math.min(limit, Int.MaxValue.toLong).toInt).map { v =>
+        val m = TxnLog.readManifest(root, v)
+        new GenericInternalRow(Array[Any](
+          m.version, m.parent, UTF8String.fromString(m.action), m.ts,
+          m.files.size.toLong, m.deletes.size.toLong,
+          m.txn.map(t => UTF8String.fromString(t._1)).orNull,
+          m.txn.map(t => java.lang.Long.valueOf(t._2)).orNull))
+      }.toArray
+    }
+  }
+
   private val byName: Map[String, UnboundProcedure] = Seq(
     RestoreProcedure, OptimizeProcedure,
-    MaterializeProcedure, ExpireProcedure, UpdateMorProcedure)
+    MaterializeProcedure, ExpireProcedure, UpdateMorProcedure,
+    HistoryProcedure)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

@@ -559,6 +559,12 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       "retain_last => 2, vacuum_horizon_ms => 1)").head
     assert(exp.getLong(0) >= 1L)
     assert(GraftTables.read(spark, tbl).count() == 98L)
+    // CALL history: newest first, limit honored, metadata-only.
+    val h = spark.sql(s"CALL graft.history(table => '$tbl', limit => 2)")
+      .select("version", "action").as[(Long, String)].collect()
+    assert(h.length == 2 && h(0)._1 > h(1)._1)
+    assert(spark.sql(s"CALL graft.history(table => '$tbl')").count() ==
+      TxnLog.versions(tbl).size.toLong)
     // Unknown procedures fail, naming the available ones in the chain.
     val e = intercept[Exception](spark.sql(s"CALL graft.zorder('$tbl')"))
     val chain = Iterator.iterate(e: Throwable)(_.getCause)

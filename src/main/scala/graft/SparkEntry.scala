@@ -253,6 +253,8 @@ object SparkEntry {
     "table_delete_mor_pos" -> ((s, dir) => SourceSinkQueries.tableDeleteMorPosQuery(s, dir)),
     "table_update_mor" -> ((s, dir) => SourceSinkQueries.tableUpdateMorQuery(s, dir)),
     "table_history" -> ((s, dir) => SourceSinkQueries.tableHistoryQuery(s, dir)),
+    "table_update_mor_sql" -> ((s, dir) => SourceSinkQueries.tableUpdateMorSqlQuery(s, dir)),
+    "table_merge_mor" -> ((s, dir) => SourceSinkQueries.tableMergeMorQuery(s, dir)),
     "table_optimize_small" -> ((s, dir) => SourceSinkQueries.tableOptimizeSmallQuery(s, dir)),
     "table_time_travel_ts" -> ((s, dir) => SourceSinkQueries.tableTimeTravelTsQuery(s, dir)),
     "split_leakage_check" -> ((s, dir) => Sampling.splitLeakageCheck(s, dir)),
@@ -3091,6 +3093,32 @@ object SparkEntry {
             CAST(1 AS BIGINT), CAST(0 AS BIGINT), true))
          t(version, parent, action, n_files, n_pending_deletes,
            ts_stamped)""",
+    // Delta-mode SQL UPDATE: +7 where cents % 10 = 3, over %4==1 keys.
+    "table_update_mor_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 4 = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN c % 10 = 3 THEN c + 7 ELSE c END)
+                     AS BIGINT) AS sum_cents,
+                true AS delta_update
+         FROM o""",
+    // Delta-mode MERGE: %20==3 keys restated (cents*2) + the same
+    // keys shifted 1e9 inserted (cents+1), over the %4==3 table.
+    "table_merge_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 4 = 3),
+              merged AS (
+                SELECT k, CASE WHEN k % 20 = 3 THEN c * 2 ELSE c END AS c
+                FROM o
+                UNION ALL
+                SELECT k + 1000000000, c + 1 FROM o WHERE k % 20 = 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS delta_merge,
+                true AS cdf_exact
+         FROM merged""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

@@ -2511,6 +2511,109 @@ object SourceSinkQueries {
         (col("ts_millis") > 0L).as("ts_stamped"))
   }
 
+  /** table_update_mor_sql — plain SQL `UPDATE` in MERGE-ON-READ mode
+    * (`spark.graft.rowlevel.mode = mor` → [[GraftDeltaOperation]],
+    * the DSv2 SupportsDelta contract Iceberg's
+    * `write.update.mode = merge-on-read` runs on): Spark plans a
+    * WriteDelta instead of ReplaceData, the scan carries the
+    * (`_graft_file`, `_graft_pos`) row id, and the commit appends the
+    * rewritten rows plus a position-delete reference — O(matched
+    * rows), zero file rewrites (witnessed: every pre-existing file
+    * survives by name, the delete rides kind=pos). The predicate is a
+    * modulo — a shape no metadata delete or equality delete could
+    * take. */
+  def tableUpdateMorSqlQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmorusql").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 4 === 1)
+    orders.filter(col("o_orderkey") % 8 === 1)
+      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    orders.filter(col("o_orderkey") % 8 === 5)
+      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    val files = TxnLog.parquetsUnder(tbl, "b0") ++
+      TxnLog.parquetsUnder(tbl, "b1")
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    GraftTables.registerCatalog(spark)
+    val preFiles = TxnLog.tip(tbl).files
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try spark.sql(
+      s"UPDATE graft.`$tbl` SET cents = cents + 7 WHERE cents % 10 = 3")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val m1 = TxnLog.tip(tbl)
+    val deltaUpdate = m1.action == "update-mor" &&
+      preFiles.forall(m1.files.contains) &&
+      m1.deletes.nonEmpty && m1.deletes.forall(_.kind == "pos")
+    import spark.implicits._
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1), deltaUpdate))
+      .toDF("n_rows", "sum_cents", "delta_update")
+  }
+
+  /** table_merge_mor — SQL `MERGE INTO` in MERGE-ON-READ mode: one
+    * WriteDelta commit carries the matched rows' position deletes,
+    * their updated versions, AND the not-matched inserts — where the
+    * copy-on-write MERGE would rewrite every file the ON-keys' stats
+    * ranges touch. The CDF classifies the commit exactly (one
+    * update pair per matched key, insert per new key) because the
+    * update-mor feed branch key-joins pre/post images — witnessed by
+    * the per-change-type counts riding the result. */
+  def tableMergeMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = tmpDir("connmormrg").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 4 === 3)
+    orders.coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    val files = TxnLog.parquetsUnder(tbl, "b0")
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    // Source: every %20==3 key restated (cents doubled) + the same
+    // keys shifted by 10^9 as brand-new rows (cents + 1).
+    val src = orders.filter(col("o_orderkey") % 20 === 3)
+      .select(col("o_orderkey"), (col("cents") * 2).as("cents"))
+      .unionByName(orders.filter(col("o_orderkey") % 20 === 3)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          (col("cents") + 1).as("cents")))
+    src.createOrReplaceTempView("graft_merge_mor_src")
+    GraftTables.registerCatalog(spark)
+    val preFiles = TxnLog.tip(tbl).files
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try spark.sql(
+      s"MERGE INTO graft.`$tbl` t USING graft_merge_mor_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, cents) " +
+        "VALUES (s.o_orderkey, s.cents)")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val m1 = TxnLog.tip(tbl)
+    val deltaMerge = m1.action == "update-mor" &&
+      preFiles.forall(m1.files.contains) &&
+      m1.deletes.nonEmpty && m1.deletes.forall(_.kind == "pos")
+    import spark.implicits._
+    val nMatched = orders.filter(col("o_orderkey") % 20 === 3).count()
+    val feed = TxnLog.changes(spark, tbl, 0L, m1.version, "o_orderkey")
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    val cdfExact =
+      feed.getOrElse("update_preimage", 0L) == nMatched &&
+      feed.getOrElse("update_postimage", 0L) == nMatched &&
+      feed.getOrElse("insert", 0L) == nMatched &&
+      feed.getOrElse("delete", 0L) == 0L
+    val agg = GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1), deltaMerge, cdfExact))
+      .toDF("n_rows", "sum_cents", "delta_merge", "cdf_exact")
+  }
+
   /** table_optimize_small — INCREMENTAL OPTIMIZE
     * ([[TxnLog.compactSmall]], the Delta OPTIMIZE / Iceberg
     * rewrite-with-size-filter semantics): after a big create and six

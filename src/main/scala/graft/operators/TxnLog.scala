@@ -1767,6 +1767,41 @@ object TxnLog {
     }
     def readFiles(fs: Seq[String], m: Manifest): DataFrame =
       logical(morRead(spark, table, m, Some(fs)), m)
+    // Row-by-row classification of a (pre, post) rewrite pair on the
+    // unique non-NULL `key`: carried rows cancel, the rest emit as
+    // insert / delete / update_preimage+postimage — shared by the
+    // copy-on-write rewrite branch and the update-mor (delta) branch.
+    def classify(pre: DataFrame, post: DataFrame, v: Long): DataFrame = {
+      val cols = post.columns.toSeq
+      require(pre.columns.toSeq == cols,
+        s"changes at v$v: schema drift across the rewrite " +
+          s"(${pre.columns.mkString(",")} vs ${cols.mkString(",")})")
+      val a = post.select(col(key).as("_k"),
+        struct(cols.map(col): _*).as("_post"))
+      val r = pre.select(col(key).as("_k"),
+        struct(cols.map(col): _*).as("_pre"))
+      val classified = r.join(a, Seq("_k"), "full_outer")
+        .select(col("_pre"), col("_post"),
+          when(col("_pre").isNull, lit("insert"))
+            .when(col("_post").isNull, lit("delete"))
+            .when(col("_pre") <=> col("_post"), lit("carried"))
+            .otherwise(lit("update")).as("_cls"))
+        .filter(col("_cls") =!= "carried")
+      classified.select(explode(
+        when(col("_cls") === "update", array(
+          struct(col("_pre").as("_row"),
+            lit("update_preimage").as("_ct")),
+          struct(col("_post").as("_row"),
+            lit("update_postimage").as("_ct"))))
+          .when(col("_cls") === "insert", array(
+            struct(col("_post").as("_row"), lit("insert").as("_ct"))))
+          .otherwise(array(
+            struct(col("_pre").as("_row"), lit("delete").as("_ct"))))
+      ).as("_e"))
+        .select(col("_e._row.*") +: Seq(
+          col("_e._ct").as("_change_type"),
+          lit(v).as("_commit_version")): _*)
+    }
     val perCommit: Seq[DataFrame] = versions(table)
       .filter(v => v > fromVersion && v <= toVersion).flatMap { v =>
         // expire() leaves gaps: a commit whose immediate parent is
@@ -1797,19 +1832,20 @@ object TxnLog {
               .flatMap(d => posDeleteNamedFiles(table, d)).toSet
             cur.files.filter(n)
           }
-          val pre =
-            if (named.isEmpty) None
-            else Some(logical(
-              morRead(spark, table, prev, Some(named)).exceptAll(
-                morRead(spark, table, cur, Some(named))), cur)
-              .withColumn("_change_type", lit("update_preimage"))
-              .withColumn("_commit_version", lit(v)))
+          val pre = logical(
+            if (named.isEmpty) {
+              val d = morRead(spark, table, cur,
+                Some(cur.files.take(1)))
+              d.filter(lit(false)) // empty, correct schema
+            } else morRead(spark, table, prev, Some(named)).exceptAll(
+              morRead(spark, table, cur, Some(named))), cur)
           val post =
-            if (added.isEmpty) None
-            else Some(readFiles(added, cur)
-              .withColumn("_change_type", lit("update_postimage"))
-              .withColumn("_commit_version", lit(v)))
-          (pre.toSeq ++ post.toSeq).reduceOption(_.unionByName(_))
+            if (added.isEmpty) pre.filter(lit(false))
+            else readFiles(added, cur)
+          // Key classification pairs pre/post exactly: a plain UPDATE
+          // yields update_preimage/postimage, a MERGE's not-matched
+          // rows yield insert, its matched-DELETE rows delete.
+          Some(classify(pre, post, v))
         }
         else if (newDeletes.nonEmpty) {
           // A delete-mor commit references new delete files and
@@ -1862,39 +1898,8 @@ object TxnLog {
           readFiles(removed, prev)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v)))
-        else {
-          val post = readFiles(added, cur)
-          val pre = readFiles(removed, prev)
-          val cols = post.columns.toSeq
-          require(pre.columns.toSeq == cols,
-            s"changes at v$v: schema drift across the rewrite " +
-              s"(${pre.columns.mkString(",")} vs ${cols.mkString(",")})")
-          val a = post.select(col(key).as("_k"),
-            struct(cols.map(col): _*).as("_post"))
-          val r = pre.select(col(key).as("_k"),
-            struct(cols.map(col): _*).as("_pre"))
-          val classified = r.join(a, Seq("_k"), "full_outer")
-            .select(col("_pre"), col("_post"),
-              when(col("_pre").isNull, lit("insert"))
-                .when(col("_post").isNull, lit("delete"))
-                .when(col("_pre") <=> col("_post"), lit("carried"))
-                .otherwise(lit("update")).as("_cls"))
-            .filter(col("_cls") =!= "carried")
-          Some(classified.select(explode(
-            when(col("_cls") === "update", array(
-              struct(col("_pre").as("_row"),
-                lit("update_preimage").as("_ct")),
-              struct(col("_post").as("_row"),
-                lit("update_postimage").as("_ct"))))
-              .when(col("_cls") === "insert", array(
-                struct(col("_post").as("_row"), lit("insert").as("_ct"))))
-              .otherwise(array(
-                struct(col("_pre").as("_row"), lit("delete").as("_ct"))))
-          ).as("_e"))
-            .select(col("_e._row.*") +: Seq(
-              col("_e._ct").as("_change_type"),
-              lit(v).as("_commit_version")): _*))
-        }
+        else Some(classify(readFiles(removed, prev),
+          readFiles(added, cur), v))
       }
     if (perCommit.isEmpty) {
       // A window of pure metadata commits: a streaming consumer

@@ -853,7 +853,36 @@ final class GraftTable(snap: GraftSnapshot, cdf: Boolean = false)
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row provenance as DSv2 METADATA COLUMNS (Delta's `_metadata`
+    * idea): `_graft_file` = table-relative data file, `_graft_pos` =
+    * parquet row ordinal within it — selectable from any batch read,
+    * and the ROW ID the delta (merge-on-read) row-level operations
+    * key on ([[GraftDeltaOperation.rowId]]). Served by the MoR
+    * planner with per-file scan groups; the ordinal is the parquet
+    * reader's own generated row index, stable under splits and
+    * filter pushdown. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftMor.MetaFileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "table-relative data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftMor.MetaPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "parquet row ordinal of the row within its file"
+      })
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -950,6 +979,10 @@ final class GraftScanBuilder(
   private var requiredSchema: StructType = snap.schema
   private var pushedExprs: Seq[Expression] = Seq.empty
   private var aggPushed = false
+  // Row-provenance metadata columns requested ([[GraftMor.MetaFileCol]]
+  // / [[GraftMor.MetaPosCol]]) — split off the data schema at prune
+  // time; the MoR planner serves them (per-file groups).
+  private var metaCols: Seq[String] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
@@ -960,8 +993,13 @@ final class GraftScanBuilder(
   // own pushed filters show in explain); nothing extra to report here.
   override def pushedFilters: Array[Predicate] = Array.empty
 
-  override def pruneColumns(required: StructType): Unit =
-    requiredSchema = required
+  override def pruneColumns(required: StructType): Unit = {
+    val (meta, data) = required.fields.partition(f =>
+      f.name == GraftMor.MetaFileCol || f.name == GraftMor.MetaPosCol)
+    metaCols = meta.map(_.name).toSeq
+      .sortBy(Seq(GraftMor.MetaFileCol, GraftMor.MetaPosCol).indexOf)
+    requiredSchema = StructType(data)
+  }
 
   /** Pruning compares filters (logical names) against manifest
     * metadata (physical names: statsKey and partition columns are
@@ -996,7 +1034,7 @@ final class GraftScanBuilder(
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = !snap.isMapped && snap.manifest.deletes.isEmpty &&
-    prunedInner.supportCompletePushDown(agg)
+    metaCols.isEmpty && prunedInner.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -1004,7 +1042,8 @@ final class GraftScanBuilder(
     // Mapped tables: the aggregate references logical names the
     // physical footers don't carry. Pending merge-on-read deletes:
     // footer statistics still count the deleted rows.
-    if (snap.isMapped || snap.manifest.deletes.nonEmpty) return false
+    if (snap.isMapped || snap.manifest.deletes.nonEmpty ||
+      metaCols.nonEmpty) return false
     aggPushed = prunedInner.pushAggregation(agg)
     aggPushed
   }
@@ -1028,16 +1067,25 @@ final class GraftScanBuilder(
     * [[GraftMor.plan]] groups them by applicable delete and wraps the
     * group scans with the key-filtering reader. */
   private def buildMor(pf: Seq[Expression], kept: Seq[String]): Scan = {
-    val p = GraftMor.plan(spark, snap, kept, requiredSchema, pf, options)
-    new GraftScan(p.groups.head.scan, snap, pf, options,
-      diff => parquetScanOver(diff.files, diff.sizes, pf),
-      mor = Some(p))
+    val p = GraftMor.plan(spark, snap, kept, requiredSchema, pf, options,
+      metaCols)
+    val overDiff: TxnLog.Manifest => Scan =
+      if (metaCols.isEmpty)
+        diff => parquetScanOver(diff.files, diff.sizes, pf)
+      else
+        _ => sys.error("graft metadata columns are batch-only " +
+          "(a streaming diff has no stable row provenance)")
+    new GraftScan(
+      p.groups.headOption.map(_.scan)
+        .getOrElse(parquetScanOver(kept, snap.manifest.sizes, pf)),
+      snap, pf, options, overDiff, mor = Some(p))
   }
 
   override def build(): Scan = {
     val pf = physFilters
     val kept = GraftPruning.prune(snap.manifest, pf)
-    if (snap.manifest.deletes.nonEmpty && kept.nonEmpty && !aggPushed)
+    if (((snap.manifest.deletes.nonEmpty && kept.nonEmpty) ||
+        metaCols.nonEmpty) && !aggPushed)
       return buildMor(pf, kept)
     val inner =
       if (aggPushed) prunedInner.build() // scan output = the aggregate

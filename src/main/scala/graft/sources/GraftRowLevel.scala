@@ -94,8 +94,18 @@ final class GraftRowLevelOperation(
 final case class GraftRowLevelBuilder(
     snap: GraftSnapshot, info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
+  /** `spark.graft.rowlevel.mode = mor` routes UPDATE/MERGE/row-level
+    * DELETE through the DELTA (merge-on-read) operation
+    * ([[GraftDeltaOperation]]: appended rows + position deletes,
+    * O(changed rows)); the default stays group-based copy-on-write
+    * (O(affected files), zero read-time debt). Semantics are
+    * identical either way — the mode is a cost model choice. */
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(snap, info.command)
+    if (SparkSession.active.conf.getOption("spark.graft.rowlevel.mode")
+        .exists(_.equalsIgnoreCase("mor")))
+      new GraftDeltaOperation(snap, info.command)
+    else
+      new GraftRowLevelOperation(snap, info.command)
 }
 
 /** The copy-on-write scan builder: pushed filters prune FILES from

@@ -474,6 +474,104 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       .filter($"id".between(10L, 13L)).count() == 0L)
   }
 
+  test("row-provenance metadata columns _graft_file/_graft_pos are " +
+      "selectable, filter-pushdown-safe, and MoR-aware") {
+    val tbl = quartileTable() // ids 1..100 across 4 files, key id
+    val df = GraftTables.read(spark, tbl)
+      .select($"id", $"_graft_file", $"_graft_pos")
+    assert(df.count() == 100L)
+    // File identity is the manifest-relative name; ordinals restart
+    // per file and are dense within one.
+    val byFile = df.groupBy("_graft_file")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"_graft_pos").as("lo"),
+        org.apache.spark.sql.functions.max($"_graft_pos").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(byFile.length == 4)
+    assert(byFile.forall { case (f, n, lo, hi) =>
+      TxnLog.tip(tbl).files.contains(f) && lo == 0L && hi == n - 1 })
+    // Pushed filters do not disturb ordinals (id=30 is the 5th row of
+    // the q1 file: ids 26..50, ordinal 4).
+    val r = df.filter($"id" === 30L).head()
+    assert(r.getString(1).startsWith("q1/") && r.getLong(2) == 4L)
+    // MoR-aware: a position delete hides the row from the provenance
+    // read too (same ordinal never re-surfaces).
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try {
+      GraftTables.registerCatalog(spark)
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id BETWEEN 30 AND 31")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    assert(GraftTables.read(spark, tbl)
+      .select($"id", $"_graft_pos").count() == 98L)
+    assert(GraftTables.read(spark, tbl)
+      .select($"_graft_pos", $"id").filter($"id" === 30L).count() == 0L)
+  }
+
+  test("SupportsDelta row-level ops: SQL UPDATE/DELETE/MERGE in " +
+      "merge-on-read mode append rows + position deletes, never rewrite") {
+    val tbl = quartileTable() // ids 1..100, v = id*10, 4 files
+    GraftTables.registerCatalog(spark)
+    val before = TxnLog.tip(tbl).files
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try {
+      // UPDATE scattered across all four files: delta mode pays for
+      // 10 rows, not 4 file rewrites.
+      spark.sql(s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id % 10 = 3")
+      val m1 = TxnLog.tip(tbl)
+      assert(m1.action == "update-mor", m1.action)
+      assert(before.forall(m1.files.contains), "no data file removed")
+      assert(m1.deletes.nonEmpty && m1.deletes.forall(_.kind == "pos"))
+      assert(GraftTables.read(spark, tbl).count() == 100L)
+      assert(GraftTables.read(spark, tbl).filter($"id" % 10 === 3)
+        .select("v").as[Long].collect().sorted.toSeq ==
+        (0L to 9L).map(d => (d * 10 + 3) * 10 + 1))
+      // Row-level DELETE (modulo predicate never translates to a
+      // metadata delete): delta mode makes it positions-only.
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id % 10 = 7")
+      val m2 = TxnLog.tip(tbl)
+      assert(m2.action == "delete-mor", m2.action)
+      assert(m1.files.forall(m2.files.contains))
+      assert(GraftTables.read(spark, tbl).count() == 90L)
+      assert(GraftTables.read(spark, tbl)
+        .filter($"id" % 10 === 7).count() == 0L)
+      // MERGE: matched UPDATE + not-matched INSERT in one delta
+      // commit (the matched row's live version sits in the UPDATE's
+      // appended file — chained provenance works).
+      Seq((3L, 99999L), (1000L, 12345L)).toDF("id", "v")
+        .createOrReplaceTempView("delta_merge_src")
+      spark.sql(s"MERGE INTO graft.`$tbl` t USING delta_merge_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+      val m3 = TxnLog.tip(tbl)
+      assert(m3.action == "update-mor")
+      assert(GraftTables.read(spark, tbl).count() == 91L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 3L)
+        .select("v").as[Long].head() == 99999L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 1000L)
+        .select("v").as[Long].head() == 12345L)
+      // CDF classifies the MERGE commit exactly: one update pair for
+      // id=3, one insert for id=1000.
+      val feed = TxnLog.changes(spark, tbl, m2.version, m3.version, "id")
+      assert(feed.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toSet ==
+        Set(("update_preimage", 1L), ("update_postimage", 1L),
+          ("insert", 1L)))
+      // And the DELETE commit's feed is pure deletes of the 10 rows.
+      assert(TxnLog.changes(spark, tbl, m1.version, m2.version, "id")
+        .groupBy("_change_type").count()
+        .as[(String, Long)].collect().toSet == Set(("delete", 10L)))
+      // Time travel to the original snapshot is untouched.
+      assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+      // Materialize folds all of it; content stable.
+      TxnLog.materializeDeletes(spark, tbl, "mzd")
+      assert(TxnLog.tip(tbl).deletes.isEmpty)
+      assert(GraftTables.read(spark, tbl).count() == 91L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 3L)
+        .select("v").as[Long].head() == 99999L)
+    } finally spark.conf.unset("spark.graft.rowlevel.mode")
+  }
+
   test("CALL graft.update_mor: matched rows re-appended + old ordinals " +
       "position-deleted in ONE commit; CDF, chaining, materialize") {
     val tbl = quartileTable() // ids 1..100, v = id*10, 4 files, key id

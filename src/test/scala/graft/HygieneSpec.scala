@@ -87,6 +87,11 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
         "conf.set(spark.graft.delete.mode)") ->
         ("MoR-routing pin for the delete fixtures, set/unset scoped " +
           "per query; semantics-preserving either way by design"),
+      ("operators/SourceSinkQueries.scala",
+        "conf.set(spark.graft.rowlevel.mode)") ->
+        ("delta-vs-CoW routing pin for the UPDATE/MERGE fixtures, " +
+          "set/unset scoped per query; a cost-model choice, " +
+          "semantics-preserving either way by design"),
       ("sources/GraftDataSource.scala",
         "conf.set(spark.sql.catalog.graft)") ->
         "catalog class-name registration; scale-independent")

@@ -539,8 +539,11 @@ object GraftTables {
     // table with no key column at all) commits as a POSITION-DELETE
     // file instead (below, after predicate translation): MoR mode
     // means MoR, whatever the predicate's shape.
-    val morMode = spark.conf.getOption("spark.graft.delete.mode")
-      .exists(_.equalsIgnoreCase("mor"))
+    // `spark.graft.rowlevel.mode = mor` implies it too: a session that
+    // routed UPDATE/MERGE through the delta contract expects DELETE to
+    // avoid file rewrites as well — one switch, a coherent cost model.
+    val morMode = Seq("spark.graft.delete.mode", "spark.graft.rowlevel.mode")
+      .exists(k => spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
     if (morMode) {
       val logicalKey = snap.manifest.statsKey.map(snap.logicalOf)
       val keyVals: Option[Seq[Long]] = (filters.toSeq, logicalKey) match {

@@ -426,6 +426,19 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     // Idle drain: no new versions, nothing emitted.
     assert(drain() == 0L)
     TxnLog.dropConstraint(tbl, "v_any")
+    // A DELTA (SupportsDelta) UPDATE commit streams through the feed
+    // as exact pre/post pairs — position deletes and appended files
+    // classified by the shared key join, same as the batch CDF.
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try spark.sql(s"UPDATE graft.`$tbl` SET v = v + 7 WHERE id % 50 = 2")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    assert(drain() == 6L) // 3 matched ids (2, 52, 102) x pre+post
+    val dv = TxnLog.tip(tbl).version
+    assert(spark.read.parquet(out)
+      .filter($"_commit_version" === dv)
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toSet ==
+      Set(("update_preimage", 3L), ("update_postimage", 3L)))
   }
 
   test("SQL DELETE in MoR mode with a non-key predicate commits a " +
@@ -569,6 +582,17 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       assert(GraftTables.read(spark, tbl).count() == 91L)
       assert(GraftTables.read(spark, tbl).filter($"id" === 3L)
         .select("v").as[Long].head() == 99999L)
+      // A TRANSLATABLE delete under the same switch stays MoR too —
+      // rowlevel.mode=mor implies MoR on the metadata-delete path, so
+      // one switch gives a coherent no-rewrite cost model; and the
+      // router picks the CHEAPEST form (key-equality on the stats key
+      // → an equality delete, not positions).
+      val preDel = TxnLog.tip(tbl).files
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 43")
+      val m4 = TxnLog.tip(tbl)
+      assert(m4.action == "delete-mor" && m4.files == preDel &&
+        m4.deletes.map(_.kind) == Seq("eq"))
+      assert(GraftTables.read(spark, tbl).count() == 90L)
     } finally spark.conf.unset("spark.graft.rowlevel.mode")
   }
 

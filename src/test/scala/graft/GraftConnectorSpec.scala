@@ -596,6 +596,48 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.rowlevel.mode")
   }
 
+  test("delta MERGE handles NOT MATCHED BY SOURCE; delta UPDATE works " +
+      "on a column-mapped (renamed) table") {
+    GraftTables.registerCatalog(spark)
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try {
+      // NMBS through the delta plan: one update pair + two deletes,
+      // still zero file rewrites.
+      val tbl = quartileTable()
+      val before = TxnLog.tip(tbl).files
+      Seq((1L, 111L)).toDF("id", "v")
+        .createOrReplaceTempView("delta_nmbs_src")
+      spark.sql(s"MERGE INTO graft.`$tbl` t USING delta_nmbs_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id > 98 THEN DELETE")
+      val m = TxnLog.tip(tbl)
+      assert(m.action == "update-mor" && before.forall(m.files.contains))
+      assert(GraftTables.read(spark, tbl).count() == 98L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 1L)
+        .select("v").as[Long].head() == 111L)
+      assert(GraftTables.read(spark, tbl).filter($"id" > 98L).count() == 0L)
+      // Column mapping: rename v -> val (manifest-only), then a delta
+      // UPDATE through the LOGICAL name; the position delete and the
+      // appended physical bytes stay consistent with the mapping.
+      val tbl2 = graft.util.Scratch.dir("graft_connector")
+        .resolve(s"dm${System.nanoTime()}")
+      GraftTables.createFrom(tbl2,
+        (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"))
+      TxnLog.renameColumn(tbl2, "v", "val")
+      spark.sql(s"UPDATE graft.`$tbl2` SET val = val + 1 WHERE id = 7")
+      val m2 = TxnLog.tip(tbl2)
+      assert(m2.action == "update-mor" &&
+        m2.deletes.map(_.kind) == Seq("pos"))
+      assert(GraftTables.read(spark, tbl2).filter($"id" === 7L)
+        .select("val").as[Long].head() == 71L)
+      assert(GraftTables.read(spark, tbl2).count() == 100L)
+      // The pre-rename snapshot still reads the OLD name and value.
+      assert(GraftTables.read(spark, tbl2, Some(0L)).filter($"id" === 7L)
+        .select("v").as[Long].head() == 70L)
+    } finally spark.conf.unset("spark.graft.rowlevel.mode")
+  }
+
   test("CALL graft.update_mor: matched rows re-appended + old ordinals " +
       "position-deleted in ONE commit; CDF, chaining, materialize") {
     val tbl = quartileTable() // ids 1..100, v = id*10, 4 files, key id

@@ -96,4 +96,65 @@ class RowLevelConflictSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, tbl)
       .filter($"id" === 60L).select($"v").head.getLong(0) == 60L)
   }
+
+  /** Stage a delta task output: a data file of rewritten rows plus a
+    * position-delete file naming `target` ordinals 0..n-1. */
+  private def stageDelta(tbl: Path, sub: String, target: String,
+      lo: Long, hi: Long): GraftDeltaFiles = {
+    (lo to hi).map(i => (i, i * 10L + 1L)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve(s"$sub-d").toString)
+    (0L to (hi - lo)).map(p => (target, p)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(tbl.resolve(s"$sub-p").toString)
+    GraftDeltaFiles(
+      Some(TxnLog.parquetsUnder(tbl, s"$sub-d").head), hi - lo + 1L,
+      Some(TxnLog.parquetsUnder(tbl, s"$sub-p").head), hi - lo + 1L)
+  }
+
+  test("a DELTA commit rebases over a disjoint append; refuses when a " +
+      "position-targeted file was rewritten or a MoR delete raced in") {
+    val (tbl, loFiles, hiFiles) = twoFileTable()
+    val snap = GraftTables.resolve(Map("path" -> tbl.toString))
+    val write = new GraftDeltaBatchWrite(snap,
+      RowLevelOperation.Command.UPDATE)
+    val msg = stageDelta(tbl, "dl0", loFiles.head, 1L, 50L)
+    // Concurrent DISJOINT append: commutes, commit rebases onto it.
+    (200L to 210L).map(i => (i, 7L)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("app0").toString)
+    val appended = TxnLog.parquetsUnder(tbl, "app0")
+    TxnLog.commitRetry(tbl, "append", t => t.files ++ appended)
+    write.commit(Array[WriterCommitMessage](msg))
+    val tip = TxnLog.tip(tbl)
+    assert(tip.version == 2L && tip.action == "update-mor")
+    assert((loFiles ++ hiFiles ++ appended).forall(tip.files.contains),
+      "delta appends; nothing removed, the append not clobbered")
+    assert(tip.deletes.map(_.kind) == Seq("pos"))
+    val rows = GraftTables.read(spark, tbl)
+    assert(rows.count() == 111L)
+    assert(rows.filter($"id" <= 50L).agg(sum($"v")).head.getLong(0) ==
+      (1L to 50L).map(_ * 10L + 1L).sum)
+    // Refusal 1: a concurrent commit REWRITES a position-targeted
+    // file — the recorded ordinals would delete the wrong rows.
+    val snap2 = GraftTables.resolve(Map("path" -> tbl.toString))
+    val write2 = new GraftDeltaBatchWrite(snap2,
+      RowLevelOperation.Command.UPDATE)
+    val msg2 = stageDelta(tbl, "dl1", hiFiles.head, 51L, 100L)
+    (51L to 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl.resolve("cc").toString)
+    TxnLog.commitRetry(tbl, "cow",
+      t => t.files.filterNot(hiFiles.contains) ++
+        TxnLog.parquetsUnder(tbl, "cc"))
+    val e1 = intercept[RuntimeException](
+      write2.commit(Array[WriterCommitMessage](msg2)))
+    assert(e1.getMessage.contains("does not commute"))
+    // Refusal 2: a concurrent NEW equality delete — this statement's
+    // fresh-seq output would escape it, resurrecting deleted rows.
+    val snap3 = GraftTables.resolve(Map("path" -> tbl.toString))
+    val write3 = new GraftDeltaBatchWrite(snap3,
+      RowLevelOperation.Command.UPDATE)
+    val msg3 = stageDelta(tbl, "dl2", loFiles.head, 1L, 10L)
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(5L).toDF("id"), "id", "ed")
+    val e2 = intercept[RuntimeException](
+      write3.commit(Array[WriterCommitMessage](msg3)))
+    assert(e2.getMessage.contains("merge-on-read delete"))
+  }
 }

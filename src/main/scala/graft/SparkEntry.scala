@@ -167,6 +167,7 @@ object SparkEntry {
     "sketch_bottomk" -> ((s, dir) => graft.functions.BottomKStrings.sketchQuery(s, dir)),
     "stream_upsert" -> ((s, dir) => graft.streaming.Streaming.streamUpsertQuery(s, dir)),
     "stream_cdc_apply" -> ((s, dir) => graft.streaming.Streaming.streamCdcApplyQuery(s, dir)),
+    "stream_cdc_apply_mor" -> ((s, dir) => graft.streaming.Streaming.streamCdcApplyMorQuery(s, dir)),
     "stream_late_drop" -> ((s, dir) => graft.streaming.Streaming.streamLateDropQuery(s, dir)),
     "time_resample" -> ((s, dir) => RelationalExt.timeResample(s, dir)),
     "window_moving_agg" -> ((s, dir) => RelationalExt.windowMovingAgg(s, dir)),
@@ -3119,6 +3120,25 @@ object SparkEntry {
                 true AS delta_merge,
                 true AS cdf_exact
          FROM merged""",
+    // MoR CDC apply: batch A doubles even keys' cents and tombstones
+    // ≡3 (mod 30); batch B inserts the %15 keys shifted 1e8 (+9).
+    "stream_cdc_apply_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders WHERE o_orderkey % 3 = 0),
+              after_a AS (
+                SELECT k, CASE WHEN k % 2 = 0 THEN c * 2 ELSE c END AS c
+                FROM o WHERE NOT (k % 30 = 3)),
+              final AS (
+                SELECT k, c FROM after_a
+                UNION ALL
+                SELECT k + 100000000, c + 9 FROM o WHERE k % 15 = 0)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c) AS BIGINT) AS sum_cents,
+                true AS append_only,
+                true AS all_mor,
+                CAST(2 AS BIGINT) AS batches_applied
+         FROM final""",
     // SQL ALTER TABLE chain: add note (+%4==1 append with k%5),
     // rename cents->cents_total (pinned v3 types it int), widen to
     // bigint, drop note (pinned v4 still sums it).

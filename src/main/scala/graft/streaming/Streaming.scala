@@ -866,6 +866,99 @@ object Streaming {
       .orderBy("_p")
   }
 
+  /** stream_cdc_apply_mor — the CDC trickle applied MERGE-ON-READ: each
+    * micro-batch of (key, value, op) change rows runs ONE SQL `MERGE`
+    * against the log table under `spark.graft.rowlevel.mode = mor`
+    * (the DSv2 SupportsDelta plan, [[graft.sources.GraftDeltaOperation]]),
+    * so every batch commits appended rows + position deletes —
+    * O(batch's changed rows) — and NEVER rewrites a data file
+    * (witnessed across every batch: the pre-existing file set only
+    * grows). This closes the scale story [[streamCdcApplyQuery]]
+    * tells for copy-on-write: a CDC trickle into a 100 TB table under
+    * CoW pays a file rewrite per touched file per batch; under MoR it
+    * pays for the rows themselves, and compaction runs on ITS
+    * schedule, not the stream's. Exactly-once comes from the stream
+    * checkpoint (batch boundaries) + the MERGE's atomic commit. */
+  def streamCdcApplyMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TxnLog
+    val base = graft.util.Scratch.dir("graft_cdcmor")
+    val srcDir = base.resolve("in")
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(srcDir)
+    val tbl = base.resolve("table").resolve("orders")
+    Files.createDirectories(tbl)
+    val orders = graft.operators.Relational.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .filter(col("o_orderkey") % 3 === 0)
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(tbl.resolve("d0").toString)
+    val baseFiles = TxnLog.parquetsUnder(tbl, "d0")
+    TxnLog.commitRetry(tbl, "create", _ => baseFiles,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, baseFiles, "o_orderkey"),
+      statsKey = Some("o_orderkey"))
+    graft.sources.GraftTables.registerCatalog(spark)
+    // Batch A: restate the evens (cents doubled), tombstone ≡3 (mod
+    // 30); batch B: brand-new keys (+1e8). Disjoint by construction.
+    val batchA = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("cents") * 2).as("cents"),
+        lit("upsert").as("op"))
+      .unionByName(orders.filter(col("o_orderkey") % 30 === 3)
+        .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
+          lit("delete").as("op")))
+    val batchB = orders.filter(col("o_orderkey") % 15 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (col("cents") + 9L).as("cents"), lit("upsert").as("op"))
+    var appendOnly = true
+    var allMor = true
+    var nBatches = 0L
+    def run(): Unit = {
+      val schema = spark.read.parquet(srcDir.toString).schema
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val s = b.sparkSession
+            val preFiles = TxnLog.tip(tbl).files.toSet
+            val view = s"cdc_mor_b${System.nanoTime()}"
+            b.createOrReplaceTempView(view)
+            s.conf.set("spark.graft.rowlevel.mode", "mor")
+            try s.sql(
+              s"MERGE INTO graft.`$tbl` t USING $view s " +
+                "ON t.o_orderkey = s.o_orderkey " +
+                "WHEN MATCHED AND s.op = 'delete' THEN DELETE " +
+                "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
+                "WHEN NOT MATCHED AND s.op != 'delete' THEN " +
+                "INSERT (o_orderkey, cents) VALUES (s.o_orderkey, s.cents)")
+            finally {
+              s.conf.unset("spark.graft.rowlevel.mode")
+              s.catalog.dropTempView(view)
+            }
+            val m = TxnLog.tip(tbl)
+            appendOnly &= preFiles.subsetOf(m.files.toSet)
+            allMor &= Set("update-mor", "delete-mor")(m.action)
+            nBatches += 1
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    landSingleFile(batchA, base, srcDir, "a.parquet")
+    run()
+    landSingleFile(batchB, base, srcDir, "b.parquet")
+    run()
+    graft.sources.GraftTables.read(spark, tbl)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
+        lit(appendOnly).as("append_only"),
+        lit(allMor).as("all_mor"),
+        lit(nBatches).as("batches_applied"))
+  }
+
   /** stream_cdc_maintain — the CDC stream WITH its maintenance loop,
     * on the transaction log ([[graft.operators.TxnLog]]): the
     * OPTIMIZE-on-write discipline a perpetual CDC table needs, folded

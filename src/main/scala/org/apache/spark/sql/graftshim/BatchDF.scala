@@ -23,4 +23,14 @@ object BatchDF {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A full clone of the session — SHARED state and cache, COPIED
+    * session conf — so a planner can pin one scan-shaping conf (file
+    * open cost, for single-file partitions) without mutating the
+    * user's session or losing its other settings. `cloneSession` is
+    * `private[sql]` in Spark 4; this shim is the doorway. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.classic.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
 }

@@ -3105,7 +3105,7 @@ object SparkEntry {
                 true AS delta_update
          FROM o""",
     // Delta-mode MERGE: %20==3 keys restated (cents*2) + the same
-    // keys shifted 1e9 inserted (cents+1), over the %4==3 table.
+    // keys shifted 1e11 inserted (cents+1), over the %4==3 table.
     "table_merge_mor" ->
       """WITH o AS (SELECT o_orderkey AS k,
                            CAST(round(o_totalprice * 100) AS BIGINT) AS c
@@ -3114,14 +3114,14 @@ object SparkEntry {
                 SELECT k, CASE WHEN k % 20 = 3 THEN c * 2 ELSE c END AS c
                 FROM o
                 UNION ALL
-                SELECT k + 1000000000, c + 1 FROM o WHERE k % 20 = 3)
+                SELECT k + 100000000000, c + 1 FROM o WHERE k % 20 = 3)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(c) AS BIGINT) AS sum_cents,
                 true AS delta_merge,
                 true AS cdf_exact
          FROM merged""",
     // MoR CDC apply: batch A doubles even keys' cents and tombstones
-    // ≡3 (mod 30); batch B inserts the %15 keys shifted 1e8 (+9).
+    // ≡3 (mod 30); batch B inserts the %15 keys shifted 1e11 (+9).
     "stream_cdc_apply_mor" ->
       """WITH o AS (SELECT o_orderkey AS k,
                            CAST(round(o_totalprice * 100) AS BIGINT) AS c
@@ -3132,7 +3132,7 @@ object SparkEntry {
               final AS (
                 SELECT k, c FROM after_a
                 UNION ALL
-                SELECT k + 100000000, c + 9 FROM o WHERE k % 15 = 0)
+                SELECT k + 100000000000, c + 9 FROM o WHERE k % 15 = 0)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(c) AS BIGINT) AS sum_cents,
                 true AS append_only,

@@ -2581,7 +2581,9 @@ object SourceSinkQueries {
     val src = orders.filter(col("o_orderkey") % 20 === 3)
       .select(col("o_orderkey"), (col("cents") * 2).as("cents"))
       .unionByName(orders.filter(col("o_orderkey") % 20 === 3)
-        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        // Shift far above any real key at any SF (the r15 ReKeyOffset
+        // lesson: 1e9 collides with sf100-scale keys).
+        .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
           (col("cents") + 1).as("cents")))
     src.createOrReplaceTempView("graft_merge_mor_src")
     GraftTables.registerCatalog(spark)

@@ -908,7 +908,9 @@ object Streaming {
         .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
           lit("delete").as("op")))
     val batchB = orders.filter(col("o_orderkey") % 15 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      // +1e11: far above any real key at any SF (the r15 ReKeyOffset
+      // lesson — a small shift collides with large-SF keys).
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         (col("cents") + 9L).as("cents"), lit("upsert").as("op"))
     var appendOnly = true
     var allMor = true

@@ -92,6 +92,17 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
         ("delta-vs-CoW routing pin for the UPDATE/MERGE fixtures, " +
           "set/unset scoped per query; a cost-model choice, " +
           "semantics-preserving either way by design"),
+      ("streaming/Streaming.scala",
+        "conf.set(spark.graft.rowlevel.mode)") ->
+        ("same delta-vs-CoW routing pin inside stream_cdc_apply_mor's " +
+          "foreachBatch, set/unset scoped per batch"),
+      ("sources/GraftMor.scala",
+        "conf.set(spark.sql.files.openCostInBytes)") ->
+        ("set on a CLONED session only (the user's session is never " +
+          "mutated): a 1-PiB open cost pins provenance scans to " +
+          "single-file partitions, the invariant the per-partition " +
+          "file tag needs; scale-INdependent — it shapes packing, " +
+          "not parallelism (large files still split)"),
       ("sources/GraftDataSource.scala",
         "conf.set(spark.sql.catalog.graft)") ->
         "catalog class-name registration; scale-independent")

@@ -2608,7 +2608,7 @@ object SparkEntry {
          k AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM o),
          r AS (SELECT mn + (mx - mn) * 45 // 100 AS lo,
                       mn + (mx - mn) * 55 // 100 AS hi FROM k),
-         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+         app AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
                         CAST(12345 AS BIGINT) AS cents
                  FROM o WHERE o_orderkey % 7 = 0),
          v1 AS (SELECT * FROM o UNION ALL SELECT * FROM app),
@@ -2673,7 +2673,7 @@ object SparkEntry {
                        ELSE cents END AS cents
                   FROM o
                   WHERE NOT (k <= (SELECT hi FROM r) AND k % 10 = 3)),
-         ins AS (SELECT k + 100000000 AS k, CAST(777 AS BIGINT) AS cents
+         ins AS (SELECT k + 100000000000 AS k, CAST(777 AS BIGINT) AS cents
                  FROM o WHERE k <= (SELECT hi FROM r) AND k % 5 = 0),
          f AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2709,7 +2709,7 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderkey,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                FROM orders),
-         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+         app AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
                         CAST(12345 AS BIGINT) AS cents
                  FROM o WHERE o_orderkey % 7 = 0),
          tip AS (SELECT * FROM o UNION ALL SELECT * FROM app)
@@ -2823,7 +2823,7 @@ object SparkEntry {
            SELECT o_orderkey, CAST(NULL AS BIGINT), 'del'
              FROM o WHERE o_orderkey % 10 = 7
            UNION ALL
-           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT), 'ins'
+           SELECT o_orderkey + 100000000000, CAST(777 AS BIGINT), 'ins'
              FROM o WHERE o_orderkey % 5 = 0),
          merged AS (
            SELECT CASE WHEN c.op IS NULL THEN t.cents
@@ -2847,7 +2847,7 @@ object SparkEntry {
            SELECT o_orderkey, CAST(111 AS BIGINT) AS cents
              FROM o WHERE o_orderkey % 10 = 3
            UNION ALL
-           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT)
+           SELECT o_orderkey + 100000000000, CAST(777 AS BIGINT)
              FROM o WHERE o_orderkey % 5 = 0),
          merged AS (
            SELECT CASE
@@ -3315,7 +3315,7 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderkey,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                FROM orders),
-         b1 AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+         b1 AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
                        CAST(12345 AS BIGINT) AS cents
                 FROM o WHERE o_orderkey % 7 = 0),
          b2 AS (SELECT o_orderkey + 200000000 AS o_orderkey,
@@ -3370,7 +3370,7 @@ object SparkEntry {
                        ELSE cents END AS cents
            FROM o WHERE o_orderkey % 10 <> 7
            UNION ALL
-           SELECT o_orderkey + 100000000, CAST(777 AS BIGINT)
+           SELECT o_orderkey + 100000000000, CAST(777 AS BIGINT)
            FROM o WHERE o_orderkey % 5 = 0)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -3406,7 +3406,7 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderkey,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                FROM orders),
-         app AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+         app AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
                         CAST(12345 AS BIGINT) AS cents
                  FROM o WHERE o_orderkey % 7 = 0),
          tip AS (SELECT * FROM o UNION ALL SELECT * FROM app),

@@ -596,7 +596,7 @@ object SourceSinkQueries {
         TxnLog.ColumnDef(2, "cents", "bigint", "cents")))))
     // -- v1: append (brand-new keys, additive files) -------------------
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.parquet(tbl.resolve("d1").toString)
     TxnLog.commitRetry(tbl, "append",
@@ -697,7 +697,7 @@ object SourceSinkQueries {
     TxnLog.commitRetry(tbl, "create",
       _ => TxnLog.parquetsUnder(tbl, "d0"))
     orders.filter(col("o_orderkey") % 3 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         col("cents"))
       .coalesce(1).write.parquet(tbl.resolve("dA").toString)
     orders.filter(col("o_orderkey") % 3 === 1)
@@ -760,7 +760,7 @@ object SourceSinkQueries {
     // The widened batch: brand-new keys carrying the NEW column.
     Relational.table(spark, dir, "orders")
       .filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"), col("o_orderstatus").as("status"))
       .coalesce(1).write.parquet(tbl.resolve("d1").toString)
     TxnLog.commitRetry(tbl, "append",
@@ -836,7 +836,7 @@ object SourceSinkQueries {
       statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
       statsKey = Some("o_orderkey"))
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.parquet(tbl.resolve("d1").toString)
     TxnLog.commitRetry(tbl, "append",
@@ -971,8 +971,13 @@ object SourceSinkQueries {
       .filter(col("o_orderkey").between(
         kmn + (kmx - kmn) * 30 / 100, kmn + (kmx - kmn) * 40 / 100))).size
     val cmx = orders.agg(max(col("cents"))).head().getLong(0)
+    // >= cmx+1, not > cmx: pruning keeps strict bounds CLOSED (a safe
+    // over-approximation), so `> cmx` still intersects the file
+    // holding the global max — which can share a bucket with the
+    // h-window under skewed/duplicated data. The inclusive form is
+    // beyond EVERY file's bound at any data distribution.
     val openedJoint = plannedFiles(graft.sources.GraftTables.read(spark, tbl)
-      .filter(col("h").between(lo, hi) && col("cents") > cmx)).size
+      .filter(col("h").between(lo, hi) && col("cents") >= cmx + 1)).size
     inRange.agg(count(lit(1)).as("n_rows_in_hrange"),
       sum(col("cents")).as("sum_cents_in_hrange"))
       .select(col("n_rows_in_hrange"), col("sum_cents_in_hrange"),
@@ -1018,7 +1023,7 @@ object SourceSinkQueries {
     val v0Before = aggAt(0L)
     // v1: DataFrame append through the connector.
     val b1 = orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
     b1.coalesce(1).write.format("graft").mode("append").save(tbl.toString)
     // v2: SQL INSERT whose source is the table's own pinned v0.
@@ -1100,7 +1105,7 @@ object SourceSinkQueries {
     val nInitial = drain()
     val nIdle = drain()
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.format("graft").mode("append")
       .save(tbl.toString)
@@ -1384,7 +1389,7 @@ object SourceSinkQueries {
         .select(k, lit(null).cast("bigint").as("cents"),
           lit("del").as("op")))
       .unionByName(orders.filter(k % 5 === 0)
-        .select((k + 100000000L).as("o_orderkey"),
+        .select((k + 100000000000L).as("o_orderkey"),
           lit(777L).as("cents"), lit("ins").as("op")))
     changes.createOrReplaceTempView("graft_merge_changes")
     spark.sql(
@@ -1433,7 +1438,7 @@ object SourceSinkQueries {
     val changes = orders.filter(k % 10 === 3)
       .select(k, lit(111L).as("cents"))
       .unionByName(orders.filter(k % 5 === 0)
-        .select((k + 100000000L).as("o_orderkey"), lit(777L).as("cents")))
+        .select((k + 100000000000L).as("o_orderkey"), lit(777L).as("cents")))
     changes.createOrReplaceTempView("graft_merge_nmbs_changes")
     spark.sql(
       s"""MERGE INTO graft.`$tbl` t USING graft_merge_nmbs_changes c
@@ -1496,7 +1501,7 @@ object SourceSinkQueries {
     pump()
     val idleNoCommit = TxnLog.versions(b) == Seq(0L)
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.format("graft").mode("append").save(a.toString)
     pump()
@@ -1545,7 +1550,7 @@ object SourceSinkQueries {
       statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
       statsKey = Some("o_orderkey"))
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.format("graft").mode("append")
       .save(tbl.toString)
@@ -2707,7 +2712,7 @@ object SourceSinkQueries {
         .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
           lit("delete").as("op")),
       orders.filter(col("o_orderkey") % 5 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
           lit(777L).as("cents"), lit("upsert").as("op")))
     val phaser = new java.util.concurrent.Phaser(batches.size)
     val results = new java.util.concurrent.ConcurrentHashMap[
@@ -2827,7 +2832,7 @@ object SourceSinkQueries {
       statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
       statsKey = Some("o_orderkey"))
     orders.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
         lit(12345L).as("cents"))
       .coalesce(1).write.parquet(tbl.resolve("d1").toString)
     TxnLog.commitRetry(tbl, "append",

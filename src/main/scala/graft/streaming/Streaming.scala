@@ -1021,7 +1021,8 @@ object Streaming {
         .select(col("o_orderkey"), lit(null).cast("bigint").as("cents"),
           lit("delete").as("op")),
       inRange.filter(col("o_orderkey") % 5 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        // +1e11: above any real key at any SF (ReKeyOffset discipline)
+        .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
           lit(777L).as("cents"), lit("upsert").as("op")),
       inRange.filter(col("o_orderkey") % 10 === 7)
         .select(col("o_orderkey"), (col("cents") * 3).as("cents"),

@@ -1440,25 +1440,48 @@ object SparkEntry {
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(a.e, b.e) >= 0.46
          ORDER BY id_a, id_b""",
+    // Windowed formulation rather than DuckDB's native ASOF JOIN:
+    // ASOF leaves right-side TIES unspecified, the engine pins them
+    // (backward = MAX purchase id at the matched ts) — the oracle
+    // must pin the identical tie-break to stay data-robust.
     "asof_join" ->
-      """SELECT a.event_id, a.user_id, b.purchase_event_id
-         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'error') a
-         ASOF LEFT JOIN
-              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                      event_id AS purchase_event_id
-               FROM events WHERE event_type = 'purchase') b
-         ON a.user_id = b.user_id AND a.ts >= b.ts
+      """WITH err AS (SELECT event_id, user_id,
+                             CAST(ts AS TIMESTAMP) AS ts
+                      FROM events WHERE event_type = 'error'),
+              pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                             event_id
+                      FROM events WHERE event_type = 'purchase'),
+              m AS (SELECT event_id, purchase_event_id FROM (
+                      SELECT a.event_id,
+                             b.event_id AS purchase_event_id,
+                             row_number() OVER (
+                               PARTITION BY a.event_id
+                               ORDER BY b.ts DESC, b.event_id DESC) AS rn
+                      FROM err a JOIN pur b
+                        ON a.user_id = b.user_id AND b.ts <= a.ts)
+                    WHERE rn = 1)
+         SELECT a.event_id, a.user_id, m.purchase_event_id
+         FROM err a LEFT JOIN m USING (event_id)
          ORDER BY a.event_id""",
+    // Mirror of asof_join: forward pins MIN id at the matched ts.
     "asof_join_forward" ->
-      """SELECT a.event_id, a.user_id, b.next_purchase_event_id
-         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'error') a
-         ASOF LEFT JOIN
-              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                      event_id AS next_purchase_event_id
-               FROM events WHERE event_type = 'purchase') b
-         ON a.user_id = b.user_id AND a.ts <= b.ts
+      """WITH err AS (SELECT event_id, user_id,
+                             CAST(ts AS TIMESTAMP) AS ts
+                      FROM events WHERE event_type = 'error'),
+              pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                             event_id
+                      FROM events WHERE event_type = 'purchase'),
+              m AS (SELECT event_id, next_purchase_event_id FROM (
+                      SELECT a.event_id,
+                             b.event_id AS next_purchase_event_id,
+                             row_number() OVER (
+                               PARTITION BY a.event_id
+                               ORDER BY b.ts ASC, b.event_id ASC) AS rn
+                      FROM err a JOIN pur b
+                        ON a.user_id = b.user_id AND b.ts >= a.ts)
+                    WHERE rn = 1)
+         SELECT a.event_id, a.user_id, m.next_purchase_event_id
+         FROM err a LEFT JOIN m USING (event_id)
          ORDER BY a.event_id""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -3655,7 +3655,8 @@ object SparkEntry {
     // pushdown boolean is read from the executed plan and pinned.
     "sink_orc_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
                 true AS filter_pushed_to_orc
          FROM orders WHERE o_totalprice > 150000.0""",
     // Vacuum: deletion set and retention guard are engine-observed;
@@ -3799,7 +3800,8 @@ object SparkEntry {
     // rows and values.
     "sink_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
                 true AS layouts_nonempty,
                 true AS zorder_prunes,
                 true AS zorder_beats_linear
@@ -3810,7 +3812,8 @@ object SparkEntry {
     // rewrite conserved rows and values.
     "sink_zorder_3d" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
                 true AS layouts_nonempty,
                 true AS zorder3d_prunes,
                 true AS zorder3d_beats_2d

@@ -461,9 +461,14 @@ object SourceSinkQueries {
       .filter(col("o_totalprice") > 150000.0)
     val plan = back.queryExecution.executedPlan.toString
     val pushed = plan.contains("GreaterThan(o_totalprice,150000.0)")
+    // Exact integer cents, not a rounded double sum: at composite-
+    // scale magnitudes (~3e11) two-decimal rounding sits below
+    // double's resolution, so accumulation order would leak into the
+    // oracle compare; per-row cents then a BIGINT sum is exact.
     back.agg(count(lit(1)).as("n_rows"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
-      .select(col("n_rows"), col("sum_price"),
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .as("sum_cents"))
+      .select(col("n_rows"), col("sum_cents"),
         lit(pushed).as("filter_pushed_to_orc"))
   }
 
@@ -3105,7 +3110,9 @@ object SourceSinkQueries {
     val linRanges = fileRanges(linPath)
     val conserved = spark.read.parquet(zPath).agg(
       count(lit(1)).as("n_rows"),
-      round(sum(col("o_totalprice")), 2).as("sum_price"))
+      // Exact cents (see sinkOrcRoundtrip): robust at any magnitude.
+      sum(round(col("o_totalprice") * 100).cast("bigint"))
+        .as("sum_cents"))
     // repartitionByRange may legitimately write FEWER than nFiles files
     // (empty range partitions emit nothing when the key domain is small,
     // e.g. at sf0.001) — so the oracle-pinned booleans only claim what
@@ -3118,7 +3125,7 @@ object SourceSinkQueries {
     val beats =
       if (bothFull) candidates(zRanges) < candidates(linRanges)
       else candidates(zRanges) <= candidates(linRanges)
-    conserved.select(col("n_rows"), col("sum_price"),
+    conserved.select(col("n_rows"), col("sum_cents"),
       lit(zRanges.nonEmpty && linRanges.nonEmpty).as("layouts_nonempty"),
       lit(candidates(zRanges) < zRanges.length).as("zorder_prunes"),
       lit(beats).as("zorder_beats_linear"))
@@ -3158,7 +3165,8 @@ object SourceSinkQueries {
     // scan is the dominant cost).
     val b = orders.agg(
       count(lit(1)).as("n"),
-      round(sum(col("o_totalprice")), 2).as("sumP"),
+      // Exact cents (see sinkOrcRoundtrip): robust at any magnitude.
+      sum(round(col("o_totalprice") * 100).cast("bigint")).as("sumP"),
       min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
       min(col("d")).as("d0"), max(col("d")).as("d1"),
       min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"))
@@ -3214,9 +3222,9 @@ object SourceSinkQueries {
     val beats =
       if (bothFull) candidates(r3) < candidates(r2)
       else candidates(r3) <= candidates(r2)
-    Seq((b.getAs[Long]("n"), b.getAs[Double]("sumP")))
-      .toDF("n_rows", "sum_price")
-      .select(col("n_rows"), col("sum_price"),
+    Seq((b.getAs[Long]("n"), b.getAs[Long]("sumP")))
+      .toDF("n_rows", "sum_cents")
+      .select(col("n_rows"), col("sum_cents"),
         lit(r3.nonEmpty && r2.nonEmpty).as("layouts_nonempty"),
         lit(candidates(r3) < r3.length).as("zorder3d_prunes"),
         lit(beats).as("zorder3d_beats_2d"))

@@ -705,6 +705,44 @@ object TxnLog {
             "deletes forward or rewrite those files first")
       }
     }
+    // COMMIT-SHAPE INVARIANT for the change feed: a commit that ADDS
+    // delete files while also changing data files has no
+    // O(changed-files) row-diff classification, so [[changes]] could
+    // never feed it to a CDF consumer. Enforce the legal shapes HERE,
+    // at the primitive — whatever path built the manifest — so the
+    // feed can never strand mid-stream on a malformed commit:
+    //  - "update-mor" (SupportsDelta UPDATE/MERGE, [[GraftTables]]
+    //    updateMor): may ADD data files and POSITION deletes in one
+    //    commit; never removes files, never adds equality deletes.
+    //  - "restore": reinstates an old snapshot wholesale — may bring
+    //    back both files and delete entries; [[changes]] classifies
+    //    it with an exact visible-row diff.
+    //  - anything else adding delete files must be a pure delete
+    //    commit: data file set untouched.
+    // A table's FIRST commit (parent sentinel < 0: create, shallow
+    // clone) is exempt — there is no pre-image to diff, and the CDF's
+    // first batch is snapshot-as-inserts by construction.
+    if (m.action != "restore")
+      parentM.filter(_.version >= 0L).foreach { p =>
+      val newDel = m.deletes.filterNot(p.deletes.toSet)
+      if (newDel.nonEmpty) {
+        val pSet = p.files.toSet
+        val added = m.files.filterNot(pSet)
+        val removed = p.files.filterNot(m.files.toSet)
+        if (m.action == "update-mor")
+          require(removed.isEmpty && newDel.forall(_.kind == "pos"),
+            s"malformed update-mor commit on $table: it must only " +
+              "append data files and position deletes (found " +
+              s"${removed.size} removed file(s), " +
+              s"${newDel.count(_.kind != "pos")} non-position delete(s))")
+        else require(added.isEmpty && removed.isEmpty,
+          s"commit on $table adds delete file(s) AND changes data " +
+            s"files under action '${m.action}' — no change-feed " +
+            "classification exists for that shape; split it into a " +
+            "data commit and a delete commit (or use action " +
+            "'update-mor' for the delta row-level shape)")
+      }
+    }
     // Stamp the commit wall-clock for timestamp time travel — unless
     // the writer supplied its own stamp (tests pin deterministic
     // clocks this way).
@@ -1689,7 +1727,11 @@ object TxnLog {
         // bytes), which is tiny by design, so "zero DATA bytes
         // copied" stands. (Also insulates the clone from the source
         // materializing this delete and vacuuming the file.)
-        val spark = SparkSession.active
+        val spark = SparkSession.getActiveSession.getOrElse(sys.error(
+          s"cloneShallow($src): the source carries pending POSITION " +
+            "deletes, whose file must be rewritten clone-local with a " +
+            "Spark read — run the clone with an active SparkSession " +
+            "(every other clone shape is session-free)"))
         import org.apache.spark.sql.functions.{col, udf}
         val rootStr = srcRoot.toString // Path is not serializable
         // resolve(), not concat: a clone-of-a-clone carries ABSOLUTE
@@ -1819,7 +1861,32 @@ object TxnLog {
         val removed = prev.files.filterNot(curSet)
         val prevDeletes = prev.deletes.toSet
         val newDeletes = cur.deletes.filterNot(prevDeletes)
-        if (newDeletes.nonEmpty && cur.action == "update-mor") {
+        if (cur.action == "restore" &&
+            (newDeletes.nonEmpty || prev.deletes.exists(d =>
+              !cur.deletes.contains(d)))) {
+          // A restore that changes the pending-delete set has no
+          // per-file diff story: reinstated delete files change
+          // visible rows without touching data files, and DROPPED
+          // delete entries resurrect rows a file-diff would read as
+          // metadata-only. Classify with the exact visible-row diff
+          // of the two snapshots — O(both snapshots), acceptable for
+          // restore (a special event, never the steady state). Every
+          // other action is barred from this shape at
+          // [[tryCommitManifest]]'s commit-shape invariant.
+          val pre = logical(morRead(spark, table, prev), prev)
+          val post = logical(morRead(spark, table, cur), cur)
+          require(pre.columns.toSeq == post.columns.toSeq,
+            s"changes at v$v: restore across a schema change " +
+              s"(${pre.columns.mkString(",")} vs " +
+              s"${post.columns.mkString(",")}) — no row diff exists")
+          Some(pre.exceptAll(post)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+            .unionByName(post.exceptAll(pre)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))))
+        }
+        else if (newDeletes.nonEmpty && cur.action == "update-mor") {
           // An update-mor commit appends the rewritten rows AND
           // position-deletes their old ordinals in one commit: the
           // pre-images are what v-1 shows of the named files that v
@@ -1849,42 +1916,56 @@ object TxnLog {
         }
         else if (newDeletes.nonEmpty) {
           // A delete-mor commit references new delete files and
-          // touches no data files (deleteByKeyMor's only shape; a
-          // commit doing both has no defined row diff here).
-          require(added.isEmpty && removed.isEmpty,
-            s"changes at v$v: commit both adds equality deletes and " +
-              "changes data files — unsupported commit shape for CDF")
-          val dels = newDeletes.flatMap { d =>
-            if (d.kind == "pos") {
-              // A position delete names exact (file, ordinal) pairs:
-              // its feed rows are precisely what v-1 shows of the
-              // named files that v no longer shows — exceptAll keeps
-              // multiplicity right when identical rows share a file.
-              // O(named files), and named files are few by the
-              // position-delete design point.
-              val namedSet = posDeleteNamedFiles(table, d)
-              val named = cur.files.filter(namedSet)
-              if (named.isEmpty) None
-              else Some(morRead(spark, table, prev, Some(named))
-                .exceptAll(morRead(spark, table, cur, Some(named))))
-            } else {
-              // Rows visible at v-1 (prev deletes applied) in the
-              // files this delete scopes, whose key the delete names.
-              // The delete file carries the PHYSICAL key column,
-              // matching the raw parquet read inside morRead — rename
-              // to logical only after the join.
-              val scoped = cur.files.filter(f =>
-                cur.seqs.getOrElse(f, -1L) < d.seq)
-              if (scoped.isEmpty) None // nothing in scope = no change
-              else {
-                val keys = spark.read
-                  .parquet(table.resolve(d.path).toString)
-                  .select(col(d.key)).distinct()
-                Some(morRead(spark, table, prev, Some(scoped))
-                  .join(broadcast(keys), Seq(d.key), "left_semi"))
-              }
+          // touches no data files — the ONLY shape the commit
+          // primitive admits for a non-update-mor, non-restore commit
+          // adding deletes ([[tryCommitManifest]]'s commit-shape
+          // invariant), so this assert is unreachable for any log the
+          // primitive wrote; it guards hand-crafted manifests only.
+          assert(added.isEmpty && removed.isEmpty,
+            s"changes at v$v: commit both adds deletes and changes " +
+              "data files — a shape tryCommitManifest refuses")
+          // Position deletes name exact (file, ordinal) pairs: the
+          // feed rows are precisely what v-1 shows of the named files
+          // that v no longer shows — exceptAll keeps multiplicity
+          // right when identical rows share a file. ONE diff over the
+          // UNION of every pos file's named set, not one per delete
+          // file: a single delete-only commit can carry several pos
+          // files naming the SAME data file (a >maxSplitBytes file
+          // splits across tasks and each GraftDeltaWriter task writes
+          // its own pos file), and morRead(cur, ...) applies ALL new
+          // deletes — per-file diffs would re-emit every deleted row
+          // of a shared file once per overlapping pos file. O(named
+          // files), few by the position-delete design point.
+          val posDiff = {
+            val namedSet = newDeletes.filter(_.kind == "pos")
+              .flatMap(d => posDeleteNamedFiles(table, d)).toSet
+            val named = cur.files.filter(namedSet)
+            if (named.isEmpty) None
+            else Some(morRead(spark, table, prev, Some(named))
+              .exceptAll(morRead(spark, table, cur, Some(named))))
+          }
+          val eqDiffs = newDeletes.filter(_.kind != "pos").flatMap { d =>
+            // Rows visible at v-1 (prev deletes applied) in the
+            // files this delete scopes, whose key the delete names.
+            // The delete file carries the PHYSICAL key column,
+            // matching the raw parquet read inside morRead — rename
+            // to logical only after the join. (Per-file joins stay
+            // correct here: equality deletes match by KEY, and
+            // deleteByKeyMor commits one delete file per statement —
+            // distinct files carry distinct key sets.)
+            val scoped = cur.files.filter(f =>
+              cur.seqs.getOrElse(f, -1L) < d.seq)
+            if (scoped.isEmpty) None // nothing in scope = no change
+            else {
+              val keys = spark.read
+                .parquet(table.resolve(d.path).toString)
+                .select(col(d.key)).distinct()
+              Some(morRead(spark, table, prev, Some(scoped))
+                .join(broadcast(keys), Seq(d.key), "left_semi"))
             }
-          }.reduceOption(_.unionByName(_))
+          }
+          val dels = (posDiff.toSeq ++ eqDiffs)
+            .reduceOption(_.unionByName(_))
           dels.map(df => logical(df, cur)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v)))

@@ -125,11 +125,16 @@ final class GraftDeltaBatchWrite(
     val named: Set[String] = posFiles.flatMap(p =>
       TxnLog.posDeleteNamedFiles(snap.root,
         TxnLog.DeleteFile(p, "", 0L, 0L, kind = "pos"))).toSet
-    val newStats = snap.manifest.statsKey
-      .map(k => TxnLog.keyStats(spark, snap.root, newFiles, k))
-      .getOrElse(Map.empty[String, (Long, Long)])
-    val newColStats = TxnLog.colStatsFor(spark, snap.root, newFiles,
-      snap.manifest.colStats.keys.toSeq.sorted)
+    // Stats are computed under the key set of the manifest we COMMIT
+    // against, not the snapshot we read: a lost race can rebase onto
+    // a tip whose statsKey / colStats column set changed, and bounds
+    // recorded under the wrong column would silently mis-prune later
+    // scans. Memoized per key set — recomputed only when a rebase
+    // actually changed it (the append path's statsCache discipline).
+    val statsCache = scala.collection.mutable.Map
+      .empty[String, Map[String, (Long, Long)]]
+    val colStatsCache = scala.collection.mutable.Map
+      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
     // A statement that only deleted is a delete-mor commit (the CDF
     // classifies it as pure deletes); one that wrote rows is
     // update-mor (paired pre/post classification).
@@ -151,6 +156,15 @@ final class GraftDeltaBatchWrite(
       if (base.constraints != checkedUnder) {
         validate(base.constraints)
         checkedUnder = base.constraints
+      }
+      val newStats = base.statsKey
+        .map(k => statsCache.getOrElseUpdate(k,
+          TxnLog.keyStats(spark, snap.root, newFiles, k)))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val newColStats = {
+        val cols = base.colStats.keys.toSeq.sorted
+        colStatsCache.getOrElseUpdate(cols,
+          TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
       }
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, action,

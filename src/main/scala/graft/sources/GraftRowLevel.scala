@@ -218,16 +218,21 @@ final class GraftReplaceDataWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.map(_.asInstanceOf[GraftWrittenFile])
     val newFiles = written.filter(_.rows > 0).map(_.relPath).toSeq.sorted
-    val newStats = snap.manifest.statsKey
-      .map(k => TxnLog.keyStats(spark, snap.root, newFiles, k))
-      .getOrElse(Map.empty[String, (Long, Long)])
     // Replace EXACTLY the files the configured scan planned (the
     // groups that participated in the rewrite); everything the
     // condition's stats pruned survives untouched, with its stats,
     // partition values, and sizes carried forward.
     val scanned = op.scannedFiles.toSet
-    val newColStats = TxnLog.colStatsFor(spark, snap.root, newFiles,
-      snap.manifest.colStats.keys.toSeq.sorted)
+    // Stats are computed under the key set of the manifest we COMMIT
+    // against, not the snapshot we read: a lost race can rebase onto
+    // a tip whose statsKey / colStats column set changed, and bounds
+    // recorded under the wrong column would silently mis-prune later
+    // scans. Memoized per key set — recomputed only when a rebase
+    // actually changed it (the append path's statsCache discipline).
+    val statsCache = scala.collection.mutable.Map
+      .empty[String, Map[String, (Long, Long)]]
+    val colStatsCache = scala.collection.mutable.Map
+      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
     // Conflict discipline (the Delta/Iceberg WriteSerializable
     // check): a lost commit race REBASES onto the new tip iff every
     // intervening commit is DISJOINT from the rewrite's groups —
@@ -248,6 +253,15 @@ final class GraftReplaceDataWrite(
       if (base.constraints != checkedUnder) {
         validateConstraints(base.constraints, newFiles)
         checkedUnder = base.constraints
+      }
+      val newStats = base.statsKey
+        .map(k => statsCache.getOrElseUpdate(k,
+          TxnLog.keyStats(spark, snap.root, newFiles, k)))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val newColStats = {
+        val cols = base.colStats.keys.toSeq.sorted
+        colStatsCache.getOrElseUpdate(cols,
+          TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
       }
       val keptFiles = base.files.filterNot(scanned) ++ newFiles
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(

@@ -900,7 +900,8 @@ object Streaming {
       statsKey = Some("o_orderkey"))
     graft.sources.GraftTables.registerCatalog(spark)
     // Batch A: restate the evens (cents doubled), tombstone ≡3 (mod
-    // 30); batch B: brand-new keys (+1e8). Disjoint by construction.
+    // 30); batch B: brand-new keys (+1e11 — the ReKeyOffset shift,
+    // beyond any real key at any SF). Disjoint by construction.
     val batchA = orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), (col("cents") * 2).as("cents"),
         lit("upsert").as("op"))
@@ -1011,7 +1012,8 @@ object Streaming {
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val hi = mn + (mx - mn) / 10
     val inRange = orders.filter(col("o_orderkey") <= hi)
-    // Disjoint key sets per batch (evens / ...3 / +1e8 inserts / ...7),
+    // Disjoint key sets per batch (evens / ...3 / +1e11 inserts —
+    // the ReKeyOffset shift, beyond any real key at any SF / ...7),
     // so apply order cannot change the final table.
     val batches = Seq(
       inRange.filter(col("o_orderkey") % 2 === 0)

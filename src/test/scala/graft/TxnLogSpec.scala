@@ -927,4 +927,118 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
       assert(m.stats("f0") == (0L, 9L), s"v$v lost carried stats")
     }
   }
+
+  test("changes: one delete-only commit with multiple pos files naming " +
+      "the SAME data file emits each deleted row exactly once") {
+    // A >maxSplitBytes data file splits across tasks, and each
+    // GraftDeltaWriter task writes its own position-delete file — so
+    // one commit can carry several pos files naming the same data
+    // file. The CDF must diff the UNION of their named sets once, not
+    // once per pos file (which would re-emit every deleted row of the
+    // shared file per overlapping delete).
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    val f0 = TxnLog.parquetsUnder(t, "b0").head
+    Seq((f0, 0L), (f0, 1L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(t.resolve("p1").toString)
+    Seq((f0, 2L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(t.resolve("p2").toString)
+    val ps = TxnLog.parquetsUnder(t, "p1") ++ TxnLog.parquetsUnder(t, "p2")
+    assert(ps.size == 2)
+    TxnLog.commitRetryWith(t, tip => tip.copy(action = "delete-mor",
+      deletes = tip.deletes ++ ps.map(p => TxnLog.DeleteFile(
+        p, "", tip.version + 1, Files.size(t.resolve(p)), kind = "pos")),
+      txn = None, ts = 0L))
+    // Table state: ordinals 0..2 gone from the one data file.
+    assert(TxnLog.readVersion(spark, t, 1L)
+      .as[(Long, String)].collect().toSet ==
+      Set((4L, "d"), (5L, "e")))
+    // The feed carries each deletion ONCE — length, not just set.
+    val feed = TxnLog.changes(spark, t, 0L, 1L, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect()
+    assert(feed.length == 3, s"duplicated CDF rows: ${feed.mkString(",")}")
+    assert(feed.toSet == Set((1L, "a", "delete"), (2L, "b", "delete"),
+      (3L, "c", "delete")))
+  }
+
+  test("commit-shape invariant: the primitive refuses a commit that " +
+      "adds delete files while changing data files") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    val f0 = TxnLog.parquetsUnder(t, "b0").head
+    Seq((f0, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(t.resolve("p1").toString)
+    val pos = TxnLog.parquetsUnder(t, "p1").head
+    val tip0 = TxnLog.tip(t)
+    def del(kind: String) = TxnLog.DeleteFile(
+      pos, if (kind == "eq") "k" else "", 1L,
+      Files.size(t.resolve(pos)), kind = kind)
+    // Adding a delete file AND a data file under a generic action has
+    // no CDF classification — refused at the primitive, whatever path
+    // built the manifest.
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
+        action = "append", files = tip0.files :+ "extra.parquet",
+        deletes = Seq(del("pos"))))
+    }
+    assert(e1.getMessage.contains("no change-feed classification"))
+    // An update-mor commit may append files + POSITION deletes only:
+    // removed files and equality deletes are malformed.
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
+        action = "update-mor", files = Seq("swapped.parquet"),
+        deletes = Seq(del("pos"))))
+    }
+    assert(e2.getMessage.contains("malformed update-mor"))
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
+        action = "update-mor", files = tip0.files :+ "extra.parquet",
+        deletes = Seq(del("eq"))))
+    }
+    assert(e3.getMessage.contains("malformed update-mor"))
+    // The legal pure-delete shape still lands.
+    assert(TxnLog.tryCommitManifest(t, tip0.copy(version = 1L,
+      parent = 0L, action = "delete-mor",
+      deletes = Seq(del("pos")))).contains(1L))
+  }
+
+  test("changes across a restore that changes the pending-delete set " +
+      "classifies with the exact visible-row diff") {
+    val t = freshTable()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    // v1: MoR-delete k=2. v2: restore to v0 — the delete entry is
+    // DROPPED while the file set is unchanged, so a file-diff CDF
+    // would read it as metadata-only and lose the resurrected row.
+    TxnLog.deleteByKeyMor(spark, t, Seq(2L).toDF("k"), "k", "d1")
+    TxnLog.restore(t, 0L)
+    val feed2 = TxnLog.changes(spark, t, 1L, 2L, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(feed2 == Seq((2L, "b", "insert")))
+    // v3: MoR-delete k=3. v4: materialize (delete folded, file
+    // rewritten). v5: restore to v3 — REINSTATES a delete entry while
+    // changing files (the shape only restore may commit); the visible
+    // rows are identical on both sides, so the diff is EMPTY.
+    TxnLog.deleteByKeyMor(spark, t, Seq(3L).toDF("k"), "k", "d2")
+    TxnLog.materializeDeletes(spark, t, "mz")
+    assert(TxnLog.tip(t).deletes.isEmpty)
+    TxnLog.restore(t, 3L)
+    assert(TxnLog.tip(t).deletes.nonEmpty)
+    assert(TxnLog.changes(spark, t, 4L, 5L, "k").count() == 0L)
+    // The restored tip still reads correctly (k=3 gone, k=2 back).
+    assert(TxnLog.readVersion(spark, t, 5L)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
 }

@@ -896,6 +896,27 @@ final class GraftTable(snap: GraftSnapshot, cdf: Boolean = false)
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     GraftTables.deleteWhere(snap, filters)
 
+  // Override the SupportsDelete default bridge for the V2-predicate
+  // variants: Spark's `PredicateUtils.toV1` keeps the translatable
+  // SIDE of an OR whose other side fails, so the inherited defaults
+  // would approve — and then execute — a filter WEAKER than the SQL
+  // condition, silently deleting fewer rows than the statement names
+  // (no residual protects a metadata delete). The exact converter
+  // refuses instead, and Spark falls back to the row-level rewrite.
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = {
+    val v1 = predicates.map(GraftV2Filters.toV1Exact)
+    v1.forall(_.isDefined) && canDeleteWhere(v1.map(_.get))
+  }
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    deleteWhere(predicates.map(p =>
+      GraftV2Filters.toV1Exact(p).getOrElse(sys.error(
+        s"deleteWhere called with a predicate canDeleteWhere refused: $p"))))
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -1374,6 +1395,83 @@ object GraftFilters {
     case sources.AlwaysTrue() => Some(Literal.TrueLiteral)
     case sources.AlwaysFalse() => Some(Literal.FalseLiteral)
     case _ => None
+  }
+}
+
+/** V2 `Predicate` → V1 `Filter`, EXACT: None unless the WHOLE
+  * predicate converts. Spark 4's own default bridge — the
+  * `SupportsDelete` default methods via `PredicateUtils.toV1` —
+  * returns the translatable SIDE of an `OR` (or `AND`) whose other
+  * side fails V1 translation. That is harmless under a scan (the
+  * residual re-filters rows) but a metadata DELETE has NO residual:
+  * `DELETE WHERE id % 10 = 7 OR id >= 200` arrived here as just
+  * `GreaterThanOrEqual(id,200)`, deleting FEWER rows than the
+  * statement names and reporting success. [[GraftTable]] overrides
+  * the V2-predicate methods with this converter so any
+  * not-fully-expressible predicate REFUSES the metadata path and
+  * Spark keeps the row-level rewrite (WriteDelta / ReplaceData),
+  * which applies the full condition. */
+object GraftV2Filters {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, LiteralValue, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, And => VAnd, Not => VNot, Or => VOr, Predicate}
+  import org.apache.spark.sql.sources
+
+  private def column(e: VExpr): Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  // V1 filters carry external Scala values (String, not UTF8String);
+  // a V2 literal holds the catalyst-internal form.
+  private def value(e: VExpr): Option[Any] = e match {
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType))
+    case _ => None
+  }
+
+  private def all[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  def toV1Exact(p: Predicate): Option[sources.Filter] = p match {
+    case _: AlwaysTrue => Some(sources.AlwaysTrue())
+    case _: AlwaysFalse => Some(sources.AlwaysFalse())
+    case a: VAnd =>
+      for { l <- toV1Exact(a.left()); r <- toV1Exact(a.right()) }
+        yield sources.And(l, r)
+    case o: VOr =>
+      for { l <- toV1Exact(o.left()); r <- toV1Exact(o.right()) }
+        yield sources.Or(l, r)
+    case n: VNot => toV1Exact(n.child()).map(sources.Not)
+    case _ => (p.name(), p.children()) match {
+      case ("IS_NULL", Array(c)) => column(c).map(sources.IsNull)
+      case ("IS_NOT_NULL", Array(c)) => column(c).map(sources.IsNotNull)
+      case ("IN", arr) if arr.length >= 2 =>
+        for {
+          c <- column(arr(0))
+          vs <- all(arr.toSeq.tail.map(value))
+        } yield sources.In(c, vs.toArray)
+      case (op @ ("=" | ">" | ">=" | "<" | "<="), Array(l, r)) =>
+        val direct = for { c <- column(l); v <- value(r) }
+          yield (c, v, false)
+        val flipped = for { c <- column(r); v <- value(l) }
+          yield (c, v, true)
+        direct.orElse(flipped).map { case (c, v, flip) =>
+          (op, flip) match {
+            case ("=", _) => sources.EqualTo(c, v)
+            case (">", false) => sources.GreaterThan(c, v)
+            case (">", true) => sources.LessThan(c, v)
+            case (">=", false) => sources.GreaterThanOrEqual(c, v)
+            case (">=", true) => sources.LessThanOrEqual(c, v)
+            case ("<", false) => sources.LessThan(c, v)
+            case ("<", true) => sources.GreaterThan(c, v)
+            case ("<=", false) => sources.LessThanOrEqual(c, v)
+            case ("<=", true) => sources.GreaterThanOrEqual(c, v)
+          }
+        }
+      case _ => None
+    }
   }
 }
 

@@ -596,6 +596,124 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.rowlevel.mode")
   }
 
+  test("WriteDelta plan witness: the mor UPDATE/MERGE/DELETE scan " +
+      "pushes the condition into parquet and plans ONE scan per group") {
+    import org.apache.spark.sql.catalyst.plans.logical.CommandResult
+    val tbl = quartileTable() // ids 1..100, v = id*10, 4 files
+    GraftTables.registerCatalog(spark)
+    def commandPhys(sqlText: String): SparkPlan =
+      spark.sql(sqlText).queryExecution.commandExecuted match {
+        case cr: CommandResult => cr.commandPhysicalPlan
+        case o => fail(s"expected an eagerly-executed command, got $o")
+      }
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def graftScans(p: SparkPlan): Seq[graft.sources.GraftScan] = {
+      val scans = flatten(p).collect { case b: BatchScanExec => b.scan }
+        .collect { case g: graft.sources.GraftScan => g }
+      assert(scans.nonEmpty, s"no graft scan in:\n$p")
+      scans
+    }
+    def graftScan(p: SparkPlan): graft.sources.GraftScan = {
+      val scans = graftScans(p)
+      assert(scans.size == 1,
+        s"expected exactly one graft scan, got ${scans.size}:\n$p")
+      scans.head
+    }
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try {
+      // UPDATE: planned as WriteDelta (the SupportsDelta contract),
+      // its condition PUSHED into the inner parquet scan — row-group/
+      // page skipping live, which the copy-on-write scan must never
+      // do (it owes every row of every planned file) — manifest stats
+      // prune q0, and the three kept files plan as ONE provenance
+      // scan: one scan per GROUP, never one per file (the driver
+      // plans O(groups) however many files a statement touches).
+      val up = commandPhys(
+        s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id >= 30")
+      assert(up.toString.contains("WriteDelta"),
+        s"UPDATE in mor mode must plan WriteDelta:\n$up")
+      val upScan = graftScan(up)
+      val upDesc = upScan.description()
+      assert(upDesc.startsWith("GraftMoR(1 groups"), upDesc)
+      assert(upDesc.contains("GreaterThanOrEqual(id,30)"),
+        s"condition must reach the parquet scan's PushedFilters:\n$upDesc")
+      val upFiles = upScan.inner match {
+        case fs: FileScan => fs.fileIndex.inputFiles.toSeq
+        case o => fail(s"inner scan is not a FileScan: $o")
+      }
+      assert(upFiles.size == 3 && !upFiles.exists(_.contains("/q0/")),
+        s"manifest stats must prune q0 (ids 1..25): $upFiles")
+      // Split the table into TWO delete-applicability classes: an
+      // equality delete scoping every current file, then an append
+      // that escapes it by sequence.
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 1") // kind=eq
+      assert(TxnLog.tip(tbl).deletes.exists(_.kind == "eq"))
+      Seq((200L, 1L), (201L, 2L)).toDF("id", "v")
+        .write.format("graft").mode("append").save(tbl.toString)
+      // A FULLY-translatable DELETE routes through SupportsDelete —
+      // the router picks the cheaper metadata path (deleteByPosMor:
+      // one read, one small position file, no WriteDelta task
+      // plumbing). Witness the routing.
+      val del = commandPhys(s"DELETE FROM graft.`$tbl` WHERE id >= 200")
+      assert(del.toString.contains("DeleteFromTable"),
+        s"a translatable DELETE must stay on the metadata path:\n$del")
+      val mDel = TxnLog.tip(tbl)
+      assert(mDel.action == "delete-mor" &&
+        mDel.deletes.exists(_.kind == "pos"))
+      assert(GraftTables.read(spark, tbl).count() == 99L)
+      // A predicate V1 filters CANNOT express must plan WriteDelta —
+      // and must delete EVERY named row. (Regression: Spark's default
+      // SupportsDelete bridge converts an OR to its translatable side
+      // alone, so this statement used to route metadata-path with the
+      // weaker filter and silently leave the modulo rows alive;
+      // GraftTable's exact V2-predicate override refuses instead.)
+      val del2 = commandPhys(
+        s"DELETE FROM graft.`$tbl` WHERE id % 10 = 7 OR id >= 1000")
+      assert(del2.toString.contains("WriteDelta"),
+        s"a non-translatable DELETE must plan WriteDelta:\n$del2")
+      // The two delete-applicability classes plan as exactly TWO
+      // group scans even though six files participate (one scan per
+      // GROUP, never one per file).
+      val delDescs = graftScans(del2).map(_.description())
+      assert(delDescs.forall(_.startsWith("GraftMoR(2 groups")),
+        s"6 files in 2 delete classes = 2 group scans:\n" +
+          delDescs.mkString("\n"))
+      assert(TxnLog.tip(tbl).action == "delete-mor")
+      assert(GraftTables.read(spark, tbl)
+        .filter($"id" % 10 === 7).count() == 0L,
+        "the OR's modulo side must actually delete")
+      assert(GraftTables.read(spark, tbl).count() == 89L)
+      // MERGE upsert: one WriteDelta, graft scans only per-group (the
+      // source side is a local relation), update-mor commit.
+      Seq((60L, 7L), (300L, 8L)).toDF("id", "v")
+        .createOrReplaceTempView("wd_witness_src")
+      val mrg = commandPhys(
+        s"MERGE INTO graft.`$tbl` t USING wd_witness_src s " +
+          "ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+      assert(mrg.toString.contains("WriteDelta"),
+        s"mor MERGE must plan WriteDelta:\n$mrg")
+      assert(graftScans(mrg).forall(
+        _.description().startsWith("GraftMoR(")))
+      assert(TxnLog.tip(tbl).action == "update-mor")
+      // The statements really ran: 100 - (id=1) - the two appended
+      // ≥200 rows - 10×(…7) + the upsert MERGE's one insert = 90.
+      assert(GraftTables.read(spark, tbl).count() == 90L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 60L)
+        .select("v").as[Long].head() == 7L)
+      assert(GraftTables.read(spark, tbl).filter($"id" === 300L)
+        .select("v").as[Long].head() == 8L)
+    } finally spark.conf.unset("spark.graft.rowlevel.mode")
+  }
+
   test("delta MERGE handles NOT MATCHED BY SOURCE; delta UPDATE works " +
       "on a column-mapped (renamed) table") {
     GraftTables.registerCatalog(spark)

@@ -1897,6 +1897,9 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id,
                 event_type AS last_type, ts_micros
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // Exact integer cents (the r16 sink discipline): per-row
+    // round(value*100) is engine-stable on the 2-decimal source, and
+    // the BIGINT sum replays exactly at any composite magnitude.
     "time_resample" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
                            date_trunc('hour', max(ts)) AS hi FROM events),
@@ -1904,24 +1907,27 @@ object SparkEntry {
                   AS h FROM b),
          agg AS (SELECT date_trunc('hour', ts) AS h,
                         CAST(count(*) AS BIGINT) AS n,
-                        round(sum(value), 2) AS s
+                        CAST(sum(CAST(round(value * 100) AS BIGINT))
+                             AS BIGINT) AS s
                  FROM events GROUP BY 1)
          SELECT strftime(sp.h, '%Y-%m-%d %H:%M:%S') AS hour,
                 CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-                coalesce(s, 0.0) AS sum_value
+                CAST(coalesce(s, 0) AS BIGINT) AS sum_cents
          FROM sp LEFT JOIN agg ON sp.h = agg.h
          ORDER BY hour""",
     // RANGE-frame rolling window: value-based 90-day bounds replay
-    // exactly (both engines frame on the integer day offset).
+    // exactly (both engines frame on the integer day offset), and the
+    // rolling sum rides exact integer cents.
     "window_moving_agg" ->
-      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                   datediff('day', DATE '1995-01-01',
                            CAST(o_orderdate AS DATE)) AS d
                 FROM orders WHERE o_custkey % 50 = 0)
-         SELECT o_orderkey, o_custkey, o_totalprice, CAST(d AS INT) AS d,
-                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                  ORDER BY d RANGE BETWEEN 89 PRECEDING AND CURRENT ROW),
-                  2) AS mov_sum_90d,
+         SELECT o_orderkey, o_custkey, cents, CAST(d AS INT) AS d,
+                CAST(sum(cents) OVER (PARTITION BY o_custkey
+                  ORDER BY d RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS mov_sum_cents_90d,
                 CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d
                   RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS n_in_window

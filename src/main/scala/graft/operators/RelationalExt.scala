@@ -193,8 +193,15 @@ object RelationalExt {
     * is partial+final, and the spine row count is bounded by the time
     * range, not the data volume. */
   def timeResample(spark: SparkSession, dir: String): DataFrame = {
+    // Exact integer cents (the r16 sink-query discipline): per-row
+    // round(value·100) is engine-stable — the 2-decimal source makes
+    // every product land within float error of an integer — and the
+    // BIGINT sum is order-independent at ANY corpus size, where a
+    // 2dp-rounded double sum diverges across engines once accumulated
+    // error reaches the half-cent boundary.
     val ev = Relational.table(spark, dir, "events")
-      .select(col("ts"), col("value"))
+      .select(col("ts"),
+        round(col("value") * 100).cast("bigint").as("cents"))
     val bounds = ev.agg(
       date_trunc("hour", min(col("ts"))).as("lo"),
       date_trunc("hour", max(col("ts"))).as("hi"))
@@ -204,12 +211,12 @@ object RelationalExt {
     val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(col("cents")).as("sum_cents"))
     spine.join(hourly, Seq("h"), "left")
       .select(
         date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
       .orderBy("hour")
   }
 
@@ -350,18 +357,21 @@ object RelationalExt {
     import org.apache.spark.sql.expressions.Window
     val orders = Relational.table(spark, dir, "orders")
       .filter(col("o_custkey") % 50 === 0)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         datediff(to_date(col("o_orderdate")),
           to_date(lit("1995-01-01"))).as("d"))
     val w = Window.partitionBy("o_custkey").orderBy("d")
       .rangeBetween(-89, 0)
-    // Rolling SUM + count, not avg: prices carry exactly two decimals,
-    // so the true rolling sum does too and round(·,2) is boundary-free
-    // on both engines — an avg of two rows lands on .xx5 and Spark and
-    // DuckDB round that half-cent in opposite directions (measured:
-    // 163440.675 → .68 vs .67). The mean is a reader-side division.
+    // Rolling SUM + count in EXACT INTEGER CENTS (the r16 sink-query
+    // discipline, finished here per the r16 verdict): per-row
+    // round(price·100) is engine-stable on the 2-decimal source, and
+    // the BIGINT window sum is exact at ANY magnitude — a 2dp-rounded
+    // double sum starts flipping half-cent boundaries between engines
+    // once frames accumulate past double's 2dp resolution. The mean
+    // is a reader-side division.
     orders
-      .withColumn("mov_sum_90d", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("mov_sum_cents_90d", sum(col("cents")).over(w))
       .withColumn("n_in_window", count(lit(1)).over(w))
       .orderBy("o_custkey", "d", "o_orderkey")
   }

@@ -51,7 +51,24 @@ object Bench {
     // values, letting any cross-round comparison normalize by or
     // discard that run instead of chasing phantom regressions.
     def calibProbe(): Double = time(SparkEntry.queries("q1_agg"))
+    // SHUFFLE-shaped calibration (r17): the q1_agg probe is a plain
+    // scan+agg and cannot see host differences in shuffle throughput
+    // (thread scheduling, small-file shuffle IO) — exactly the class
+    // the r16→r17 attribution found elevated while scans measured at
+    // reference speed. A fixed synthetic shuffle (3M rows → 100k
+    // groups over 32 partitions, no data dependence) timed at both
+    // ends gives future cross-round comparisons a second host
+    // signature to normalize shuffle-heavy queries by.
+    def shuffleProbe(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      spark.range(0L, 3000000L, 1L, 32)
+        .selectExpr("id % 100000 AS k", "id")
+        .groupBy("k").sum("id").count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibA = calibProbe()
+    val shufA = shuffleProbe()
     val pass1 = qlist.map { case (name, fn) => name -> time(fn) }
     val calibB = calibProbe()
     val pass2 = qlist.map { case (name, fn) => name -> time(fn) }
@@ -120,6 +137,7 @@ object Bench {
     // final drift ratio, and an end-of-run best lowers the run-derived
     // reference if the start was the slow part.
     val calibD = calibProbe()
+    val shufB = shuffleProbe()
     val probesBCD = probesBC :+ calibD
     val finalRatio = BenchCalib.riseRatio(probesBCD)
     val finalSpread = BenchCalib.driftRatio(probesBCD)
@@ -130,17 +148,43 @@ object Bench {
     }
     if (only.isEmpty) {
       // Persist this run's full map as the next run's reference (only
-      // for full sweeps — a targeted subset must not shrink it).
-      val body = (("\"__sf__\":\"" + sfDir + "\"") +:
+      // for full sweeps — a targeted subset must not shrink it). The
+      // calibration evidence is STAMPED here too (r16 lesson: the
+      // driver's bounded tail capture of stdout truncated the calib
+      // fields out of BENCH_r16.json, destroying the host-drift
+      // attribution — this committed file is the truncation-proof
+      // copy). parseReference skips "__"-prefixed keys.
+      val body = (Seq(
+        "\"__sf__\":\"" + sfDir + "\"",
+        "\"__calib__\":[" + Seq(calibA, calibB, calibC, calibD)
+          .map(f3).mkString(",") + "]",
+        "\"__calib_shuffle__\":[" + Seq(shufA, shufB)
+          .map(f3).mkString(",") + "]",
+        "\"__calib_ratio__\":" + f3(finalRatio),
+        "\"__calib_abs_ratio__\":" + f3(absRatio),
+        "\"__contended__\":" + finalContended) ++
         results.map { case (k, v) => "\"" + k + "\":" + f3(v) })
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter(refFile)
       try w.println(body) finally w.close()
     }
-    val suspectJson = reruns.map { case (name, (t, r)) =>
-      "\"" + name + "\":{\"measured\":" + f3(t) + ",\"rerun\":" + f3(r) +
-        ",\"prev\":" + f3(refTimes(name)) + "}"
-    }.mkString("{", ",", "}")
+    // Suspects are byte-capped (worst slowdown first): r16's drifting
+    // host produced enough reruns that the UNBOUNDED suspects block
+    // pushed the line's head — metric, value, calib — out of the
+    // driver's ~2000-char tail window. The final line must fit WHOLE.
+    val suspectsAll = reruns.toSeq.sortBy { case (name, (t, _)) =>
+      -(t / math.max(refTimes(name), 1e-9))
+    }
+    val suspectEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sUsed = 0
+    suspectsAll.foreach { case (name, (t, r)) =>
+      val e = "\"" + name + "\":{\"measured\":" + f3(t) + ",\"rerun\":" +
+        f3(r) + ",\"prev\":" + f3(refTimes(name)) + "}"
+      if (sUsed + e.length + 1 <= 400) {
+        suspectEntries += e; sUsed += e.length + 1
+      }
+    }
+    val suspectJson = suspectEntries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map, one line, for human/judge reading.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -156,12 +200,29 @@ object Bench {
       "\"" + m + "\":" + f3(r)
     }.mkString("{", ",", "}")
     println(s"""BENCH_RECALL $recalls""")
+    // scan_kafka_batch decomposition (r16 verdict task 8): the query
+    // pays fixture setup + stream STARTUP (checkpoint init, offset/
+    // commit log, state-store open) + one real micro-batch. The
+    // startup probe runs the same machinery over a 2-row source, so
+    // full − startup ≈ the data batch — the next drift on this
+    // watch-listed query is attributable in one read.
+    if (only.forall(_.contains("scan_kafka_batch"))) {
+      def sp(): Double =
+        time((s, _) => operators.SourceSinkQueries.microBatchStartupProbe(s))
+      val startup = math.min(sp(), sp())
+      val full = results.toMap.getOrElse("scan_kafka_batch", -1.0)
+      println(s"""BENCH_KAFKA {"full":${f3(full)},"startup":${
+        f3(startup)},"batch_delta":${f3(full - startup)}}""")
+    }
     // Final line must survive a bounded tail capture of process output
     // (~2000 chars, with a ~120-char build-tool epilogue after it): emit
     // the slowest queries that fit a fixed budget and aggregate the rest,
-    // so the line always parses as one JSON object.
+    // so the line always parses as one JSON object. Budget arithmetic
+    // (r16 lesson — the line overflowed and the tail window beheaded
+    // it): fixed fields ≈300 + calib ≈60 + suspects ≤400 + queries
+    // ≤1000 ≈ 1760, leaving headroom for the epilogue.
     val sorted = results.sortBy(-_._2)
-    val budget = 1600
+    val budget = 1000
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val keptKeys = scala.collection.mutable.Set.empty[String]
     var used = 0
@@ -172,7 +233,8 @@ object Bench {
     val restSec = sorted.collect { case (k, v) if !keptKeys(k) => v }.sum
     val qs = entries.mkString("{", ",", "}")
     val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)},${f3(calibD)}]"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    val calibShuffle = s"[${f3(shufA)},${f3(shufB)}]"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_shuffle":$calibShuffle,"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

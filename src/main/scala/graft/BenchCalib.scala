@@ -92,6 +92,9 @@ object BenchCalib {
     val stamp = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
     if (!stamp.contains(sfDir)) Map.empty
     else """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      // "__"-prefixed keys are run metadata (calib stamps), never
+      // query references.
+      .filterNot(_._1.startsWith("__")).toMap
   }
 }

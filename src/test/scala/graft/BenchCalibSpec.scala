@@ -89,4 +89,15 @@ class BenchCalibSpec extends AnyFunSuite {
     assert(BenchCalib.parseReference(body, "/root/testdata/sf0.01").isEmpty)
     assert(BenchCalib.parseReference("""{"q1_agg":0.412}""", "/root/testdata/sf0.1").isEmpty)
   }
+
+  test("reference parsing skips __-prefixed calib stamps (r17: the " +
+      "truncation-proof calib copy rides the same file)") {
+    val body = """{"__sf__":"/root/testdata/sf0.1",""" +
+      """"__calib__":[0.300,0.210,0.220,0.215],""" +
+      """"__calib_ratio__":1.048,"__calib_abs_ratio__":0.537,""" +
+      """"__contended__":false,"q1_agg":0.412}"""
+    val ref = BenchCalib.parseReference(body, "/root/testdata/sf0.1")
+    assert(ref == Map("q1_agg" -> 0.412),
+      s"calib stamps must not become query references: $ref")
+  }
 }

@@ -74,6 +74,11 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
       ("Plans.scala", "shuffle.partitions=8") ->
         ("plan-snapshot main: fixed width keeps PLANS.txt diffs " +
           "host-independent; never a query path"),
+      ("Plans.scala", "conf.set(spark.graft.rowlevel.mode)") ->
+        ("the WriteDelta plan witnesses (r17) route the scratch-table " +
+          "UPDATE/MERGE/DELETE through the delta contract, set/unset " +
+          "scoped around the witness block; diagnostic main, never a " +
+          "query path"),
       ("operators/Skew.scala", "autoBroadcastJoinThreshold=-1") ->
         ("deliberately disables broadcast inside a scoped " +
           "save/restore block so the salted sort-merge join is the " +

@@ -422,7 +422,8 @@ object SparkEntry {
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "scan_kafka_batch" ->
       """SELECT event_type, count(*) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_jdbc_postgres" ->
       """SELECT r_name, n_name, CAST(2 AS BIGINT) AS n_copies,
@@ -1027,7 +1028,8 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS window_start,
          event_type, count(*) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
          FROM events GROUP BY 1, 2
          ORDER BY window_start, event_type""",
     "stream_stateful" ->
@@ -1544,7 +1546,8 @@ object SparkEntry {
     // redelivery); watermark-bounded dedup must restore the single copy
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "skew_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
@@ -1863,7 +1866,8 @@ object SparkEntry {
     // a missed second file both break this equality.
     "stream_resume" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-                round(sum(value), 2) AS sum_value
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "scan_parquet_evolving" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2127,7 +2131,8 @@ object SparkEntry {
     // mechanism booleans.
     "stream_exactly_once" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_events,
-                round(sum(value), 2) AS sum_value,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
                 true AS replay_occurred,
                 true AS idempotent_exactly_once,
                 true AS append_at_least_once
@@ -2595,15 +2600,18 @@ object SparkEntry {
          ORDER BY lang""",
     // Dynamic overwrite replaces ONLY the backfilled partition: the
     // earliest year carries doubled prices, every other year original.
+    // Exact integer cents (r17: the 100x composite caught the 2dp
+    // double sum flipping half-cent boundaries at ~1e12).
     "sink_partition_backfill" ->
-      """WITH o AS (SELECT o_orderkey, o_totalprice,
+      """WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                   CAST(date_trunc('year', o_orderdate) AS DATE) AS _p
                 FROM orders),
          t AS (SELECT min(_p) AS p FROM o)
          SELECT _p, CAST(count(*) AS BIGINT) AS n_orders,
-                round(sum(CASE WHEN _p = (SELECT p FROM t)
-                               THEN o_totalprice * 2
-                               ELSE o_totalprice END), 2) AS sum_price
+                CAST(sum(CASE WHEN _p = (SELECT p FROM t)
+                              THEN cents * 2
+                              ELSE cents END) AS BIGINT) AS sum_cents
          FROM o GROUP BY _p ORDER BY _p""",
     // Time travel: both snapshots' aggregates replay in exact integer
     // cents (the slice bounds are integer arithmetic); the stats-scoped
@@ -3687,7 +3695,8 @@ object SparkEntry {
          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                   AS window_start,
                 event_type, CAST(count(*) AS BIGINT) AS n_events,
-                round(sum(value), 2) AS sum_value,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
                 CAST((SELECT count(*) FROM
                         (SELECT DISTINCT date_trunc('hour', ts), event_type
                          FROM events WHERE event_id % 2 = 1))
@@ -3700,24 +3709,25 @@ object SparkEntry {
     // copy-on-write witnesses and batch count are engine-observed and
     // pinned.
     "stream_cdc_apply" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice,
+      """WITH base AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                   CAST(year(o_orderdate) AS INT) AS p FROM orders),
          tgt AS (SELECT min(p) AS tp FROM base),
          after_a AS (SELECT o_orderkey,
                             CASE WHEN p = (SELECT tp FROM tgt)
                                       AND o_orderkey % 2 = 0
-                                 THEN o_totalprice * 2
-                                 ELSE o_totalprice END AS o_totalprice,
+                                 THEN cents * 2
+                                 ELSE cents END AS cents,
                             p
                      FROM base
                      WHERE NOT (p = (SELECT tp FROM tgt)
                                 AND o_orderkey % 10 = 3)),
-         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
-                        100.0 AS o_totalprice, p
+         ins AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
+                        CAST(10000 AS BIGINT) AS cents, p
                  FROM base, tgt WHERE p = tp AND o_orderkey % 5 = 0),
          fin AS (SELECT * FROM after_a UNION ALL SELECT * FROM ins)
          SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
                 true AS untouched_intact, true AS affected_rewritten,
                 CAST(2 AS BIGINT) AS batches_applied
          FROM fin GROUP BY p ORDER BY p""",
@@ -3725,15 +3735,16 @@ object SparkEntry {
     // deterministic change batch; the copy-on-write file witnesses are
     // engine-observed and pinned true.
     "sink_merge_upsert" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice,
+      """WITH base AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                   CAST(year(o_orderdate) AS INT) AS p FROM orders),
          tgt AS (SELECT min(p) AS tp FROM base),
-         upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, p
+         upd AS (SELECT o_orderkey, cents * 2 AS cents, p
                  FROM base, tgt WHERE p = tp AND o_orderkey % 2 = 0),
-         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
-                        100.0 AS o_totalprice, p
+         ins AS (SELECT o_orderkey + 100000000000 AS o_orderkey,
+                        CAST(10000 AS BIGINT) AS cents, p
                  FROM base, tgt WHERE p = tp AND o_orderkey % 5 = 0),
-         del AS (SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         del AS (SELECT o_orderkey, CAST(NULL AS BIGINT) AS cents,
                         p
                  FROM base, tgt WHERE p = tp AND o_orderkey % 10 = 3),
          src AS (SELECT *, 'upsert' AS op FROM upd
@@ -3741,14 +3752,13 @@ object SparkEntry {
                  UNION ALL SELECT *, 'delete' AS op FROM del),
          merged AS (SELECT COALESCE(s.o_orderkey, t.o_orderkey)
                              AS o_orderkey,
-                           COALESCE(s.o_totalprice, t.o_totalprice)
-                             AS o_totalprice,
+                           COALESCE(s.cents, t.cents) AS cents,
                            COALESCE(s.p, t.p) AS p
                     FROM base t FULL OUTER JOIN src s
                       ON t.o_orderkey = s.o_orderkey AND t.p = s.p
                     WHERE s.op IS NULL OR s.op <> 'delete')
          SELECT p AS _p, CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
                 true AS untouched_intact, true AS affected_rewritten
          FROM merged GROUP BY p ORDER BY p""",
     // Compaction preserves rows and values; the engine-observed file
@@ -3764,7 +3774,8 @@ object SparkEntry {
     // oracle recomputes the data-derived window and the true
     // aggregates, and pins the engine-measured pruning booleans.
     "source_file_stats_index" ->
-      """WITH o AS (SELECT o_totalprice,
+      """WITH o AS (SELECT
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                   datediff('day', DATE '1995-01-01',
                            CAST(o_orderdate AS DATE)) AS d
                 FROM orders),
@@ -3773,7 +3784,7 @@ object SparkEntry {
                       d0 + greatest(d1 - d0, 1) // 2
                          + greatest(d1 - d0, 1) // 10 AS hi FROM b)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                round(COALESCE(sum(o_totalprice), 0), 2) AS sum_price,
+                CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents,
                 true AS pruned_equals_full,
                 true AS files_skipped,
                 true AS stats_complete
@@ -3833,7 +3844,8 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
                 CAST(sum(CASE WHEN o_orderdate IS NULL
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_null_date,
-                round(sum(o_totalprice), 2) AS sum_price
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
          FROM orders""",
     // AQE's runtime skew split must not change results; the flag is the
     // engine's own executed-plan assertion that it actually fired.

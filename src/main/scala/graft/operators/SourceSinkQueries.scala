@@ -123,15 +123,21 @@ object SourceSinkQueries {
     * scoped and restored. */
   def sinkPartitionBackfill(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("backfill").resolve("orders").toString
+    // Exact integer cents end to end (r17: the 100x composite caught
+    // this query's 2dp-rounded double sum flipping half-cent
+    // boundaries at ~1e12 magnitudes — the same class r16 fixed in
+    // the incremental-agg sinks).
     val orders = Relational.table(spark, dir, "orders")
       .withColumn("_p", date_trunc("year", col("o_orderdate")).cast("date"))
-      .select(col("o_orderkey"), col("o_totalprice"), col("_p"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        col("_p"))
     orders.write.partitionBy("_p").parquet(out)
     val target = orders.agg(min(col("_p")).as("p")).head().getDate(0)
     // The corrected batch: same partition, prices re-stated (doubled) —
     // after the backfill the partition must hold EXACTLY this data.
     val corrected = orders.filter(col("_p") === lit(target))
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("cents", col("cents") * 2)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "dynamic")
@@ -140,7 +146,7 @@ object SourceSinkQueries {
     spark.read.parquet(out)
       .groupBy(col("_p"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        sum(col("cents")).as("sum_cents"))
       .orderBy("_p")
   }
 
@@ -231,22 +237,27 @@ object SourceSinkQueries {
   def sinkMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tbl = tmpDir("merge").resolve("orders").toString
+    // Exact integer cents end to end (r17: the 100x composite caught
+    // the 2dp double sum flipping half-cent boundaries at ~1e12); the
+    // insert re-key shift is 1e11 per the ReKeyOffset discipline —
+    // above any real key at any SF.
     val base = Relational.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         year(col("o_orderdate")).cast("int").as("_p"))
     base.write.partitionBy("_p").parquet(tbl)
     val target = base.agg(min(col("_p"))).head().getInt(0)
     val updates = base
       .filter(col("_p") === target && col("o_orderkey") % 2 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("cents", col("cents") * 2)
     val inserts = base
       .filter(col("_p") === target && col("o_orderkey") % 5 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-        lit(100.0).as("o_totalprice"), col("_p"))
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
+        lit(10000L).as("cents"), col("_p"))
     val deletes = base
       .filter(col("_p") === target && col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey"),
-        lit(null).cast("double").as("o_totalprice"), col("_p"))
+        lit(null).cast("bigint").as("cents"), col("_p"))
     val source = updates.withColumn("op", lit("upsert"))
       .unionByName(inserts.withColumn("op", lit("upsert")))
       .unionByName(deletes.withColumn("op", lit("delete")))
@@ -255,8 +266,8 @@ object SourceSinkQueries {
     spark.read.parquet(tbl)
       .groupBy(col("_p"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
-      .select(col("_p"), col("n_rows"), col("sum_price"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("_p"), col("n_rows"), col("sum_cents"),
         lit(untouchedIntact).as("untouched_intact"),
         lit(affectedRewritten).as("affected_rewritten"))
       .orderBy("_p")
@@ -3337,8 +3348,11 @@ object SourceSinkQueries {
     val nFiles = 16
     val root = tmpDir("fstats")
     val tbl = root.resolve("orders").toString
+    // Exact integer cents (r17 exact-cents discipline: BIGINT sums
+    // are order-independent at any composite magnitude).
     val orders = Relational.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         datediff(to_date(col("o_orderdate")),
           to_date(lit("1995-01-01"))).as("d"))
     orders.repartitionByRange(nFiles, col("d"))
@@ -3361,29 +3375,28 @@ object SourceSinkQueries {
     // sparse date domain could do it) is a valid zero-row answer, not
     // a crash: spark.read.parquet with zero paths can't infer a
     // schema, so the empty case short-circuits to (0, 0.0).
-    val pruned: (Long, Double) =
-      if (picked.isEmpty) (0L, 0.0)
+    val pruned: (Long, Long) =
+      if (picked.isEmpty) (0L, 0L)
       else {
         val r = spark.read.parquet(picked.toIndexedSeq: _*)
           .filter(col("d") >= lo && col("d") <= hi)
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("s"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
           .collect()(0)
-        // sum() over zero rows is null — normalize to 0.0 so the
+        // sum() over zero rows is null — normalize to 0 so the
         // empty-window case compares equal on both legs.
-        (r.getAs[Long]("n"), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+        (r.getAs[Long]("n"), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
     val full = spark.read.parquet(tbl)
       .filter(col("d") >= lo && col("d") <= hi)
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
       .collect()(0)
     val fullN = full.getAs[Long]("n")
-    val fullS = if (full.isNullAt(1)) 0.0 else full.getDouble(1)
+    val fullS = if (full.isNullAt(1)) 0L else full.getLong(1)
     Seq((fullN, fullS,
       pruned == ((fullN, fullS)),
       picked.length < stats.length,
       stats.length == nFiles))
-      .toDF("n_rows", "sum_price", "pruned_equals_full",
+      .toDF("n_rows", "sum_cents", "pruned_equals_full",
         "files_skipped", "stats_complete")
   }
 
@@ -3409,14 +3422,18 @@ object SourceSinkQueries {
           col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_bad_price"),
         sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
           .as("n_null_date"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // Exact integer cents (r17 exact-cents discipline): the
+        // observed sum accumulates in task order, so only an integer
+        // sum is reproducible at any magnitude.
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .as("sum_cents"))
       .write.mode("overwrite").parquet(out)
     val m = obs.get
     Seq((m("n_rows").asInstanceOf[Long],
         m("n_bad_price").asInstanceOf[Long],
         m("n_null_date").asInstanceOf[Long],
-        m("sum_price").asInstanceOf[Double]))
-      .toDF("n_rows", "n_bad_price", "n_null_date", "sum_price")
+        m("sum_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "n_bad_price", "n_null_date", "sum_cents")
   }
 
   /** scan_parquet_evolving — schema-evolution read: an early batch
@@ -3710,7 +3727,10 @@ object SourceSinkQueries {
           .parquet(srcDir.toString))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // Exact integer cents (r17 exact-cents discipline): stateful
+        // sums accumulate in arrival order, so only an integer sum is
+        // reproducible at any magnitude.
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
     // Bench-drift attribution (r15 suspect, adjudicated r16): the
     // 0.72→1.42 s move was HOST, not code — this function and
     // runAvailableNow were byte-identical r14→r15 (comment-only

@@ -183,9 +183,12 @@ object Streaming {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // Exact integer cents (r17 exact-cents discipline): stateful
+        // sums accumulate in arrival order across micro-batches, so
+        // only an integer sum is reproducible at any magnitude.
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_cents"))
 
   /** Event-time SESSION windows (dynamic-gap windowing): a user's
     * session extends while events arrive within `gap` of the previous
@@ -268,7 +271,7 @@ object Streaming {
         outputMode = "append", statePartitions = Some(8))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
       .orderBy("event_type")
   }
 
@@ -633,7 +636,9 @@ object Streaming {
     def agg(df: DataFrame): DataFrame =
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          // Exact integer cents (r17 exact-cents discipline): the
+          // resumed stream folds batches in arrival order.
+          sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
     // Run 1: only the first half of events (split by event_id parity)
     // is present.
     def half(parity: Int): DataFrame = eventsHalf(spark, dir, parity)
@@ -745,7 +750,7 @@ object Streaming {
       val q = windowedCounts(eventsStream(spark, srcDir.toString))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n_events"),
-          col("sum_value"))
+          col("sum_cents"))
         .writeStream.outputMode("append").format("parquet")
         .option("path", outPath)
         .option("checkpointLocation", ckpt)
@@ -810,8 +815,11 @@ object Streaming {
     val tbl = base.resolve("table").resolve("orders").toString
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
+    // Exact integer cents end to end (r17 exact-cents discipline);
+    // the insert re-key shift is 1e11 per the ReKeyOffset discipline.
     val orders = graft.operators.Relational.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         year(col("o_orderdate")).cast("int").as("_p"))
     orders.write.partitionBy("_p").parquet(tbl)
     val target = orders.agg(min(col("_p"))).head().getInt(0)
@@ -819,17 +827,17 @@ object Streaming {
     // tombstone the keys ending in 3. Batch B: insert new keys.
     val batchA = orders
       .filter(col("_p") === target && col("o_orderkey") % 2 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("cents", col("cents") * 2)
       .withColumn("op", lit("upsert"))
       .unionByName(orders
         .filter(col("_p") === target && col("o_orderkey") % 10 === 3)
         .select(col("o_orderkey"),
-          lit(null).cast("double").as("o_totalprice"), col("_p"),
+          lit(null).cast("bigint").as("cents"), col("_p"),
           lit("delete").as("op")))
     val batchB = orders
       .filter(col("_p") === target && col("o_orderkey") % 5 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-        lit(100.0).as("o_totalprice"), col("_p"),
+      .select((col("o_orderkey") + 100000000000L).as("o_orderkey"),
+        lit(10000L).as("cents"), col("_p"),
         lit("upsert").as("op"))
     var intact = true
     var rewritten = true
@@ -858,8 +866,8 @@ object Streaming {
     run()
     spark.read.parquet(tbl).groupBy(col("_p"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
-      .select(col("_p"), col("n_rows"), col("sum_price"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("_p"), col("n_rows"), col("sum_cents"),
         lit(intact).as("untouched_intact"),
         lit(rewritten).as("affected_rewritten"),
         lit(nBatches).as("batches_applied"))
@@ -1154,15 +1162,15 @@ object Streaming {
     run() // resume: batch 0 replays under its original id, then batch 1
     val idem = spark.read.parquet(outIdem)
     val stats = idem.agg(count(lit(1)).as("n"),
-      round(sum(col("value")), 2).as("s")).collect()(0)
+      sum(round(col("value") * 100).cast("bigint")).as("s")).collect()(0)
     val nEvents =
       graft.operators.Relational.table(spark, dir, "events").count()
     val appCount = spark.read.parquet(outApp).count()
-    Seq((stats.getAs[Long]("n"), stats.getAs[Double]("s"),
+    Seq((stats.getAs[Long]("n"), stats.getAs[Long]("s"),
       firstRunFailed && attempts.getOrDefault(0L, 0).intValue() >= 2,
       stats.getAs[Long]("n") == nEvents,
       appCount == nEvents + batchRows.getOrDefault(0L, 0L).longValue()))
-      .toDF("n_events", "sum_value", "replay_occurred",
+      .toDF("n_events", "sum_cents", "replay_occurred",
         "idempotent_exactly_once", "append_at_least_once")
   }
 
@@ -1220,7 +1228,7 @@ object Streaming {
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"), col("sum_cents"))
       .orderBy("window_start", "event_type")
   }
 

@@ -107,11 +107,12 @@ class StreamingMultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   test("checkpoint resume equals the batch aggregate over both files") {
     val got = Streaming.streamResumeQuery(spark, sfDir)
-      .as[(String, Long, Double)].collect().toSet
+      .as[(String, Long, Long)].collect().toSet
     val want = Relational.table(spark, sfDir, "events")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
-      .as[(String, Long, Double)].collect().toSet
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
     assert(got == want)
   }
 

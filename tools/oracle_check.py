@@ -28,6 +28,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Let large-composite oracle runs (tools/pinstress.py at 100x)
+    # SPILL instead of OOM: a bounded memory limit plus a temp
+    # directory turns DuckDB's window/sort operators out-of-core.
+    # Harmless at the driver's sf0.01 scale.
+    tmp = os.environ.get("ORACLE_TMP", "/tmp/duckdb_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
@@ -48,7 +57,13 @@ def main():
         if q not in oracle:
             print(f"[rows-only] {q}: rows={len(got)}")
             continue
-        want = con.execute(oracle[q]).df()
+        try:
+            want = con.execute(oracle[q]).df()
+        except Exception as e:  # OOM/spill exhaustion on huge composites
+            print(f"[FAIL oracle-err] {q}: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+            n_fail += 1
+            continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"[FAIL cols] {q}: spark={list(g.columns)} duck={list(w.columns)}")

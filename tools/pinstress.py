@@ -91,6 +91,17 @@ def main():
         [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
          OUT, verify_out],
         cwd=REPO, capture_output=True, text=True)
+    # A CRASHED oracle (OOM, missing module) must read as a loud
+    # failure, not an empty result set. oracle_check's own nonzero
+    # exit on [MISSING]/[FAIL] counts is handled below — in targeted
+    # mode the un-run queries' [MISSING] lines are expected — so
+    # "crashed" means it died before printing its summary line.
+    if not any(ln.startswith("== ") for ln in r.stdout.splitlines()):
+        print(r.stdout[-2000:])
+        print(r.stderr[-2000:])
+        print("[pinstress] GATE FAILED: oracle_check crashed "
+              f"(exit {r.returncode})")
+        return 1
     all_lines = r.stdout.splitlines()
     wanted = set(QUERIES.split(",")) if QUERIES else None
     # Targeted runs: every query not asked for prints [MISSING] —

@@ -1287,6 +1287,25 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("immutable"))
   }
 
+  test("SQL TRUNCATE TABLE empties the table as a log commit; " +
+      "time travel keeps the pre-truncate rows") {
+    // TRUNCATE rides the TruncatableTable default — deleteWhere over
+    // AlwaysTrue — which now routes through the EXACT V2-predicate
+    // converter (AlwaysTrue is trivially exact), so this also pins
+    // that the lossy-bridge fix kept the trivial filter working.
+    val tbl = quartileTable()
+    GraftTables.registerCatalog(spark)
+    spark.sql(s"TRUNCATE TABLE graft.`$tbl`")
+    assert(GraftTables.read(spark, tbl).count() == 0L)
+    // The truncate is a COMMIT, not an rm: v0 still time-travels.
+    assert(GraftTables.read(spark, tbl, Some(0L)).count() == 100L)
+    // The emptied table stays writable and readable.
+    Seq((500L, 1L)).toDF("id", "v")
+      .write.format("graft").mode("append").save(tbl.toString)
+    assert(GraftTables.read(spark, tbl)
+      .as[(Long, Long)].collect().toSeq == Seq((500L, 1L)))
+  }
+
   test("SQL DELETE rewrites through the column mapping after a RENAME") {
     val tbl = graft.util.Scratch.dir("graft_connector")
       .resolve(s"dm${System.nanoTime()}")

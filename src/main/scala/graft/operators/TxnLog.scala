@@ -735,12 +735,24 @@ object TxnLog {
               "append data files and position deletes (found " +
               s"${removed.size} removed file(s), " +
               s"${newDel.count(_.kind != "pos")} non-position delete(s))")
-        else require(added.isEmpty && removed.isEmpty,
-          s"commit on $table adds delete file(s) AND changes data " +
-            s"files under action '${m.action}' — no change-feed " +
-            "classification exists for that shape; split it into a " +
-            "data commit and a delete commit (or use action " +
-            "'update-mor' for the delta row-level shape)")
+        else {
+          require(added.isEmpty && removed.isEmpty,
+            s"commit on $table adds delete file(s) AND changes data " +
+              s"files under action '${m.action}' — no change-feed " +
+              "classification exists for that shape; split it into a " +
+              "data commit and a delete commit (or use action " +
+              "'update-mor' for the delta row-level shape)")
+          // At most ONE new equality-delete file per commit
+          // (deleteByKeyMor's shape): the CDF's delete branch joins
+          // each eq file's keys independently, so two eq files naming
+          // overlapping keys in one commit would double-emit those
+          // rows. No writer produces that shape; refuse it so the
+          // per-file join stays provably multiplicity-exact.
+          require(newDel.count(_.kind != "pos") <= 1,
+            s"commit on $table adds ${newDel.count(_.kind != "pos")} " +
+              "equality-delete files in one commit — the change feed " +
+              "classifies at most one per commit; split the deletes")
+        }
       }
     }
     // Stamp the commit wall-clock for timestamp time travel — unless

@@ -1004,7 +1004,22 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
         deletes = Seq(del("eq"))))
     }
     assert(e3.getMessage.contains("malformed update-mor"))
-    // The legal pure-delete shape still lands.
+    // Two equality-delete files in ONE commit: the CDF joins each eq
+    // file's keys independently, so overlapping key sets would
+    // double-emit — refused (deleteByKeyMor commits one per call).
+    Seq((f0, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(t.resolve("p2").toString)
+    val pos2 = TxnLog.parquetsUnder(t, "p2").head
+    val e4 = intercept[IllegalArgumentException] {
+      TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
+        action = "delete-mor", deletes = Seq(del("eq"),
+          TxnLog.DeleteFile(pos2, "k", 1L,
+            Files.size(t.resolve(pos2)), kind = "eq"))))
+    }
+    assert(e4.getMessage.contains("equality-delete files in one commit"))
+    // The legal pure-delete shape still lands (multiple POSITION
+    // files per commit stay legal — the CDF diffs their named-file
+    // UNION once).
     assert(TxnLog.tryCommitManifest(t, tip0.copy(version = 1L,
       parent = 0L, action = "delete-mor",
       deletes = Seq(del("pos")))).contains(1L))

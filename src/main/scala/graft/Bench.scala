@@ -62,9 +62,13 @@ object Bench {
     def shuffleProbe(): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      spark.range(0L, 3000000L, 1L, 32)
-        .selectExpr("id % 100000 AS k", "id")
-        .groupBy("k").sum("id").count()
+      // Same try/catch-to-sentinel contract as time(): a probe
+      // failure must record as a sentinel, not abort the sweep.
+      try {
+        spark.range(0L, 3000000L, 1L, 32)
+          .selectExpr("id % 100000 AS k", "id")
+          .groupBy("k").sum("id").count()
+      } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val calibA = calibProbe()

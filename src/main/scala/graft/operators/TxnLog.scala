@@ -742,16 +742,23 @@ object TxnLog {
               "classification exists for that shape; split it into a " +
               "data commit and a delete commit (or use action " +
               "'update-mor' for the delta row-level shape)")
-          // At most ONE new equality-delete file per commit
-          // (deleteByKeyMor's shape): the CDF's delete branch joins
-          // each eq file's keys independently, so two eq files naming
-          // overlapping keys in one commit would double-emit those
-          // rows. No writer produces that shape; refuse it so the
-          // per-file join stays provably multiplicity-exact.
-          require(newDel.count(_.kind != "pos") <= 1,
-            s"commit on $table adds ${newDel.count(_.kind != "pos")} " +
-              "equality-delete files in one commit — the change feed " +
-              "classifies at most one per commit; split the deletes")
+          // ANY number of new equality-delete files per commit is
+          // legal (the parallel SupportsDelta writer shape: one eq
+          // file per task) provided they all carry the SAME key
+          // column: [[changes]] bands data files by applicable-delete
+          // set and joins each band against the UNION of its key
+          // sets, which is multiplicity-exact only with one key
+          // column in play — a row matching eq deletes on TWO
+          // different columns in one commit would emit once per
+          // column. One statement = one key, so no writer needs the
+          // mixed-key shape; refuse it.
+          val eqKeys = newDel.filter(_.kind != "pos").map(_.key).distinct
+          require(eqKeys.size <= 1,
+            s"commit on $table adds equality-delete files keyed on " +
+              s"${eqKeys.size} different columns " +
+              s"(${eqKeys.mkString(", ")}) — the change feed's " +
+              "key-union join is multiplicity-exact only for a single " +
+              "key column per commit; split the deletes")
         }
       }
     }
@@ -1887,10 +1894,16 @@ object TxnLog {
           // [[tryCommitManifest]]'s commit-shape invariant.
           val pre = logical(morRead(spark, table, prev), prev)
           val post = logical(morRead(spark, table, cur), cur)
-          require(pre.columns.toSeq == post.columns.toSeq,
+          // Names AND types: a restore across a same-name type change
+          // (widened column) passing a name-only guard would hand
+          // exceptAll/unionByName mismatched types and fail opaquely
+          // (or coerce silently) downstream.
+          def sig(df: DataFrame) =
+            df.schema.map(f => (f.name, f.dataType))
+          require(sig(pre) == sig(post),
             s"changes at v$v: restore across a schema change " +
-              s"(${pre.columns.mkString(",")} vs " +
-              s"${post.columns.mkString(",")}) — no row diff exists")
+              s"(${sig(pre).mkString(",")} vs " +
+              s"${sig(post).mkString(",")}) — no row diff exists")
           Some(pre.exceptAll(post)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
@@ -1936,6 +1949,19 @@ object TxnLog {
           assert(added.isEmpty && removed.isEmpty,
             s"changes at v$v: commit both adds deletes and changes " +
               "data files — a shape tryCommitManifest refuses")
+          // Pre-images base on prev's visibility PLUS this commit's
+          // new POSITION deletes (`prevPos`): the pos diff's
+          // subtrahend must not also apply the commit's new EQUALITY
+          // deletes (else eq-removed rows of pos-named files land in
+          // BOTH the pos diff and the eq join — the r17 CDF
+          // duplication bug, generalized), and the eq join's base
+          // must already exclude pos-removed rows (a row removed by
+          // both a pos and an eq delete in the same commit emits
+          // exactly once, in the pos diff). prev.seqs semantics are
+          // preserved — pos deletes never consult seqs.
+          val newPos = newDeletes.filter(_.kind == "pos")
+          val newEq = newDeletes.filter(_.kind != "pos")
+          val prevPos = prev.copy(deletes = prev.deletes ++ newPos)
           // Position deletes name exact (file, ordinal) pairs: the
           // feed rows are precisely what v-1 shows of the named files
           // that v no longer shows — exceptAll keeps multiplicity
@@ -1944,37 +1970,53 @@ object TxnLog {
           // file: a single delete-only commit can carry several pos
           // files naming the SAME data file (a >maxSplitBytes file
           // splits across tasks and each GraftDeltaWriter task writes
-          // its own pos file), and morRead(cur, ...) applies ALL new
-          // deletes — per-file diffs would re-emit every deleted row
-          // of a shared file once per overlapping pos file. O(named
-          // files), few by the position-delete design point.
+          // its own pos file) — per-file diffs would re-emit every
+          // deleted row of a shared file once per overlapping pos
+          // file. O(named files), few by the position-delete design
+          // point.
           val posDiff = {
-            val namedSet = newDeletes.filter(_.kind == "pos")
+            val namedSet = newPos
               .flatMap(d => posDeleteNamedFiles(table, d)).toSet
             val named = cur.files.filter(namedSet)
             if (named.isEmpty) None
             else Some(morRead(spark, table, prev, Some(named))
-              .exceptAll(morRead(spark, table, cur, Some(named))))
+              .exceptAll(morRead(spark, table, prevPos, Some(named))))
           }
-          val eqDiffs = newDeletes.filter(_.kind != "pos").flatMap { d =>
-            // Rows visible at v-1 (prev deletes applied) in the
-            // files this delete scopes, whose key the delete names.
-            // The delete file carries the PHYSICAL key column,
-            // matching the raw parquet read inside morRead — rename
-            // to logical only after the join. (Per-file joins stay
-            // correct here: equality deletes match by KEY, and
-            // deleteByKeyMor commits one delete file per statement —
-            // distinct files carry distinct key sets.)
-            val scoped = cur.files.filter(f =>
-              cur.seqs.getOrElse(f, -1L) < d.seq)
-            if (scoped.isEmpty) None // nothing in scope = no change
-            else {
-              val keys = spark.read
-                .parquet(table.resolve(d.path).toString)
-                .select(col(d.key)).distinct()
-              Some(morRead(spark, table, prev, Some(scoped))
-                .join(broadcast(keys), Seq(d.key), "left_semi"))
-            }
+          // Equality deletes: rows visible at v-1 (prev deletes plus
+          // this commit's pos deletes applied) in the files the
+          // deletes scope, whose key any delete names. The delete
+          // files carry the PHYSICAL key column, matching the raw
+          // parquet read inside morRead — rename to logical only
+          // after the join. A commit may carry MANY eq files (one
+          // per parallel writer task), all on ONE key column
+          // ([[tryCommitManifest]]'s invariant): band the scoped
+          // files by WHICH deletes apply (scopes nest by seq, so
+          // bands are few), union each band's key sets once, and
+          // semi-join — every visible row sits in exactly one band
+          // and the union is distinct, so overlapping key sets
+          // cannot double-emit.
+          val eqDiffs: Seq[DataFrame] = if (newEq.isEmpty) Nil else {
+            val keyCols = newEq.map(_.key).distinct
+            assert(keyCols.size == 1,
+              s"changes at v$v: new equality deletes on multiple key " +
+                s"columns (${keyCols.mkString(", ")}) — a shape " +
+                "tryCommitManifest refuses")
+            val k = keyCols.head
+            cur.files
+              .map(f => f -> newEq.filter(d =>
+                cur.seqs.getOrElse(f, -1L) < d.seq))
+              .filter(_._2.nonEmpty)
+              .groupBy(_._2.map(_.path))
+              .toSeq.sortBy(_._1.mkString(","))
+              .map { case (_, entries) =>
+                val scoped = entries.map(_._1)
+                val keys = spark.read
+                  .parquet(entries.head._2
+                    .map(d => table.resolve(d.path).toString): _*)
+                  .select(col(k)).distinct()
+                morRead(spark, table, prevPos, Some(scoped))
+                  .join(broadcast(keys), Seq(k), "left_semi")
+              }
           }
           val dels = (posDiff.toSeq ++ eqDiffs)
             .reduceOption(_.unionByName(_))

@@ -1004,25 +1004,98 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
         deletes = Seq(del("eq"))))
     }
     assert(e3.getMessage.contains("malformed update-mor"))
-    // Two equality-delete files in ONE commit: the CDF joins each eq
-    // file's keys independently, so overlapping key sets would
-    // double-emit — refused (deleteByKeyMor commits one per call).
+    // Equality-delete files on DIFFERENT key columns in ONE commit:
+    // the CDF's key-union join is multiplicity-exact only for a
+    // single key column (a row matching deletes on two columns would
+    // emit once per column) — refused. Multiple eq files on the SAME
+    // key are legal (the parallel writer shape; CDF multiplicity is
+    // pinned in the dedicated changes() test below).
     Seq((f0, 0L)).toDF("file_path", "pos")
       .coalesce(1).write.parquet(t.resolve("p2").toString)
     val pos2 = TxnLog.parquetsUnder(t, "p2").head
     val e4 = intercept[IllegalArgumentException] {
       TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
         action = "delete-mor", deletes = Seq(del("eq"),
-          TxnLog.DeleteFile(pos2, "k", 1L,
+          TxnLog.DeleteFile(pos2, "v", 1L,
             Files.size(t.resolve(pos2)), kind = "eq"))))
     }
-    assert(e4.getMessage.contains("equality-delete files in one commit"))
+    assert(e4.getMessage.contains("single key column"))
     // The legal pure-delete shape still lands (multiple POSITION
     // files per commit stay legal — the CDF diffs their named-file
     // UNION once).
     assert(TxnLog.tryCommitManifest(t, tip0.copy(version = 1L,
       parent = 0L, action = "delete-mor",
       deletes = Seq(del("pos")))).contains(1L))
+  }
+
+  test("changes: one commit carrying MANY equality-delete files with " +
+      "overlapping keys emits each deleted row exactly once") {
+    val t = freshTable()
+    import spark.implicits._
+    (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    // Two eq files, keys {1,2,3} and {3,4} — overlapping on 3: the
+    // shape a parallel SupportsDelta delete produces (one file per
+    // writer task). r17 refused this at commit; the key-union band
+    // join now classifies it exactly.
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1)
+      .write.parquet(t.resolve("d1").toString)
+    Seq(3L, 4L).toDF("k").coalesce(1)
+      .write.parquet(t.resolve("d2").toString)
+    val eqs = TxnLog.parquetsUnder(t, "d1") ++
+      TxnLog.parquetsUnder(t, "d2")
+    assert(eqs.size == 2)
+    TxnLog.commitRetryWith(t, tip => tip.copy(action = "delete-mor",
+      seqs = tip.seqs ++ tip.files.filterNot(tip.seqs.contains)
+        .map(_ -> tip.version).toMap,
+      deletes = tip.deletes ++ eqs.map(p => TxnLog.DeleteFile(
+        p, "k", tip.version + 1, Files.size(t.resolve(p)))),
+      txn = None, ts = 0L))
+    assert(TxnLog.readVersion(spark, t, 1L).as[(Long, String)]
+      .collect().toSet == Set((5L, "v5"), (6L, "v6")))
+    val feed = TxnLog.changes(spark, t, 0L, 1L, "k")
+      .select("k", "_change_type").as[(Long, String)].collect()
+    assert(feed.length == 4,
+      s"CDF multiplicity wrong: ${feed.mkString(",")}")
+    assert(feed.toSet == (1L to 4L).map((_, "delete")).toSet)
+  }
+
+  test("changes: a delete-only commit mixing position and equality " +
+      "delete files emits each removed row exactly once") {
+    val t = freshTable()
+    import spark.implicits._
+    (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    val f0 = TxnLog.parquetsUnder(t, "b0").head
+    // Ordinal 0 = k=1 (single-partition write preserves order). The
+    // pos delete drops k=1; the eq delete drops {1,2} — k=1 removed
+    // by BOTH kinds in one commit must emit ONCE (pos diff), k=2
+    // once (eq join over the pos-applied base).
+    Seq((f0, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.parquet(t.resolve("p1").toString)
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.parquet(t.resolve("d1").toString)
+    val pos = TxnLog.parquetsUnder(t, "p1").head
+    val eq = TxnLog.parquetsUnder(t, "d1").head
+    TxnLog.commitRetryWith(t, tip => tip.copy(action = "delete-mor",
+      seqs = tip.seqs ++ tip.files.filterNot(tip.seqs.contains)
+        .map(_ -> tip.version).toMap,
+      deletes = tip.deletes ++ Seq(
+        TxnLog.DeleteFile(pos, "", tip.version + 1,
+          Files.size(t.resolve(pos)), kind = "pos"),
+        TxnLog.DeleteFile(eq, "k", tip.version + 1,
+          Files.size(t.resolve(eq)))),
+      txn = None, ts = 0L))
+    assert(TxnLog.readVersion(spark, t, 1L).as[(Long, String)]
+      .collect().toSet ==
+      Set((3L, "v3"), (4L, "v4"), (5L, "v5")))
+    val feed = TxnLog.changes(spark, t, 0L, 1L, "k")
+      .select("k", "_change_type").as[(Long, String)].collect()
+    assert(feed.length == 2,
+      s"CDF multiplicity wrong: ${feed.mkString(",")}")
+    assert(feed.toSet == Set((1L, "delete"), (2L, "delete")))
   }
 
   test("changes across a restore that changes the pending-delete set " +

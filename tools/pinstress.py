@@ -118,11 +118,18 @@ def main():
               "at the composite")
         return 1
     oks = [ln for ln in lines if ln.startswith("[ok]")]
-    if wanted and len(oks) < len(wanted):
+    # A query without an oracle prints [rows-only] — it completed, so
+    # it counts toward the targeted total (else a rows-only target
+    # would falsely trip the missing gate).
+    done = [ln for ln in lines
+            if ln.startswith(("[ok]", "[rows-only]"))]
+    if wanted and len(done) < len(wanted):
         print("[pinstress] GATE FAILED: some targeted queries missing")
         return 1
     print(f"[pinstress] GATE PASSED: {len(oks)} queries exact at the "
-          f"{COPIES}x composite")
+          f"{COPIES}x composite"
+          + (f" (+{len(done) - len(oks)} rows-only)"
+             if len(done) > len(oks) else ""))
     return 0
 
 

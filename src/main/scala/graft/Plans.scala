@@ -56,7 +56,176 @@ object Plans {
         .explain("formatted")
     }
     writeDeltaWitnesses(spark)
+    streamingSourceWitnesses(spark)
+    statsWitness(spark)
     spark.stop()
+  }
+
+  /** Planning witnesses for the table-as-stream paths (r17 verdict
+    * task 4): offsets are LOG VERSIONS (the checkpoint's offsets log
+    * is printed verbatim), and each micro-batch plans a MANIFEST DIFF
+    * — witnessed by the distinct `input_file_name()`s each batch
+    * actually read, asserted O(new files): a batch over (v, v+1] may
+    * touch only the files v+1 added, never the base snapshot. Covers
+    * stream_table_feed (snapshot batch 0 + per-commit batches under
+    * maxVersionsPerTrigger=1, the stream_batched_cap admission path)
+    * and stream_cdf_feed (change-feed rows per version). */
+  private def streamingSourceWitnesses(spark: SparkSession): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import graft.operators.TxnLog
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("graft_plans")
+      .resolve(s"sw${System.nanoTime()}")
+    val tbl = root.resolve("t")
+    Files.createDirectories(tbl)
+    def commit(sub: String, lo: Long, hi: Long): Unit = {
+      (lo to hi).map(i => (i, i * 2L)).toDF("id", "v")
+        .coalesce(1).write.parquet(tbl.resolve(sub).toString)
+      TxnLog.commitRetry(tbl,
+        if (sub == "b0") "create" else "append",
+        t => t.files ++ TxnLog.parquetsUnder(tbl, sub))
+    }
+    commit("b0", 1L, 4L)   // v0: the base snapshot
+    commit("b1", 5L, 8L)   // v1
+    commit("b2", 9L, 12L)  // v2
+    println("\n===== stream_table_feed / stream_batched_cap " +
+      "(micro-batch source planning witness) =====")
+    val ckpt = root.resolve("ckpt")
+    val batches = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Seq[String])]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1") // the admission cap
+      .load(tbl.toString)
+      .select(col("id"), input_file_name().as("f"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.collect()
+        val dirs = rows.map(_.getString(1)
+          .replaceFirst(".*/(b\\d+)/.*", "$1")).distinct.sorted.toSeq
+        batches.synchronized { batches += ((id, rows.length.toLong, dirs)) }
+        ()
+      }.start()
+    q.awaitTermination()
+    batches.sortBy(_._1).foreach { case (id, n, dirs) =>
+      println(s"batch $id: rows=$n sourceDirs=${dirs.mkString(",")}")
+    }
+    val offsetsDir = ckpt.resolve("offsets")
+    val offs = Files.list(offsetsDir).iterator()
+    val offSeq = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (offs.hasNext) {
+      val p = offs.next()
+      // Skip Hadoop's binary .crc siblings: only the numeric batch
+      // files are the offsets log.
+      if (p.getFileName.toString.matches("\\d+")) {
+        val v = scala.io.Source.fromFile(p.toFile).getLines().toSeq.last
+        offSeq += ((p.getFileName.toString, v))
+      }
+    }
+    offSeq.sortBy(_._1.toLong).foreach { case (b, v) =>
+      println(s"offsets/$b -> log version $v")
+    }
+    // The witness ASSERTS the O(new-files) contract so PLANS.txt
+    // generation fails loudly on a planning regression: batch 0 is
+    // the pinned base snapshot, every later batch exactly one
+    // commit's added files — never the base again.
+    val byId = batches.sortBy(_._1).toSeq
+    require(byId.map(_._3) == Seq(Seq("b0"), Seq("b1"), Seq("b2")) &&
+      byId.map(_._2) == Seq(4L, 4L, 4L),
+      s"micro-batch planning regression: $byId")
+    require(offSeq.sortBy(_._1.toLong).map(_._2) == Seq("0", "1", "2"),
+      s"offsets must be log versions 0,1,2: $offSeq")
+
+    println("\n===== stream_cdf_feed (change-feed source planning " +
+      "witness) =====")
+    val ckpt2 = root.resolve("ckpt2")
+    val feed = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Seq[(Long, String, Long)])]
+    def drainCdf(): Unit = {
+      val q2 = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("changeFeedKey", "id") // the table declares no statsKey
+        .load(tbl.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt2.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.select(col("_commit_version"),
+            col("_change_type"), col("id")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(r => (r._1, r._3)).toSeq
+          feed.synchronized { feed += ((id, rows)) }
+          ()
+        }.start()
+      q2.awaitTermination()
+    }
+    drainCdf() // batch 0: snapshot-as-inserts up to the pinned tip
+    TxnLog.deleteByKeyMor(spark, tbl,          // v3: MoR delete, zero
+      Seq(5L, 9L).toDF("id"), "id", "d3")      // data files change
+    drainCdf() // resumed: ONLY v3's delete rows
+    feed.sortBy(_._1).foreach { case (id, rows) =>
+      val byV = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, rs) =>
+        s"v$v:{${rs.map(r => s"${r._2}(id=${r._3})").mkString(",")}}"
+      }
+      println(s"cdf batch $id: ${byV.mkString(" ")}")
+    }
+    val resumed = feed.sortBy(_._1).last._2
+    require(resumed == Seq((3L, "delete", 5L), (3L, "delete", 9L)),
+      s"resumed CDF batch must carry exactly v3's deletes: $resumed")
+  }
+
+  /** Optimizer-statistics witness (r17 verdict task 5): the graft
+    * scan reports exact rowCount + min/max/NDV column stats from
+    * manifest metadata, and the BROADCAST decision flips with table
+    * size — including back again when a pushed key filter prunes the
+    * big table to one small file. */
+  private def statsWitness(spark: SparkSession): Unit = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TxnLog
+    import spark.implicits._
+    println("\n===== graft scan statistics -> broadcast flip =====")
+    val tbl = graft.util.Scratch.dir("graft_plans")
+      .resolve(s"stats${System.nanoTime()}")
+    Files.createDirectories(tbl)
+    val n = 400000L
+    val rows = spark.range(1L, n + 1L)
+      .select(col("id"), (col("id") * 10L).as("v"))
+    for (q <- 0 until 4)
+      rows.filter(col("id").between(q * (n / 4) + 1, (q + 1) * (n / 4)))
+        .coalesce(1).write.parquet(tbl.resolve(s"q$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"q$q"))
+    TxnLog.commitRetry(tbl, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, tbl, files, "id"),
+      statsKey = Some("id"))
+    val read = graft.sources.GraftTables.read(spark, tbl)
+    val stats = read.queryExecution.optimizedPlan.stats
+    println(s"reported: rowCount=${stats.rowCount} " +
+      s"sizeInBytes=${stats.sizeInBytes} " +
+      s"colStats=${stats.attributeStats.map { case (a, cs) =>
+        s"${a.name}:[${cs.min.getOrElse("?")},${cs.max.getOrElse("?")}]" +
+          s" ndv<=${cs.distinctCount.getOrElse("?")}" }.mkString(" ")}")
+    val sizes = TxnLog.tip(tbl).sizes.values
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (sizes.max * 3 / 2).toString)
+      val probe = spark.range(1L, 1000000L).toDF("id")
+      def joinKind(df: org.apache.spark.sql.DataFrame): String =
+        if (df.queryExecution.sparkPlan.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+          "BroadcastHashJoin" else "no broadcast"
+      val whole = joinKind(probe.join(read, "id"))
+      val pruned = joinKind(probe.join(
+        read.filter(col("id") <= 1000L), "id"))
+      println(s"whole table (${sizes.sum} B over threshold): $whole")
+      println(s"pruned to one file (<= threshold): $pruned")
+      require(whole == "no broadcast" && pruned == "BroadcastHashJoin",
+        s"broadcast flip regression: whole=$whole pruned=$pruned")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   /** Executed-plan witnesses for the SupportsDelta (WriteDelta) SQL

@@ -120,7 +120,13 @@ object TxnLog {
       deltaDepth: Int = 0,
       seqs: Map[String, Long] = Map.empty,
       deletes: Seq[DeleteFile] = Seq.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // Per-file ROW COUNTS (the numRows leg of `sizes`): earned at
+      // the commit primitive from parquet footers, inherited by
+      // survivors, so scans can report an exact rowCount to the
+      // cost-based optimizer with zero plan-time filesystem calls.
+      // Absent entry = unknown (placeholder files, legacy manifests).
+      rows: Map[String, Long] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -254,7 +260,8 @@ object TxnLog {
       ts: Long,
       seqs: Map[String, Long],
       deletes: Seq[DeleteFile],
-      constraints: Map[String, String])
+      constraints: Map[String, String],
+      rows: Map[String, Long])
 
   private def putRanges(root: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, m: Map[String, (Long, Long)]): Unit =
@@ -272,7 +279,8 @@ object TxnLog {
       txn: Option[(String, Long)], txns: Map[String, Long],
       colStats: Map[String, Map[String, (Long, Long)]], ts: Long,
       seqs: Map[String, Long], deletes: Seq[DeleteFile],
-      constraints: Map[String, String]): Unit = {
+      constraints: Map[String, String],
+      rows: Map[String, Long]): Unit = {
     putRanges(root, "stats", stats)
     statsKey.foreach(root.put("statsKey", _))
     if (partitions.nonEmpty) {
@@ -331,6 +339,10 @@ object TxnLog {
       val cn = root.putObject("constraints")
       constraints.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
     }
+    if (rows.nonEmpty) {
+      val rn = root.putObject("rows")
+      rows.toSeq.sortBy(_._1).foreach { case (f, n) => rn.put(f, n) }
+    }
   }
 
   def render(m: Manifest): String = {
@@ -346,7 +358,7 @@ object TxnLog {
     m.files.foreach(fs.add)
     putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
       m.sizes, m.txn, m.txns, m.colStats, m.ts, m.seqs, m.deletes,
-      m.constraints)
+      m.constraints, m.rows)
     mapper.writeValueAsString(root)
   }
 
@@ -369,7 +381,7 @@ object TxnLog {
     // keeps the column set.
     putCommon(root, d.stats, d.statsKey, d.partitions, d.columns,
       d.sizes, d.txn, d.txns, d.colStats, d.ts, d.seqs, d.deletes,
-      d.constraints)
+      d.constraints, d.rows)
     mapper.writeValueAsString(root)
   }
 
@@ -378,7 +390,8 @@ object TxnLog {
       Map[String, Map[String, String]], Option[Seq[ColumnDef]],
       Map[String, Long], Option[(String, Long)], Map[String, Long],
       Map[String, Map[String, (Long, Long)]], Long,
-      Map[String, Long], Seq[DeleteFile], Map[String, String]) = {
+      Map[String, Long], Seq[DeleteFile], Map[String, String],
+      Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
@@ -426,10 +439,13 @@ object TxnLog {
     val constraints = Option(n.get("constraints")).map { cn =>
       cn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
+    val rows = Option(n.get("rows")).map { rn =>
+      rn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
     (stats, Option(n.get("statsKey")).map(_.asText), partitions, columns,
       sizes, txn, txns, colStats,
       Option(n.get("ts")).map(_.asLong).getOrElse(0L), seqs, deletes,
-      constraints)
+      constraints, rows)
   }
 
   /** The highest stored-manifest format this reader understands — the
@@ -453,7 +469,7 @@ object TxnLog {
           s"up to $SupportedReaderVersion — upgrade before reading")
     }
     val (stats, statsKey, partitions, columns, sizes, txn, txns,
-      colStats, ts, seqs, deletes, constraints) = parseCommon(n)
+      colStats, ts, seqs, deletes, constraints, rows) = parseCommon(n)
     Option(n.get("base")) match {
       case Some(b) =>
         Left(Delta(
@@ -462,7 +478,7 @@ object TxnLog {
           n.get("adds").elements().asScala.map(_.asText).toSeq,
           n.get("removes").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts, seqs, deletes, constraints))
+          colStats, ts, seqs, deletes, constraints, rows))
       case None =>
         Right(Manifest(
           n.get("version").asLong, n.get("parent").asLong,
@@ -470,7 +486,7 @@ object TxnLog {
           n.get("files").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
           colStats, ts, seqs = seqs, deletes = deletes,
-          constraints = constraints))
+          constraints = constraints, rows = rows))
     }
   }
 
@@ -504,7 +520,8 @@ object TxnLog {
       },
       ts = d.ts, deltaDepth = base.deltaDepth + 1,
       seqs = base.seqs.view.filterKeys(surviving).toMap ++ d.seqs,
-      deletes = d.deletes, constraints = d.constraints)
+      deletes = d.deletes, constraints = d.constraints,
+      rows = base.rows.view.filterKeys(surviving).toMap ++ d.rows)
   }
 
   /** The delta encoding of `m` against its resolved parent `p`, iff it
@@ -530,7 +547,8 @@ object TxnLog {
       },
       ts = m.ts,
       seqs = m.seqs.filter { case (k, v) => !p.seqs.get(k).contains(v) },
-      deletes = m.deletes, constraints = m.constraints)
+      deletes = m.deletes, constraints = m.constraints,
+      rows = m.rows.filter { case (k, v) => !p.rows.get(k).contains(v) })
     if (applyDelta(p, d).copy(deltaDepth = 0) == m.copy(deltaDepth = 0))
       Some(d)
     else None
@@ -609,6 +627,32 @@ object TxnLog {
       prior.get(f).map(f -> _).orElse {
         val p = table.resolve(f)
         if (Files.isRegularFile(p)) Some(f -> Files.size(p)) else None
+      }
+    }.toMap
+
+  /** Per-file ROW COUNTS for `files`, inheriting `prior` and reading
+    * only the rest's parquet FOOTERS — the numRows leg of the
+    * [[fileSizes]] discipline (Delta's add-file numRecords / Iceberg's
+    * manifest record_count): one driver-side footer read per NEW file
+    * at commit time, so the connector can report an EXACT row count to
+    * the optimizer (join reorder, broadcast thresholds) with zero
+    * plan-time filesystem calls. Files not on disk or without a
+    * readable footer (unit-test placeholders) get no entry
+    * (= unknown — a scan over them reports no rowCount). */
+  def fileRows(table: Path, files: Seq[String],
+      prior: Map[String, Long] = Map.empty): Map[String, Long] =
+    files.flatMap { f =>
+      prior.get(f).map(f -> _).orElse {
+        val p = table.resolve(f)
+        if (!Files.isRegularFile(p)) None
+        else
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p.toUri),
+                new org.apache.hadoop.conf.Configuration())
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try Some(f -> r.getRecordCount) finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
       }
     }.toMap
 
@@ -846,16 +890,26 @@ object TxnLog {
       table: Path, build: Manifest => Manifest,
       maxAttempts: Int = 10): Committed = {
     var conflicts = 0
+    // Footer row counts survive commit retries: a rebase re-reads the
+    // tip, not the new files' footers (files are immutable once
+    // staged, so a cached count can never go stale).
+    val rowsCache = scala.collection.mutable.Map.empty[String, Long]
     while (conflicts < maxAttempts) {
       val t = tip(table)
       val next0 =
         try build(t).copy(version = t.version + 1, parent = t.version)
         catch { case _: CommitAborted => return Committed(t.version, conflicts) }
       // Every commit leaves a fully size-bearing manifest: surviving
-      // files inherit the tip's entry, new ones cost one local stat —
-      // so READERS never touch the filesystem to plan.
-      val next = next0.copy(sizes = fileSizes(table, next0.files,
-        next0.sizes ++ t.sizes))
+      // files inherit the tip's entry, new ones cost one local stat
+      // (byte size) plus one footer read (row count) — so READERS
+      // never touch the filesystem to plan, and scans report exact
+      // rowCount/column bounds to the optimizer from metadata alone.
+      val newRows = fileRows(table, next0.files,
+        next0.rows ++ t.rows ++ rowsCache)
+      rowsCache ++= newRows
+      val next = next0.copy(
+        sizes = fileSizes(table, next0.files, next0.sizes ++ t.sizes),
+        rows = newRows)
       tryCommitManifest(table, next, parentHint = Some(t)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1

@@ -1102,7 +1102,7 @@ final class GraftScanBuilder(
     new GraftScan(
       p.groups.headOption.map(_.scan)
         .getOrElse(parquetScanOver(kept, snap.manifest.sizes, pf)),
-      snap, pf, options, overDiff, mor = Some(p))
+      snap, pf, options, overDiff, mor = Some(p), kept = kept)
   }
 
   override def build(): Scan = {
@@ -1115,7 +1115,8 @@ final class GraftScanBuilder(
       if (aggPushed) prunedInner.build() // scan output = the aggregate
       else parquetScanOver(kept, snap.manifest.sizes, pf)
     new GraftScan(inner, snap, pf, options,
-      diff => parquetScanOver(diff.files, diff.sizes, pf))
+      diff => parquetScanOver(diff.files, diff.sizes, pf),
+      kept = kept, statsExact = !aggPushed)
   }
 }
 
@@ -1132,7 +1133,14 @@ final class GraftScan(
     physFilters: Seq[Expression],
     options: CaseInsensitiveStringMap,
     scanOverDiff: TxnLog.Manifest => Scan,
-    mor: Option[GraftMor.Plan] = None)
+    mor: Option[GraftMor.Plan] = None,
+    // The manifest-pruned file set this scan reads plus whether its
+    // output is raw table rows (false under aggregate pushdown, whose
+    // output cardinality is the GROUP count) — what lets
+    // [[estimateStatistics]] report the EXACT row count and column
+    // bounds from manifest metadata alone.
+    kept: Seq[String] = Nil,
+    statsExact: Boolean = false)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -1144,30 +1152,119 @@ final class GraftScan(
         f.copy(name = snap.logicalOf(f.name))))
   }
 
-  // The inner FileScan reports size/row statistics from the PRUNED
-  // file set; hiding them behind this wrapper would make every graft
+  // The inner FileScan reports size statistics from the PRUNED file
+  // set; hiding them behind this wrapper would make every graft
   // relation look defaultSizeInBytes-huge and never auto-broadcast —
-  // the silent join-strategy regression, so delegate.
+  // the silent join-strategy regression, so delegate. On top of the
+  // byte size, the manifest's footer-earned per-file row counts and
+  // per-column bounds give the optimizer an EXACT rowCount and
+  // min/max/NDV column statistics (the Delta add-file-stats /
+  // Iceberg manifest-record-count idea) — what makes join reorder
+  // and broadcast-threshold decisions right when a graft table is
+  // the filtered small side, with zero plan-time filesystem calls.
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = mor match {
-    case Some(p) => new org.apache.spark.sql.connector.read.Statistics {
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val sizeOpt: java.util.OptionalLong = mor match {
       // Manifest-sizes estimate (a slight over-count: deleted rows
       // still weigh in) — present so small MoR tables still broadcast.
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(p.sizeBytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-    }
-    case None => inner match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+      case Some(p) => java.util.OptionalLong.of(p.sizeBytes)
+      case None => inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics().sizeInBytes()
+        case _ => java.util.OptionalLong.empty()
       }
     }
+    // Row counts are EXACT only when this scan returns raw table rows
+    // (not a pushed aggregate) and no pending MoR delete hides rows
+    // the footer counts still include. An empty kept set is the exact
+    // count 0, not unknown — pruning proved no file qualifies.
+    val rowsOpt: java.util.OptionalLong =
+      if (!statsExact || mor.isDefined || snap.manifest.deletes.nonEmpty)
+        java.util.OptionalLong.empty()
+      else {
+        val r = snap.manifest.rows
+        if (kept.forall(r.contains))
+          java.util.OptionalLong.of(kept.iterator.map(r).sum)
+        else java.util.OptionalLong.empty()
+      }
+    val cols = columnStatsMap
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = sizeOpt
+      override def numRows(): java.util.OptionalLong = rowsOpt
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        cols
+    }
+  }
+
+  /** Column statistics over the pruned file set, from the manifest's
+    * per-file bounds: min/max are exact folds of the committed
+    * per-file ranges; distinctCount is the standard UPPER-BOUND
+    * estimate min(rowCount, max−min+1) — integral columns only, the
+    * manifest bounds contract. A column is reported only when EVERY
+    * kept file carries an entry (a missing entry = unknown, and a
+    * partial fold could misstate the true bound); all-NULL files
+    * ([[TxnLog.EmptyRange]]) contribute nothing to the fold. */
+  private def columnStatsMap: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (!statsExact || mor.isDefined || snap.manifest.deletes.nonEmpty ||
+        kept.isEmpty)
+      return out
+    val m = snap.manifest
+    val rowsKnown: Option[Long] =
+      if (kept.forall(m.rows.contains)) Some(kept.iterator.map(m.rows).sum)
+      else None
+    // statsKey bounds first so a same-column colStats entry (the
+    // multi-column generalization) wins.
+    val perCol = m.statsKey.map(k => k -> m.stats).toMap ++ m.colStats
+    perCol.foreach { case (phys, perFile) =>
+      if (kept.forall(perFile.contains)) {
+        val ranges = kept.map(perFile).filterNot(_ == TxnLog.EmptyRange)
+        val logical = snap.logicalOf(phys)
+        val field = snap.schema.fields.find(_.name == logical)
+        if (ranges.nonEmpty && field.isDefined) {
+          val lo = ranges.iterator.map(_._1).min
+          val hi = ranges.iterator.map(_._2).max
+          // Box to the column's declared type: catalyst ColumnStat
+          // values are stored raw and compared under the attribute's
+          // type, so a Long where an Int is expected would break
+          // estimation downstream.
+          import org.apache.spark.sql.types._
+          val box: Long => Option[Any] = field.get.dataType match {
+            case ByteType => v => Some(java.lang.Byte.valueOf(v.toByte))
+            case ShortType => v => Some(java.lang.Short.valueOf(v.toShort))
+            case IntegerType => v => Some(java.lang.Integer.valueOf(v.toInt))
+            case LongType => v => Some(java.lang.Long.valueOf(v))
+            case _ => _ => None // non-integral: bounds not comparable
+          }
+          (box(lo), box(hi)) match {
+            case (Some(mn), Some(mx)) =>
+              val span = BigInt(hi) - BigInt(lo) + 1
+              val ndv = rowsKnown.fold(span)(n => span.min(BigInt(n)))
+                .min(BigInt(Long.MaxValue)).toLong
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(logical),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.of(mn.asInstanceOf[Object])
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.of(mx.asInstanceOf[Object])
+                })
+            case _ => ()
+          }
+        }
+      }
+    }
+    out
   }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =

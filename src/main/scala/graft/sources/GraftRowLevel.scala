@@ -153,7 +153,7 @@ final class GraftCowScanBuilder(
         Seq.empty, options)
       return new GraftScan(p.groups.head.scan, snap, Seq.empty, options,
         _ => sys.error("a row-level operation scan cannot stream"),
-        mor = Some(p))
+        mor = Some(p), kept = kept)
     }
     val index = new ManifestFileIndex(spark, snap.root, kept,
       snap.manifest.sizes, snap.physicalSchema)
@@ -166,7 +166,8 @@ final class GraftCowScanBuilder(
       f.copy(name = snap.physicalOf(f.name))))
     inner.pruneColumns(physRequired)
     new GraftScan(inner.build(), snap, Seq.empty, options,
-      _ => sys.error("a row-level operation scan cannot stream"))
+      _ => sys.error("a row-level operation scan cannot stream"),
+      kept = kept, statsExact = true)
   }
 }
 

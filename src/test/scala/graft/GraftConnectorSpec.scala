@@ -1531,4 +1531,90 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(GraftTables.read(spark, tbl)
       .agg(sum($"v")).head.getLong(0) == sumBefore + 10L)
   }
+
+  // --- optimizer statistics from the manifest (r18) ---
+
+  test("the scan reports exact rowCount and min/max/NDV column stats " +
+      "from manifest metadata") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val tbl = quartileTable()
+    def relStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.stats
+    }.head
+    // Unfiltered: the exact table row count plus id's fold of the
+    // committed per-file bounds; NDV = min(rows, span) = 100.
+    val s0 = relStats(GraftTables.read(spark, tbl))
+    assert(s0.rowCount.contains(BigInt(100)), s0)
+    val id0 = s0.attributeStats.collectFirst {
+      case (a, cs) if a.name == "id" => cs
+    }
+    assert(id0.isDefined, s"no id column stats: ${s0.attributeStats}")
+    assert(id0.get.min.contains(1L) && id0.get.max.contains(100L), id0)
+    assert(id0.get.distinctCount.contains(BigInt(100)), id0)
+    // Filtered to one quartile file: counts and bounds follow the
+    // PRUNED set — this is what makes a filtered graft table estimate
+    // small enough to broadcast.
+    val s1 = relStats(GraftTables.read(spark, tbl)
+      .filter($"id" >= 30L && $"id" <= 40L))
+    assert(s1.rowCount.contains(BigInt(25)), s1)
+    val id1 = s1.attributeStats.collectFirst {
+      case (a, cs) if a.name == "id" => cs
+    }.get
+    assert(id1.min.contains(26L) && id1.max.contains(50L), id1)
+    // Fully pruned: the exact count 0, not unknown.
+    val s2 = relStats(GraftTables.read(spark, tbl)
+      .filter($"id" === 5000L))
+    assert(s2.rowCount.contains(BigInt(0)), s2)
+    // Pending MoR deletes hide rows the footer counts still include:
+    // rowCount must go UNKNOWN (never wrong), size stays present.
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(7L).toDF("id"), "id", "dstat")
+    val s3 = relStats(GraftTables.read(spark, tbl))
+    assert(s3.rowCount.isEmpty, s3)
+    assert(s3.sizeInBytes > 0, s3)
+  }
+
+  test("the broadcast decision flips with graft table size, and a " +
+      "pushed filter flips it back") {
+    val small = quartileTable()
+    // A ~40x bigger table, same shape (4 contiguous-range files).
+    val big = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"big${System.nanoTime()}")
+    Files.createDirectories(big)
+    val n = 400000L
+    val rows = spark.range(1L, n + 1L).select($"id", ($"id" * 10L).as("v"))
+    for (q <- 0 until 4)
+      rows.filter($"id".between(q * (n / 4) + 1, (q + 1) * (n / 4)))
+        .coalesce(1).write.parquet(big.resolve(s"q$q").toString)
+    val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(big, s"q$q"))
+    TxnLog.commitRetry(big, "create", _ => files,
+      statsFor = _ => TxnLog.keyStats(spark, big, files, "id"),
+      statsKey = Some("id"))
+    val probe = spark.range(1L, 1000000L).toDF("id")
+    def hasBroadcast(df: DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec])
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    try {
+      // Threshold between ONE of big's files and big's total (and
+      // far above small's ~6 KB, far below the 8 MB probe): the
+      // whole big table must not broadcast, its one-file pruned
+      // read must.
+      val sizes = TxnLog.tip(big).sizes.values
+      spark.conf.set(thresholdKey, (sizes.max * 3 / 2).toString)
+      assert(hasBroadcast(
+        probe.join(GraftTables.read(spark, small), "id")),
+        "the small graft table must broadcast")
+      assert(!hasBroadcast(
+        probe.join(GraftTables.read(spark, big), "id")),
+        "the big graft table must NOT broadcast")
+      // The SAME big table with a pushed key filter prunes to one
+      // file, whose manifest-reported size is back under the
+      // threshold — the decision flips on the PRUNED estimate.
+      assert(hasBroadcast(probe.join(
+        GraftTables.read(spark, big).filter($"id" <= 1000L), "id")),
+        "the pruned big table must broadcast again")
+    } finally spark.conf.set(thresholdKey, old)
+  }
 }

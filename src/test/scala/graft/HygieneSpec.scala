@@ -79,6 +79,12 @@ class HygieneSpec extends AnyFunSuite with SparkTestBase {
           "UPDATE/MERGE/DELETE through the delta contract, set/unset " +
           "scoped around the witness block; diagnostic main, never a " +
           "query path"),
+      ("Plans.scala", "conf.set(spark.sql.autoBroadcastJoinThreshold)") ->
+        ("the statistics witness (r18) pins a threshold BETWEEN one " +
+          "file's and the whole table's manifest-reported size to " +
+          "prove the broadcast decision flips on pruned estimates, " +
+          "set/restore scoped around the witness; diagnostic main, " +
+          "never a query path"),
       ("operators/Skew.scala", "autoBroadcastJoinThreshold=-1") ->
         ("deliberately disables broadcast inside a scoped " +
           "save/restore block so the salted sort-merge join is the " +

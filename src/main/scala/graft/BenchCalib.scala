@@ -71,18 +71,55 @@ object BenchCalib {
     * mildly-contended run re-checks more of its outliers. */
   def suspectFactor(drift: Double): Double = if (drift > 1.25) 1.5 else 2.5
 
-  /** Queries slower than `suspectFactor × previous run` — the ones the
-    * sweep re-times once more at the end, past any transient. */
+  /** Queries slower than `suspectFactor × previous run × hostRatio` —
+    * the ones the sweep re-times once more at the end, past any
+    * transient. `hostRatio` (default 1) is the host-class shuffle
+    * normalization from [[hostShuffleRatio]]: when the persisted
+    * reference was measured on a shuffle-faster host class, every
+    * shuffle-heavy query reads uniformly slower here with no code
+    * change (the r17 attribution: scans AT reference, shuffle class
+    * ~1.5×), and an unnormalized gate would mislabel the whole class
+    * as contention victims and waste a rerun on each. */
   def suspects(
       twoPass: Seq[(String, Double)],
       refTimes: Map[String, Double],
       drift: Double,
-      maxSuspects: Int = 12): Seq[(String, Double)] = {
-    val factor = suspectFactor(drift)
+      maxSuspects: Int = 12,
+      hostRatio: Double = 1.0): Seq[(String, Double)] = {
+    val factor = suspectFactor(drift) * hostRatio
     twoPass.filter { case (name, t) =>
       refTimes.get(name).exists(prev => t > factor * prev)
     }.sortBy(-_._2).take(maxSuspects)
   }
+
+  /** Best (min) stamped `__calib_shuffle__` probe of a persisted
+    * reference, None when unstamped or at another scale factor — the
+    * reference host's shuffle-class signature, which is what this
+    * run's own shuffle probes are compared against. */
+  def parseShuffleRef(txt: String, sfDir: String): Option[Double] = {
+    val stamp = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+    if (!stamp.contains(sfDir)) None
+    else """"__calib_shuffle__":\[([0-9.eE+,-]+)\]""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).split(',').map(_.toDouble).min)
+      .filter(_ > 0.0)
+  }
+
+  /** Host-class shuffle ratio for the suspect gate (r18, the formal
+    * re-baseline the r17 attribution called for): this host's best
+    * shuffle probe over the reference host's stamped best, clamped to
+    * [1, 3]. Floored at 1 — a shuffle-FASTER host must not tighten
+    * thresholds below the reference (best-of-2 noise would flood the
+    * suspect list); capped at 3 so a grossly contended run still
+    * flags its victims (genuine contention also inflates the probe,
+    * but it inflates the calib probes too, which decide `contended`
+    * independently of this gate). With no usable reference the ratio
+    * is 1 and the gate behaves exactly as before. */
+  def hostShuffleRatio(thisBest: Double, refBest: Option[Double]): Double =
+    refBest.fold(1.0) { r =>
+      math.min(math.max(thisBest / math.max(r, SanityFloorSec), 1.0), 3.0)
+    }
 
   /** Parse a persisted BENCH_LOCAL_LAST body into per-query reference
     * times. Empty when the `__sf__` stamp is absent or names another

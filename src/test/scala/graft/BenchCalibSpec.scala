@@ -90,6 +90,34 @@ class BenchCalibSpec extends AnyFunSuite {
     assert(BenchCalib.parseReference("""{"q1_agg":0.412}""", "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("host shuffle ratio scales the suspect gate (r18 host-class " +
+      "re-baseline) and never tightens it") {
+    // Reference measured on a shuffle-faster host: its stamped best
+    // probe 0.5s, this host probes 1.0s -> ratio 2. A query uniformly
+    // 2x slower from the host class alone is NOT a suspect; a genuine
+    // outlier beyond factor*ratio still is.
+    val body = """{"__sf__":"/root/testdata/sf0.1",""" +
+      """"__calib_shuffle__":[1.885,0.500,0.546],"q1_agg":0.412}"""
+    val refBest = BenchCalib.parseShuffleRef(body, "/root/testdata/sf0.1")
+    assert(refBest.contains(0.5))
+    // Stamp scoped to the scale factor, like query references.
+    assert(BenchCalib.parseShuffleRef(body, "/x").isEmpty)
+    assert(BenchCalib.hostShuffleRatio(1.0, refBest) == 2.0)
+    // Floor: a shuffle-FASTER host keeps the gate at the reference.
+    assert(BenchCalib.hostShuffleRatio(0.25, refBest) == 1.0)
+    // Cap: a grossly inflated probe cannot blind the gate entirely.
+    assert(BenchCalib.hostShuffleRatio(5.0, refBest) == 3.0)
+    // No reference -> ratio 1, gate unchanged.
+    assert(BenchCalib.hostShuffleRatio(1.0, None) == 1.0)
+    val prev = Map("shufq" -> 1.0, "outlier" -> 1.0)
+    val now = Seq("shufq" -> 2.8, "outlier" -> 5.5)
+    assert(BenchCalib.suspects(now, prev, drift = 1.0,
+      hostRatio = 2.0).map(_._1) == Seq("outlier"))
+    // Unnormalized, the host-class query would have been mislabeled.
+    assert(BenchCalib.suspects(now, prev, drift = 1.0)
+      .map(_._1).toSet == Set("shufq", "outlier"))
+  }
+
   test("reference parsing skips __-prefixed calib stamps (r17: the " +
       "truncation-proof calib copy rides the same file)") {
     val body = """{"__sf__":"/root/testdata/sf0.1",""" +

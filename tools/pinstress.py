@@ -41,9 +41,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COMPOSITED = {
     # table -> its shifted primary-key column (all other columns ride
     # along verbatim, so identical (user, ts) rows become N-way ties).
+    # Override with PINSTRESS_TABLES="orders=o_orderkey,events=event_id,
+    # lineitem=l_orderkey" — shifting lineitem.l_orderkey in lockstep
+    # with orders.o_orderkey keeps the FK consistent, which is how the
+    # r18 sf1 anchor (tools/sf1anchor.py) scales the TPC-H trio 10x.
     "orders": "o_orderkey",
     "events": "event_id",
 }
+if os.environ.get("PINSTRESS_TABLES"):
+    COMPOSITED = dict(
+        kv.split("=") for kv in
+        os.environ["PINSTRESS_TABLES"].split(",") if kv)
 
 
 def build_composite():

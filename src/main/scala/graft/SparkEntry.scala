@@ -584,7 +584,8 @@ object SparkEntry {
                   AS band,
                 coalesce(priority, '<v1>') AS priority,
                 CAST(count(*) AS BIGINT) AS n_orders,
-                round(sum(o_totalprice), 2) AS sum_price,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
                 CAST(min(gen) AS INT) AS min_gen,
                 CAST(max(gen) AS INT) AS max_gen
          FROM m GROUP BY 1, 2 ORDER BY band, priority""",
@@ -2073,7 +2074,8 @@ object SparkEntry {
     "json_variant" ->
       """SELECT o_orderstatus AS status,
                 CAST(count(*) AS BIGINT) AS n_orders,
-                round(sum(o_totalprice), 2) AS sum_price
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
          FROM orders WHERE o_totalprice > 100000.0
          GROUP BY status ORDER BY status""",
     "unpivot_melt" ->

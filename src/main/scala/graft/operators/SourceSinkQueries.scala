@@ -3551,8 +3551,13 @@ object SourceSinkQueries {
         variant_get(col("v"), "$.price", "double").as("price"))
       .filter(col("price") > 100000.0)
       .groupBy("status")
+      // Exact integer cents (r17/r18 discipline): the double sum
+      // double-rounds at ~1e12 composite magnitudes — the r18 100x
+      // gate caught this query diverging sub-half-cent. The variant
+      // round-trip itself is exact (to_json emits the shortest double
+      // repr, parse_json reads the same double back).
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("price")), 2).as("sum_price"))
+        sum(round(col("price") * 100).cast("bigint")).as("sum_cents"))
       .orderBy("status")
   }
 

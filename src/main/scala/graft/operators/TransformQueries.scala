@@ -302,8 +302,11 @@ object TransformQueries {
     require(results.forall(_.status == "success"),
       results.map(r => s"${r.name}:${r.status}").mkString(","))
     silverOut.groupBy("band", "priority")
+      // Exact integer cents (r17/r18 discipline): the r18 100x gate
+      // caught the double sum here diverging sub-half-cent at ~1e12.
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .as("sum_cents"),
         min(col("_schema_version")).as("min_gen"),
         max(col("_schema_version")).as("max_gen"))
       .orderBy("band", "priority")

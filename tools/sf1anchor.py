@@ -62,8 +62,10 @@ def bench(sf_dir):
         ["sbt", "-batch", f"runMain graft.Bench {HEADLINE}"],
         cwd=REPO, env=env, capture_output=True, text=True)
     for ln in r.stdout.splitlines():
-        if ln.startswith("BENCH_FULL "):
-            return json.loads(ln[len("BENCH_FULL "):])["queries"]
+        # sbt prefixes forked-run stdout with "[info] ".
+        if "BENCH_FULL " in ln:
+            return json.loads(
+                ln.split("BENCH_FULL ", 1)[1])["queries"]
     print(r.stdout[-3000:])
     print(r.stderr[-2000:])
     raise SystemExit(f"bench at {sf_dir} emitted no BENCH_FULL "

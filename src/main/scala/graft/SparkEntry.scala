@@ -1552,7 +1552,8 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "skew_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
-         round(sum(l_extendedprice), 2) AS sum_price
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS BIGINT) AS sum_cents
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "bucketed_join" ->
@@ -3686,7 +3687,8 @@ object SparkEntry {
                 true AS fresh_orphan_kept,
                 true AS live_files_kept,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(l_extendedprice), 2) AS sum_price
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
          FROM lineitem""",
     // Late-data drop: the final windows equal the on-time half's batch
     // aggregate; the dropped count is the engine's own state metric,
@@ -3769,7 +3771,8 @@ object SparkEntry {
       """SELECT CAST(64 AS BIGINT) AS files_before,
                 CAST(2 AS BIGINT) AS files_after,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(l_extendedprice), 2) AS sum_price
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
          FROM lineitem""",
     // Manifest-style skipping index: the pruned read (stats-selected
     // files + residual filter) must equal the full-table filter; the
@@ -3859,7 +3862,8 @@ object SparkEntry {
          d AS (SELECT n_nationkey AS hot_key, n_name AS status
                FROM nation)
          SELECT d.status, CAST(count(*) AS BIGINT) AS n_rows,
-                round(sum(f.l_extendedprice), 2) AS sum_price,
+                CAST(sum(CAST(round(f.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
                 TRUE AS skew_split_applied
          FROM f JOIN d ON f.hot_key = d.hot_key
          GROUP BY d.status ORDER BY d.status""",

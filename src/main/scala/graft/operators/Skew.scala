@@ -92,8 +92,12 @@ object Skew {
     saltedJoin(li, o, "orderkey", salts = 8,
         saltExpr = pmod(col("l_linenumber"), lit(8)))
       .groupBy(col("o_orderstatus"))
+      // Exact integer cents (r18 discipline): coarse-group money sums
+      // double-round past ~1e12 — this one reaches that at a
+      // lineitem-composited gate's magnitudes.
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("sum_cents"))
       .orderBy("o_orderstatus")
   }
 
@@ -149,17 +153,20 @@ object Skew {
           col("n_name").as("status"))
       val joined = fact.join(dim, Seq("hot_key"))
         .groupBy("status")
+        // Exact integer cents (r18 discipline): ~90% of lineitem lands
+        // on one group — the sum crosses 1e12 first here.
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          sum(round(col("l_extendedprice") * 100).cast("bigint"))
+            .as("sum_cents"))
       // Plan inspection must target the SAME QueryExecution that ran:
       // .orderBy would create a fresh (never-executed) one.
       val ordered = joined.orderBy("status")
       val rows = ordered.collect()
       val planStr = ordered.queryExecution.executedPlan.toString
       val split = planStr.contains("skew=true")
-      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), split))
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), split))
         .toSeq
-        .toDF("status", "n_rows", "sum_price", "skew_split_applied")
+        .toDF("status", "n_rows", "sum_cents", "skew_split_applied")
         .orderBy("status")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

@@ -294,10 +294,12 @@ object SourceSinkQueries {
     spark.read.parquet(small).repartition(2).write.parquet(compacted)
     val after = files(compacted)
     spark.read.parquet(compacted)
+      // Exact integer cents (r18 discipline): a global money sum.
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("sum_cents"))
       .select(lit(before).as("files_before"), lit(after).as("files_after"),
-        col("n_rows"), col("sum_price"))
+        col("n_rows"), col("sum_cents"))
   }
 
   /** sink_incremental_agg — MATERIALIZED-VIEW REFRESH without the
@@ -3051,15 +3053,17 @@ object SourceSinkQueries {
     val liveKept = live.subsetOf(after)
     fresh.delete() // leave the table clean for the read-back
     spark.read.parquet(tbl)
+      // Exact integer cents (r18 discipline): a global money sum.
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("sum_cents"))
       .select(lit(live.size.toLong).as("n_live_files"),
         lit(3L).as("n_orphans_planted"),
         lit(deleted.size.toLong).as("n_deleted"),
         lit(staleGone).as("stale_orphans_gone"),
         lit(freshKept).as("fresh_orphan_kept"),
         lit(liveKept).as("live_files_kept"),
-        col("n_rows"), col("sum_price"))
+        col("n_rows"), col("sum_cents"))
   }
 
   /** sink_zorder_layout — multi-dimensional file clustering via a

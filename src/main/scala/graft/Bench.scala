@@ -23,13 +23,12 @@ object Bench {
     // byte what it always was. Lets conf candidates (shuffle codec,
     // file buffer, local-dir placement) be A/B'd against the
     // calib_shuffle control without editing the defaults under test.
+    // Tokens must be k=v (values may not contain ';'); a malformed
+    // token fails LOUDLY — a silently-dropped typo would invalidate
+    // the A/B conclusion (BenchCalib.parseConfTokens).
     val spark = sys.env.get("SPARK_GRAFT_CONF")
-      .map(_.split(';').iterator.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Iterator.empty)
-      .foldLeft(builder) { (b, kv) =>
-        val (k, v) = kv.span(_ != '=')
-        b.config(k, v.drop(1))
-      }
+      .map(BenchCalib.parseConfTokens).getOrElse(Seq.empty)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer caches, shuffle infra)
@@ -144,8 +143,13 @@ object Bench {
           try s.mkString finally s.close()
         } catch { case _: Throwable => "" }
       else ""
+    // The parsers skip corrupted tokens internally; the outer guard
+    // covers a wholesale-corrupted file (ADVICE r18: an unguarded
+    // NumberFormatException here crashed the whole bench run where
+    // the old code degraded to an empty reference).
     val refTimes: Map[String, Double] =
-      BenchCalib.parseReference(refTxt, sfDir)
+      try BenchCalib.parseReference(refTxt, sfDir)
+      catch { case _: Throwable => Map.empty }
     // Host-class shuffle re-baseline (r18): the r17/r18 attribution
     // showed host classes whose scans measure AT reference while the
     // shuffle/state class runs uniformly ~1.5× — and an A/B sweep
@@ -153,15 +157,27 @@ object Bench {
     // moved the synthetic probe but not the query class, so it is the
     // host, not a recoverable conf. The suspect gate therefore
     // compares against the reference SCALED by the two hosts' shuffle
-    // signatures. A fresh steady-state probe here (past both sweeps)
+    // signatures — but CLASS-SCOPED (r19): the shuffle ratio applies
+    // only to shuffle/state-commit-class queries; CPU-class queries
+    // get a ratio from the CPU calib probes alone (capped 1.5), so a
+    // shuffle-slow host cannot blind the gate to a CPU-class code
+    // regression. Both ratios compare LIKE POSITIONS: this run's
+    // cold+mid minimum vs the reference's stamped cold+mid minimum
+    // (the fully-warm end-of-run probes are excluded from both
+    // sides). A fresh steady-state probe here (past both sweeps)
     // pairs with the early one so warm-up can't inflate the ratio.
     val shufMid = shuffleProbe()
     val hostRatio = BenchCalib.hostShuffleRatio(
       math.min(shufA, shufMid),
-      BenchCalib.parseShuffleRef(refTxt, sfDir))
+      try BenchCalib.parseShuffleRef(refTxt, sfDir)
+      catch { case _: Throwable => None })
+    val hostCpu = BenchCalib.hostCpuRatio(
+      math.min(calibB, calibC),
+      try BenchCalib.parseCpuRef(refTxt, sfDir)
+      catch { case _: Throwable => None })
     val suspects =
       BenchCalib.suspects(twoPass, refTimes, calibRatio,
-        hostRatio = hostRatio)
+        hostRatio = hostRatio, cpuRatio = hostCpu)
     val reruns = suspects.map { case (name, t) =>
       name -> (t, time(SparkEntry.queries(name)))
     }.toMap
@@ -267,7 +283,7 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)},${f3(calibD)}]"
     val calibShuffle = s"[${f3(shufA)},${f3(shufMid)},${f3(shufB)}]"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_shuffle":$calibShuffle,"calib_host_shuffle_ratio":${f3(hostRatio)},"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_shuffle":$calibShuffle,"calib_host_shuffle_ratio":${f3(hostRatio)},"calib_host_cpu_ratio":${f3(hostCpu)},"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

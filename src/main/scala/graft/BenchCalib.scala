@@ -71,40 +71,103 @@ object BenchCalib {
     * mildly-contended run re-checks more of its outliers. */
   def suspectFactor(drift: Double): Double = if (drift > 1.25) 1.5 else 2.5
 
-  /** Queries slower than `suspectFactor × previous run × hostRatio` —
-    * the ones the sweep re-times once more at the end, past any
-    * transient. `hostRatio` (default 1) is the host-class shuffle
-    * normalization from [[hostShuffleRatio]]: when the persisted
-    * reference was measured on a shuffle-faster host class, every
-    * shuffle-heavy query reads uniformly slower here with no code
-    * change (the r17 attribution: scans AT reference, shuffle class
-    * ~1.5×), and an unnormalized gate would mislabel the whole class
-    * as contention victims and waste a rerun on each. */
+  /** Query names whose bench cost is scan/expression CPU — the class
+    * the r17/r18 attributions measured AT reference across host
+    * classes while the shuffle/state-commit class ran ~1.5-2×. These
+    * get the CPU-probe-derived host ratio (tightly capped), never the
+    * shuffle ratio: a shuffle-slow host must not grant a CPU-class
+    * code regression a 3× blind spot (the r18 verdict's masking
+    * hazard). Prefix entries end in '_'; everything not listed
+    * defaults to the shuffle class — the conservative direction,
+    * since the shuffle ratio only LOOSENS the gate (a misclassified
+    * CPU query merely risks one wasted rerun, a misclassified shuffle
+    * query risks a false suspect, not a miss). */
+  private val CpuClassNames: Set[String] = Set(
+    "q1_agg", "filter_predicate", "project_columns",
+    "derive_column_arith", "timestamp_diff", "conditional_case",
+    "parse_timestamp", "extract_time_part", "string_match_filter",
+    "type_cast", "udf_enrichment", "json_flatten", "json_variant",
+    "unpivot_melt", "infer_types", "column_stats", "detect_confidence",
+    "schema_compat_check", "kafka_schema_sample", "api_schema_sample",
+    "field_override", "sample_rows_synthesis", "metadata_stamp",
+    "similarity_cosine_expr", "similarity_topk_cosine",
+    "sample_stratified", "split_train_holdout", "dry_run",
+    "code_validate", "preview_limit", "scan_csv", "scan_json",
+    "scan_parquet", "scan_xml", "scan_rest_api", "scan_db",
+    "scan_csv_malformed", "scan_json_malformed", "scan_parquet_evolving",
+    "source_file_scan_glob")
+  private val CpuClassPrefixes = Seq("multimodal_", "text_")
+  /** text_inverted_index writes a bucketed index — state-commit class
+    * despite the prefix. */
+  private val CpuClassExcept = Set("text_inverted_index")
+
+  def isCpuClass(name: String): Boolean =
+    !CpuClassExcept(name) &&
+      (CpuClassNames(name) || CpuClassPrefixes.exists(name.startsWith))
+
+  /** Queries slower than `suspectFactor × previous run × class host
+    * ratio` — the ones the sweep re-times once more at the end, past
+    * any transient. The host normalization is CLASS-SCOPED (r19):
+    * `hostRatio` ([[hostShuffleRatio]], up to 3×) applies only to
+    * shuffle/state-commit-class queries — the class the r17/r18
+    * attributions showed runs uniformly slower on some host classes
+    * with no code change; CPU-class queries get `cpuRatio`
+    * ([[hostCpuRatio]], capped 1.5×) derived from the CPU calib
+    * probes alone, because that class is host-invariant and a
+    * shuffle-slow host must not blind the gate to its genuine code
+    * regressions. */
   def suspects(
       twoPass: Seq[(String, Double)],
       refTimes: Map[String, Double],
       drift: Double,
       maxSuspects: Int = 12,
-      hostRatio: Double = 1.0): Seq[(String, Double)] = {
-    val factor = suspectFactor(drift) * hostRatio
+      hostRatio: Double = 1.0,
+      cpuRatio: Double = 1.0): Seq[(String, Double)] = {
+    val factor = suspectFactor(drift)
     twoPass.filter { case (name, t) =>
-      refTimes.get(name).exists(prev => t > factor * prev)
+      val classRatio = if (isCpuClass(name)) cpuRatio else hostRatio
+      refTimes.get(name).exists(prev => t > factor * classRatio * prev)
     }.sortBy(-_._2).take(maxSuspects)
   }
 
-  /** Best (min) stamped `__calib_shuffle__` probe of a persisted
-    * reference, None when unstamped or at another scale factor — the
-    * reference host's shuffle-class signature, which is what this
-    * run's own shuffle probes are compared against. */
-  def parseShuffleRef(txt: String, sfDir: String): Option[Double] = {
-    val stamp = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt)
+  /** Best stamped probe among the given POSITIONS of a `__stamp__`
+    * array — like-position comparison (ADVICE r18): the reference's
+    * fully-warm end-of-run probe must not be compared against this
+    * run's cold+mid minimum, or the ratio reads ~1.5 on the identical
+    * host and spuriously loosens the gate. Tokens that fail to parse
+    * (corrupted file) are skipped, never thrown on. */
+  private def parseProbeRef(txt: String, sfDir: String, stamp: String,
+      positions: Seq[Int]): Option[Double] = {
+    val sf = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt)
       .map(_.group(1))
-    if (!stamp.contains(sfDir)) None
-    else """"__calib_shuffle__":\[([0-9.eE+,-]+)\]""".r
+    if (!sf.contains(sfDir)) None
+    else ("\"" + stamp + """":\[([0-9.eE+,-]+)\]""").r
       .findFirstMatchIn(txt)
-      .map(_.group(1).split(',').map(_.toDouble).min)
+      .flatMap { m =>
+        val vals = m.group(1).split(',')
+          .flatMap(t => scala.util.Try(t.toDouble).toOption)
+        val picked = positions.collect {
+          case i if i < vals.length => vals(i)
+        }
+        if (picked.isEmpty) None else Some(picked.min)
+      }
       .filter(_ > 0.0)
   }
+
+  /** Reference host's shuffle signature: min over the COLD + MID
+    * stamped probes (positions 0, 1 of `__calib_shuffle__` =
+    * [shufA, shufMid, shufB]) — the same subset this run's own
+    * pre-suspect-gate minimum is taken over. The fully-warm
+    * end-of-run shufB is excluded from BOTH sides. */
+  def parseShuffleRef(txt: String, sfDir: String): Option[Double] =
+    parseProbeRef(txt, sfDir, "__calib_shuffle__", Seq(0, 1))
+
+  /** Reference host's CPU signature: min over the warm mid-run
+    * probes (positions 1, 2 of `__calib__` = [A, B, C, D]) — A is JVM
+    * warm-up, D is fully warm end-of-run; the suspect gate runs with
+    * B and C in hand, so both sides compare the same positions. */
+  def parseCpuRef(txt: String, sfDir: String): Option[Double] =
+    parseProbeRef(txt, sfDir, "__calib__", Seq(1, 2))
 
   /** Host-class shuffle ratio for the suspect gate (r18, the formal
     * re-baseline the r17 attribution called for): this host's best
@@ -115,11 +178,35 @@ object BenchCalib {
     * flags its victims (genuine contention also inflates the probe,
     * but it inflates the calib probes too, which decide `contended`
     * independently of this gate). With no usable reference the ratio
-    * is 1 and the gate behaves exactly as before. */
+    * is 1 and the gate behaves exactly as before. Applies ONLY to
+    * shuffle/state-commit-class queries ([[suspects]], r19). */
   def hostShuffleRatio(thisBest: Double, refBest: Option[Double]): Double =
     refBest.fold(1.0) { r =>
       math.min(math.max(thisBest / math.max(r, SanityFloorSec), 1.0), 3.0)
     }
+
+  /** Host-class CPU ratio for CPU-class queries: same construction
+    * from the q1_agg calib probes, capped at 1.5 — the attributions
+    * say this class is host-invariant, so a large apparent CPU ratio
+    * is itself contention (the calib riseRatio's business), never a
+    * license to loosen the gate 3×. */
+  def hostCpuRatio(thisBest: Double, refBest: Option[Double]): Double =
+    refBest.fold(1.0) { r =>
+      math.min(math.max(thisBest / math.max(r, SanityFloorSec), 1.0), 1.5)
+    }
+
+  /** Strict `k=v;k=v` parser for the SPARK_GRAFT_CONF A/B hook: a
+    * token without '=' (or with an empty key) FAILS LOUDLY — in an
+    * experiment hook a silently-dropped typo invalidates the A/B
+    * conclusion, the worst failure mode. Values cannot contain ';'
+    * (the separator) — documented at the env var. */
+  def parseConfTokens(s: String): Seq[(String, String)] =
+    s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"SPARK_GRAFT_CONF token '$kv' is not k=v " +
+        "(values may not contain ';')")
+      (kv.substring(0, i), kv.substring(i + 1))
+    }.toSeq
 
   /** Parse a persisted BENCH_LOCAL_LAST body into per-query reference
     * times. Empty when the `__sf__` stamp is absent or names another

@@ -118,6 +118,84 @@ class BenchCalibSpec extends AnyFunSuite {
       .map(_._1).toSet == Set("shufq", "outlier"))
   }
 
+  test("class-scoped gate: a 2x CPU-class regression flags on a " +
+      "hostRatio-3 host while the shuffle class stays unflagged (r19)") {
+    // The r18 masking hazard: hostShuffleRatio (here 3) multiplied
+    // EVERY query's threshold, so a CPU-class code regression of up
+    // to 3 x 2.5 went unflagged on a shuffle-slow host. Class-scoped,
+    // the CPU query compares under the CPU ratio (1.0 here — the CPU
+    // probes measured AT reference, exactly the r17/r18 attribution
+    // shape) and its genuine 2.6x regression flags, while the
+    // host-class 2.8x shuffle query stays exonerated.
+    assert(BenchCalib.isCpuClass("q1_agg"))
+    assert(BenchCalib.isCpuClass("multimodal_jpeg_roundtrip"))
+    assert(BenchCalib.isCpuClass("text_repetition"))
+    assert(!BenchCalib.isCpuClass("text_inverted_index")) // writes an index
+    assert(!BenchCalib.isCpuClass("sessionize"))
+    assert(!BenchCalib.isCpuClass("stream_late_drop"))
+    val prev = Map("type_cast" -> 1.0, "sessionize" -> 1.0)
+    val now = Seq("type_cast" -> 2.6, "sessionize" -> 2.8)
+    assert(BenchCalib.suspects(now, prev, drift = 1.0,
+      hostRatio = 3.0, cpuRatio = 1.0).map(_._1) == Seq("type_cast"))
+    // A CPU ratio at its 1.5 cap still flags a gross CPU regression
+    // (2.5 x 1.5 = 3.75) without granting the shuffle class's 3x room.
+    assert(BenchCalib.suspects(Seq("type_cast" -> 4.0), prev,
+      drift = 1.0, hostRatio = 3.0, cpuRatio = 1.5).map(_._1) ==
+      Seq("type_cast"))
+    assert(BenchCalib.hostCpuRatio(3.0, Some(1.0)) == 1.5) // capped
+    assert(BenchCalib.hostCpuRatio(0.5, Some(1.0)) == 1.0) // floored
+  }
+
+  test("probe references compare like positions: the fully-warm " +
+      "end-of-run probe is excluded from both sides (ADVICE r18)") {
+    // The committed r18 file's shuffle probes were [2.020,1.063,0.584]
+    // (cold, mid, fully-warm end). This run's pre-gate minimum is
+    // min(cold, mid) — comparing it against the reference's min over
+    // ALL THREE (0.584) read ~1.8 on the identical host and loosened
+    // the gate spuriously. Like positions: min(2.020, 1.063) = 1.063.
+    val body = """{"__sf__":"/root/testdata/sf0.1",""" +
+      """"__calib__":[0.434,0.316,0.316,0.199],""" +
+      """"__calib_shuffle__":[2.020,1.063,0.584],"q1_agg":0.412}"""
+    assert(BenchCalib.parseShuffleRef(body, "/root/testdata/sf0.1")
+      .contains(1.063))
+    // CPU reference: warm mid-run probes B,C (positions 1,2) — not
+    // the warm-up A, not the end-of-run D.
+    assert(BenchCalib.parseCpuRef(body, "/root/testdata/sf0.1")
+      .contains(0.316))
+    // On the identical host the like-position ratio reads ~1.
+    assert(BenchCalib.hostShuffleRatio(1.05,
+      BenchCalib.parseShuffleRef(body, "/root/testdata/sf0.1")) < 1.05)
+  }
+
+  test("corrupted probe stamps are skipped per token, never thrown " +
+      "on (ADVICE r18)") {
+    // '1.2.3' and '+' match the permissive regex but fail toDouble —
+    // the parser must skip them, not crash the bench run.
+    val corrupt = """{"__sf__":"/root/testdata/sf0.1",""" +
+      """"__calib_shuffle__":[1.2.3,0.700,+],"q1_agg":0.412}"""
+    assert(BenchCalib.parseShuffleRef(corrupt, "/root/testdata/sf0.1")
+      .contains(0.7))
+    // All tokens corrupt -> no reference, gate ratio 1.
+    val allBad = """{"__sf__":"/root/testdata/sf0.1",""" +
+      """"__calib_shuffle__":[+,-],"q1_agg":0.412}"""
+    assert(BenchCalib.parseShuffleRef(allBad, "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("SPARK_GRAFT_CONF tokens must be k=v; malformed tokens fail " +
+      "loudly (ADVICE r18)") {
+    assert(BenchCalib.parseConfTokens(
+      "spark.io.compression.codec=zstd; spark.a.b=1m ") ==
+      Seq("spark.io.compression.codec" -> "zstd", "spark.a.b" -> "1m"))
+    // Empty value is expressible; missing '=' or empty key is not.
+    assert(BenchCalib.parseConfTokens("k=") == Seq("k" -> ""))
+    intercept[IllegalArgumentException] {
+      BenchCalib.parseConfTokens("spark.typo.noequals")
+    }
+    intercept[IllegalArgumentException] {
+      BenchCalib.parseConfTokens("=v")
+    }
+  }
+
   test("reference parsing skips __-prefixed calib stamps (r17: the " +
       "truncation-proof calib copy rides the same file)") {
     val body = """{"__sf__":"/root/testdata/sf0.1",""" +

@@ -630,15 +630,25 @@ object TxnLog {
       }
     }.toMap
 
+  /** Diagnostic counter of driver-side parquet FOOTER opens paid by
+    * [[fileRows]] — the fallback cost the writer-commit-message path
+    * ([[graft.sources.StagedWrite]]) exists to avoid. Spec-asserted
+    * ZERO on the connector write paths; non-zero only for files the
+    * engine didn't write (raw-commit unit fixtures). */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-file ROW COUNTS for `files`, inheriting `prior` and reading
     * only the rest's parquet FOOTERS — the numRows leg of the
     * [[fileSizes]] discipline (Delta's add-file numRecords / Iceberg's
-    * manifest record_count): one driver-side footer read per NEW file
-    * at commit time, so the connector can report an EXACT row count to
-    * the optimizer (join reorder, broadcast thresholds) with zero
-    * plan-time filesystem calls. Files not on disk or without a
-    * readable footer (unit-test placeholders) get no entry
-    * (= unknown — a scan over them reports no rowCount). */
+    * manifest record_count), as a FALLBACK: every engine write path
+    * captures counts from its own write tasks ([[graft.sources
+    * .StagedWrite]] / the SupportsDelta commit messages) and commits
+    * them in `Manifest.rows`, so this footer read only ever fires for
+    * files the engine didn't write (externally staged fixtures) —
+    * never O(new files) serial driver I/O on the hot commit path.
+    * Files not on disk or without a readable footer (unit-test
+    * placeholders) get no entry (= unknown — a scan over them reports
+    * no rowCount). */
   def fileRows(table: Path, files: Seq[String],
       prior: Map[String, Long] = Map.empty): Map[String, Long] =
     files.flatMap { f =>
@@ -647,6 +657,7 @@ object TxnLog {
         if (!Files.isRegularFile(p)) None
         else
           try {
+            footerReads.incrementAndGet()
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new org.apache.hadoop.fs.Path(p.toUri),
                 new org.apache.hadoop.conf.Configuration())
@@ -703,13 +714,23 @@ object TxnLog {
     // THIS commit's version. Sequences are what scope merge-on-read
     // equality deletes ([[DeleteFile]]): a delete applies only to
     // files whose seq is strictly below its own.
-    val mSeqs = {
+    val mSeqs0 = {
       val inherited = parentM.map(_.seqs).getOrElse(Map.empty[String, Long])
         .view.filterKeys(mTxns.files.toSet).toMap
       val known = inherited ++ mTxns.seqs
       mTxns.copy(seqs = known ++ mTxns.files.filterNot(known.contains)
         .map(_ -> mTxns.version))
     }
+    // Per-file ROW COUNTS fold, same discipline as seqs: surviving
+    // files inherit the parent's entries, caller-provided entries win
+    // (they come from the write tasks themselves — [[graft.sources
+    // .StagedWrite]]). File names are unique per staged attempt and
+    // bytes immutable, so an inherited count can never go stale; a
+    // file nobody counted stays absent (= unknown — the connector
+    // then reports no rowCount rather than a wrong one).
+    val mSeqs = mSeqs0.copy(rows =
+      (parentM.map(_.rows).getOrElse(Map.empty[String, Long]) ++
+        mSeqs0.rows).view.filterKeys(mSeqs0.files.toSet).toMap)
     // CHECK constraints are table metadata every commit carries
     // implicitly (the Delta metaData-replay discipline): a commit with
     // none declared inherits the parent's. Only the actions that MEAN
@@ -1349,18 +1370,17 @@ object TxnLog {
       .map(f => Files.size(table.resolve(f))).sum
     val nOut = math.max(1L,
       (affectedBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    morRead(spark, table, t0, Some(affected)).coalesce(nOut)
-      .write.parquet(table.resolve(subdir).toString)
-    val written0 = parquetsUnder(table, subdir)
+    // Write tasks report (file, rows) back and skip empty partitions
+    // — a rewrite that deleted everything writes nothing, so the tip
+    // stays fully stats-covered with no zero-row files to drop and no
+    // footer re-reads at commit (graft.sources.StagedWrite).
+    val staged = graft.sources.StagedWrite.parquetWithCounts(
+      morRead(spark, table, t0, Some(affected)).coalesce(nOut),
+      table, subdir)
+    val written = staged.map(_._1)
     val newStats = t0.statsKey
-      .map(k => keyStats(spark, table, written0, k))
+      .map(k => keyStats(spark, table, written, k))
       .getOrElse(Map.empty[String, (Long, Long)])
-    // A rewrite that deleted everything can leave a zero-row file —
-    // drop it like mergeCowByKey does (no entry in a stats scan = no
-    // rows) to keep the tip fully stats-covered.
-    val written =
-      if (t0.statsKey.isEmpty) written0
-      else written0.filter(newStats.contains)
     val newColStats =
       colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
     val affectedSet = affected.toSet
@@ -1379,7 +1399,8 @@ object TxnLog {
         columns = t0.columns,
         colStats = t0.colStats.map { case (c, pf) =>
           c -> ((pf -- affected) ++ newColStats.getOrElse(c, Map.empty))
-        })
+        },
+        rows = staged.toMap)
     })
   }
 
@@ -1479,21 +1500,17 @@ object TxnLog {
       val out = if (nOut <= 1) merged.coalesce(1)
         else merged.repartitionByRange(nOut, col(key))
       val attemptDir = if (attempt == 0) subdir else s"$subdir-r$attempt"
-      out.write.parquet(table.resolve(attemptDir).toString)
+      // Write tasks report (file, rows) back and skip empty
+      // partitions — no zero-row outputs, no footer re-reads at
+      // commit (graft.sources.StagedWrite).
+      val staged =
+        graft.sources.StagedWrite.parquetWithCounts(out, table, attemptDir)
       // New files' stats cost one O(batch) scan; survivors' stats
       // carry forward, so every merge commit leaves a fully
       // stats-bearing tip.
-      val written = parquetsUnder(table, attemptDir)
+      val written = staged.map(_._1)
       val newStats = keyStats(spark, table, written, key)
-      // A delete-only rewrite can leave a ZERO-ROW parquet file (no
-      // stats row). Committing it would leave a no-entry file that
-      // forces every later merge back to the bootstrap scan — drop
-      // empty outputs from the file set; keep a (rare)
-      // rows-but-all-NULL-keys file, which is data (and carries the
-      // explicit EmptyRange entry). The stats scan already decided
-      // this: a file is in `newStats` iff it has ≥1 row — no per-file
-      // probe jobs.
-      val newFiles = written.filter(newStats.contains)
+      val newFiles = written
       // A COW rewrite does NOT commute the way an append does: losing
       // the race means the files this attempt read (and replaced) may
       // no longer be the tip's — blindly unioning file sets would
@@ -1517,7 +1534,8 @@ object TxnLog {
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = tip.deletes), parentHint = Some(tip)) match {
+        deletes = tip.deletes, rows = staged.toMap),
+        parentHint = Some(tip)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
       }
@@ -1539,9 +1557,10 @@ object TxnLog {
     val tipVersion = latest(table).get
     val tipM = readManifest(table, tipVersion)
     val effKey = statsKey.orElse(tipM.statsKey)
-    readVersion(spark, table, tipVersion).coalesce(nFiles)
-      .write.parquet(table.resolve(subdir).toString)
-    val newFiles = parquetsUnder(table, subdir)
+    val staged = graft.sources.StagedWrite.parquetWithCounts(
+      readVersion(spark, table, tipVersion).coalesce(nFiles),
+      table, subdir)
+    val newFiles = staged.map(_._1)
     val stats = effKey
       .map(k => keyStats(spark, table, newFiles, k))
       .getOrElse(Map.empty[String, (Long, Long)])
@@ -1558,7 +1577,8 @@ object TxnLog {
         s"concurrent commit v${t.version} during compact planned " +
           s"against v$tipVersion; retry")
       Manifest(0L, 0L, "compact", newFiles,
-        stats, effKey, columns = t.columns, colStats = newColStats)
+        stats, effKey, columns = t.columns, colStats = newColStats,
+        rows = staged.toMap)
     })
   }
 
@@ -2127,15 +2147,16 @@ object TxnLog {
     val smallBytes = small.map(sizeOf).sum
     val nOut = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    morRead(spark, table, t0, Some(small)).coalesce(nOut)
-      .write.parquet(table.resolve(subdir).toString)
-    val written0 = parquetsUnder(table, subdir)
+    // Write tasks report (file, rows) back; empty partitions write
+    // nothing (graft.sources.StagedWrite) — no zero-row outputs, no
+    // footer re-reads at commit.
+    val staged = graft.sources.StagedWrite.parquetWithCounts(
+      morRead(spark, table, t0, Some(small)).coalesce(nOut),
+      table, subdir)
+    val written = staged.map(_._1)
     val newStats = t0.statsKey
-      .map(k => keyStats(spark, table, written0, k))
+      .map(k => keyStats(spark, table, written, k))
       .getOrElse(Map.empty[String, (Long, Long)])
-    val written =
-      if (t0.statsKey.isEmpty) written0
-      else written0.filter(newStats.contains)
     val newColStats =
       colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
     val smallSet = small.toSet
@@ -2155,7 +2176,7 @@ object TxnLog {
         colStats = t0.colStats.map { case (c, pf) =>
           c -> ((pf -- small) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = t0.deletes)
+        deletes = t0.deletes, rows = staged.toMap)
     })
   }
 

@@ -401,7 +401,9 @@ object GraftTables {
     // casting to the declared logical types.
     val physical = data.select(cols.toSeq.map(c =>
       col(c).cast(snap.schema(c).dataType).as(snap.physicalOf(c))): _*)
-    val newFiles = stage(snap.root, physical)
+    val staged = stage(snap.root, physical)
+    val newFiles = staged.map(_._1)
+    val newRows = staged.toMap
     val spark = data.sparkSession
     // The staged files never change across commit retries — compute
     // their stats once, outside the rebase loop.
@@ -449,7 +451,7 @@ object GraftTables {
       if (overwrite)
         TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,
           tip.statsKey, columns = cols, txn = txn,
-          colStats = newColStats)
+          colStats = newColStats, rows = newRows)
       else
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats ++ newStats, tip.statsKey,
@@ -457,7 +459,7 @@ object GraftTables {
           colStats = mergedColStats,
           // Pending merge-on-read deletes ride along; the appended
           // files' fresh seq keeps them out of the deletes' scope.
-          deletes = tip.deletes)
+          deletes = tip.deletes, rows = newRows)
     })
   }
 
@@ -477,7 +479,9 @@ object GraftTables {
     // creates is then born carrying them, so every later batch
     // validates through [[insert]]'s tip-constraint pass.
     TxnLog.checkConstraints(data, constraints)
-    val newFiles = stage(root, data)
+    val staged = stage(root, data)
+    val newFiles = staged.map(_._1)
+    val newRows = staged.toMap
     val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
       TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
     }.toSeq
@@ -489,7 +493,7 @@ object GraftTables {
       if (tip.version < 0L)
         TxnLog.Manifest(0L, 0L, "create",
           newFiles, columns = Some(cols), txn = txn,
-          constraints = constraints)
+          constraints = constraints, rows = newRows)
       else {
         // Some OTHER writer created the table while we staged; the
         // create degrades to an append — which must honor THAT
@@ -499,16 +503,19 @@ object GraftTables {
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats, tip.statsKey, partitions = tip.partitions,
           columns = tip.columns.orElse(Some(cols)), txn = txn,
-          deletes = tip.deletes)
+          deletes = tip.deletes, rows = newRows)
       }
     })
   }
 
-  private def stage(root: Path, physical: DataFrame): Seq[String] = {
+  /** Stage under a fresh subdirectory via [[StagedWrite]]: the write
+    * tasks report (file, rows) back, so the commit carries exact
+    * counts with zero driver footer reads. */
+  private def stage(root: Path,
+      physical: DataFrame): Seq[(String, Long)] = {
     val subdir = s"w${System.currentTimeMillis()}-" +
       s"${stagingCounter.incrementAndGet()}"
-    physical.write.parquet(root.resolve(subdir).toString)
-    TxnLog.parquetsUnder(root, subdir)
+    StagedWrite.parquetWithCounts(physical, root, subdir)
   }
 
   /** `DELETE FROM graft.`path` WHERE pred` as a copy-on-write log
@@ -649,12 +656,10 @@ object GraftTables {
       val out = if (nOut <= 1) keep.coalesce(1) else keep.repartition(nOut)
       val attemptDir = s"del${System.currentTimeMillis()}-" +
         s"${stagingCounter.incrementAndGet()}"
-      out.write.parquet(root.resolve(attemptDir).toString)
-      val written = TxnLog.parquetsUnder(root, attemptDir)
-      // ONE batched count scan finds the empty outputs to drop — not
-      // a read job per written file.
-      val counts = TxnLog.rowCounts(spark, root, written)
-      val newFiles = written.filter(f => counts.getOrElse(f, 0L) > 0L)
+      // Write tasks report (file, rows) back and skip empty
+      // partitions, so no count re-scan and no empty-file filter.
+      val staged = StagedWrite.parquetWithCounts(out, root, attemptDir)
+      val newFiles = staged.map(_._1)
       val newStats = tip.statsKey
         .map(k => TxnLog.keyStats(spark, root, newFiles, k))
         .getOrElse(Map.empty[String, (Long, Long)])
@@ -677,7 +682,8 @@ object GraftTables {
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = tip.deletes), parentHint = Some(tip)) match {
+        deletes = tip.deletes, rows = staged.toMap),
+        parentHint = Some(tip)) match {
         case Some(_) => return
         case None => attempt += 1 // lost the race: replan on the new tip
       }
@@ -809,13 +815,14 @@ object GraftTables {
         .write.parquet(root.resolve(posSub).toString)
       val posWritten = TxnLog.parquetsUnder(root, posSub)
       // The rewritten rows, assignments applied, physical shape.
-      matched.select(logicalCols.map { c =>
-        set.get(c).map(expr).getOrElse(col(c))
-          .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
-      }: _*).write.parquet(root.resolve(dataSub).toString)
-      val written = TxnLog.parquetsUnder(root, dataSub)
-      val counts = TxnLog.rowCounts(spark, root, written)
-      val newFiles = written.filter(f => counts.getOrElse(f, 0L) > 0L)
+      // Write tasks report (file, rows) back — no count re-scan, no
+      // empty files written.
+      val staged = StagedWrite.parquetWithCounts(
+        matched.select(logicalCols.map { c =>
+          set.get(c).map(expr).getOrElse(col(c))
+            .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
+        }: _*), root, dataSub)
+      val newFiles = staged.map(_._1)
       val newStats = t0.statsKey
         .map(k => TxnLog.keyStats(spark, root, newFiles, k))
         .getOrElse(Map.empty[String, (Long, Long)])
@@ -830,6 +837,7 @@ object GraftTables {
             s"against v${t0.version}; retry")
         t.copy(action = "update-mor",
           files = t.files ++ newFiles,
+          rows = t.rows ++ staged.toMap,
           stats = t.stats ++ newStats,
           colStats = t.colStats.map { case (c, pf) =>
             c -> (pf ++ newColStats.getOrElse(c, Map.empty))

@@ -117,6 +117,10 @@ final class GraftDeltaBatchWrite(
     val outs = messages.map(_.asInstanceOf[GraftDeltaFiles])
     val newFiles = outs.flatMap(o =>
       o.dataRel.filter(_ => o.dataRows > 0)).toSeq.sorted
+    // Exact per-file counts from the writers' own commit messages —
+    // the manifest carries them so no footer is ever re-read.
+    val newRows: Map[String, Long] = outs.flatMap(o =>
+      o.dataRel.filter(_ => o.dataRows > 0).map(_ -> o.dataRows)).toMap
     val posFiles = outs.flatMap(o =>
       o.posRel.filter(_ => o.posRows > 0)).toSeq.sorted
     if (newFiles.isEmpty && posFiles.isEmpty) return // nothing matched
@@ -178,6 +182,7 @@ final class GraftDeltaBatchWrite(
         colStats = base.colStats.map { case (c, pf) =>
           c -> (pf ++ newColStats.getOrElse(c, Map.empty))
         },
+        rows = newRows,
         deletes = base.deletes ++ posFiles.map(p => TxnLog.DeleteFile(
           p, "", base.version + 1,
           Files.size(snap.root.resolve(p)), kind = "pos")),

@@ -1617,4 +1617,63 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
         "the pruned big table must broadcast again")
     } finally spark.conf.set(thresholdKey, old)
   }
+
+  test("engine writes carry task-reported row counts: ZERO driver " +
+      "footer opens across create/append/overwrite/merge/optimize/" +
+      "materialize, statistics identical (r19)") {
+    // The r18 design carried exact per-file row counts by opening one
+    // parquet footer per NEW file serially on the driver at commit —
+    // O(staged files) sequential driver I/O a 100 TB commit cannot
+    // afford. Every engine write now reports counts from the write
+    // tasks themselves (StagedWrite / the SupportsDelta commit
+    // messages, the Delta AddFile.numRecords discipline); the footer
+    // read survives only as a fallback for files the engine did not
+    // write. This pins the whole protocol chain at zero fallback hits
+    // with the reported statistics unchanged.
+    val tbl = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"wc${System.nanoTime()}")
+    val before = TxnLog.footerReads.get()
+    GraftTables.createFrom(tbl,
+      (1L to 80L).map(i => (i, i * 2L)).toDF("id", "v"))
+    (81L to 100L).map(i => (i, i * 2L)).toDF("id", "v")
+      .write.format("graft").mode("append").save(tbl.toString)
+    // Key-scoped CoW merge: update 5, delete 3, insert 2.
+    TxnLog.mergeCowByKey(spark, tbl,
+      ((1L to 5L).map(i => (i, -i, "upsert")) ++
+        (6L to 8L).map(i => (i, 0L, "delete")) ++
+        Seq((101L, 1L, "upsert"), (102L, 2L, "upsert")))
+        .toDF("id", "v", "op"), "id", s"m${System.nanoTime()}")
+    // MoR delete (a delete FILE — no data-file counts involved), then
+    // materialize folds it back into rewritten data files.
+    TxnLog.deleteByKeyMor(spark, tbl, Seq(10L).toDF("id"), "id",
+      s"d${System.nanoTime()}")
+    TxnLog.materializeDeletes(spark, tbl, s"mz${System.nanoTime()}")
+    TxnLog.compactSmall(spark, tbl, s"cs${System.nanoTime()}",
+      minFileBytes = 1L << 20)
+    assert(TxnLog.footerReads.get() == before,
+      "an engine write path paid a driver footer read for counts")
+    // The carried counts are complete and IDENTICAL to a ground-truth
+    // recount of the tip's bytes.
+    val tip = TxnLog.tip(tbl)
+    assert(tip.files.nonEmpty && tip.files.forall(tip.rows.contains),
+      s"tip not fully count-covered: ${tip.files.filterNot(tip.rows.contains)}")
+    assert(TxnLog.rowCounts(spark, tbl, tip.files) == tip.rows)
+    // 100 - 3 deleted - 1 materialized + 2 inserted = 98, reported as
+    // the exact optimizer rowCount with zero filesystem reads.
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val st = GraftTables.read(spark, tbl).queryExecution.optimizedPlan
+      .collect { case r: DataSourceV2ScanRelation => r.stats }.head
+    assert(st.rowCount.contains(BigInt(98)), st)
+    // The fallback still works for files the engine didn't write: a
+    // raw-staged commit heals its counts from footers, counted once.
+    val raw = graft.util.Scratch.dir("graft_connector")
+      .resolve(s"raw${System.nanoTime()}")
+    Files.createDirectories(raw)
+    Seq((1L, 1L)).toDF("id", "v").coalesce(1)
+      .write.parquet(raw.resolve("ext").toString)
+    val extFiles = TxnLog.parquetsUnder(raw, "ext")
+    TxnLog.commitRetry(raw, "create", _ => extFiles)
+    assert(TxnLog.footerReads.get() == before + extFiles.size)
+    assert(TxnLog.tip(raw).rows.values.sum == 1L)
+  }
 }

@@ -809,21 +809,12 @@ object TxnLog {
               "'update-mor' for the delta row-level shape)")
           // ANY number of new equality-delete files per commit is
           // legal (the parallel SupportsDelta writer shape: one eq
-          // file per task) provided they all carry the SAME key
-          // column: [[changes]] bands data files by applicable-delete
-          // set and joins each band against the UNION of its key
-          // sets, which is multiplicity-exact only with one key
-          // column in play — a row matching eq deletes on TWO
-          // different columns in one commit would emit once per
-          // column. One statement = one key, so no writer needs the
-          // mixed-key shape; refuse it.
-          val eqKeys = newDel.filter(_.kind != "pos").map(_.key).distinct
-          require(eqKeys.size <= 1,
-            s"commit on $table adds equality-delete files keyed on " +
-              s"${eqKeys.size} different columns " +
-              s"(${eqKeys.mkString(", ")}) — the change feed's " +
-              "key-union join is multiplicity-exact only for a single " +
-              "key column per commit; split the deletes")
+          // file per task), on ANY mix of key columns (r19 — the
+          // former single-key refusal is lifted): [[changes]] bands
+          // data files by applicable-delete set and, within a band,
+          // marks matches per key column with distinct-keyed outer
+          // joins OR'd in one filter — a row named by deletes on two
+          // different columns emits exactly once.
         }
       }
     }
@@ -1190,7 +1181,7 @@ object TxnLog {
       }
       val groups = files.groupBy(f =>
         eq.filter(d => m.seqs.getOrElse(f, -1L) < d.seq))
-      groups.toSeq.sortBy(_._2.head).map { case (dels, fs) =>
+      val merged = groups.toSeq.sortBy(_._2.head).map { case (dels, fs) =>
         dels.groupBy(_.key).toSeq.sortBy(_._1)
           .foldLeft(readPosAware(fs)) { case (acc, (k, ds)) =>
             acc.join(
@@ -1198,6 +1189,13 @@ object TxnLog {
               Seq(k), "left_anti")
           }
       }.reduce(_.unionByName(_))
+      // The using-joins above move each join key to the front, so the
+      // folded column order varies with WHICH delete keys are
+      // pending. Restore the files' own schema order: callers stage
+      // rewrites from this frame (materialize/compact/merge), and a
+      // pending delete must never shuffle the physical column order
+      // of the files it causes to be rewritten.
+      merged.select(readAbs(files).columns.map(col(_)).toSeq: _*)
     }
   }
 
@@ -2062,20 +2060,17 @@ object TxnLog {
           // files carry the PHYSICAL key column, matching the raw
           // parquet read inside morRead — rename to logical only
           // after the join. A commit may carry MANY eq files (one
-          // per parallel writer task), all on ONE key column
-          // ([[tryCommitManifest]]'s invariant): band the scoped
-          // files by WHICH deletes apply (scopes nest by seq, so
-          // bands are few), union each band's key sets once, and
-          // semi-join — every visible row sits in exactly one band
-          // and the union is distinct, so overlapping key sets
-          // cannot double-emit.
+          // per parallel writer task), possibly keyed on SEVERAL
+          // different columns (r19 — the invariant that refused the
+          // mixed-key shape is lifted): band the scoped files by
+          // WHICH deletes apply (scopes nest by seq, so bands are
+          // few); within a band, mark matches per KEY COLUMN with a
+          // broadcast left-outer join against that column's distinct
+          // key union, and keep rows matching ANY marker — a row
+          // named by deletes on two different columns emits exactly
+          // once (OR, not union-of-semi-joins), and distinct key
+          // sides keep the outer joins multiplicity-exact.
           val eqDiffs: Seq[DataFrame] = if (newEq.isEmpty) Nil else {
-            val keyCols = newEq.map(_.key).distinct
-            assert(keyCols.size == 1,
-              s"changes at v$v: new equality deletes on multiple key " +
-                s"columns (${keyCols.mkString(", ")}) — a shape " +
-                "tryCommitManifest refuses")
-            val k = keyCols.head
             cur.files
               .map(f => f -> newEq.filter(d =>
                 cur.seqs.getOrElse(f, -1L) < d.seq))
@@ -2084,12 +2079,22 @@ object TxnLog {
               .toSeq.sortBy(_._1.mkString(","))
               .map { case (_, entries) =>
                 val scoped = entries.map(_._1)
-                val keys = spark.read
-                  .parquet(entries.head._2
-                    .map(d => table.resolve(d.path).toString): _*)
-                  .select(col(k)).distinct()
-                morRead(spark, table, prevPos, Some(scoped))
-                  .join(broadcast(keys), Seq(k), "left_semi")
+                val byKey = entries.head._2.groupBy(_.key).toSeq
+                  .sortBy(_._1)
+                val base = morRead(spark, table, prevPos, Some(scoped))
+                val marked = byKey.zipWithIndex
+                  .foldLeft(base) { case (acc, ((k, ds), i)) =>
+                    val keys = spark.read
+                      .parquet(ds.map(d =>
+                        table.resolve(d.path).toString): _*)
+                      .select(col(k)).distinct()
+                      .withColumn(s"__eq$i", lit(1))
+                    acc.join(broadcast(keys), Seq(k), "left_outer")
+                  }
+                val markers = byKey.indices.map(i => col(s"__eq$i"))
+                marked.filter(markers.map(_.isNotNull)
+                    .reduce(_ || _))
+                  .drop(markers.indices.map(i => s"__eq$i"): _*)
               }
           }
           val dels = (posDiff.toSeq ++ eqDiffs)

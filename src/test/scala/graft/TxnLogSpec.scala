@@ -1004,25 +1004,12 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
         deletes = Seq(del("eq"))))
     }
     assert(e3.getMessage.contains("malformed update-mor"))
-    // Equality-delete files on DIFFERENT key columns in ONE commit:
-    // the CDF's key-union join is multiplicity-exact only for a
-    // single key column (a row matching deletes on two columns would
-    // emit once per column) — refused. Multiple eq files on the SAME
-    // key are legal (the parallel writer shape; CDF multiplicity is
-    // pinned in the dedicated changes() test below).
-    Seq((f0, 0L)).toDF("file_path", "pos")
-      .coalesce(1).write.parquet(t.resolve("p2").toString)
-    val pos2 = TxnLog.parquetsUnder(t, "p2").head
-    val e4 = intercept[IllegalArgumentException] {
-      TxnLog.tryCommitManifest(t, tip0.copy(version = 1L, parent = 0L,
-        action = "delete-mor", deletes = Seq(del("eq"),
-          TxnLog.DeleteFile(pos2, "v", 1L,
-            Files.size(t.resolve(pos2)), kind = "eq"))))
-    }
-    assert(e4.getMessage.contains("single key column"))
-    // The legal pure-delete shape still lands (multiple POSITION
-    // files per commit stay legal — the CDF diffs their named-file
-    // UNION once).
+    // Equality-delete files on DIFFERENT key columns in ONE commit
+    // are LEGAL since r19 (the CDF marks matches per key column and
+    // ORs the markers — multiplicity pinned in the dedicated
+    // changes() test). The legal pure-delete shape still lands
+    // (multiple POSITION files per commit stay legal — the CDF diffs
+    // their named-file UNION once).
     assert(TxnLog.tryCommitManifest(t, tip0.copy(version = 1L,
       parent = 0L, action = "delete-mor",
       deletes = Seq(del("pos")))).contains(1L))
@@ -1059,6 +1046,42 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(feed.length == 4,
       s"CDF multiplicity wrong: ${feed.mkString(",")}")
     assert(feed.toSet == (1L to 4L).map((_, "delete")).toSet)
+  }
+
+  test("changes: one commit carrying equality deletes on TWO " +
+      "different key columns emits each deleted row exactly once (r19)") {
+    val t = freshTable()
+    import spark.implicits._
+    // Rows (k, w) with w = k*10; deletes on k IN {1,2} and w IN
+    // {20,30}: k=2 is named by BOTH columns (w=20) and must emit
+    // ONCE; k=3 only via w=30. r18 refused this shape at commit —
+    // the CDF's per-band OR-of-marker joins now classifies it.
+    (1L to 5L).map(k => (k, k * 10L)).toDF("k", "w")
+      .coalesce(1).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.parquet(t.resolve("dk").toString)
+    Seq(20L, 30L).toDF("w").coalesce(1)
+      .write.parquet(t.resolve("dw").toString)
+    val dk = TxnLog.parquetsUnder(t, "dk").head
+    val dw = TxnLog.parquetsUnder(t, "dw").head
+    TxnLog.commitRetryWith(t, tip => tip.copy(action = "delete-mor",
+      seqs = tip.seqs ++ tip.files.filterNot(tip.seqs.contains)
+        .map(_ -> tip.version).toMap,
+      deletes = tip.deletes ++ Seq(
+        TxnLog.DeleteFile(dk, "k", tip.version + 1,
+          Files.size(t.resolve(dk))),
+        TxnLog.DeleteFile(dw, "w", tip.version + 1,
+          Files.size(t.resolve(dw)))),
+      txn = None, ts = 0L))
+    // The scan applies both pending deletes: only k=4,5 survive.
+    assert(TxnLog.readVersion(spark, t, 1L).select("k", "w")
+      .as[(Long, Long)].collect().toSet == Set((4L, 40L), (5L, 50L)))
+    val feed = TxnLog.changes(spark, t, 0L, 1L, "k")
+      .select("k", "_change_type").as[(Long, String)].collect()
+    assert(feed.length == 3,
+      s"CDF multiplicity wrong: ${feed.mkString(",")}")
+    assert(feed.toSet == (1L to 3L).map((_, "delete")).toSet)
   }
 
   test("changes: a delete-only commit mixing position and equality " +

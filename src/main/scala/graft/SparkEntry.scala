@@ -1446,7 +1446,17 @@ object SparkEntry {
     // Windowed formulation rather than DuckDB's native ASOF JOIN:
     // ASOF leaves right-side TIES unspecified, the engine pins them
     // (backward = MAX purchase id at the matched ts) — the oracle
-    // must pin the identical tie-break to stay data-robust.
+    // must pin the identical tie-break to stay data-robust. LINEAR
+    // shape (r19): the former inequality-join + row_number form
+    // materialized a per-user candidate relation QUADRATIC in tie
+    // multiplicity — at the 100x pin-stress composite (100-way
+    // identical-timestamp ties) DuckDB spilled >79 GB and died while
+    // the engine's one-shuffle as-of ran fine. This is the engine's
+    // own shape: union purchases (kind 0, before same-ts errors —
+    // the match is inclusive) and errors (kind 1), one per-user sort
+    // by (ts, kind, id), carry the last purchase id forward; at
+    // equal ts the MAX purchase id sorts last, so carry-forward pins
+    // the identical tie-break.
     "asof_join" ->
       """WITH err AS (SELECT event_id, user_id,
                              CAST(ts AS TIMESTAMP) AS ts
@@ -1454,19 +1464,25 @@ object SparkEntry {
               pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                              event_id
                       FROM events WHERE event_type = 'purchase'),
-              m AS (SELECT event_id, purchase_event_id FROM (
-                      SELECT a.event_id,
-                             b.event_id AS purchase_event_id,
-                             row_number() OVER (
-                               PARTITION BY a.event_id
-                               ORDER BY b.ts DESC, b.event_id DESC) AS rn
-                      FROM err a JOIN pur b
-                        ON a.user_id = b.user_id AND b.ts <= a.ts)
-                    WHERE rn = 1)
-         SELECT a.event_id, a.user_id, m.purchase_event_id
-         FROM err a LEFT JOIN m USING (event_id)
+              u AS (SELECT user_id, ts, 0 AS kind,
+                           event_id AS pid, NULL::BIGINT AS eid
+                    FROM pur
+                    UNION ALL
+                    SELECT user_id, ts, 1 AS kind,
+                           NULL::BIGINT AS pid, event_id AS eid
+                    FROM err),
+              w AS (SELECT eid, last_value(pid IGNORE NULLS) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, kind, coalesce(pid, eid)
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS purchase_event_id
+                    FROM u)
+         SELECT a.event_id, a.user_id, w.purchase_event_id
+         FROM err a JOIN w ON w.eid = a.event_id
          ORDER BY a.event_id""",
-    // Mirror of asof_join: forward pins MIN id at the matched ts.
+    // Mirror of asof_join: forward pins MIN id at the matched ts —
+    // sort ts DESC with ids DESC so the smallest eligible purchase
+    // id is the one carried forward.
     "asof_join_forward" ->
       """WITH err AS (SELECT event_id, user_id,
                              CAST(ts AS TIMESTAMP) AS ts
@@ -1474,17 +1490,23 @@ object SparkEntry {
               pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                              event_id
                       FROM events WHERE event_type = 'purchase'),
-              m AS (SELECT event_id, next_purchase_event_id FROM (
-                      SELECT a.event_id,
-                             b.event_id AS next_purchase_event_id,
-                             row_number() OVER (
-                               PARTITION BY a.event_id
-                               ORDER BY b.ts ASC, b.event_id ASC) AS rn
-                      FROM err a JOIN pur b
-                        ON a.user_id = b.user_id AND b.ts >= a.ts)
-                    WHERE rn = 1)
-         SELECT a.event_id, a.user_id, m.next_purchase_event_id
-         FROM err a LEFT JOIN m USING (event_id)
+              u AS (SELECT user_id, ts, 0 AS kind,
+                           event_id AS pid, NULL::BIGINT AS eid
+                    FROM pur
+                    UNION ALL
+                    SELECT user_id, ts, 1 AS kind,
+                           NULL::BIGINT AS pid, event_id AS eid
+                    FROM err),
+              w AS (SELECT eid, last_value(pid IGNORE NULLS) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts DESC, kind,
+                               coalesce(pid, eid) DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                           AS next_purchase_event_id
+                    FROM u)
+         SELECT a.event_id, a.user_id, w.next_purchase_event_id
+         FROM err a JOIN w ON w.eid = a.event_id
          ORDER BY a.event_id""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c

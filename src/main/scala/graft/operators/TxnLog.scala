@@ -126,7 +126,18 @@ object TxnLog {
       // survivors, so scans can report an exact rowCount to the
       // cost-based optimizer with zero plan-time filesystem calls.
       // Absent entry = unknown (placeholder files, legacy manifests).
-      rows: Map[String, Long] = Map.empty)
+      rows: Map[String, Long] = Map.empty,
+      // Per-(column, file) KMV distinct-count sketches: the
+      // [[NdvSketchK]] smallest distinct sign-flipped xxhash64 values
+      // of the column in that file, sorted ascending. The outer key
+      // set IS the declaration ([[declareNdv]]) — carried forward by
+      // every commit like `colStats` keys; survivors inherit their
+      // entries at the primitive, write paths compute entries for new
+      // files in one scan, and scans MERGE the per-file sketches
+      // (union, take k) into the distinct count the CBO needs for
+      // columns whose type carries no min/max bounds (strings).
+      // Partial coverage = no NDV reported (never a wrong one).
+      ndv: Map[String, Map[String, Seq[Long]]] = Map.empty)
 
   final case class Committed(version: Long, conflicts: Int)
 
@@ -261,7 +272,8 @@ object TxnLog {
       seqs: Map[String, Long],
       deletes: Seq[DeleteFile],
       constraints: Map[String, String],
-      rows: Map[String, Long])
+      rows: Map[String, Long],
+      ndv: Map[String, Map[String, Seq[Long]]])
 
   private def putRanges(root: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, m: Map[String, (Long, Long)]): Unit =
@@ -280,7 +292,8 @@ object TxnLog {
       colStats: Map[String, Map[String, (Long, Long)]], ts: Long,
       seqs: Map[String, Long], deletes: Seq[DeleteFile],
       constraints: Map[String, String],
-      rows: Map[String, Long]): Unit = {
+      rows: Map[String, Long],
+      ndv: Map[String, Map[String, Seq[Long]]]): Unit = {
     putRanges(root, "stats", stats)
     statsKey.foreach(root.put("statsKey", _))
     if (partitions.nonEmpty) {
@@ -343,6 +356,18 @@ object TxnLog {
       val rn = root.putObject("rows")
       rows.toSeq.sortBy(_._1).foreach { case (f, n) => rn.put(f, n) }
     }
+    // A DECLARED ndv column renders even with no per-file entries
+    // (an empty object), so resolution keeps the declaration — the
+    // colStats convention.
+    if (ndv.nonEmpty) {
+      val nn = root.putObject("ndv")
+      ndv.toSeq.sortBy(_._1).foreach { case (c, perFile) =>
+        val o = nn.putObject(c)
+        perFile.toSeq.sortBy(_._1).foreach { case (f, hs) =>
+          val a = o.putArray(f); hs.foreach(a.add)
+        }
+      }
+    }
   }
 
   def render(m: Manifest): String = {
@@ -358,7 +383,7 @@ object TxnLog {
     m.files.foreach(fs.add)
     putCommon(root, m.stats, m.statsKey, m.partitions, m.columns,
       m.sizes, m.txn, m.txns, m.colStats, m.ts, m.seqs, m.deletes,
-      m.constraints, m.rows)
+      m.constraints, m.rows, m.ndv)
     mapper.writeValueAsString(root)
   }
 
@@ -381,7 +406,7 @@ object TxnLog {
     // keeps the column set.
     putCommon(root, d.stats, d.statsKey, d.partitions, d.columns,
       d.sizes, d.txn, d.txns, d.colStats, d.ts, d.seqs, d.deletes,
-      d.constraints, d.rows)
+      d.constraints, d.rows, d.ndv)
     mapper.writeValueAsString(root)
   }
 
@@ -391,7 +416,7 @@ object TxnLog {
       Map[String, Long], Option[(String, Long)], Map[String, Long],
       Map[String, Map[String, (Long, Long)]], Long,
       Map[String, Long], Seq[DeleteFile], Map[String, String],
-      Map[String, Long]) = {
+      Map[String, Long], Map[String, Map[String, Seq[Long]]]) = {
     import scala.jdk.CollectionConverters._
     val stats = Option(n.get("stats")).map { st =>
       st.properties().asScala.map { e =>
@@ -442,10 +467,18 @@ object TxnLog {
     val rows = Option(n.get("rows")).map { rn =>
       rn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
     }.getOrElse(Map.empty[String, Long])
+    val ndv = Option(n.get("ndv")).map { nn =>
+      nn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { fe =>
+          fe.getKey -> fe.getValue.elements().asScala
+            .map(_.asLong).toSeq
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, Seq[Long]]])
     (stats, Option(n.get("statsKey")).map(_.asText), partitions, columns,
       sizes, txn, txns, colStats,
       Option(n.get("ts")).map(_.asLong).getOrElse(0L), seqs, deletes,
-      constraints, rows)
+      constraints, rows, ndv)
   }
 
   /** The highest stored-manifest format this reader understands — the
@@ -469,7 +502,7 @@ object TxnLog {
           s"up to $SupportedReaderVersion — upgrade before reading")
     }
     val (stats, statsKey, partitions, columns, sizes, txn, txns,
-      colStats, ts, seqs, deletes, constraints, rows) = parseCommon(n)
+      colStats, ts, seqs, deletes, constraints, rows, ndv) = parseCommon(n)
     Option(n.get("base")) match {
       case Some(b) =>
         Left(Delta(
@@ -478,7 +511,7 @@ object TxnLog {
           n.get("adds").elements().asScala.map(_.asText).toSeq,
           n.get("removes").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
-          colStats, ts, seqs, deletes, constraints, rows))
+          colStats, ts, seqs, deletes, constraints, rows, ndv))
       case None =>
         Right(Manifest(
           n.get("version").asLong, n.get("parent").asLong,
@@ -486,7 +519,7 @@ object TxnLog {
           n.get("files").elements().asScala.map(_.asText).toSeq,
           stats, statsKey, partitions, columns, sizes, txn, txns,
           colStats, ts, seqs = seqs, deletes = deletes,
-          constraints = constraints, rows = rows))
+          constraints = constraints, rows = rows, ndv = ndv))
     }
   }
 
@@ -521,7 +554,11 @@ object TxnLog {
       ts = d.ts, deltaDepth = base.deltaDepth + 1,
       seqs = base.seqs.view.filterKeys(surviving).toMap ++ d.seqs,
       deletes = d.deletes, constraints = d.constraints,
-      rows = base.rows.view.filterKeys(surviving).toMap ++ d.rows)
+      rows = base.rows.view.filterKeys(surviving).toMap ++ d.rows,
+      ndv = d.ndv.map { case (c, perFile) =>
+        c -> (base.ndv.getOrElse(c, Map.empty)
+          .view.filterKeys(surviving).toMap ++ perFile)
+      })
   }
 
   /** The delta encoding of `m` against its resolved parent `p`, iff it
@@ -548,7 +585,11 @@ object TxnLog {
       ts = m.ts,
       seqs = m.seqs.filter { case (k, v) => !p.seqs.get(k).contains(v) },
       deletes = m.deletes, constraints = m.constraints,
-      rows = m.rows.filter { case (k, v) => !p.rows.get(k).contains(v) })
+      rows = m.rows.filter { case (k, v) => !p.rows.get(k).contains(v) },
+      ndv = m.ndv.map { case (c, perFile) =>
+        c -> perFile.filter { case (k, v) =>
+          !p.ndv.getOrElse(c, Map.empty).get(k).contains(v) }
+      })
     if (applyDelta(p, d).copy(deltaDepth = 0) == m.copy(deltaDepth = 0))
       Some(d)
     else None
@@ -728,9 +769,28 @@ object TxnLog {
     // bytes immutable, so an inherited count can never go stale; a
     // file nobody counted stays absent (= unknown — the connector
     // then reports no rowCount rather than a wrong one).
-    val mSeqs = mSeqs0.copy(rows =
+    val mSeqs1 = mSeqs0.copy(rows =
       (parentM.map(_.rows).getOrElse(Map.empty[String, Long]) ++
         mSeqs0.rows).view.filterKeys(mSeqs0.files.toSet).toMap)
+    // NDV-sketch fold, same discipline: the declared column set is
+    // the UNION of parent's and caller's (a declaration persists
+    // until dropped); survivors inherit entries, caller entries win;
+    // a new file nobody sketched stays absent (= the column's NDV
+    // goes unknown until re-covered — never wrong).
+    val mSeqs = {
+      val pNdv = parentM.map(_.ndv)
+        .getOrElse(Map.empty[String, Map[String, Seq[Long]]])
+      if (pNdv.isEmpty && mSeqs1.ndv.isEmpty) mSeqs1
+      else {
+        val fSet = mSeqs1.files.toSet
+        mSeqs1.copy(ndv = (pNdv.keySet ++ mSeqs1.ndv.keySet).toSeq.sorted
+          .map { c =>
+            c -> (pNdv.getOrElse(c, Map.empty) ++
+              mSeqs1.ndv.getOrElse(c, Map.empty))
+              .view.filterKeys(fSet).toMap
+          }.toMap)
+      }
+    }
     // CHECK constraints are table metadata every commit carries
     // implicitly (the Delta metaData-replay discipline): a commit with
     // none declared inherits the parent's. Only the actions that MEAN
@@ -1086,6 +1146,97 @@ object TxnLog {
     }.toMap
   }
 
+  /** KMV sketch size per (column, file): 32 sign-flipped hash values
+    * ≈ 260 manifest bytes per entry, relative NDV error ~1/√(k-2) ≈
+    * 18% — cardinality-estimation grade, and EXACT below k distinct
+    * values (the dimension-key case join reorder actually needs). */
+  val NdvSketchK: Int = 32
+
+  /** Per-file KMV distinct sketches for `cols` over `files`, in ONE
+    * scan however many columns ride along (the [[colStatsFor]]
+    * discipline). Each entry is `nullCount +: sketch`: element 0 is
+    * the file's exact NULL count for the column (the CBO's
+    * count-stats contract — Spark's aggregate/join estimation only
+    * trusts a distinct count accompanied by a null count), and the
+    * tail is the k smallest distinct SIGN-FLIPPED xxhash64 values of
+    * the column, sorted ascending — flipping makes signed order equal
+    * unsigned hash order, so sketches merge by union-take-k and
+    * [[ndvEstimate]] reads the kth value as a fraction of the hash
+    * space. Works for ANY atomic column type (this is what carries
+    * STRING key cardinality, which min/max bounds cannot). NULLs are
+    * excluded from the sketch (SQL distinct-count semantics). */
+  def ndvSketchFor(
+      spark: SparkSession, table: Path, files: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, Seq[Long]]] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || cols.isEmpty)
+      return cols.map(_ -> Map.empty[String, Seq[Long]]).toMap
+    val df = spark.read
+      .parquet(files.map(f => table.resolve(f).toString): _*)
+    cols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"ndv column `$c` does not exist in the table schema " +
+          df.schema.fieldNames.mkString("[", ", ", "]"))
+    }
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      graft.functions.BottomKLongs.asColumn(
+        when(col(c).isNotNull,
+          xxhash64(col(c)).bitwiseXOR(lit(Long.MinValue))),
+        NdvSketchK).as(s"kmv_$c")))
+    val rows = df
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> rows.map { r =>
+        attributeFile(table, r.getString(0), files) ->
+          (r.getLong(1 + 2 * i) +: r.getSeq[Long](2 + 2 * i).toSeq)
+      }.toMap
+    }.toMap
+  }
+
+  /** Distinct-count estimate from a MERGED sketch (union of per-file
+    * sketch tails, distinct, k smallest kept): exact below k; else
+    * the standard KMV estimator (k−1)/frac(h_k) with the kth flipped
+    * value read as a fraction of the 2^64 hash space. */
+  def ndvEstimate(merged: Seq[Long], k: Int = NdvSketchK): Long =
+    if (merged.size < k) merged.size.toLong
+    else {
+      val frac =
+        (merged.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      math.max(merged.size.toLong,
+        math.round((k - 1) / math.max(frac, 1e-18)))
+    }
+
+  /** Merge per-file entries for the given files into (nullCount,
+    * distinctCount) — nulls sum exactly, sketches union-take-k.
+    * Defined only when EVERY file carries an entry (partial coverage
+    * must not understate either count). */
+  def ndvMerged(perFile: Map[String, Seq[Long]],
+      files: Seq[String], k: Int = NdvSketchK): Option[(Long, Long)] =
+    if (files.isEmpty) Some((0L, 0L))
+    else if (!files.forall(f =>
+      perFile.get(f).exists(_.nonEmpty))) None
+    else Some((
+      files.map(perFile(_).head).sum,
+      ndvEstimate(
+        files.flatMap(perFile(_).tail).distinct.sorted.take(k), k)))
+
+  /** DECLARE KMV distinct sketches for `cols` (commit action "ndv"):
+    * sketches are computed for every current file in one scan, and
+    * every later commit maintains entries for the files it writes —
+    * the declaration rides the manifest like the colStats column
+    * set. This is how a STRING join key gets a distinctCount to the
+    * cost-based optimizer (join reorder / broadcast estimation),
+    * which per-file min/max bounds can never carry. */
+  def declareNdv(spark: SparkSession, table: Path,
+      cols: Seq[String]): Committed =
+    commitRetryWith(table, t => t.copy(
+      action = "ndv",
+      ndv = t.ndv ++ ndvSketchFor(spark, table, t.files, cols),
+      txn = None, ts = 0L))
+
   /** Hive-style partition values parsed from files' RELATIVE paths
     * (`year=1995/part-0.parquet` → `Map("year" -> "1995")`) — the
     * commit-time, metadata-only derivation that lets layouts written
@@ -1381,6 +1532,8 @@ object TxnLog {
       .getOrElse(Map.empty[String, (Long, Long)])
     val newColStats =
       colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
+    val newNdv = ndvSketchFor(spark, table, written,
+      t0.ndv.keys.toSeq.sorted)
     val affectedSet = affected.toSet
     commitRetryWith(table, t => {
       // Like a CoW merge, this rewrite does not commute: it replaced
@@ -1398,7 +1551,7 @@ object TxnLog {
         colStats = t0.colStats.map { case (c, pf) =>
           c -> ((pf -- affected) ++ newColStats.getOrElse(c, Map.empty))
         },
-        rows = staged.toMap)
+        rows = staged.toMap, ndv = newNdv)
     })
   }
 
@@ -1522,6 +1675,8 @@ object TxnLog {
       // their entries, rewritten files get fresh ones in one scan.
       val newColStats =
         colStatsFor(spark, table, newFiles, tip.colStats.keys.toSeq.sorted)
+      val newNdv = ndvSketchFor(spark, table, newFiles,
+        tip.ndv.keys.toSeq.sorted)
       tryCommitManifest(table, Manifest(tipVersion + 1, tipVersion,
         "merge", keptFiles,
         (ranges -- affected) ++ newStats,
@@ -1532,7 +1687,7 @@ object TxnLog {
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = tip.deletes, rows = staged.toMap),
+        deletes = tip.deletes, rows = staged.toMap, ndv = newNdv),
         parentHint = Some(tip)) match {
         case Some(v) => return Committed(v, conflicts)
         case None => conflicts += 1; attempt += 1
@@ -1576,7 +1731,9 @@ object TxnLog {
           s"against v$tipVersion; retry")
       Manifest(0L, 0L, "compact", newFiles,
         stats, effKey, columns = t.columns, colStats = newColStats,
-        rows = staged.toMap)
+        rows = staged.toMap,
+        ndv = ndvSketchFor(spark, table, newFiles,
+          tipM.ndv.keys.toSeq.sorted))
     })
   }
 
@@ -2181,7 +2338,9 @@ object TxnLog {
         colStats = t0.colStats.map { case (c, pf) =>
           c -> ((pf -- small) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = t0.deletes, rows = staged.toMap)
+        deletes = t0.deletes, rows = staged.toMap,
+        ndv = ndvSketchFor(spark, table, written,
+          t0.ndv.keys.toSeq.sorted))
     })
   }
 

@@ -411,6 +411,8 @@ object GraftTables {
       scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
     val colStatsCache = scala.collection.mutable.Map
       .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
+    val ndvCache = scala.collection.mutable.Map
+      .empty[Seq[String], Map[String, Map[String, Seq[Long]]]]
     TxnLog.commitRetryWith(snap.root, tip => {
       // Idempotent-replay guard, INSIDE the attempt: if this writer's
       // (appId, batchId) already sits at or below a committed stamp —
@@ -438,6 +440,11 @@ object GraftTables {
       val mergedColStats = tip.colStats.map { case (c, perFile) =>
         c -> (perFile ++ newColStats.getOrElse(c, Map.empty))
       }
+      // Declared NDV sketches for the new files (no-op scan when the
+      // table declares none); survivors inherit at the primitive.
+      val newNdv = ndvCache.getOrElseUpdate(tip.ndv.keys.toSeq.sorted,
+        TxnLog.ndvSketchFor(spark, snap.root, newFiles,
+          tip.ndv.keys.toSeq.sorted))
       // A table created without declared columns (raw commitRetry
       // fixtures) gets them declared here from the resolved schema
       // (identity mapping) — which is also what keeps an emptied
@@ -451,7 +458,7 @@ object GraftTables {
       if (overwrite)
         TxnLog.Manifest(0L, 0L, "replace", newFiles, newStats,
           tip.statsKey, columns = cols, txn = txn,
-          colStats = newColStats, rows = newRows)
+          colStats = newColStats, rows = newRows, ndv = newNdv)
       else
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats ++ newStats, tip.statsKey,
@@ -459,7 +466,7 @@ object GraftTables {
           colStats = mergedColStats,
           // Pending merge-on-read deletes ride along; the appended
           // files' fresh seq keeps them out of the deletes' scope.
-          deletes = tip.deletes, rows = newRows)
+          deletes = tip.deletes, rows = newRows, ndv = newNdv)
     })
   }
 
@@ -665,6 +672,8 @@ object GraftTables {
         .getOrElse(Map.empty[String, (Long, Long)])
       val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
         tip.colStats.keys.toSeq.sorted)
+      val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
+        tip.ndv.keys.toSeq.sorted)
       val files = tip.files.filterNot(affected) ++ newFiles
       // Declare columns if the tip never did — a delete that empties
       // the table must leave it readable (resolve needs declared
@@ -682,7 +691,7 @@ object GraftTables {
         colStats = tip.colStats.map { case (c, perFile) =>
           c -> ((perFile -- affected) ++ newColStats.getOrElse(c, Map.empty))
         },
-        deletes = tip.deletes, rows = staged.toMap),
+        deletes = tip.deletes, rows = staged.toMap, ndv = newNdv),
         parentHint = Some(tip)) match {
         case Some(_) => return
         case None => attempt += 1 // lost the race: replan on the new tip
@@ -828,6 +837,8 @@ object GraftTables {
         .getOrElse(Map.empty[String, (Long, Long)])
       val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
         t0.colStats.keys.toSeq.sorted)
+      val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
+        t0.ndv.keys.toSeq.sorted)
       TxnLog.commitRetryWith(root, t => {
         // Positions name files of the planned tip and the rewritten
         // rows were read under its delete set — a concurrent commit
@@ -838,6 +849,9 @@ object GraftTables {
         t.copy(action = "update-mor",
           files = t.files ++ newFiles,
           rows = t.rows ++ staged.toMap,
+          ndv = t.ndv.map { case (c, pf) =>
+            c -> (pf ++ newNdv.getOrElse(c, Map.empty))
+          },
           stats = t.stats ++ newStats,
           colStats = t.colStats.map { case (c, pf) =>
             c -> (pf ++ newColStats.getOrElse(c, Map.empty))
@@ -1227,6 +1241,16 @@ final class GraftScan(
     val rowsKnown: Option[Long] =
       if (kept.forall(m.rows.contains)) Some(kept.iterator.map(m.rows).sum)
       else None
+    // KMV sketch (nullCount, NDV) per PHYSICAL column, merged over
+    // exactly the kept files (the estimate follows pruning like
+    // everything else). Defined only under full coverage — partial
+    // coverage must not understate a count the join reorderer
+    // trusts. Both pieces ship together: Spark's estimation only
+    // uses a distinct count accompanied by a null count.
+    val sketchNdv: Map[String, (Long, Long)] = m.ndv.flatMap {
+      case (phys, perFile) =>
+        TxnLog.ndvMerged(perFile, kept).map(phys -> _)
+    }
     // statsKey bounds first so a same-column colStats entry (the
     // multi-column generalization) wins.
     val perCol = m.statsKey.map(k => k -> m.stats).toMap ++ m.colStats
@@ -1253,8 +1277,13 @@ final class GraftScan(
           (box(lo), box(hi)) match {
             case (Some(mn), Some(mx)) =>
               val span = BigInt(hi) - BigInt(lo) + 1
-              val ndv = rowsKnown.fold(span)(n => span.min(BigInt(n)))
+              val spanNdv = rowsKnown.fold(span)(n => span.min(BigInt(n)))
                 .min(BigInt(Long.MaxValue)).toLong
+              // A measured KMV sketch beats the integral-span upper
+              // bound when the table carries one for this column —
+              // and brings the exact null count estimation needs.
+              val sk = sketchNdv.get(phys)
+              val ndv = sk.fold(spanNdv)(_._2)
               out.put(
                 org.apache.spark.sql.connector.expressions.Expressions
                   .column(logical),
@@ -1262,6 +1291,9 @@ final class GraftScan(
                     .ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
                     java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    sk.fold(java.util.OptionalLong.empty())(s =>
+                      java.util.OptionalLong.of(s._1))
                   override def min(): java.util.Optional[Object] =
                     java.util.Optional.of(mn.asInstanceOf[Object])
                   override def max(): java.util.Optional[Object] =
@@ -1271,6 +1303,25 @@ final class GraftScan(
           }
         }
       }
+    }
+    // Columns carrying ONLY a sketch (string keys — no comparable
+    // bounds, the exact case min/max stats can never serve): report
+    // the distinct count alone. This is what gives the CBO a
+    // cardinality for string-keyed joins/aggregates at plan time.
+    sketchNdv.foreach { case (phys, (nulls, n)) =>
+      val logical = snap.logicalOf(phys)
+      val ref = org.apache.spark.sql.connector.expressions.Expressions
+        .column(logical)
+      if (!out.containsKey(ref) &&
+          snap.schema.fields.exists(_.name == logical))
+        out.put(ref,
+          new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+          })
     }
     out
   }

@@ -170,6 +170,8 @@ final class GraftDeltaBatchWrite(
         colStatsCache.getOrElseUpdate(cols,
           TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
       }
+      val newNdv = TxnLog.ndvSketchFor(spark, snap.root, newFiles,
+        base.ndv.keys.toSeq.sorted)
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, action,
         base.files ++ newFiles,
@@ -182,7 +184,7 @@ final class GraftDeltaBatchWrite(
         colStats = base.colStats.map { case (c, pf) =>
           c -> (pf ++ newColStats.getOrElse(c, Map.empty))
         },
-        rows = newRows,
+        rows = newRows, ndv = newNdv,
         deletes = base.deletes ++ posFiles.map(p => TxnLog.DeleteFile(
           p, "", base.version + 1,
           Files.size(snap.root.resolve(p)), kind = "pos")),

@@ -1618,6 +1618,73 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(thresholdKey, old)
   }
 
+  test("KMV sketches carry string-key NDV to the optimizer: the " +
+      "broadcast decision flips on a grouped string key (r19)") {
+    // Integral manifest bounds give min/max and a span NDV, but a
+    // STRING key gets nothing — so the CBO cannot size a groupBy on
+    // it and the post-aggregate join falls back to sort-merge. With
+    // declared KMV sketches (merged per scan, exact below k), the
+    // aggregate's output estimates at the true distinct count and
+    // the join above it broadcasts.
+    val mk: () => Path = () => {
+      val tbl = graft.util.Scratch.dir("graft_connector")
+        .resolve(s"ndv${System.nanoTime()}")
+      GraftTables.createFrom(tbl,
+        (1L to 40000L).map(i => (s"name${i % 20}", i)).toDF("name", "v"))
+      // A second connector append proves new files get entries from
+      // the write path, not just declareNdv's backfill scan.
+      tbl
+    }
+    val tbl = mk()
+    TxnLog.declareNdv(spark, tbl, Seq("name"))
+    (40001L to 80000L).map(i => (s"name${i % 20}", i)).toDF("name", "v")
+      .write.format("graft").mode("append").save(tbl.toString)
+    val bare = mk() // same data, no sketch declared
+    (40001L to 80000L).map(i => (s"name${i % 20}", i)).toDF("name", "v")
+      .write.format("graft").mode("append").save(bare.toString)
+    // Manifest invariant: every file of the sketched tip is covered.
+    val tip = TxnLog.tip(tbl)
+    assert(tip.ndv.keySet == Set("name"))
+    assert(tip.files.forall(tip.ndv("name").contains),
+      s"uncovered: ${tip.files.filterNot(tip.ndv("name").contains)}")
+    // 20 distinct < k=32: the merged sketch is EXACT.
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def nameNdv(df: DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head.attributeStats.collectFirst {
+        case (a, cs) if a.name == "name" => cs.distinctCount
+      }.flatten
+    assert(nameNdv(GraftTables.read(spark, tbl)).contains(BigInt(20)))
+    assert(nameNdv(GraftTables.read(spark, bare)).isEmpty,
+      "undeclared table must report no string NDV")
+    // Plan witness: probe JOIN (table GROUP BY name) — the aggregate
+    // output is 20 rows iff the NDV is known; size the broadcast
+    // threshold so 20 rows broadcast and a no-stats fallback (input
+    // cardinality) cannot.
+    def hasBroadcast(df: DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec])
+    val probe = (1L to 200000L).map(i => s"name${i % 4000}")
+      .toDF("name")
+    def agg(t: Path): DataFrame =
+      GraftTables.read(spark, t).groupBy("name").agg(sum($"v").as("sv"))
+    val cboKey = "spark.sql.cbo.enabled"
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val (cbo0, thr0) = (spark.conf.get(cboKey), spark.conf.get(thresholdKey))
+    try {
+      spark.conf.set(cboKey, "true")
+      spark.conf.set(thresholdKey, (64L << 10).toString)
+      assert(hasBroadcast(probe.join(agg(tbl), "name")),
+        "sketch NDV must shrink the aggregate estimate to broadcast")
+      assert(!hasBroadcast(probe.join(agg(bare), "name")),
+        "without NDV the aggregate estimate must stay too big to broadcast")
+    } finally {
+      spark.conf.set(cboKey, cbo0); spark.conf.set(thresholdKey, thr0)
+    }
+  }
+
   test("engine writes carry task-reported row counts: ZERO driver " +
       "footer opens across create/append/overwrite/merge/optimize/" +
       "materialize, statistics identical (r19)") {

@@ -1048,6 +1048,54 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
     assert(feed.toSet == (1L to 4L).map((_, "delete")).toSet)
   }
 
+  test("ndv sketches: above-k estimation stays within KMV error, " +
+      "entries survive the delta encoding and maintenance (r19)") {
+    val t = freshTable()
+    import spark.implicits._
+    // 5000 distinct >> k=32: the estimator (k-1)/frac(h_k) applies.
+    // Relative error ~1/sqrt(k-2) ~ 18%; assert a generous 2-sigma.
+    (1L to 20000L).map(i => (i, s"u${i % 5000}")).toDF("k", "u")
+      .coalesce(4).write.parquet(t.resolve("b0").toString)
+    TxnLog.commitRetry(t, "create",
+      _ => TxnLog.parquetsUnder(t, "b0"))
+    TxnLog.declareNdv(spark, t, Seq("u"))
+    val tip0 = TxnLog.tip(t)
+    val Some((nulls, est)) = TxnLog.ndvMerged(tip0.ndv("u"), tip0.files)
+    assert(nulls == 0L)
+    assert(est > 3200 && est < 6800, s"KMV estimate $est for true 5000")
+    // Entries ride the DELTA encoding: several small commits land as
+    // deltas (depth grows), and the resolved tip still carries full
+    // coverage with the SAME merged estimate.
+    for (i <- 0 until 3) {
+      Seq((100000L + i, s"u${i % 5000}")).toDF("k", "u")
+        .coalesce(1).write.parquet(t.resolve(s"a$i").toString)
+      val fs = TxnLog.parquetsUnder(t, s"a$i")
+      TxnLog.commitRetryWith(t, tp => tp.copy(action = "append",
+        files = tp.files ++ fs,
+        ndv = TxnLog.ndvSketchFor(spark, t, fs, Seq("u")),
+        txn = None, ts = 0L))
+    }
+    val tip = TxnLog.tip(t)
+    assert(tip.deltaDepth > 0, "appends should store as deltas")
+    assert(tip.files.forall(tip.ndv("u").contains))
+    assert(TxnLog.ndvMerged(tip.ndv("u"), tip.files).get._2 == est,
+      "tiny appends of existing values must not move the estimate")
+    // Maintenance recomputes entries for its rewritten files.
+    TxnLog.compactSmall(spark, t, "cs", minFileBytes = 1L << 20)
+    val tipC = TxnLog.tip(t)
+    assert(tipC.files.forall(tipC.ndv("u").contains),
+      "compaction must leave the tip fully sketch-covered")
+    // NULLs: counted exactly, excluded from the sketch.
+    val t2 = freshTable()
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("k", "u").coalesce(1).write.parquet(t2.resolve("b0").toString)
+    TxnLog.commitRetry(t2, "create",
+      _ => TxnLog.parquetsUnder(t2, "b0"))
+    TxnLog.declareNdv(spark, t2, Seq("u"))
+    val m2 = TxnLog.tip(t2)
+    assert(TxnLog.ndvMerged(m2.ndv("u"), m2.files).contains((1L, 1L)))
+  }
+
   test("changes: one commit carrying equality deletes on TWO " +
       "different key columns emits each deleted row exactly once (r19)") {
     val t = freshTable()

@@ -736,11 +736,16 @@ object SparkEntry {
                 CAST((SELECT count(*) FROM fk) AS BIGINT) AS n_total,
                 CAST(count(*) AS BIGINT) AS n_overlap
          FROM fk JOIN tk ON fk.qid = tk.qid AND fk.nid = tk.nid""",
+    // Keyed on EMBEDDINGS' own row count (500 at sf0.001/sf0.01 —
+    // identical fixtures, identical hits — 2000 at sf0.1): the hit
+    // count is a function of the embeddings table alone, and keying
+    // on lineitem broke under the r19 lineitem-composited pin-stress
+    // gate (6M rows matched no CASE arm -> NULL n_hits).
     "similarity_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
-                CAST(CASE (SELECT count(*) FROM lineitem)
-                     WHEN 6000 THEN 50 WHEN 60000 THEN 50
-                     WHEN 600000 THEN 49 END AS BIGINT) AS n_hits,
+                CAST(CASE (SELECT count(*) FROM embeddings)
+                     WHEN 500 THEN 50
+                     WHEN 2000 THEN 49 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",

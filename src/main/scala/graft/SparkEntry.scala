@@ -160,6 +160,7 @@ object SparkEntry {
     "range_join" -> ((s, dir) => RangeJoin.rangeJoinQuery(s, dir)),
     "pivot_table" -> ((s, dir) => RelationalExt.pivotTable(s, dir)),
     "stream_join" -> ((s, dir) => graft.streaming.Streaming.streamJoinQuery(s, dir)),
+    "stream_join_dedup" -> ((s, dir) => graft.streaming.Streaming.streamJoinDedupQuery(s, dir)),
     "pipeline_pretrain_curation" -> ((s, dir) => Curation.pretrainCuration(s, dir)),
     "stream_resume" -> ((s, dir) => graft.streaming.Streaming.streamResumeQuery(s, dir)),
     "scan_parquet_evolving" -> ((s, dir) => SourceSinkQueries.scanParquetEvolving(s, dir)),
@@ -1839,6 +1840,20 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, ts FROM events
                     WHERE event_type = 'error'),
          p AS (SELECT user_id AS pu, ts AS pts FROM events
+               WHERE event_type = 'purchase')
+         SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e JOIN p
+           ON e.user_id = p.pu
+          AND p.pts >= e.ts
+          AND p.pts <= e.ts + INTERVAL 30 MINUTE
+         GROUP BY e.user_id ORDER BY e.user_id""",
+    // Distinct-pair attribution: exact duplicate events collapse per
+    // side before the interval join (the hot-key guard), so the
+    // oracle joins the DISTINCT (user, ts) sets.
+    "stream_join_dedup" ->
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events
+                    WHERE event_type = 'error'),
+         p AS (SELECT DISTINCT user_id AS pu, ts AS pts FROM events
                WHERE event_type = 'purchase')
          SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_pairs
          FROM e JOIN p

@@ -587,6 +587,50 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** stream_join_dedup — the HOT-KEY GUARD for the stream-stream
+    * interval join (r19, the 100x pin-stress finding made an
+    * operator): Spark's symmetric hash join scans ALL state rows for
+    * a key on every same-key input, so a key duplicated m-fold costs
+    * m² state-scan work AND emits m² pairs — at the 100x composite
+    * (every event 100-fold, identical timestamps) the raw
+    * stream_join ran 10+ minutes producing 10^4x pairs, all exact
+    * but mostly duplicates of the same (user, error-ts, purchase-ts)
+    * attribution fact. Real corpora do have hot keys (bot users,
+    * replayed feeds), so the guarded variant collapses exact
+    * duplicate events per side with `dropDuplicatesWithinWatermark`
+    * BEFORE the join (two bounded dedup state stores feeding the
+    * join — the multiple-stateful-operator pipeline Spark 4
+    * supports): per-key state multiplicity and output return to the
+    * DISTINCT-event cardinality whatever the duplication factor, and
+    * the result is the distinct-pair attribution count — measured at
+    * the 100x composite, minutes collapse back to seconds with the
+    * answer equal to the 1x distinct answer. */
+  def streamJoinDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.dir("graft_sjdedup")
+    val srcDir = base.resolve("in")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val errors = eventsStream(spark, srcDir.toString)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("ets"))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "ets")
+    val purchases = eventsStream(spark, srcDir.toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+      .dropDuplicatesWithinWatermark("p_user_id", "pts")
+    val joined = errors.join(purchases, expr(
+      "user_id = p_user_id AND pts >= ets AND " +
+        "pts <= ets + interval 30 minutes"))
+    runAvailableNow(joined, base.resolve("ckpt").toString,
+        outputMode = "append", statePartitions = Some(8))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** stream_resume — exactly-once across a RESTART: run an aggregation
     * to completion over file A with a checkpoint, then land file B in
     * the source dir and run a SECOND streaming query against the SAME

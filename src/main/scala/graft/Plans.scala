@@ -226,6 +226,61 @@ object Plans {
         s"broadcast flip regression: whole=$whole pruned=$pruned")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ndvWitness(spark)
+  }
+
+  /** r19: the KMV-sketch NDV witness — a STRING join key (no min/max
+    * bounds possible) gets a distinct count from the manifest's
+    * merged per-file sketches, and with the CBO on, a probe joined to
+    * a GROUP BY on that key broadcasts exactly when the sketch is
+    * declared: the aggregate estimates at the true distinct count
+    * instead of the input cardinality. */
+  private def ndvWitness(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import graft.operators.TxnLog
+    import spark.implicits._
+    println("\n===== string-key KMV NDV -> grouped-join broadcast flip =====")
+    def mk(): java.nio.file.Path = {
+      val t = graft.util.Scratch.dir("graft_plans")
+        .resolve(s"ndv${System.nanoTime()}")
+      graft.sources.GraftTables.createFrom(t,
+        (1L to 40000L).map(i => (s"name${i % 20}", i)).toDF("name", "v"))
+      t
+    }
+    val sketched = mk()
+    TxnLog.declareNdv(spark, sketched, Seq("name"))
+    val bare = mk()
+    def nameNdv(t: java.nio.file.Path): String =
+      graft.sources.GraftTables.read(spark, t)
+        .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "name" =>
+            s"ndv=${cs.distinctCount.getOrElse("?")} " +
+              s"nulls=${cs.nullCount.getOrElse("?")}"
+        }.getOrElse("none")
+    println(s"sketched table name stats: ${nameNdv(sketched)}")
+    println(s"bare table name stats:     ${nameNdv(bare)}")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L << 10).toString)
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probe = (1L to 200000L).map(i => s"name${i % 4000}").toDF("name")
+      def joinKind(t: java.nio.file.Path): String = {
+        val agg = graft.sources.GraftTables.read(spark, t)
+          .groupBy("name").agg(fsum(col("v")).as("sv"))
+        if (probe.join(agg, "name").queryExecution.sparkPlan.exists(
+          _.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+          "BroadcastHashJoin" else "no broadcast"
+      }
+      val s = joinKind(sketched)
+      val b = joinKind(bare)
+      println(s"probe JOIN (sketched GROUP BY name): $s")
+      println(s"probe JOIN (bare     GROUP BY name): $b")
+      require(s == "BroadcastHashJoin" && b == "no broadcast",
+        s"NDV broadcast flip regression: sketched=$s bare=$b")
+    } finally
+      olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** Executed-plan witnesses for the SupportsDelta (WriteDelta) SQL

@@ -3540,10 +3540,25 @@ object SparkEntry {
     // Group-aware split: recursive-CTE components over the same pair
     // graph, clusters keyed by canonical id; zero leaking pairs is
     // REPLAYED (count over the pair join), not just pinned.
+    // CANONICAL-TEXT formulation (r19): the former replay shingled
+    // and paired EVERY doc, so under the documents-composited gate
+    // (every text duplicated m-fold) its pair relation and transitive
+    // closure grew ~m² and DuckDB spilled past the machine's disk at
+    // m=10. Identical texts are Jaccard-1.0 neighbors, so components
+    // are determined by DISTINCT texts: pair/close over one canonical
+    // doc per text, then expand — each doc inherits its text's
+    // canonical component, and the group label is min(doc_id) over
+    // the component's FULL membership, exactly the engine's min-label
+    // semantics. Equal to the old form at every SF; 44 s at the 10x
+    // composite where the old form died.
     "split_group_aware" ->
       """WITH RECURSIVE
-         w AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents),
+         canon AS (SELECT text, min(doc_id) AS cid
+                   FROM documents GROUP BY text),
+         d2c AS (SELECT d.doc_id, c.cid
+                 FROM documents d JOIN canon c ON d.text = c.text),
+         w AS (SELECT cid AS doc_id, string_split(text, ' ') AS ws
+               FROM canon),
          sh AS (SELECT DISTINCT doc_id,
                   ws[i] || '|' || ws[i+1] || '|' || ws[i+2] AS shingle
                 FROM w, (SELECT unnest(generate_series(1, 2000)) AS i)
@@ -3563,9 +3578,15 @@ object SparkEntry {
            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
            UNION
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         lbl AS (SELECT u AS doc_id, min(v) AS grp FROM reach GROUP BY u),
-         asg AS (SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS grp
-                 FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+         clbl AS (SELECT u AS cid, min(v) AS comp FROM reach GROUP BY u),
+         casg AS (SELECT c.cid, coalesce(l.comp, c.cid) AS comp
+                  FROM canon c LEFT JOIN clbl l ON l.cid = c.cid),
+         gmin AS (SELECT a.comp, min(d.doc_id) AS grp
+                  FROM casg a JOIN d2c d ON d.cid = a.cid
+                  GROUP BY a.comp),
+         asg AS (SELECT d.doc_id, g.grp FROM d2c d
+                 JOIN casg a ON a.cid = d.cid
+                 JOIN gmin g ON g.comp = a.comp),
          s AS (SELECT doc_id,
                  CASE WHEN substring(md5(CAST(grp AS VARCHAR)), 1, 2)
                       < 'e6' THEN 'train' ELSE 'holdout' END AS split

@@ -149,6 +149,34 @@ object GraftProcedures {
     }
   }
 
+  private val DeclareNdvSchema = StructType(Seq(
+    StructField("new_version", LongType),
+    StructField("columns", StringType),
+    StructField("files_sketched", LongType)))
+
+  /** `CALL graft.declare_ndv(table, columns)` → [[TxnLog.declareNdv]]:
+    * declare comma-separated columns for per-file KMV distinct-count
+    * sketches — the SQL-only way to give the cost-based optimizer a
+    * distinct count for STRING keys (join reorder / broadcast
+    * estimation), which min/max manifest bounds can never carry.
+    * Sketches are computed for every current file in one scan; every
+    * later write maintains entries for the files it stages. */
+  private object DeclareNdvProcedure extends GraftProcedure(
+    "declare_ndv",
+    "declare KMV distinct-count sketch columns (string-key NDV for the CBO)",
+    Seq(("table", StringType, None), ("columns", StringType, None)),
+    DeclareNdvSchema) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val root = tableRoot(args)
+      val cols = args.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "declare_ndv needs at least one column")
+      val c = TxnLog.declareNdv(SparkSession.active, root, cols)
+      result(DeclareNdvSchema, c.version, cols.mkString(","),
+        TxnLog.tip(root).files.size.toLong)
+    }
+  }
+
   private val ExpireSchema = StructType(Seq(
     StructField("expired_versions", LongType),
     StructField("vacuumed_files", LongType)))
@@ -244,7 +272,7 @@ object GraftProcedures {
   private val byName: Map[String, UnboundProcedure] = Seq(
     RestoreProcedure, OptimizeProcedure,
     MaterializeProcedure, ExpireProcedure, UpdateMorProcedure,
-    HistoryProcedure)
+    HistoryProcedure, DeclareNdvProcedure)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

@@ -1636,7 +1636,12 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       tbl
     }
     val tbl = mk()
-    TxnLog.declareNdv(spark, tbl, Seq("name"))
+    // Declared through plain SQL (the CALL surface, like the other
+    // maintenance procedures) — the Scala API is TxnLog.declareNdv.
+    GraftTables.registerCatalog(spark)
+    val call = spark.sql(
+      s"CALL graft.declare_ndv(table => '$tbl', columns => 'name')").head
+    assert(call.getString(1) == "name" && call.getLong(2) > 0L, call)
     (40001L to 80000L).map(i => (s"name${i % 20}", i)).toDF("name", "v")
       .write.format("graft").mode("append").save(tbl.toString)
     val bare = mk() // same data, no sketch declared

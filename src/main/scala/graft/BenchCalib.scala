@@ -195,6 +195,57 @@ object BenchCalib {
       math.min(math.max(thisBest / math.max(r, SanityFloorSec), 1.0), 1.5)
     }
 
+  /** Three-way query class for round-over-round drift reads (r19
+    * verdict task 8): "cpu" (scan/expression cost — host-invariant
+    * per the r17-r19 attributions), "io" (file/commit/checkpoint
+    * lifecycle — the page-cache/fsync-sensitive class every committed
+    * r18/r19 sweep drift rode: sinks, table-format commits, streaming
+    * state), "shuffle" (the rest: wide aggregations, joins, dedup).
+    * Classes partition the surface by WHICH host signature explains a
+    * uniform drift, so the round-over-round comparison can say
+    * "host-class" or "code-suspect" mechanically instead of via a
+    * hand-run same-host A/B each round. */
+  private val IoClassPrefixes =
+    Seq("sink_", "table_", "stream_", "pipeline_", "scan_kafka")
+
+  def queryClass(name: String): String =
+    if (isCpuClass(name)) "cpu"
+    else if (IoClassPrefixes.exists(name.startsWith)) "io"
+    else "shuffle"
+
+  /** Per-class MEDIAN of measured/reference across queries present in
+    * both sweeps — the committed-reference comparison, class-scoped.
+    * A single-query regression moves its class median by ~nothing (the
+    * per-query suspect gate owns that shape); a CLASS-WIDE shift is
+    * exactly the host-drift signature the r18/r19 rounds burned a
+    * same-host A/B on. Empty when there is no usable reference. */
+  def classMedianRatios(
+      cur: Seq[(String, Double)],
+      ref: Map[String, Double]): Map[String, Double] =
+    cur.flatMap { case (n, t) =>
+      ref.get(n).filter(_ > SanityFloorSec).map(p => queryClass(n) -> t / p)
+    }.groupBy(_._1).map { case (c, xs) =>
+      val v = xs.map(_._2).sorted
+      c -> v(v.size / 2)
+    }
+
+  /** One-line round-over-round drift verdict from the class medians,
+    * for the judge to read directly (r19 task 8). Thresholds: 1.15
+    * (≈ the residual the r19 host-class attribution measured) and its
+    * inverse for "improved". CPU-class drift is never host (that
+    * class measures AT reference across host classes), so a CPU
+    * median past threshold reads code-suspect; an io/shuffle-only
+    * shift reads host-class — per-query code regressions inside those
+    * classes are still caught individually by the suspect gate. */
+  def driftVerdict(
+      classRatios: Map[String, Double], contended: Boolean): String =
+    if (classRatios.isEmpty) "no-reference"
+    else if (contended) "contended"
+    else if (classRatios.getOrElse("cpu", 1.0) > 1.15) "code-suspect-cpu"
+    else if (classRatios.valuesIterator.exists(_ > 1.15)) "drift-host-class"
+    else if (classRatios.valuesIterator.forall(_ < 0.9)) "improved"
+    else "steady"
+
   /** Strict `k=v;k=v` parser for the SPARK_GRAFT_CONF A/B hook: a
     * token without '=' (or with an empty key) FAILS LOUDLY — in an
     * experiment hook a silently-dropped typo invalidates the A/B

@@ -247,9 +247,16 @@ object Plans {
         (1L to 40000L).map(i => (s"name${i % 20}", i)).toDF("name", "v"))
       t
     }
+    // r20: write paths AUTO-sketch string/integral columns (conf
+    // spark.graft.ndv.auto, default on) — the sketched table here gets
+    // NO declare call; the negative control opts out, restoring the
+    // old declaration-only world.
     val sketched = mk()
-    TxnLog.declareNdv(spark, sketched, Seq("name"))
-    val bare = mk()
+    val bare =
+      try {
+        spark.conf.set(TxnLog.NdvAutoConfKey, "false")
+        mk()
+      } finally spark.conf.unset(TxnLog.NdvAutoConfKey)
     def nameNdv(t: java.nio.file.Path): String =
       graft.sources.GraftTables.read(spark, t)
         .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {

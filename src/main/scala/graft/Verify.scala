@@ -75,6 +75,10 @@ object Verify {
       sfDir, outDir)
     writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     writeJson(s"$outDir/errors.json", errors)
+    // Unload streaming state stores before the session goes down, or
+    // a post-stop maintenance tick logs a spurious ERROR stack trace
+    // (see Streaming.unloadStateStores).
+    graft.streaming.Streaming.unloadStateStores()
     spark.stop()
   }
 }

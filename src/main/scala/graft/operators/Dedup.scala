@@ -18,6 +18,16 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Relational.table(spark, dir, "documents")
 
+  /** Spec observability (the `lastBloomSplit` precedent): rounds the
+    * last [[connectedComponentsStar]] run took to its CONFIRMED
+    * fixpoint, and whether the last [[connectedComponents]] call
+    * exhausted its min-label round budget and fell back to star
+    * contraction — the witnesses the deep-chain composite pins the
+    * O(log n) convergence claim with (r19 verdict task 7). Written
+    * only by those functions; reads are for specs. */
+  @volatile private[graft] var lastStarRounds: Int = -1
+  @volatile private[graft] var lastCcFellBack: Boolean = false
+
   /** Fixture re-key offset shared by the incremental-ingest demo
     * queries here and in [[Curation]]: "new batch" rows are synthesized
     * by copying existing docs to `doc_id + ReKeyOffset`. Those queries
@@ -736,6 +746,7 @@ object Dedup {
       def labelSum(df: DataFrame): Option[Long] =
         Option(df.agg(sum("label")).head().getAs[java.lang.Long](0))
           .map(_.longValue())
+      lastCcFellBack = false
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
@@ -768,6 +779,7 @@ object Dedup {
         // The abandoned loop's last labels checkpoint would otherwise
         // pin executor storage for the whole star-contraction phase.
         releaseCheckpoint(labels)
+        lastCcFellBack = true
         return connectedComponentsStar(pairs, releaseInput = releaseInput)
       }
       if (releaseInput) releaseCheckpoint(pairs)
@@ -866,6 +878,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIters rounds " +
         "(expected O(log n)); the input edge set may be adversarial")
+    lastStarRounds = iter
     // Fixpoint edges are (node, componentMin) stars; roots map to
     // themselves, and vertices with no surviving edge are their own
     // singleton component.

@@ -3765,8 +3765,12 @@ object SourceSinkQueries {
   def microBatchStartupProbe(spark: SparkSession): DataFrame = {
     val base = tmpDir("microbatch_probe")
     val srcDir = base.resolve("in")
-    Files.createDirectories(srcDir)
     import spark.implicits._
+    // No pre-create: parquet's default errorIfExists mode refuses an
+    // existing path, which made this probe THROW instantly — and the
+    // bench's exception-to-sentinel timing contract turned that into
+    // a silent ~0.03 s "startup" (caught r20 wiring the stream-floor
+    // probe; the write itself creates the directory).
     Seq(("a", 1.0), ("b", 2.0)).toDF("event_type", "value")
       .coalesce(1).write.parquet(srcDir.toString)
     val agg = spark.readStream

@@ -1152,6 +1152,31 @@ object TxnLog {
     * values (the dimension-key case join reorder actually needs). */
   val NdvSketchK: Int = 32
 
+  /** `spark.graft.ndv.auto` — default ON: engine write paths sketch
+    * every string/integral column of the files they stage, so new
+    * tables reach the cost-based optimizer with string-key NDV
+    * without anyone knowing to run `CALL graft.declare_ndv`. Set to
+    * `false` to restrict sketching to explicitly declared columns. */
+  val NdvAutoConfKey = "spark.graft.ndv.auto"
+
+  private[graft] def ndvAuto(spark: SparkSession): Boolean =
+    spark.conf.getOption(NdvAutoConfKey).forall(_.trim.toBoolean)
+
+  /** Auto-sketch eligibility: the types a join or group key
+    * plausibly has AND whose xxhash64 is cheap per row — strings
+    * (the case bounds cannot serve at all) and fixed-width
+    * integrals. Floats/decimals/temporals/complex types stay
+    * declaration-only. */
+  private[graft] def ndvAutoEligible(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Per-file KMV distinct sketches for `cols` over `files`, in ONE
     * scan however many columns ride along (the [[colStatsFor]]
     * discipline). Each entry is `nullCount +: sketch`: element 0 is
@@ -1167,17 +1192,34 @@ object TxnLog {
     * excluded from the sketch (SQL distinct-count semantics). */
   def ndvSketchFor(
       spark: SparkSession, table: Path, files: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, Seq[Long]]] = {
+      cols0: Seq[String], auto: Boolean = false)
+      : Map[String, Map[String, Seq[Long]]] = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty || cols.isEmpty)
-      return cols.map(_ -> Map.empty[String, Seq[Long]]).toMap
+    if (files.isEmpty || (cols0.isEmpty && !(auto && ndvAuto(spark))))
+      return cols0.map(_ -> Map.empty[String, Seq[Long]]).toMap
     val df = spark.read
       .parquet(files.map(f => table.resolve(f).toString): _*)
-    cols.foreach { c =>
+    cols0.foreach { c =>
       require(df.schema.fieldNames.contains(c),
         s"ndv column `$c` does not exist in the table schema " +
           df.schema.fieldNames.mkString("[", ", ", "]"))
     }
+    // Auto mode (write paths): sketch every join/grouping-plausible
+    // column — strings (which min/max bounds can never size for the
+    // CBO) and integrals — in ADDITION to the declared set, so a
+    // table nobody ran `declare_ndv` on still reaches the optimizer
+    // with string-key cardinality (r19 verdict task 2: opt-in
+    // declaration left every undeclared table CBO-blind). The sketch
+    // rides this same one-scan pass; marginal cost is O(k) per
+    // column per file. `spark.graft.ndv.auto=false` opts out;
+    // `declare_ndv` remains the explicit override either way.
+    val cols =
+      if (!auto || !ndvAuto(spark)) cols0
+      else (cols0 ++ df.schema.fields.collect {
+        case f if ndvAutoEligible(f.dataType) => f.name
+      }).distinct.sorted
+    if (cols.isEmpty)
+      return Map.empty[String, Map[String, Seq[Long]]]
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
       graft.functions.BottomKLongs.asColumn(
@@ -1533,7 +1575,7 @@ object TxnLog {
     val newColStats =
       colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
     val newNdv = ndvSketchFor(spark, table, written,
-      t0.ndv.keys.toSeq.sorted)
+      t0.ndv.keys.toSeq.sorted, auto = true)
     val affectedSet = affected.toSet
     commitRetryWith(table, t => {
       // Like a CoW merge, this rewrite does not commute: it replaced
@@ -1676,7 +1718,7 @@ object TxnLog {
       val newColStats =
         colStatsFor(spark, table, newFiles, tip.colStats.keys.toSeq.sorted)
       val newNdv = ndvSketchFor(spark, table, newFiles,
-        tip.ndv.keys.toSeq.sorted)
+        tip.ndv.keys.toSeq.sorted, auto = true)
       tryCommitManifest(table, Manifest(tipVersion + 1, tipVersion,
         "merge", keptFiles,
         (ranges -- affected) ++ newStats,
@@ -1733,7 +1775,7 @@ object TxnLog {
         stats, effKey, columns = t.columns, colStats = newColStats,
         rows = staged.toMap,
         ndv = ndvSketchFor(spark, table, newFiles,
-          tipM.ndv.keys.toSeq.sorted))
+          tipM.ndv.keys.toSeq.sorted, auto = true))
     })
   }
 
@@ -2245,13 +2287,13 @@ object TxnLog {
                       .parquet(ds.map(d =>
                         table.resolve(d.path).toString): _*)
                       .select(col(k)).distinct()
-                      .withColumn(s"__eq$i", lit(1))
+                      .withColumn(s"__graft_eq$i", lit(1))
                     acc.join(broadcast(keys), Seq(k), "left_outer")
                   }
-                val markers = byKey.indices.map(i => col(s"__eq$i"))
+                val markers = byKey.indices.map(i => col(s"__graft_eq$i"))
                 marked.filter(markers.map(_.isNotNull)
                     .reduce(_ || _))
-                  .drop(markers.indices.map(i => s"__eq$i"): _*)
+                  .drop(markers.indices.map(i => s"__graft_eq$i"): _*)
               }
           }
           val dels = (posDiff.toSeq ++ eqDiffs)
@@ -2340,7 +2382,7 @@ object TxnLog {
         },
         deletes = t0.deletes, rows = staged.toMap,
         ndv = ndvSketchFor(spark, table, written,
-          t0.ndv.keys.toSeq.sorted))
+          t0.ndv.keys.toSeq.sorted, auto = true))
     })
   }
 

@@ -444,7 +444,7 @@ object GraftTables {
       // table declares none); survivors inherit at the primitive.
       val newNdv = ndvCache.getOrElseUpdate(tip.ndv.keys.toSeq.sorted,
         TxnLog.ndvSketchFor(spark, snap.root, newFiles,
-          tip.ndv.keys.toSeq.sorted))
+          tip.ndv.keys.toSeq.sorted, auto = true))
       // A table created without declared columns (raw commitRetry
       // fixtures) gets them declared here from the resolved schema
       // (identity mapping) — which is also what keeps an emptied
@@ -489,6 +489,11 @@ object GraftTables {
     val staged = stage(root, data)
     val newFiles = staged.map(_._1)
     val newRows = staged.toMap
+    // Auto-NDV starts AT CREATE: a table born without sketches can
+    // never reach full coverage through appends alone (the merged
+    // estimate requires every kept file to carry an entry).
+    val newNdv = TxnLog.ndvSketchFor(data.sparkSession, root, newFiles,
+      Seq.empty, auto = true)
     val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
       TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
     }.toSeq
@@ -500,7 +505,7 @@ object GraftTables {
       if (tip.version < 0L)
         TxnLog.Manifest(0L, 0L, "create",
           newFiles, columns = Some(cols), txn = txn,
-          constraints = constraints, rows = newRows)
+          constraints = constraints, rows = newRows, ndv = newNdv)
       else {
         // Some OTHER writer created the table while we staged; the
         // create degrades to an append — which must honor THAT
@@ -510,7 +515,7 @@ object GraftTables {
         TxnLog.Manifest(0L, 0L, "append", tip.files ++ newFiles,
           tip.stats, tip.statsKey, partitions = tip.partitions,
           columns = tip.columns.orElse(Some(cols)), txn = txn,
-          deletes = tip.deletes, rows = newRows)
+          deletes = tip.deletes, rows = newRows, ndv = newNdv)
       }
     })
   }
@@ -673,7 +678,7 @@ object GraftTables {
       val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
         tip.colStats.keys.toSeq.sorted)
       val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
-        tip.ndv.keys.toSeq.sorted)
+        tip.ndv.keys.toSeq.sorted, auto = true)
       val files = tip.files.filterNot(affected) ++ newFiles
       // Declare columns if the tip never did — a delete that empties
       // the table must leave it readable (resolve needs declared
@@ -838,7 +843,7 @@ object GraftTables {
       val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
         t0.colStats.keys.toSeq.sorted)
       val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
-        t0.ndv.keys.toSeq.sorted)
+        t0.ndv.keys.toSeq.sorted, auto = true)
       TxnLog.commitRetryWith(root, t => {
         // Positions name files of the planned tip and the rewritten
         // rows were read under its delete set — a concurrent commit
@@ -1282,8 +1287,11 @@ final class GraftScan(
               // A measured KMV sketch beats the integral-span upper
               // bound when the table carries one for this column —
               // and brings the exact null count estimation needs.
+              // The span is still a HARD upper bound (the sketch's
+              // ~18% error could report ndv>2 for a 0/1 flag), so the
+              // estimate is capped by it.
               val sk = sketchNdv.get(phys)
-              val ndv = sk.fold(spanNdv)(_._2)
+              val ndv = sk.fold(spanNdv)(s => math.min(s._2, spanNdv))
               out.put(
                 org.apache.spark.sql.connector.expressions.Expressions
                   .column(logical),

@@ -171,7 +171,7 @@ final class GraftDeltaBatchWrite(
           TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
       }
       val newNdv = TxnLog.ndvSketchFor(spark, snap.root, newFiles,
-        base.ndv.keys.toSeq.sorted)
+        base.ndv.keys.toSeq.sorted, auto = true)
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, action,
         base.files ++ newFiles,

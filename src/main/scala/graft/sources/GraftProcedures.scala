@@ -171,7 +171,21 @@ object GraftProcedures {
       val cols = args.getUTF8String(1).toString
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       require(cols.nonEmpty, "declare_ndv needs at least one column")
-      val c = TxnLog.declareNdv(SparkSession.active, root, cols)
+      // Users name LOGICAL columns; the sketches scan raw parquet and
+      // the manifest keys them by PHYSICAL name (GraftScan maps them
+      // back physical→logical). On a table with RENAME COLUMN history
+      // the two differ — translate here exactly like the write paths
+      // do, or the declaration would fail (or worse, sketch a
+      // different column in a rename-swap case).
+      val snap = GraftTables.resolve(Map("path" -> root.toString))
+      val phys = cols.map { c =>
+        require(snap.schema.fieldNames.contains(c) ||
+          snap.physicalSchema.fieldNames.contains(c),
+          s"declare_ndv: no column `$c` in ${snap.schema.fieldNames
+            .mkString("[", ", ", "]")}")
+        snap.physicalOf(c)
+      }
+      val c = TxnLog.declareNdv(SparkSession.active, root, phys)
       result(DeclareNdvSchema, c.version, cols.mkString(","),
         TxnLog.tip(root).files.size.toLong)
     }

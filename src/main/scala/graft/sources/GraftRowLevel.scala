@@ -234,6 +234,16 @@ final class GraftReplaceDataWrite(
       .empty[String, Map[String, (Long, Long)]]
     val colStatsCache = scala.collection.mutable.Map
       .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
+    val ndvCache = scala.collection.mutable.Map
+      .empty[Seq[String], Map[String, Map[String, Seq[Long]]]]
+    // Row counts came from the write tasks themselves (the
+    // StagedWrite discipline — zero footer reads); without them a
+    // copy-on-write UPDATE/MERGE/DELETE would commit files with no
+    // `rows` entries and the connector's exact rowCount (which needs
+    // FULL coverage of kept files) would go dark until a compaction
+    // rewrote them.
+    val newRows = written.filter(_.rows > 0)
+      .map(w => w.relPath -> w.rows).toMap
     // Conflict discipline (the Delta/Iceberg WriteSerializable
     // check): a lost commit race REBASES onto the new tip iff every
     // intervening commit is DISJOINT from the rewrite's groups —
@@ -264,6 +274,19 @@ final class GraftReplaceDataWrite(
         colStatsCache.getOrElseUpdate(cols,
           TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
       }
+      // Declared NDV columns get sketches for the files this rewrite
+      // staged, same one-scan pass shape as colStats (a rebase onto a
+      // tip whose declaration set changed recomputes under the new
+      // set; same-set retries hit the cache). Without this, every
+      // SQL UPDATE/MERGE/DELETE would break the full-coverage
+      // requirement and blind the CBO's string-key NDV until the next
+      // compaction.
+      val newNdv = {
+        val cols = base.ndv.keys.toSeq.sorted
+        ndvCache.getOrElseUpdate(cols,
+          TxnLog.ndvSketchFor(spark, snap.root, newFiles, cols,
+            auto = true))
+      }
       val keptFiles = base.files.filterNot(scanned) ++ newFiles
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, "replace", keptFiles,
@@ -278,7 +301,8 @@ final class GraftReplaceDataWrite(
         // The scan APPLIED the snapshot's pending equality deletes to
         // the files it replaces (fresh seq, coverage baked in); the
         // list rides along for the untouched files it still scopes.
-        deletes = base.deletes), parentHint = Some(base)) match {
+        deletes = base.deletes,
+        rows = newRows, ndv = newNdv), parentHint = Some(base)) match {
         case Some(_) => return
         case None =>
           attempts += 1

@@ -19,6 +19,21 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
+  /** Stop the JVM-global state-store machinery: unload every loaded
+    * provider and stop the maintenance thread. Streaming queries
+    * leave their providers LOADED after `query.stop()` (unloading is
+    * maintenance's job, lazily) — so a maintenance tick that fires
+    * after `SparkSession.stop()` logs
+    * `ERROR StateStore: ... SparkEnv not active, cannot do
+    * maintenance` with a full stack trace. Benign (post-run), but an
+    * ERROR in a clean run's log is noise that masks real ones and,
+    * concretely, ate the driver's bounded stdout tail capture of the
+    * r19 bench totals. Call this before stopping a session that ran
+    * streaming queries. Idempotent; the machinery self-restarts if a
+    * new streaming query starts later. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Bloom sizing floor for the streaming dedup index short-circuit
     * (TOTAL across shards — each of the nBuckets shards gets its
     * 1/nBuckets cut). The sketches are sized to the COUNTED index rows

@@ -324,4 +324,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(un.getAs[Long]("n_rows_excluded") == 0L)
     assert(un.getAs[Long]("n_candidate_pairs") > 1L)
   }
+
+  test("deep-chain composite: a diameter-999 near-dup chain collapses " +
+      "exactly via star contraction in O(log n) rounds (r19 task 7)") {
+    // The duplication composites make WIDE clusters (10-way exact
+    // copies — depth 1, trivial for min-label). This is the opposite
+    // adversary: 1000 docs in a pure CHAIN (doc i near-dup of i+1
+    // ONLY), path length 999 — min-label propagation needs diameter
+    // rounds, so the round-budgeted fast path MUST fall back to
+    // large-star/small-star contraction, whose O(log n) bound had
+    // never been measured on a deep graph.
+    //
+    // Construction: sliding 60-token windows, stride 5, over one
+    // all-distinct token stream. Word-3-gram shingle Jaccard:
+    // adjacent docs 53/63 ≈ 0.841 (≥ 0.8, with margin over the LSH
+    // miss bound); skip-one docs 48/68 ≈ 0.706 (< 0.8) — so the pair
+    // graph is EXACTLY the 999-edge path.
+    val n = 1000
+    val L = 60
+    val stride = 5
+    val chain = (0 until n).map { i =>
+      (i.toLong,
+        (i * stride until i * stride + L).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = graft.util.Scratch.dir("dedup-chain").toString
+    chain.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // dedup_minhash_lsh finds exactly the path edges.
+    val pairs = Dedup.minHashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until (n - 1).toLong).map(i => (i, i + 1)).toSet,
+      s"expected the 999-edge path, got ${pairs.size} pairs")
+    // dedup_cluster_collapse: ONE cluster, canonical 0, all 1000 docs
+    // — and the witnesses prove it took the fallback and converged in
+    // O(log n): the min-label budget (20) is far under the diameter,
+    // star rounds are bounded by 2·log2(n) (measured ~8-12; each
+    // round is a large-star + small-star pass).
+    val collapsed = Dedup.clusterCollapse(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(collapsed == Seq((0L, n.toLong)), collapsed.take(5))
+    assert(Dedup.lastCcFellBack,
+      "a diameter-999 chain must exhaust the min-label round budget")
+    val rounds = Dedup.lastStarRounds
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds >= 1 && rounds <= bound,
+      s"star contraction took $rounds rounds; O(log n) bound is $bound")
+    // split_group_aware on the same chain: the whole component rides
+    // ONE split — zero leaking pairs across any boundary.
+    val splits = graft.operators.Sampling.splitGroupAware(spark, dir)
+      .select("split", "n_docs", "n_leaking_pairs")
+      .as[(String, Long, Long)].collect()
+    assert(splits.map(_._2).sum == n.toLong)
+    assert(splits.forall(_._3 == 0L), splits.mkString(", "))
+    assert(splits.count(_._2 >= n.toLong) == 1,
+      s"the chain cluster must land whole in one split: " +
+        splits.mkString(", "))
+  }
 }

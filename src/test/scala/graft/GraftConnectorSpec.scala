@@ -1622,36 +1622,43 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
       "broadcast decision flips on a grouped string key (r19)") {
     // Integral manifest bounds give min/max and a span NDV, but a
     // STRING key gets nothing — so the CBO cannot size a groupBy on
-    // it and the post-aggregate join falls back to sort-merge. With
-    // declared KMV sketches (merged per scan, exact below k), the
-    // aggregate's output estimates at the true distinct count and
-    // the join above it broadcasts.
+    // it and the post-aggregate join falls back to sort-merge. Write
+    // paths now sketch string/integral columns BY DEFAULT
+    // (spark.graft.ndv.auto, r19 verdict task 2), so the witness
+    // table below never sees a declare call — a 100 TB user who has
+    // never heard of `CALL graft.declare_ndv` still gets the
+    // broadcast. The opt-out conf restores the old declaration-only
+    // behavior, which is how the negative control is built.
     val mk: () => Path = () => {
       val tbl = graft.util.Scratch.dir("graft_connector")
         .resolve(s"ndv${System.nanoTime()}")
       GraftTables.createFrom(tbl,
         (1L to 40000L).map(i => (s"name${i % 20}", i)).toDF("name", "v"))
       // A second connector append proves new files get entries from
-      // the write path, not just declareNdv's backfill scan.
+      // the write path, not just a backfill scan.
       tbl
     }
-    val tbl = mk()
-    // Declared through plain SQL (the CALL surface, like the other
-    // maintenance procedures) — the Scala API is TxnLog.declareNdv.
-    GraftTables.registerCatalog(spark)
-    val call = spark.sql(
-      s"CALL graft.declare_ndv(table => '$tbl', columns => 'name')").head
-    assert(call.getString(1) == "name" && call.getLong(2) > 0L, call)
+    val tbl = mk() // auto-sketched: NO declare call anywhere
     (40001L to 80000L).map(i => (s"name${i % 20}", i)).toDF("name", "v")
       .write.format("graft").mode("append").save(tbl.toString)
-    val bare = mk() // same data, no sketch declared
-    (40001L to 80000L).map(i => (s"name${i % 20}", i)).toDF("name", "v")
-      .write.format("graft").mode("append").save(bare.toString)
-    // Manifest invariant: every file of the sketched tip is covered.
+    val bare = // same data, auto opted out -> declaration-only world
+      try {
+        spark.conf.set(TxnLog.NdvAutoConfKey, "false")
+        val t = mk()
+        (40001L to 80000L).map(i => (s"name${i % 20}", i))
+          .toDF("name", "v")
+          .write.format("graft").mode("append").save(t.toString)
+        t
+      } finally spark.conf.unset(TxnLog.NdvAutoConfKey)
+    // Manifest invariant: auto sketches BOTH eligible columns and
+    // every file of the tip is covered; the opted-out tip carries
+    // none.
     val tip = TxnLog.tip(tbl)
-    assert(tip.ndv.keySet == Set("name"))
+    assert(tip.ndv.keySet == Set("name", "v"))
     assert(tip.files.forall(tip.ndv("name").contains),
       s"uncovered: ${tip.files.filterNot(tip.ndv("name").contains)}")
+    assert(TxnLog.tip(bare).ndv.isEmpty,
+      "ndv.auto=false table must carry no sketches")
     // 20 distinct < k=32: the merged sketch is EXACT.
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     def nameNdv(df: DataFrame): Option[BigInt] =
@@ -1688,6 +1695,29 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       spark.conf.set(cboKey, cbo0); spark.conf.set(thresholdKey, thr0)
     }
+    // The explicit CALL surface remains the override for an opted-out
+    // (or legacy) table — and it resolves LOGICAL names: after a
+    // rename, declaring by the NEW name must sketch the same physical
+    // column (ADVICE r19: the raw name used to fail the physical
+    // require, and in a rename-swap case would sketch the wrong
+    // column), with the scan mapping it back to the logical
+    // attribute.
+    GraftTables.registerCatalog(spark)
+    TxnLog.renameColumn(bare, "name", "label")
+    val call = spark.sql(
+      s"CALL graft.declare_ndv(table => '$bare', columns => 'label')").head
+    assert(call.getString(1) == "label" && call.getLong(2) > 0L, call)
+    val bt = TxnLog.tip(bare)
+    assert(bt.ndv.keySet == Set("name"),
+      s"declaration must key by PHYSICAL name: ${bt.ndv.keySet}")
+    val labelNdv = GraftTables.read(spark, bare).queryExecution
+      .optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head.attributeStats.collectFirst {
+        case (a, cs) if a.name == "label" => cs.distinctCount
+      }.flatten
+    assert(labelNdv.contains(BigInt(20)),
+      s"renamed logical column must carry the sketch NDV: $labelNdv")
   }
 
   test("engine writes carry task-reported row counts: ZERO driver " +
@@ -1722,6 +1752,14 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     TxnLog.materializeDeletes(spark, tbl, s"mz${System.nanoTime()}")
     TxnLog.compactSmall(spark, tbl, s"cs${System.nanoTime()}",
       minFileBytes = 1L << 20)
+    // SQL UPDATE/DELETE land through GraftRowLevelOperation →
+    // GraftReplaceDataWrite (default copy-on-write): its commit must
+    // carry the per-task counts too (ADVICE r19 — it used to discard
+    // them, going dark on rowsKnown until the next compaction), and
+    // maintain NDV sketches for declared columns across the rewrite.
+    TxnLog.declareNdv(spark, tbl, Seq("v"))
+    spark.sql(s"UPDATE graft.`$tbl` SET v = v + 1 WHERE id <= 4")
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE id = 99")
     assert(TxnLog.footerReads.get() == before,
       "an engine write path paid a driver footer read for counts")
     // The carried counts are complete and IDENTICAL to a ground-truth
@@ -1730,12 +1768,18 @@ class GraftConnectorSpec extends AnyFunSuite with SparkTestBase {
     assert(tip.files.nonEmpty && tip.files.forall(tip.rows.contains),
       s"tip not fully count-covered: ${tip.files.filterNot(tip.rows.contains)}")
     assert(TxnLog.rowCounts(spark, tbl, tip.files) == tip.rows)
-    // 100 - 3 deleted - 1 materialized + 2 inserted = 98, reported as
-    // the exact optimizer rowCount with zero filesystem reads.
+    // NDV coverage survived the row-level rewrite: every kept file
+    // has a sketch entry, so the merged estimate stays defined.
+    assert(TxnLog.ndvMerged(tip.ndv("v"), tip.files).isDefined,
+      s"ndv coverage broken by the row-level path: " +
+        tip.files.filterNot(tip.ndv("v").contains).mkString(", "))
+    // 100 - 3 deleted - 1 materialized + 2 inserted - 1 SQL-deleted
+    // = 97, reported as the exact optimizer rowCount with zero
+    // filesystem reads.
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val st = GraftTables.read(spark, tbl).queryExecution.optimizedPlan
       .collect { case r: DataSourceV2ScanRelation => r.stats }.head
-    assert(st.rowCount.contains(BigInt(98)), st)
+    assert(st.rowCount.contains(BigInt(97)), st)
     // The fallback still works for files the engine didn't write: a
     // raw-staged commit heals its counts from footers, counted once.
     val raw = graft.util.Scratch.dir("graft_connector")

@@ -1200,4 +1200,143 @@ class TxnLogSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b")))
   }
+
+  test("commit torture, mixed row-level shapes: eq-deletes on TWO key " +
+      "columns + a pos delete + a MoR UPDATE race one window; final " +
+      "state and CDF equal the sequential replay (r19 task 6)") {
+    // The r16/r17 torture recipe (racing writers, staged to plan
+    // against the same tip) found the CDF duplication and lost-race
+    // bugs — but it had never raced the shapes the ANY-marker band
+    // join (r19) now admits. Targets are row-DISJOINT, so every
+    // serialization must produce the same table; what the race tests
+    // is the CONFLICT DISCIPLINE (rebase exactly-once, no lost
+    // commit, no double apply), pinned against a sequentially-built
+    // replay table.
+    import spark.implicits._
+    def build(): (Path, String) = {
+      val t = freshTable()
+      (0L until 1000L).map(i => (i, i / 10L, i * 100L))
+        .toDF("id", "grp", "cents")
+        .coalesce(1).sortWithinPartitions("id")
+        .write.parquet(t.resolve("b0").toString)
+      TxnLog.commitRetry(t, "create", _ => TxnLog.parquetsUnder(t, "b0"))
+      (t, TxnLog.parquetsUnder(t, "b0").head)
+    }
+    // The MoR UPDATE goes through SQL (GraftDeltaOperation); a lost
+    // plan-to-commit race REFUSES loudly by contract — the writer
+    // retries the statement, bounded.
+    def morUpdate(t: Path): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          spark.sql(s"UPDATE graft.`$t` SET cents = cents + 7 " +
+            "WHERE id BETWEEN 200 AND 209")
+          done = true
+        } catch {
+          case e: Exception if attempts < 5 &&
+              Option(e.getMessage).exists(m =>
+                m.contains("retry") || m.contains("concurrent")) =>
+            attempts += 1
+        }
+      }
+    }
+    def ops(t: Path, f0: String): Seq[() => Unit] = Seq(
+      () => { TxnLog.deleteByKeyMor(spark, t,
+        (0L until 10L).toDF("id"), "id", "dA"); () },
+      () => { TxnLog.deleteByKeyMor(spark, t,
+        Seq(50L).toDF("grp"), "grp", "dB"); () }, // rows 500..509
+      () => { TxnLog.deleteByPosMor(spark, t,
+        (100L until 110L).map(p => (f0, p)).toDF("file_path", "pos"),
+        "pC"); () },
+      () => morUpdate(t))
+    graft.sources.GraftTables.registerCatalog(spark)
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try {
+      // Raced: all four writers released together by a start barrier.
+      val (t, f0) = build()
+      val gate = new java.util.concurrent.CyclicBarrier(4)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = ops(t, f0).map(op => new Thread(() => {
+        gate.await()
+        try op() catch { case e: Throwable => errs.add(e) }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"raced writer failed: ${errs.peek()}")
+      // Replay: same four ops, sequential, fixed order.
+      val (r, rf0) = build()
+      ops(r, rf0).foreach(_())
+      def state(p: Path) = graft.sources.GraftTables.read(spark, p)
+        .as[(Long, Long, Long)].collect().toSet
+      val got = state(t)
+      assert(got == state(r), "raced state diverges from replay")
+      // Spot semantics: 30 rows gone, the updated band bumped.
+      assert(got.size == 970)
+      assert((200L until 210L).forall(i => got((i, i / 10, i * 100 + 7))))
+      // CDF over the whole window: same (id, change) multiset as the
+      // replay's — the exactly-once guarantee under contention.
+      def feed(p: Path) = TxnLog.changes(
+          spark, p, 0L, TxnLog.tip(p).version, "id")
+        .select("id", "_change_type").as[(Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(feed(t) == feed(r), "raced CDF diverges from replay")
+    } finally spark.conf.unset("spark.graft.rowlevel.mode")
+  }
+
+  test("NDV sketch error envelope: estimate-vs-truth measured across " +
+      "10^2..10^6 distinct, k=32 documented, larger k helps (r19 task 5)") {
+    // The estimator's PRODUCTION hash (xxhash64 of a long, seed 42,
+    // sign-flipped) fed through TxnLog.ndvEstimate, so the measured
+    // envelope is the real one — not a synthetic-hash proxy. Theory:
+    // KMV relative std ≈ 1/√(k−2) ≈ 18% at k=32; across 5 trials ×
+    // 5 cardinalities the worst draw can reach ~2.5σ. The envelope
+    // the CBO rides is therefore: EXACT below k (the dimension-key
+    // case), ~±18% typical and ≤45% worst-case above it — tight
+    // enough for join-order/broadcast decisions away from threshold
+    // boundaries, and capped by the integral span bound when one
+    // exists (GraftScan). Raising k shrinks error as 1/√k at O(k)
+    // manifest bytes per (column, file) entry — with auto-NDV now
+    // sketching every string/integral column, k=32 ≈ 260 B/entry is
+    // the recorded tradeoff (k=128 would 4× the manifest's dominant
+    // section for half the error).
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def estimate(n: Long, base: Long, k: Int): Long = {
+      // Max-heap of the k smallest flipped hashes — the same bottom-k
+      // the BottomKLongs aggregate maintains per file.
+      val pq = new java.util.PriorityQueue[java.lang.Long](
+        k + 1, java.util.Comparator.reverseOrder[java.lang.Long]())
+      var v = 0L
+      while (v < n) {
+        val h = XXH64.hashLong(base + v, 42L) ^ Long.MinValue
+        if (pq.size < k) pq.add(h)
+        else if (h < pq.peek) { pq.poll(); pq.add(h) }
+        v += 1
+      }
+      TxnLog.ndvEstimate(
+        pq.toArray.map(_.asInstanceOf[java.lang.Long].longValue)
+          .toSeq.distinct.sorted, k)
+    }
+    // Exact below k — zero error where join reorder needs it most.
+    assert(estimate(20L, 0L, 32) == 20L)
+    assert(estimate(31L, 7L, 32) == 31L)
+    val cards = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+    val bases = Seq(0L, 1L << 40, 3L << 33, 7L << 20, 11L << 50)
+    def errs(k: Int): Seq[Double] = for {
+      n <- cards; b <- bases
+    } yield math.abs(estimate(n, b, k).toDouble - n) / n
+    val e32 = errs(32)
+    val worst32 = e32.max
+    val sorted32 = e32.sorted
+    val median32 = sorted32(sorted32.size / 2)
+    info(f"k=32 over ${e32.size} trials: median error " +
+      f"$median32%.3f, worst $worst32%.3f")
+    assert(median32 <= 0.20, f"median $median32%.3f beyond envelope")
+    assert(worst32 <= 0.45, f"worst $worst32%.3f beyond envelope")
+    // More sketch buys less error (the recorded k tradeoff): mean
+    // error at k=128 strictly under k=32's.
+    val e128 = errs(128)
+    assert(e128.sum / e128.size < e32.sum / e32.size,
+      f"k=128 mean ${e128.sum / e128.size}%.3f vs " +
+        f"k=32 ${e32.sum / e32.size}%.3f")
+  }
 }

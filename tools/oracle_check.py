@@ -7,9 +7,16 @@ For each query dir in verifyOutDir: load Spark's parquet result, run the
 matching oracle SQL (oracle_sql.json) in DuckDB over the sfDir tables,
 normalize (sort columns by name, sort rows, round floats), and diff.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
+
+# Opt-in per-query oracle time cap (seconds). 0 = off (default: the
+# driver-shaped behavior). The sf1 full-surface gate (tools/sf1full.py)
+# sets this so a DuckDB formulation that goes super-linear at real sf1
+# cardinality is RECORDED as oracle-infeasible instead of hanging the
+# gate — the r19 composite-gate discipline, made mechanical.
+TIMEOUT = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -41,7 +48,7 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     present = {q for q in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, q))}
     for q in sorted(set(oracle) - present):
@@ -57,13 +64,30 @@ def main():
         if q not in oracle:
             print(f"[rows-only] {q}: rows={len(got)}")
             continue
+        hit = []
+        timer = None
+        if TIMEOUT > 0:
+            timer = threading.Timer(
+                TIMEOUT, lambda: (hit.append(q), con.interrupt()))
+            timer.start()
         try:
             want = con.execute(oracle[q]).df()
         except Exception as e:  # OOM/spill exhaustion on huge composites
+            if timer is not None:
+                timer.cancel()
+            if hit:
+                print(f"[TIMEOUT-oracle] {q}: oracle exceeded {TIMEOUT:.0f}s"
+                      f" — recorded oracle-infeasible at this scale"
+                      f" (spark rows={len(got)})")
+                n_timeout += 1
+                continue
             print(f"[FAIL oracle-err] {q}: {type(e).__name__}: "
                   f"{str(e)[:200]}")
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"[FAIL cols] {q}: spark={list(g.columns)} duck={list(w.columns)}")
@@ -83,7 +107,8 @@ def main():
             continue
         print(f"[ok] {q}: {len(g)} rows")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail" +
+          (f", {n_timeout} oracle-timeout" if n_timeout else ""))
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

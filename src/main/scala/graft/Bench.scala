@@ -212,8 +212,13 @@ object Bench {
     // drift statement is mechanical instead of a hand-derived
     // same-host A/B.
     val classRatios = BenchCalib.classMedianRatios(results, refTimes)
+    // A targeted subset yields 1-2-query class "medians" — cold-cache
+    // noise, not a drift signal. The verdict is only meaningful (and
+    // only stamped) for full sweeps.
     val driftVerdict =
-      BenchCalib.driftVerdict(classRatios, BenchCalib.contended(probesBCD))
+      if (only.nonEmpty) "targeted-run"
+      else BenchCalib.driftVerdict(
+        classRatios, BenchCalib.contended(probesBCD))
     def classJson: String = Seq("cpu", "io", "shuffle").flatMap(c =>
       classRatios.get(c).map(v => "\"" + c + "\":" + f3(v)))
       .mkString("{", ",", "}")

@@ -708,9 +708,15 @@ object SparkEntry {
     // per SF — embeddings has 500 rows at both sf0.001 and sf0.01).
     // A recall regression is then a driver-visible hash mismatch even
     // when it still clears the bound.
+    // Keyed on embeddings' row count like the IVF pin below (r20: the
+    // flat 49 held at 500 AND 2000 rows by coincidence; the sf1 gate's
+    // 20000-row fixture measures 50).
     "similarity_ann_lsh" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
-                CAST(49 AS BIGINT) AS n_hits,
+                CAST(CASE (SELECT count(*) FROM embeddings)
+                     WHEN 500 THEN 49
+                     WHEN 2000 THEN 49
+                     WHEN 20000 THEN 50 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
@@ -746,7 +752,8 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 CAST(CASE (SELECT count(*) FROM embeddings)
                      WHEN 500 THEN 50
-                     WHEN 2000 THEN 49 END AS BIGINT) AS n_hits,
+                     WHEN 2000 THEN 49
+                     WHEN 20000 THEN 50 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",

@@ -1169,11 +1169,20 @@ object Similarity {
       .groupBy("query_id").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(least(lit(k.toLong), col("c"))), lit(0L)))
       .head().getLong(0)
+    // Pruning witness, scale-robust form (r20 — the sf1 gate caught
+    // the old `read < onDisk` conjunct going vacuously false): the
+    // claim is the scan reads EXACTLY the probed cells, never more;
+    // strict shrinkage vs disk is only assertable when the probe set
+    // is a strict subset of the cells on disk. At sf1's retrained
+    // centroids, 2 queries x 12 probes covered all 16 cells — the
+    // pruning MECHANISM was intact, there was just nothing to prune.
+    val pruned = read <= probed.length &&
+      (probed.length >= onDisk || read < onDisk)
     Seq((qRows.length.toLong,
       rows.length.toLong == expected,
       overlap.toDouble >= 0.5 * bf.length,
       ratio <= 0.5,
-      read <= nQueries * nProbe && read < onDisk))
+      pruned))
       .toDF("n_queries", "results_cover_collisions", "recall_ge_bound",
         "pq_bytes_vs_int8", "scan_pruned")
   }

@@ -3194,18 +3194,33 @@ object SourceSinkQueries {
     // boundary noise (observed at sf0.1 with 64 files).
     val nFiles =
       math.min(256L, math.max(64L, b.getAs[Long]("n") / 600L)).toInt
-    val (c0, c1) = (b.getAs[Long]("c0"), b.getAs[Long]("c1"))
-    val (d0, d1) = (b.getAs[Int]("d0"), b.getAs[Int]("d1"))
-    val (p0, p1) = (b.getAs[Double]("p0"), b.getAs[Double]("p1"))
-    def scale(c: org.apache.spark.sql.Column, lo: Long,
-        hi: Long): org.apache.spark.sql.Column =
-      ((c.cast("long") - lo) * 1023L / math.max(hi - lo, 1L)).cast("int")
-    // Price is continuous: bucket it to the same 0..1023 integer domain
-    // before interleaving (the "price bucket" clustering dimension).
-    val pScaled = (((col("o_totalprice") - p0) * 1023.0 /
-      math.max(p1 - p0, 1e-9)).cast("int"))
-    val cCol = scale(col("o_custkey"), c0, c1)
-    val dCol = scale(col("d"), d0.toLong, d1.toLong)
+    // EQUI-DEPTH dimension scaling (r20 — the sf1 real-cardinality
+    // gate caught the raw-min/max form): scaling each dimension by its
+    // raw [min, max] span collapses under clustered/banded key
+    // distributions — at sf1 the custkey domain is 10 narrow bands in
+    // a ~9e8 span, so the scaled coordinate took ~10 of 1024 values,
+    // the interleave's custkey bits carried almost no information, and
+    // the 3-D layout measurably stopped beating the 2-D one. Rank
+    // space is distribution-free: bucket every dimension equi-depth by
+    // its approximate quantiles (one GK-sketch pass for all three
+    // columns, driver gets O(cuts) doubles — the Delta OPTIMIZE
+    // ZORDER discipline of range-ids per column), then interleave the
+    // bucket ordinals. The indicator-sum binning below is a pure
+    // codegen'd comparison chain — no UDF in the row path.
+    val nBuckets = 64
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val qs = orders
+      .select(col("o_custkey").cast("double").as("ck"),
+        col("d").cast("double").as("dd"), col("o_totalprice").as("pp"))
+      .stat.approxQuantile(Array("ck", "dd", "pp"), probs, 0.001)
+    def bucketCol(c: org.apache.spark.sql.Column,
+        cuts: Array[Double]): org.apache.spark.sql.Column =
+      cuts.distinct.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(c > cut, 1).otherwise(0)
+      }
+    val cCol = bucketCol(col("o_custkey").cast("double"), qs(0))
+    val dCol = bucketCol(col("d").cast("double"), qs(1))
+    val pScaled = bucketCol(col("o_totalprice"), qs(2))
     val z3 = graft.functions.ZOrder.zorderColN(Seq(cCol, dCol, pScaled))
     val z2 = graft.functions.ZOrder.zorderColN(Seq(cCol, dCol))
     orders.withColumn("z", z3)
@@ -3224,10 +3239,23 @@ object SourceSinkQueries {
           max(col("o_totalprice")).as("pHi"))
         .collect().map(r => (r.getAs[Int]("dLo"), r.getAs[Int]("dHi"),
           r.getAs[Double]("pLo"), r.getAs[Double]("pHi")))
-    val dSpan = (d1 - d0).max(1)
-    val (dLo, dHi) = (d0 + dSpan / 2, d0 + dSpan / 2 + dSpan / 10)
-    val pSpan = math.max(p1 - p0, 1e-9)
-    val (pLo, pHi) = (p0 + pSpan / 2, p0 + pSpan / 2 + pSpan / 10)
+    // Slice width matched to the 3-D layout's per-dimension FILE
+    // extent in rank space (1/∛nFiles — exact under equi-depth
+    // bucketing): much narrower slices under-resolve both layouts'
+    // blocks into alignment ties (the sf0.01 regression this r20 form
+    // replaces: a 10% slice against 25% block extents measured 3-D ==
+    // 2-D exactly), much wider ones genuinely favor fewer dimensions.
+    // The regime where multi-dimension clustering pays — and the one
+    // a 100 TB OPTIMIZE ZORDER serves — is slices comparable to the
+    // per-file extent. Bounds come off the same quantile cuts the
+    // buckets use, so the slice covers a known MASS, not a raw span
+    // that skew can starve.
+    val w = 1.0 / math.cbrt(nFiles.toDouble)
+    def cutAt(cuts: Array[Double], frac: Double): Double =
+      cuts(math.min(cuts.length - 1,
+        math.max(0, (frac * nBuckets).toInt - 1)))
+    val (dLo, dHi) = (cutAt(qs(1), 0.5), cutAt(qs(1), 0.5 + w))
+    val (pLo, pHi) = (cutAt(qs(2), 0.5), cutAt(qs(2), 0.5 + w))
     def candidates(rs: Array[(Int, Int, Double, Double)]): Int =
       rs.count { case (fdLo, fdHi, fpLo, fpHi) =>
         fdHi >= dLo && fdLo <= dHi && fpHi >= pLo && fpLo <= pHi }

@@ -366,6 +366,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "a diameter-999 chain must exhaust the min-label round budget")
     val rounds = Dedup.lastStarRounds
     val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    info(s"star contraction: $rounds rounds on the diameter-999 chain " +
+      s"(bound $bound)")
     assert(rounds >= 1 && rounds <= bound,
       s"star contraction took $rounds rounds; O(log n) bound is $bound")
     // split_group_aware on the same chain: the whole component rides

@@ -23,6 +23,9 @@ their expected ratio is ~1 and they serve as same-host controls.
 
 Usage: python3 tools/sf1anchor.py [out_dir]   (default /tmp/sf1)
 Env: SF1_QUERIES to override the headline list.
+See tools/sf1full.py for the FULL-surface sf1 gate with real
+cardinality growth on every fixture table (r20) — this anchor keeps
+the cheap trio-composite timing-ratio view.
 Exit 0 iff the sf1 correctness gate passes and both bench runs emit
 timings for every query.
 """

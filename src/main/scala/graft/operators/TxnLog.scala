@@ -1160,7 +1160,17 @@ object TxnLog {
   val NdvAutoConfKey = "spark.graft.ndv.auto"
 
   private[graft] def ndvAuto(spark: SparkSession): Boolean =
-    spark.conf.getOption(NdvAutoConfKey).forall(_.trim.toBoolean)
+    spark.conf.getOption(NdvAutoConfKey).forall { v =>
+      // Parse explicitly (ADVICE r20): this is evaluated inside every
+      // engine write path, so a config typo in an optional tuning
+      // knob must not crash commits at write time.
+      v.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => sys.error(
+          s"$NdvAutoConfKey must be true or false, got `$other`")
+      }
+    }
 
   /** Auto-sketch eligibility: the types a join or group key
     * plausibly has AND whose xxhash64 is cheap per row — strings
@@ -1236,6 +1246,125 @@ object TxnLog {
           (r.getLong(1 + 2 * i) +: r.getSeq[Long](2 + 2 * i).toSeq)
       }.toMap
     }.toMap
+  }
+
+  /** The three per-file stats families a commit carries for the files
+    * it writes — key [min,max] bounds, declared multi-column bounds,
+    * and NDV sketches — as one value, so commit paths can compute all
+    * of them in ONE scan ([[commitStatsFor]]) instead of three. */
+  case class CommitStats(
+      key: Map[String, (Long, Long)],
+      colStats: Map[String, Map[String, (Long, Long)]],
+      ndv: Map[String, Map[String, Seq[Long]]])
+
+  object CommitStats {
+    val empty: CommitStats = CommitStats(Map.empty, Map.empty, Map.empty)
+  }
+
+  /** [[keyStats]] + [[colStatsFor]] + [[ndvSketchFor]] fused into ONE
+    * `groupBy(input_file_name())` pass over exactly `files` (r21
+    * optimization, guide §1.2: every commit used to launch three
+    * back-to-back jobs that each re-read the files it had just
+    * written — the scans differ only in their aggregate list, which
+    * composes). Aggregate expressions, type checks, entry conventions
+    * (EmptyRange for all-NULL, no entry for zero-row files), and the
+    * auto-NDV column expansion are the three primitives' own, applied
+    * verbatim, so every manifest this writes is byte-identical to the
+    * three-scan form (CommitStatsSpec pins that equivalence). The
+    * primitives stay public for single-family callers (declareNdv,
+    * statsFor bootstraps). */
+  def commitStatsFor(
+      spark: SparkSession, table: Path, files: Seq[String],
+      statsKey: Option[String],
+      colStatCols: Seq[String],
+      ndvCols0: Seq[String], ndvAutoMode: Boolean = true): CommitStats = {
+    import org.apache.spark.sql.functions._
+    val wantNdv =
+      ndvCols0.nonEmpty || (ndvAutoMode && ndvAuto(spark))
+    if (files.isEmpty)
+      return CommitStats(Map.empty,
+        colStatCols.map(_ -> Map.empty[String, (Long, Long)]).toMap,
+        ndvCols0.map(_ -> Map.empty[String, Seq[Long]]).toMap)
+    if (statsKey.isEmpty && colStatCols.isEmpty && !wantNdv)
+      return CommitStats.empty
+    val df = spark.read
+      .parquet(files.map(f => table.resolve(f).toString): _*)
+    // colStatsFor's integral contract, enforced identically: manifest
+    // bounds compare as BIGINT, so a non-integral declaration must
+    // refuse here, before it can reach a manifest.
+    colStatCols.foreach { c =>
+      val field = df.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"colStats column `$c` does not exist in the " +
+          s"table schema ${df.schema.fieldNames.mkString("[", ", ", "]")}"))
+      field.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => sys.error(
+          s"colStats column `$c` has non-integral type " +
+            s"${other.simpleString}: manifest bounds compare as BIGINT, " +
+            "so only byte/short/int/long columns may be declared")
+      }
+    }
+    ndvCols0.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"ndv column `$c` does not exist in the table schema " +
+          df.schema.fieldNames.mkString("[", ", ", "]"))
+    }
+    // ndvSketchFor's auto expansion, verbatim: declared ++ every
+    // join/grouping-plausible (string/integral) schema column.
+    val ndvCols =
+      if (!ndvAutoMode || !ndvAuto(spark)) ndvCols0
+      else (ndvCols0 ++ df.schema.fields.collect {
+        case f if ndvAutoEligible(f.dataType) => f.name
+      }).distinct.sorted
+    // One aggregate list, positionally decoded: key bounds first,
+    // then per-column bounds, then per-column (nullCount, sketch).
+    val keyAggs = statsKey.toSeq.flatMap(k => Seq(
+      min(col(k)).as("k_mn"), max(col(k)).as("k_mx")))
+    val colAggs = colStatCols.flatMap(c => Seq(
+      min(col(c).cast("bigint")).as(s"mn_$c"),
+      max(col(c).cast("bigint")).as(s"mx_$c")))
+    val ndvAggs = ndvCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      graft.functions.BottomKLongs.asColumn(
+        when(col(c).isNotNull,
+          xxhash64(col(c)).bitwiseXOR(lit(Long.MinValue))),
+        NdvSketchK).as(s"kmv_$c")))
+    val aggs = keyAggs ++ colAggs ++ ndvAggs
+    if (aggs.isEmpty)
+      return CommitStats(Map.empty,
+        colStatCols.map(_ -> Map.empty[String, (Long, Long)]).toMap,
+        Map.empty)
+    val rows = df
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val withRel = rows.map(r => attributeFile(table, r.getString(0), files) -> r)
+    val keyOff = 1
+    val colOff = keyOff + keyAggs.size
+    val ndvOff = colOff + colAggs.size
+    val key = statsKey.fold(Map.empty[String, (Long, Long)]) { _ =>
+      withRel.map { case (rel, r) =>
+        if (r.isNullAt(keyOff) || r.isNullAt(keyOff + 1)) rel -> EmptyRange
+        else rel -> (r.getLong(keyOff), r.getLong(keyOff + 1))
+      }.toMap
+    }
+    val colStats = colStatCols.zipWithIndex.map { case (c, i) =>
+      c -> withRel.map { case (rel, r) =>
+        val (mnI, mxI) = (colOff + 2 * i, colOff + 2 * i + 1)
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) rel -> EmptyRange
+        else rel -> (r.getLong(mnI), r.getLong(mxI))
+      }.toMap
+    }.toMap
+    val ndv = ndvCols.zipWithIndex.map { case (c, i) =>
+      c -> withRel.map { case (rel, r) =>
+        rel -> (r.getLong(ndvOff + 2 * i) +:
+          r.getSeq[Long](ndvOff + 2 * i + 1).toSeq)
+      }.toMap
+    }.toMap
+    CommitStats(key, colStats, ndv)
   }
 
   /** Distinct-count estimate from a MERGED sketch (union of per-file
@@ -1569,13 +1698,12 @@ object TxnLog {
       morRead(spark, table, t0, Some(affected)).coalesce(nOut),
       table, subdir)
     val written = staged.map(_._1)
-    val newStats = t0.statsKey
-      .map(k => keyStats(spark, table, written, k))
-      .getOrElse(Map.empty[String, (Long, Long)])
-    val newColStats =
-      colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
-    val newNdv = ndvSketchFor(spark, table, written,
-      t0.ndv.keys.toSeq.sorted, auto = true)
+    // One fused stats scan of the rewritten files (r21).
+    val cs = commitStatsFor(spark, table, written, t0.statsKey,
+      t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+    val newStats = cs.key
+    val newColStats = cs.colStats
+    val newNdv = cs.ndv
     val affectedSet = affected.toSet
     commitRetryWith(table, t => {
       // Like a CoW merge, this rewrite does not commute: it replaced
@@ -1702,7 +1830,12 @@ object TxnLog {
       // carry forward, so every merge commit leaves a fully
       // stats-bearing tip.
       val written = staged.map(_._1)
-      val newStats = keyStats(spark, table, written, key)
+      // New files' stats (key bounds + multi-column bounds + NDV) in
+      // ONE fused scan (r21); survivors keep their entries, so every
+      // merge commit leaves a fully stats-bearing tip.
+      val cs = commitStatsFor(spark, table, written, Some(key),
+        tip.colStats.keys.toSeq.sorted, tip.ndv.keys.toSeq.sorted)
+      val newStats = cs.key
       val newFiles = written
       // A COW rewrite does NOT commute the way an append does: losing
       // the race means the files this attempt read (and replaced) may
@@ -1713,12 +1846,8 @@ object TxnLog {
       // REPLANS the whole merge against the new tip — the
       // serializable-writer discipline, not just retry-the-rename.
       val keptFiles = tip.files.filterNot(affected) ++ newFiles
-      // Multi-column bounds heal like the key stats: survivors keep
-      // their entries, rewritten files get fresh ones in one scan.
-      val newColStats =
-        colStatsFor(spark, table, newFiles, tip.colStats.keys.toSeq.sorted)
-      val newNdv = ndvSketchFor(spark, table, newFiles,
-        tip.ndv.keys.toSeq.sorted, auto = true)
+      val newColStats = cs.colStats
+      val newNdv = cs.ndv
       tryCommitManifest(table, Manifest(tipVersion + 1, tipVersion,
         "merge", keptFiles,
         (ranges -- affected) ++ newStats,
@@ -1756,11 +1885,10 @@ object TxnLog {
       readVersion(spark, table, tipVersion).coalesce(nFiles),
       table, subdir)
     val newFiles = staged.map(_._1)
-    val stats = effKey
-      .map(k => keyStats(spark, table, newFiles, k))
-      .getOrElse(Map.empty[String, (Long, Long)])
-    val newColStats =
-      colStatsFor(spark, table, newFiles, tipM.colStats.keys.toSeq.sorted)
+    // One fused stats scan of the compacted files (r21) — hoisted out
+    // of the commit closure too, so a retry no longer re-sketched NDV.
+    val cs = commitStatsFor(spark, table, newFiles, effKey,
+      tipM.colStats.keys.toSeq.sorted, tipM.ndv.keys.toSeq.sorted)
     commitRetryWith(table, t => {
       // A full rewrite does not commute (same discipline as
       // compactSmall/materializeDeletes): a concurrent append or
@@ -1772,10 +1900,8 @@ object TxnLog {
         s"concurrent commit v${t.version} during compact planned " +
           s"against v$tipVersion; retry")
       Manifest(0L, 0L, "compact", newFiles,
-        stats, effKey, columns = t.columns, colStats = newColStats,
-        rows = staged.toMap,
-        ndv = ndvSketchFor(spark, table, newFiles,
-          tipM.ndv.keys.toSeq.sorted, auto = true))
+        cs.key, effKey, columns = t.columns, colStats = cs.colStats,
+        rows = staged.toMap, ndv = cs.ndv)
     })
   }
 
@@ -2358,11 +2484,10 @@ object TxnLog {
       morRead(spark, table, t0, Some(small)).coalesce(nOut),
       table, subdir)
     val written = staged.map(_._1)
-    val newStats = t0.statsKey
-      .map(k => keyStats(spark, table, written, k))
-      .getOrElse(Map.empty[String, (Long, Long)])
-    val newColStats =
-      colStatsFor(spark, table, written, t0.colStats.keys.toSeq.sorted)
+    // One fused stats scan of the packed files (r21) — hoisted out of
+    // the commit closure too, so a retry no longer re-sketched NDV.
+    val cs = commitStatsFor(spark, table, written, t0.statsKey,
+      t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
     val smallSet = small.toSet
     commitRetryWith(table, t => {
       // A pack rewrite does not commute (same discipline as
@@ -2373,16 +2498,15 @@ object TxnLog {
           s"planned against v${t0.version}; retry")
       Manifest(0L, 0L, "optimize",
         t0.files.filterNot(smallSet) ++ written,
-        stats = (t0.stats -- small) ++ newStats,
+        stats = (t0.stats -- small) ++ cs.key,
         statsKey = t0.statsKey,
         partitions = t0.partitions -- small,
         columns = t0.columns,
         colStats = t0.colStats.map { case (c, pf) =>
-          c -> ((pf -- small) ++ newColStats.getOrElse(c, Map.empty))
+          c -> ((pf -- small) ++ cs.colStats.getOrElse(c, Map.empty))
         },
         deletes = t0.deletes, rows = staged.toMap,
-        ndv = ndvSketchFor(spark, table, written,
-          t0.ndv.keys.toSeq.sorted, auto = true))
+        ndv = cs.ndv)
     })
   }
 

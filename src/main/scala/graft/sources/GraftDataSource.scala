@@ -407,12 +407,13 @@ object GraftTables {
     val spark = data.sparkSession
     // The staged files never change across commit retries — compute
     // their stats once, outside the rebase loop.
-    val statsCache =
-      scala.collection.mutable.Map.empty[String, Map[String, (Long, Long)]]
-    val colStatsCache = scala.collection.mutable.Map
-      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
-    val ndvCache = scala.collection.mutable.Map
-      .empty[Seq[String], Map[String, Map[String, Seq[Long]]]]
+    // One cache for the fused stats pass (r21: key bounds + column
+    // bounds + NDV sketches ride ONE scan of the staged files instead
+    // of three back-to-back jobs); keyed by the tip's declared column
+    // sets so a retry against an unchanged tip re-uses the scan.
+    val statsCache = scala.collection.mutable.Map
+      .empty[(Option[String], Seq[String], Seq[String]),
+        TxnLog.CommitStats]
     TxnLog.commitRetryWith(snap.root, tip => {
       // Idempotent-replay guard, INSIDE the attempt: if this writer's
       // (appId, batchId) already sits at or below a committed stamp —
@@ -430,21 +431,19 @@ object GraftTables {
       // pass, only in that rare window) so no unvalidated rows land.
       if (tip.constraints != snap.manifest.constraints)
         TxnLog.checkConstraints(data, tip.constraints)
-      val newStats = tip.statsKey.map(k => statsCache.getOrElseUpdate(k,
-        TxnLog.keyStats(spark, snap.root, newFiles, k)))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      val newColStats = colStatsCache.getOrElseUpdate(
-        tip.colStats.keys.toSeq.sorted,
-        TxnLog.colStatsFor(spark, snap.root, newFiles,
-          tip.colStats.keys.toSeq.sorted))
+      // Key bounds + declared column bounds + NDV sketches for the new
+      // files, in ONE scan (TxnLog.commitStatsFor).
+      val cs = statsCache.getOrElseUpdate(
+        (tip.statsKey, tip.colStats.keys.toSeq.sorted,
+          tip.ndv.keys.toSeq.sorted),
+        TxnLog.commitStatsFor(spark, snap.root, newFiles, tip.statsKey,
+          tip.colStats.keys.toSeq.sorted, tip.ndv.keys.toSeq.sorted))
+      val newStats = cs.key
+      val newColStats = cs.colStats
       val mergedColStats = tip.colStats.map { case (c, perFile) =>
         c -> (perFile ++ newColStats.getOrElse(c, Map.empty))
       }
-      // Declared NDV sketches for the new files (no-op scan when the
-      // table declares none); survivors inherit at the primitive.
-      val newNdv = ndvCache.getOrElseUpdate(tip.ndv.keys.toSeq.sorted,
-        TxnLog.ndvSketchFor(spark, snap.root, newFiles,
-          tip.ndv.keys.toSeq.sorted, auto = true))
+      val newNdv = cs.ndv
       // A table created without declared columns (raw commitRetry
       // fixtures) gets them declared here from the resolved schema
       // (identity mapping) — which is also what keeps an emptied
@@ -672,13 +671,12 @@ object GraftTables {
       // partitions, so no count re-scan and no empty-file filter.
       val staged = StagedWrite.parquetWithCounts(out, root, attemptDir)
       val newFiles = staged.map(_._1)
-      val newStats = tip.statsKey
-        .map(k => TxnLog.keyStats(spark, root, newFiles, k))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
-        tip.colStats.keys.toSeq.sorted)
-      val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
-        tip.ndv.keys.toSeq.sorted, auto = true)
+      // One fused stats scan of the rewritten files (r21).
+      val cs = TxnLog.commitStatsFor(spark, root, newFiles, tip.statsKey,
+        tip.colStats.keys.toSeq.sorted, tip.ndv.keys.toSeq.sorted)
+      val newStats = cs.key
+      val newColStats = cs.colStats
+      val newNdv = cs.ndv
       val files = tip.files.filterNot(affected) ++ newFiles
       // Declare columns if the tip never did — a delete that empties
       // the table must leave it readable (resolve needs declared
@@ -837,13 +835,12 @@ object GraftTables {
             .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
         }: _*), root, dataSub)
       val newFiles = staged.map(_._1)
-      val newStats = t0.statsKey
-        .map(k => TxnLog.keyStats(spark, root, newFiles, k))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      val newColStats = TxnLog.colStatsFor(spark, root, newFiles,
-        t0.colStats.keys.toSeq.sorted)
-      val newNdv = TxnLog.ndvSketchFor(spark, root, newFiles,
-        t0.ndv.keys.toSeq.sorted, auto = true)
+      // One fused stats scan of the rewritten files (r21).
+      val cs = TxnLog.commitStatsFor(spark, root, newFiles, t0.statsKey,
+        t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+      val newStats = cs.key
+      val newColStats = cs.colStats
+      val newNdv = cs.ndv
       TxnLog.commitRetryWith(root, t => {
         // Positions name files of the planned tip and the rewritten
         // rows were read under its delete set — a concurrent commit

@@ -136,9 +136,8 @@ final class GraftDeltaBatchWrite(
     // scans. Memoized per key set — recomputed only when a rebase
     // actually changed it (the append path's statsCache discipline).
     val statsCache = scala.collection.mutable.Map
-      .empty[String, Map[String, (Long, Long)]]
-    val colStatsCache = scala.collection.mutable.Map
-      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
+      .empty[(Option[String], Seq[String], Seq[String]),
+        TxnLog.CommitStats]
     // A statement that only deleted is a delete-mor commit (the CDF
     // classifies it as pure deletes); one that wrote rows is
     // update-mor (paired pre/post classification).
@@ -161,17 +160,18 @@ final class GraftDeltaBatchWrite(
         validate(base.constraints)
         checkedUnder = base.constraints
       }
-      val newStats = base.statsKey
-        .map(k => statsCache.getOrElseUpdate(k,
-          TxnLog.keyStats(spark, snap.root, newFiles, k)))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      val newColStats = {
-        val cols = base.colStats.keys.toSeq.sorted
-        colStatsCache.getOrElseUpdate(cols,
-          TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
-      }
-      val newNdv = TxnLog.ndvSketchFor(spark, snap.root, newFiles,
-        base.ndv.keys.toSeq.sorted, auto = true)
+      // Key bounds + column bounds + NDV sketches in ONE fused scan
+      // (TxnLog.commitStatsFor, r21) — and the NDV leg now rides the
+      // retry cache too (it used to recompute on every rebase attempt
+      // even when the declaration set was unchanged).
+      val cs = statsCache.getOrElseUpdate(
+        (base.statsKey, base.colStats.keys.toSeq.sorted,
+          base.ndv.keys.toSeq.sorted),
+        TxnLog.commitStatsFor(spark, snap.root, newFiles, base.statsKey,
+          base.colStats.keys.toSeq.sorted, base.ndv.keys.toSeq.sorted))
+      val newStats = cs.key
+      val newColStats = cs.colStats
+      val newNdv = cs.ndv
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, action,
         base.files ++ newFiles,

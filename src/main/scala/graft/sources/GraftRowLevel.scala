@@ -231,11 +231,8 @@ final class GraftReplaceDataWrite(
     // scans. Memoized per key set — recomputed only when a rebase
     // actually changed it (the append path's statsCache discipline).
     val statsCache = scala.collection.mutable.Map
-      .empty[String, Map[String, (Long, Long)]]
-    val colStatsCache = scala.collection.mutable.Map
-      .empty[Seq[String], Map[String, Map[String, (Long, Long)]]]
-    val ndvCache = scala.collection.mutable.Map
-      .empty[Seq[String], Map[String, Map[String, Seq[Long]]]]
+      .empty[(Option[String], Seq[String], Seq[String]),
+        TxnLog.CommitStats]
     // Row counts came from the write tasks themselves (the
     // StagedWrite discipline — zero footer reads); without them a
     // copy-on-write UPDATE/MERGE/DELETE would commit files with no
@@ -265,28 +262,21 @@ final class GraftReplaceDataWrite(
         validateConstraints(base.constraints, newFiles)
         checkedUnder = base.constraints
       }
-      val newStats = base.statsKey
-        .map(k => statsCache.getOrElseUpdate(k,
-          TxnLog.keyStats(spark, snap.root, newFiles, k)))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      val newColStats = {
-        val cols = base.colStats.keys.toSeq.sorted
-        colStatsCache.getOrElseUpdate(cols,
-          TxnLog.colStatsFor(spark, snap.root, newFiles, cols))
-      }
-      // Declared NDV columns get sketches for the files this rewrite
-      // staged, same one-scan pass shape as colStats (a rebase onto a
-      // tip whose declaration set changed recomputes under the new
-      // set; same-set retries hit the cache). Without this, every
-      // SQL UPDATE/MERGE/DELETE would break the full-coverage
-      // requirement and blind the CBO's string-key NDV until the next
-      // compaction.
-      val newNdv = {
-        val cols = base.ndv.keys.toSeq.sorted
-        ndvCache.getOrElseUpdate(cols,
-          TxnLog.ndvSketchFor(spark, snap.root, newFiles, cols,
-            auto = true))
-      }
+      // Key bounds + column bounds + NDV sketches for the staged
+      // files in ONE fused scan (TxnLog.commitStatsFor, r21) — a
+      // rebase onto a tip whose declaration sets changed recomputes
+      // under the new sets; same-set retries hit the cache. Without
+      // the NDV leg, every SQL UPDATE/MERGE/DELETE would break the
+      // full-coverage requirement and blind the CBO's string-key NDV
+      // until the next compaction.
+      val cs = statsCache.getOrElseUpdate(
+        (base.statsKey, base.colStats.keys.toSeq.sorted,
+          base.ndv.keys.toSeq.sorted),
+        TxnLog.commitStatsFor(spark, snap.root, newFiles, base.statsKey,
+          base.colStats.keys.toSeq.sorted, base.ndv.keys.toSeq.sorted))
+      val newStats = cs.key
+      val newColStats = cs.colStats
+      val newNdv = cs.ndv
       val keptFiles = base.files.filterNot(scanned) ++ newFiles
       TxnLog.tryCommitManifest(snap.root, TxnLog.Manifest(
         base.version + 1, base.version, "replace", keptFiles,

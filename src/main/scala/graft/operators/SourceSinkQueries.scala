@@ -20,6 +20,48 @@ object SourceSinkQueries {
     p
   }
 
+  /** One-pass slice fixture writer (r21, guide §1.2 "remove passes"):
+    * the table-fixture queries used to lay out N key-class slices as N
+    * filtered full scans of the source (`for q: df.filter(slice===q)
+    * .coalesce(1).write...`) — N scan+write jobs where one suffices.
+    * This writes every slice in ONE job: tag, hash-repartition by the
+    * slice id (each slice lands wholly in one task → exactly one file
+    * per slice dir, like the old coalesce(1)), partitionBy-write, and
+    * rename the `__slice=q` dirs to the caller's `<prefix>q` names.
+    * `sortKey` keeps within-file row order deterministic (the old
+    * filtered writes inherited source order). A slice with no rows
+    * produces no dir; the fallback writes it the old way so callers
+    * that commit an empty slice file still can (none do today at any
+    * SF, but fixture semantics must not drift).
+    *
+    * At 100 TB the same discipline is how a backfill lands partitioned
+    * history: one pass + hash distribution, never a scan per slice. */
+  private[operators] def writeSlices(
+      df: DataFrame, sliceField: String, keepSliceCol: Boolean,
+      nSlices: Int, tbl: Path, prefix: String, sortKey: String): Unit = {
+    val stage = tbl.resolve(s"__slices_$prefix")
+    val tagged = df.withColumn("__slice", col(sliceField).cast("int"))
+    val data = if (keepSliceCol) tagged else tagged.drop(sliceField)
+    data
+      .repartition(nSlices, col("__slice"))
+      .sortWithinPartitions(col("__slice"), col(sortKey))
+      .write.partitionBy("__slice").parquet(stage.toString)
+    (0 until nSlices).foreach { q =>
+      val src = stage.resolve(s"__slice=$q")
+      val dst = tbl.resolve(s"$prefix$q")
+      if (Files.isDirectory(src)) Files.move(src, dst)
+      else // empty slice: preserve the old one-empty-file layout
+        data.filter(col("__slice") === q).drop("__slice")
+          .coalesce(1).write.parquet(dst.toString)
+    }
+    // Drop the now-empty staging dir (its _SUCCESS marker included) so
+    // fixture trees hold exactly the slice dirs the old layout had.
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(stage))
+      Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+  }
+
   /** scan_csv — parquet → header CSV → scanCsv(inferSchema) round-trip. */
   def scanCsv(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("scancsv").resolve("region").toString
@@ -901,9 +943,10 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         least(lit(3), (col("o_orderkey") - mn) * 4 / span)
           .cast("int").as("bucket"))
-    for (q <- 0 until 4)
-      orders.filter(col("bucket") === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans of orders.
+    writeSlices(orders, "bucket", keepSliceCol = true, 4, tbl, "b",
+      "o_orderkey")
     val byBucket = (0 until 4).map(q =>
       q -> TxnLog.parquetsUnder(tbl, s"b$q")).toMap
     val files = byBucket.values.flatten.toSeq.sorted
@@ -967,9 +1010,10 @@ object SourceSinkQueries {
     val hspan = hmx - hmn
     val bucketed = orders.withColumn("bkt",
       least(lit(3), (col("h") - hmn) * 4 / hspan).cast("int"))
-    for (q <- 0 until 4)
-      bucketed.filter(col("bkt") === q).drop("bkt")
-        .coalesce(1).write.parquet(tbl.resolve(s"h$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans.
+    writeSlices(bucketed, "bkt", keepSliceCol = false, 4, tbl, "h",
+      "o_orderkey")
     val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"h$q"))
     TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
       files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
@@ -1236,9 +1280,10 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         least(lit(3), (col("o_orderkey") - mn) * 4 / span)
           .cast("int").as("bkt"))
-    for (q <- 0 until 4)
-      orders.filter(col("bkt") === q).drop("bkt")
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans of orders.
+    writeSlices(orders, "bkt", keepSliceCol = false, 4, tbl, "b",
+      "o_orderkey")
     val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
     TxnLog.commitRetry(tbl, "create", _ => files,
       statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
@@ -1343,9 +1388,10 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         least(lit(3), (col("o_orderkey") - mn) * 4 / span)
           .cast("int").as("bkt"))
-    for (q <- 0 until 4)
-      orders.filter(col("bkt") === q).drop("bkt")
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans of orders.
+    writeSlices(orders, "bkt", keepSliceCol = false, 4, tbl, "b",
+      "o_orderkey")
     val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
     TxnLog.commitRetry(tbl, "create", _ => files,
       statsFor = _ => TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
@@ -1627,9 +1673,10 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("bigint").as("cents"),
         least(lit(3), (col("o_orderkey") - mn) * 4 / span)
           .cast("int").as("bkt"))
-    for (q <- 0 until 4)
-      orders.filter(col("bkt") === q).drop("bkt")
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans of orders.
+    writeSlices(orders, "bkt", keepSliceCol = false, 4, tbl, "b",
+      "o_orderkey")
     val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
     TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
       files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
@@ -1696,9 +1743,11 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
     // 13 disjoint slices by key class: slice 0 is the create, each of
     // 1..12 lands as its own append commit.
-    for (q <- 0 to 12)
-      orders.filter(col("o_orderkey") % 13 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all thirteen slices (r21, writeSlices) — was
+    // thirteen filtered full scans of orders.
+    writeSlices(orders.withColumn("__q",
+        (col("o_orderkey") % 13).cast("int")),
+      "__q", keepSliceCol = false, 13, tbl, "b", "o_orderkey")
     val base = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => base,
       statsFor = _ => TxnLog.keyStats(spark, tbl, base, "o_orderkey"),
@@ -1755,9 +1804,11 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    for (q <- 0 to 1)
-      orders.filter(col("o_orderkey") % 3 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass stages both slices (r21, writeSlices) — was two
+    // filtered full scans of orders.
+    writeSlices(orders.filter(col("o_orderkey") % 3 < 2)
+        .withColumn("__q", (col("o_orderkey") % 3).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val b0 = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => b0,
       statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
@@ -1881,9 +1932,11 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    for (q <- 0 to 1)
-      orders.filter(col("o_orderkey") % 3 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass stages both slices (r21, writeSlices) — was two
+    // filtered full scans of orders.
+    writeSlices(orders.filter(col("o_orderkey") % 3 < 2)
+        .withColumn("__q", (col("o_orderkey") % 3).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val b0 = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => b0,
       statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
@@ -1923,9 +1976,14 @@ object SourceSinkQueries {
     TxnLog.commitRetry(tbl, "create", _ => big,
       statsFor = _ => TxnLog.keyStats(spark, tbl, big, "o_orderkey"),
       statsKey = Some("o_orderkey"))
+    // One pass stages all six small-append slices (r21, writeSlices):
+    // % 18 === q*3 for q in 0..5 selects exactly o_orderkey % 3 == 0,
+    // sliced by (o_orderkey % 18) / 3. Commits stay one-per-slice
+    // (the append cadence is the point), each with its keyStats scan.
+    writeSlices(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("__q", (col("o_orderkey") % 18 / 3).cast("int")),
+      "__q", keepSliceCol = false, 6, tbl, "s", "o_orderkey")
     for (q <- 0 until 6) {
-      orders.filter(col("o_orderkey") % 18 === q * 3)
-        .coalesce(1).write.parquet(tbl.resolve(s"s$q").toString)
       val add = TxnLog.parquetsUnder(tbl, s"s$q")
       TxnLog.commitRetry(tbl, "append", tip => tip.files ++ add,
         statsFor = _ => TxnLog.keyStats(spark, tbl, add, "o_orderkey"))
@@ -1962,9 +2020,11 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    for (q <- 0 to 1)
-      orders.filter(col("o_orderkey") % 4 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass stages both slices (r21, writeSlices) — was two
+    // filtered full scans of orders.
+    writeSlices(orders.filter(col("o_orderkey") % 4 < 2)
+        .withColumn("__q", (col("o_orderkey") % 4).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val b0 = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => b0,
       statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
@@ -2009,9 +2069,11 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    for (q <- 0 to 1)
-      orders.filter(col("o_orderkey") % 4 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass stages both slices (r21, writeSlices) — was two
+    // filtered full scans of orders.
+    writeSlices(orders.filter(col("o_orderkey") % 4 < 2)
+        .withColumn("__q", (col("o_orderkey") % 4).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val b0 = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => b0,
       statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
@@ -2059,9 +2121,11 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    for (q <- 0 to 1)
-      orders.filter(col("o_orderkey") % 5 === q)
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass stages both slices (r21, writeSlices) — was two
+    // filtered full scans of orders.
+    writeSlices(orders.filter(col("o_orderkey") % 5 < 2)
+        .withColumn("__q", (col("o_orderkey") % 5).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val b0 = TxnLog.parquetsUnder(tbl, "b0")
     TxnLog.commitRetry(tbl, "create", _ => b0,
       statsFor = _ => TxnLog.keyStats(spark, tbl, b0, "o_orderkey"),
@@ -2111,10 +2175,12 @@ object SourceSinkQueries {
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
     val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
-    orders.filter(col("o_orderkey") <= mid)
-      .coalesce(1).write.parquet(tbl.resolve("lo").toString)
-    orders.filter(col("o_orderkey") > mid)
-      .coalesce(1).write.parquet(tbl.resolve("hi").toString)
+    // One pass stages both halves (r21, writeSlices; "0"→lo, "1"→hi).
+    writeSlices(orders.withColumn("__q",
+        when(col("o_orderkey") <= mid, 0).otherwise(1)),
+      "__q", keepSliceCol = false, 2, tbl, "half", "o_orderkey")
+    Files.move(tbl.resolve("half0"), tbl.resolve("lo"))
+    Files.move(tbl.resolve("half1"), tbl.resolve("hi"))
     val lo = TxnLog.parquetsUnder(tbl, "lo")
     TxnLog.commitRetry(tbl, "create", _ => lo,
       statsFor = _ => TxnLog.keyStats(spark, tbl, lo, "o_orderkey"),
@@ -2184,10 +2250,12 @@ object SourceSinkQueries {
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
     val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
-    orders.filter(col("o_orderkey") <= mid)
-      .coalesce(1).write.parquet(src.resolve("lo").toString)
-    orders.filter(col("o_orderkey") > mid)
-      .coalesce(1).write.parquet(src.resolve("hi").toString)
+    // One pass stages both halves (r21, writeSlices; "0"→lo, "1"→hi).
+    writeSlices(orders.withColumn("__q",
+        when(col("o_orderkey") <= mid, 0).otherwise(1)),
+      "__q", keepSliceCol = false, 2, src, "half", "o_orderkey")
+    Files.move(src.resolve("half0"), src.resolve("lo"))
+    Files.move(src.resolve("half1"), src.resolve("hi"))
     val lo = TxnLog.parquetsUnder(src, "lo")
     TxnLog.commitRetry(src, "create", _ => lo,
       statsFor = _ => TxnLog.keyStats(spark, src, lo, "o_orderkey"),
@@ -2416,10 +2484,11 @@ object SourceSinkQueries {
       .filter(col("o_orderkey") % 2 === 1)
     // Keyless on purpose: created WITHOUT a stats key, the shape
     // where position deletes are the only MoR form available.
-    orders.filter(col("o_orderkey") % 4 === 1)
-      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
-    orders.filter(col("o_orderkey") % 4 === 3)
-      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    // One pass stages both slices (r21, writeSlices): %4∈{1,3} over
+    // the odd keys, slice = (o_orderkey % 4) / 2.
+    writeSlices(orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("__q", (col("o_orderkey") % 4 / 2).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val files = TxnLog.parquetsUnder(tbl, "b0") ++
       TxnLog.parquetsUnder(tbl, "b1")
     TxnLog.commitRetry(tbl, "create", _ => files)
@@ -2468,10 +2537,11 @@ object SourceSinkQueries {
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
       .filter(col("o_orderkey") % 2 === 0)
-    orders.filter(col("o_orderkey") % 4 === 0)
-      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
-    orders.filter(col("o_orderkey") % 4 === 2)
-      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    // One pass stages both slices (r21, writeSlices): the input is
+    // already the even keys; slice = (o_orderkey % 4) / 2.
+    writeSlices(orders
+        .withColumn("__q", (col("o_orderkey") % 4 / 2).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val files = TxnLog.parquetsUnder(tbl, "b0") ++
       TxnLog.parquetsUnder(tbl, "b1")
     TxnLog.commitRetry(tbl, "create", _ => files,
@@ -2515,12 +2585,13 @@ object SourceSinkQueries {
     val orders = Relational.table(spark, dir, "orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
+    // One pass stages both slices (r21, writeSlices); the create and
+    // append commits stay separate (the history is the point).
+    writeSlices(orders
+        .withColumn("__q", (col("o_orderkey") % 2).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     TxnLog.commitRetry(tbl, "create",
       _ => TxnLog.parquetsUnder(tbl, "b0"))
-    orders.filter(col("o_orderkey") % 2 === 1)
-      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
     TxnLog.commitRetry(tbl, "append",
       tip => tip.files ++ TxnLog.parquetsUnder(tbl, "b1"))
     import spark.implicits._
@@ -2553,10 +2624,11 @@ object SourceSinkQueries {
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("bigint").as("cents"))
       .filter(col("o_orderkey") % 4 === 1)
-    orders.filter(col("o_orderkey") % 8 === 1)
-      .coalesce(1).write.parquet(tbl.resolve("b0").toString)
-    orders.filter(col("o_orderkey") % 8 === 5)
-      .coalesce(1).write.parquet(tbl.resolve("b1").toString)
+    // One pass stages both slices (r21, writeSlices): the input is
+    // already %4==1, so %8 ∈ {1,5}; slice = (o_orderkey % 8) / 4.
+    writeSlices(orders
+        .withColumn("__q", (col("o_orderkey") % 8 / 4).cast("int")),
+      "__q", keepSliceCol = false, 2, tbl, "b", "o_orderkey")
     val files = TxnLog.parquetsUnder(tbl, "b0") ++
       TxnLog.parquetsUnder(tbl, "b1")
     TxnLog.commitRetry(tbl, "create", _ => files,
@@ -2663,9 +2735,14 @@ object SourceSinkQueries {
     TxnLog.commitRetry(tbl, "create", _ => big,
       statsFor = _ => TxnLog.keyStats(spark, tbl, big, "o_orderkey"),
       statsKey = Some("o_orderkey"))
+    // One pass stages all six small-append slices (r21, writeSlices):
+    // % 18 === q*3 for q in 0..5 selects exactly o_orderkey % 3 == 0,
+    // sliced by (o_orderkey % 18) / 3. Commits stay one-per-slice
+    // (the append cadence is the point), each with its keyStats scan.
+    writeSlices(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("__q", (col("o_orderkey") % 18 / 3).cast("int")),
+      "__q", keepSliceCol = false, 6, tbl, "s", "o_orderkey")
     for (q <- 0 until 6) {
-      orders.filter(col("o_orderkey") % 18 === q * 3)
-        .coalesce(1).write.parquet(tbl.resolve(s"s$q").toString)
       val add = TxnLog.parquetsUnder(tbl, s"s$q")
       TxnLog.commitRetry(tbl, "append", tip => tip.files ++ add,
         statsFor = _ => TxnLog.keyStats(spark, tbl, add, "o_orderkey"))
@@ -2792,9 +2869,10 @@ object SourceSinkQueries {
         round(col("o_totalprice") * 100).cast("int").as("cents"),
         least(lit(3), (col("o_orderkey") - mn) * 4 / span)
           .cast("int").as("bkt"))
-    for (q <- 0 until 4)
-      orders.filter(col("bkt") === q).drop("bkt")
-        .coalesce(1).write.parquet(tbl.resolve(s"b$q").toString)
+    // One pass for all four slices (r21, writeSlices) — was four
+    // filtered full scans of orders.
+    writeSlices(orders, "bkt", keepSliceCol = false, 4, tbl, "b",
+      "o_orderkey")
     val files = (0 until 4).flatMap(q => TxnLog.parquetsUnder(tbl, s"b$q"))
     TxnLog.commitRetryWith(tbl, _ => TxnLog.Manifest(0L, -1L, "create",
       files, TxnLog.keyStats(spark, tbl, files, "o_orderkey"),
@@ -3778,7 +3856,9 @@ object SourceSinkQueries {
     // (single-batch stream: per-store commit cost is paid once), so
     // the defaults stay.
     graft.streaming.Streaming
-      .runAvailableNow(agg, base.resolve("ckpt").toString)
+      .runAvailableNow(agg, base.resolve("ckpt").toString,
+        statePartitions = Some(graft.streaming.Streaming
+          .adaptiveStatePartitions(spark, srcDir.toString)))
       .orderBy("event_type")
   }
 
@@ -3807,6 +3887,8 @@ object SourceSinkQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     graft.streaming.Streaming
-      .runAvailableNow(agg, base.resolve("ckpt").toString)
+      .runAvailableNow(agg, base.resolve("ckpt").toString,
+        statePartitions = Some(graft.streaming.Streaming
+          .adaptiveStatePartitions(spark, srcDir.toString)))
   }
 }

@@ -47,6 +47,16 @@ object Bench {
     def time(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
+      // NOTE (r21, measured and REJECTED): deleting previous queries'
+      // scratch trees here (plus unloading state stores) before each
+      // timing — the candidate fix for the io-class page-cache
+      // readings (r20 verdict task 4) — made the SUBSEQUENT timed
+      // region uniformly slower in a same-host A/B (q1_agg 0.47 vs
+      // 0.37 s, stream_join 5.78 vs 2.64 s, every probed query worse):
+      // the unlink storm's journal/metadata work and state-store
+      // machinery reload land on the next query's clock. Scratch stays
+      // exit-time-cleaned; io-class in-sweep readings keep their
+      // documented cache sensitivity (adjudicate via same-host A/B).
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
@@ -288,10 +298,24 @@ object Bench {
     if (only.forall(_.contains("scan_kafka_batch"))) {
       def sp(): Double =
         time((s, _) => operators.SourceSinkQueries.microBatchStartupProbe(s))
-      val startup = math.min(sp(), sp())
-      val full = results.toMap.getOrElse("scan_kafka_batch", -1.0)
-      println(s"""BENCH_KAFKA {"full":${f3(full)},"startup":${
-        f3(startup)},"batch_delta":${f3(full - startup)}}""")
+      // Interleaved best-of-2 on the SAME warmed state (r20 verdict
+      // task 5): the old startup-only probe pair ran colder than the
+      // sweep-best full cycle it decomposed (BENCH_r20: startup 2.202
+      // > full 1.727 → delta −0.475). Alternating full query and
+      // probe here shares JIT/page-cache state between the legs; the
+      // delta is floored at 0 (a decomposition cannot be negative)
+      // and `coherent` records whether the raw legs already ordered
+      // correctly. `full_sweep` keeps the old sweep-best number.
+      val full1 = time(SparkEntry.queries("scan_kafka_batch"))
+      val sp1 = sp()
+      val full2 = time(SparkEntry.queries("scan_kafka_batch"))
+      val sp2 = sp()
+      val startup = math.min(sp1, sp2)
+      val full = math.min(full1, full2)
+      val fullSweep = results.toMap.getOrElse("scan_kafka_batch", -1.0)
+      println(s"""BENCH_KAFKA {"full":${f3(full)},"full_sweep":${
+        f3(fullSweep)},"startup":${f3(startup)},"batch_delta":${
+        f3(math.max(0.0, full - startup))},"coherent":${full >= startup}}""")
     }
     // Final line must survive a bounded tail capture of process output
     // (~2000 chars, with a ~120-char build-tool epilogue after it): emit

@@ -267,6 +267,16 @@ object BenchCalib {
     val stamp = """"__sf__":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
     if (!stamp.contains(sfDir)) Map.empty
     else """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+      // Keys inside NESTED objects (the __class_ratios__ value's
+      // "cpu"/"io"/"shuffle") are metadata too, not query references
+      // (ADVICE r20: a future query literally named `cpu` would have
+      // silently inherited a bogus reference time). Query entries sit
+      // at depth 1; drop any match whose preceding text has more '{'
+      // than '}'.
+      .filter(m => {
+        val before = txt.substring(0, m.start)
+        before.count(_ == '{') - before.count(_ == '}') == 1
+      })
       .map(m => m.group(1) -> m.group(2).toDouble)
       // "__"-prefixed keys are run metadata (calib stamps), never
       // query references.

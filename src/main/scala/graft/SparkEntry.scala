@@ -711,12 +711,17 @@ object SparkEntry {
     // Keyed on embeddings' row count like the IVF pin below (r20: the
     // flat 49 held at 500 AND 2000 rows by coincidence; the sf1 gate's
     // 20000-row fixture measures 50).
+    // ELSE -1 (ADVICE r20): an embeddings fixture at an UNPINNED
+    // cardinality must fail with a self-explanatory -1 vs engine-hits
+    // diff, not an opaque NULL — measure the new scale's hit count
+    // and add its arm.
     "similarity_ann_lsh" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 CAST(CASE (SELECT count(*) FROM embeddings)
                      WHEN 500 THEN 49
                      WHEN 2000 THEN 49
-                     WHEN 20000 THEN 50 END AS BIGINT) AS n_hits,
+                     WHEN 20000 THEN 50
+                     ELSE -1 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",
@@ -748,12 +753,15 @@ object SparkEntry {
     // count is a function of the embeddings table alone, and keying
     // on lineitem broke under the r19 lineitem-composited pin-stress
     // gate (6M rows matched no CASE arm -> NULL n_hits).
+    // ELSE -1: see similarity_ann_lsh — unpinned scale must fail
+    // self-explanatorily.
     "similarity_ann_ivf" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
                 CAST(CASE (SELECT count(*) FROM embeddings)
                      WHEN 500 THEN 50
                      WHEN 2000 THEN 49
-                     WHEN 20000 THEN 50 END AS BIGINT) AS n_hits,
+                     WHEN 20000 THEN 50
+                     ELSE -1 END AS BIGINT) AS n_hits,
                 CAST(count(*) * 10 AS BIGINT) AS n_total,
                 true AS recall_ge_bound
          FROM embeddings WHERE vec_id < 5""",

@@ -64,18 +64,42 @@ def main():
         if q not in oracle:
             print(f"[rows-only] {q}: rows={len(got)}")
             continue
+        # Timeout discipline (ADVICE r20): the timer's interrupt must
+        # not fire after the query already succeeded (it would abort
+        # the NEXT query), and a genuine oracle error racing the timer
+        # must classify as an error, not a timeout. A lock around the
+        # finished-check + interrupt closes the first race; requiring
+        # the caught exception to BE the interrupt closes the second.
         hit = []
+        lock = threading.Lock()
+        finished = []
+        def _fire(qname=q):
+            with lock:
+                if not finished:
+                    hit.append(qname)
+                    con.interrupt()
         timer = None
         if TIMEOUT > 0:
-            timer = threading.Timer(
-                TIMEOUT, lambda: (hit.append(q), con.interrupt()))
+            timer = threading.Timer(TIMEOUT, _fire)
             timer.start()
         try:
-            want = con.execute(oracle[q]).df()
+            try:
+                want = con.execute(oracle[q]).df()
+            finally:
+                with lock:
+                    finished.append(True)
+                if timer is not None:
+                    timer.cancel()
+                if hit and finished:
+                    # Interrupt raced a completed query: absorb any
+                    # pending interrupt flag so it cannot abort the
+                    # next query on this connection.
+                    try:
+                        con.execute("SELECT 1")
+                    except Exception:
+                        pass
         except Exception as e:  # OOM/spill exhaustion on huge composites
-            if timer is not None:
-                timer.cancel()
-            if hit:
+            if hit and type(e).__name__ == "InterruptException":
                 print(f"[TIMEOUT-oracle] {q}: oracle exceeded {TIMEOUT:.0f}s"
                       f" — recorded oracle-infeasible at this scale"
                       f" (spark rows={len(got)})")
@@ -85,9 +109,6 @@ def main():
                   f"{str(e)[:200]}")
             n_fail += 1
             continue
-        finally:
-            if timer is not None:
-                timer.cancel()
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"[FAIL cols] {q}: spark={list(g.columns)} duck={list(w.columns)}")

@@ -77,6 +77,8 @@ object StreamProfile {
     once("run6-p4", Some(4))
     once("run7-p4", Some(4))
     once("run8-p32", Some(32))
+    once("run9-p8", Some(8))
+    once("run10-p8", Some(8))
     graft.streaming.Streaming.unloadStateStores()
     spark.stop()
   }

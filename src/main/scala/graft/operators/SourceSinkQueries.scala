@@ -57,9 +57,17 @@ object SourceSinkQueries {
     // Drop the now-empty staging dir (its _SUCCESS marker included) so
     // fixture trees hold exactly the slice dirs the old layout had.
     import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(stage))
-      Files.walk(stage).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    if (Files.isDirectory(stage)) {
+      // Close the walk stream (ADVICE r21): an unclosed Files.walk
+      // leaks a directory fd per call — the hazard Scratch's
+      // recursive delete closes its stream to avoid — and this now
+      // runs on every table-fixture query.
+      val walk = Files.walk(stage)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** scan_csv — parquet → header CSV → scanCsv(inferSchema) round-trip. */
@@ -3188,24 +3196,33 @@ object SourceSinkQueries {
     orders
       .repartitionByRange(nFiles, col("o_custkey"))
       .sortWithinPartitions(col("o_custkey")).write.parquet(linPath)
-    // One read-back scan per layout: per-file min/max of both dims —
-    // the same statistics a parquet footer carries.
-    def fileRanges(p: String): Array[(Int, Int)] =
-      spark.read.parquet(p)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"))
-        .collect().map(r => (r.getAs[Int]("dLo"), r.getAs[Int]("dHi")))
+    // ONE read-back scan for BOTH layouts (r22, guide §1.2 — the two
+    // per-layout range scans and the separate conservation agg used to
+    // be three jobs over the same just-written bytes): per-file
+    // min/max of the sliced dimension PLUS the z-side row count and
+    // exact cent sum ride one grouped aggregate; files attribute to
+    // their layout by path. count/sum decompose exactly over the
+    // per-file partial sums (integer addition), so conservation is
+    // proven from the same scan that measures the ranges.
+    case class FR(z: Boolean, dLo: Int, dHi: Int, n: Long, cents: Long)
+    val allRanges = graft.util.ParquetSchema.read(
+        spark, Seq(zPath, linPath))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"),
+        count(lit(1)).as("n"),
+        // Exact cents (see sinkOrcRoundtrip): robust at any magnitude.
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .collect().map(r => FR(r.getAs[String]("f").contains("/z/"),
+        r.getAs[Int]("dLo"), r.getAs[Int]("dHi"),
+        r.getAs[Long]("n"), r.getAs[Long]("cents")))
     val span = (d1 - d0).max(1)
     val (lo, hi) = (d0 + span / 2, d0 + span / 2 + span / 20)
-    def candidates(rs: Array[(Int, Int)]): Int =
-      rs.count { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-    val zRanges = fileRanges(zPath)
-    val linRanges = fileRanges(linPath)
-    val conserved = spark.read.parquet(zPath).agg(
-      count(lit(1)).as("n_rows"),
-      // Exact cents (see sinkOrcRoundtrip): robust at any magnitude.
-      sum(round(col("o_totalprice") * 100).cast("bigint"))
-        .as("sum_cents"))
+    def candidates(rs: Array[FR]): Int =
+      rs.count(fr => fr.dHi >= lo && fr.dLo <= hi)
+    val zRanges = allRanges.filter(_.z)
+    val linRanges = allRanges.filterNot(_.z)
+    val (nRows, sumCents) =
+      (zRanges.map(_.n).sum, zRanges.map(_.cents).sum)
     // repartitionByRange may legitimately write FEWER than nFiles files
     // (empty range partitions emit nothing when the key domain is small,
     // e.g. at sf0.001) — so the oracle-pinned booleans only claim what
@@ -3218,10 +3235,11 @@ object SourceSinkQueries {
     val beats =
       if (bothFull) candidates(zRanges) < candidates(linRanges)
       else candidates(zRanges) <= candidates(linRanges)
-    conserved.select(col("n_rows"), col("sum_cents"),
-      lit(zRanges.nonEmpty && linRanges.nonEmpty).as("layouts_nonempty"),
-      lit(candidates(zRanges) < zRanges.length).as("zorder_prunes"),
-      lit(beats).as("zorder_beats_linear"))
+    Seq((nRows, sumCents)).toDF("n_rows", "sum_cents")
+      .select(col("n_rows"), col("sum_cents"),
+        lit(zRanges.nonEmpty && linRanges.nonEmpty).as("layouts_nonempty"),
+        lit(candidates(zRanges) < zRanges.length).as("zorder_prunes"),
+        lit(beats).as("zorder_beats_linear"))
   }
 
   /** sink_zorder_3d — the N-ary generalization of [[sinkZorderLayout]]:
@@ -3252,17 +3270,32 @@ object SourceSinkQueries {
           to_date(lit("1995-01-01"))).as("d"))
     // ONE pass over the input collects everything driver-side work
     // needs — row count (file-count sizing), per-dimension bounds
-    // (Morton scaling), and the result aggregates (count/sum are
+    // (Morton scaling), the result aggregates (count/sum are
     // layout-invariant, so reading them here instead of re-scanning
     // the written table saves a whole pass; at 100 TB each avoided
-    // scan is the dominant cost).
+    // scan is the dominant cost) — and, since r22, the equi-depth
+    // quantile cuts as well: percentile_approx IS approxQuantile's GK
+    // summary as an aggregate expression (accuracy 1000 = the same
+    // 0.001 relative error), so the sketch pass rides this aggregate
+    // instead of a second full scan (guide §1.2). nBuckets/probs are
+    // data-independent, so hoisting them above the aggregate changes
+    // nothing.
+    val nBuckets = 64
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val probsCol = lit(probs)
     val b = orders.agg(
       count(lit(1)).as("n"),
       // Exact cents (see sinkOrcRoundtrip): robust at any magnitude.
       sum(round(col("o_totalprice") * 100).cast("bigint")).as("sumP"),
       min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
       min(col("d")).as("d0"), max(col("d")).as("d1"),
-      min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"))
+      min(col("o_totalprice")).as("p0"), max(col("o_totalprice")).as("p1"),
+      percentile_approx(col("o_custkey").cast("double"), probsCol,
+        lit(1000)).as("qc"),
+      percentile_approx(col("d").cast("double"), probsCol,
+        lit(1000)).as("qd"),
+      percentile_approx(col("o_totalprice"), probsCol,
+        lit(1000)).as("qp"))
       .collect()(0)
     // File count derived from the data size (~600 rows/file, clamped):
     // the 3-vs-2-D comparison needs enough files that each 3-D file's
@@ -3280,17 +3313,15 @@ object SourceSinkQueries {
     // the interleave's custkey bits carried almost no information, and
     // the 3-D layout measurably stopped beating the 2-D one. Rank
     // space is distribution-free: bucket every dimension equi-depth by
-    // its approximate quantiles (one GK-sketch pass for all three
-    // columns, driver gets O(cuts) doubles — the Delta OPTIMIZE
-    // ZORDER discipline of range-ids per column), then interleave the
+    // its approximate quantiles (the GK sketches that rode the single
+    // bounds aggregate above, r22; driver gets O(cuts) doubles — the
+    // Delta OPTIMIZE ZORDER discipline), then interleave the
     // bucket ordinals. The indicator-sum binning below is a pure
     // codegen'd comparison chain — no UDF in the row path.
-    val nBuckets = 64
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val qs = orders
-      .select(col("o_custkey").cast("double").as("ck"),
-        col("d").cast("double").as("dd"), col("o_totalprice").as("pp"))
-      .stat.approxQuantile(Array("ck", "dd", "pp"), probs, 0.001)
+    val qs = Array(
+      b.getAs[Seq[Double]]("qc").toArray,
+      b.getAs[Seq[Double]]("qd").toArray,
+      b.getAs[Seq[Double]]("qp").toArray)
     def bucketCol(c: org.apache.spark.sql.Column,
         cuts: Array[Double]): org.apache.spark.sql.Column =
       cuts.distinct.foldLeft(lit(0)) { (acc, cut) =>
@@ -3307,16 +3338,20 @@ object SourceSinkQueries {
     orders.withColumn("z", z2)
       .repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
       .drop("z").write.parquet(z2Path)
-    // Per-file min/max of BOTH sliced dimensions — one read-back scan
-    // per layout, the same statistics a parquet footer carries.
-    def fileRanges(p: String): Array[(Int, Int, Double, Double)] =
-      spark.read.parquet(p)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"),
-          min(col("o_totalprice")).as("pLo"),
-          max(col("o_totalprice")).as("pHi"))
-        .collect().map(r => (r.getAs[Int]("dLo"), r.getAs[Int]("dHi"),
-          r.getAs[Double]("pLo"), r.getAs[Double]("pHi")))
+    // Per-file min/max of BOTH sliced dimensions, for BOTH layouts in
+    // ONE read-back scan (r22, guide §1.2 — two per-layout jobs over
+    // just-written bytes composed into one grouped aggregate; files
+    // attribute to their layout by path). Same statistics a parquet
+    // footer carries.
+    val allRanges = graft.util.ParquetSchema.read(
+        spark, Seq(z3Path, z2Path))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("d")).as("dLo"), max(col("d")).as("dHi"),
+        min(col("o_totalprice")).as("pLo"),
+        max(col("o_totalprice")).as("pHi"))
+      .collect().map(r => (r.getAs[String]("f").contains("/z3/"),
+        (r.getAs[Int]("dLo"), r.getAs[Int]("dHi"),
+          r.getAs[Double]("pLo"), r.getAs[Double]("pHi"))))
     // Slice width matched to the 3-D layout's per-dimension FILE
     // extent in rank space (1/∛nFiles — exact under equi-depth
     // bucketing): much narrower slices under-resolve both layouts'
@@ -3337,8 +3372,8 @@ object SourceSinkQueries {
     def candidates(rs: Array[(Int, Int, Double, Double)]): Int =
       rs.count { case (fdLo, fdHi, fpLo, fpHi) =>
         fdHi >= dLo && fdLo <= dHi && fpHi >= pLo && fpLo <= pHi }
-    val r3 = fileRanges(z3Path)
-    val r2 = fileRanges(z2Path)
+    val r3 = allRanges.collect { case (true, r) => r }
+    val r2 = allRanges.collect { case (false, r) => r }
     val bothFull = r3.length == nFiles && r2.length == nFiles
     val beats =
       if (bothFull) candidates(r3) < candidates(r2)

@@ -1060,7 +1060,8 @@ object TxnLog {
       key: String): Map[String, (Long, Long)] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) Map.empty
-    else spark.read.parquet(files.map(f => table.resolve(f).toString): _*)
+    else graft.util.ParquetSchema.read(spark,
+        files.map(f => table.resolve(f).toString))
       .groupBy(input_file_name().as("f"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
       .collect()
@@ -1080,7 +1081,8 @@ object TxnLog {
       files: Seq[String]): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) Map.empty
-    else spark.read.parquet(files.map(f => table.resolve(f).toString): _*)
+    else graft.util.ParquetSchema.read(spark,
+        files.map(f => table.resolve(f).toString))
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
       .collect()
@@ -1112,8 +1114,8 @@ object TxnLog {
       cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || cols.isEmpty) return cols.map(_ -> Map.empty[String, (Long, Long)]).toMap
-    val df = spark.read
-      .parquet(files.map(f => table.resolve(f).toString): _*)
+    val df = graft.util.ParquetSchema.read(spark,
+      files.map(f => table.resolve(f).toString))
     cols.foreach { c =>
       val field = df.schema.fields.find(_.name == c).getOrElse(
         sys.error(s"colStats column `$c` does not exist in the " +
@@ -1207,8 +1209,8 @@ object TxnLog {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || (cols0.isEmpty && !(auto && ndvAuto(spark))))
       return cols0.map(_ -> Map.empty[String, Seq[Long]]).toMap
-    val df = spark.read
-      .parquet(files.map(f => table.resolve(f).toString): _*)
+    val df = graft.util.ParquetSchema.read(spark,
+      files.map(f => table.resolve(f).toString))
     cols0.foreach { c =>
       require(df.schema.fieldNames.contains(c),
         s"ndv column `$c` does not exist in the table schema " +
@@ -1287,8 +1289,8 @@ object TxnLog {
         ndvCols0.map(_ -> Map.empty[String, Seq[Long]]).toMap)
     if (statsKey.isEmpty && colStatCols.isEmpty && !wantNdv)
       return CommitStats.empty
-    val df = spark.read
-      .parquet(files.map(f => table.resolve(f).toString): _*)
+    val df = graft.util.ParquetSchema.read(spark,
+      files.map(f => table.resolve(f).toString))
     // colStatsFor's integral contract, enforced identically: manifest
     // bounds compare as BIGINT, so a non-integral declaration must
     // refuse here, before it can reach a manifest.
@@ -1478,7 +1480,8 @@ object TxnLog {
     import org.apache.spark.sql.functions.{broadcast, col}
     val files = onlyFiles.getOrElse(m.files)
     def readAbs(fs: Seq[String]): DataFrame =
-      spark.read.parquet(fs.map(f => table.resolve(f).toString): _*)
+      graft.util.ParquetSchema.read(spark,
+        fs.map(f => table.resolve(f).toString))
     if (m.deletes.isEmpty) readAbs(files)
     else {
       val eq = m.deletes.filter(_.kind != "pos")
@@ -1603,8 +1606,8 @@ object TxnLog {
       ds: Seq[DeleteFile]): Map[String, Array[Long]] = {
     import org.apache.spark.sql.functions.col
     if (ds.isEmpty) return Map.empty
-    spark.read
-      .parquet(ds.map(d => table.resolve(d.path).toString): _*)
+    graft.util.ParquetSchema.read(spark,
+        ds.map(d => table.resolve(d.path).toString))
       .select(col("file_path"), col("pos").cast("long"))
       .na.drop().distinct()
       .collect()
@@ -1693,14 +1696,18 @@ object TxnLog {
     // Write tasks report (file, rows) back and skip empty partitions
     // — a rewrite that deleted everything writes nothing, so the tip
     // stays fully stats-covered with no zero-row files to drop and no
-    // footer re-reads at commit (graft.sources.StagedWrite).
-    val staged = graft.sources.StagedWrite.parquetWithCounts(
-      morRead(spark, table, t0, Some(affected)).coalesce(nOut),
-      table, subdir)
+    // footer re-reads at commit (graft.sources.StagedWrite). The
+    // tasks ALSO fold the commit stats as they write (r22,
+    // WriterStats) — zero post-write stats jobs.
+    val rewrite = morRead(spark, table, t0, Some(affected)).coalesce(nOut)
+    val spec = graft.sources.WriterStats.spec(spark, rewrite.schema,
+      t0.statsKey, t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+    val staged3 = graft.sources.StagedWrite.parquetWithStats(
+      rewrite, table, subdir, Some(spec))
+    val staged = staged3.map { case (rel, n, _) => (rel, n) }
     val written = staged.map(_._1)
-    // One fused stats scan of the rewritten files (r21).
-    val cs = commitStatsFor(spark, table, written, t0.statsKey,
-      t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+    val cs = graft.sources.WriterStats.assemble(spec,
+      staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
     val newStats = cs.key
     val newColStats = cs.colStats
     val newNdv = cs.ndv
@@ -1823,18 +1830,20 @@ object TxnLog {
       val attemptDir = if (attempt == 0) subdir else s"$subdir-r$attempt"
       // Write tasks report (file, rows) back and skip empty
       // partitions — no zero-row outputs, no footer re-reads at
-      // commit (graft.sources.StagedWrite).
-      val staged =
-        graft.sources.StagedWrite.parquetWithCounts(out, table, attemptDir)
-      // New files' stats cost one O(batch) scan; survivors' stats
-      // carry forward, so every merge commit leaves a fully
+      // commit (graft.sources.StagedWrite) — and fold the new files'
+      // stats (key bounds + multi-column bounds + NDV) as they write
+      // (r22, WriterStats): zero post-write stats jobs. Survivors
+      // keep their entries, so every merge commit leaves a fully
       // stats-bearing tip.
+      val spec = graft.sources.WriterStats.spec(spark, out.schema,
+        Some(key), tip.colStats.keys.toSeq.sorted,
+        tip.ndv.keys.toSeq.sorted)
+      val staged3 = graft.sources.StagedWrite.parquetWithStats(
+        out, table, attemptDir, Some(spec))
+      val staged = staged3.map { case (rel, n, _) => (rel, n) }
       val written = staged.map(_._1)
-      // New files' stats (key bounds + multi-column bounds + NDV) in
-      // ONE fused scan (r21); survivors keep their entries, so every
-      // merge commit leaves a fully stats-bearing tip.
-      val cs = commitStatsFor(spark, table, written, Some(key),
-        tip.colStats.keys.toSeq.sorted, tip.ndv.keys.toSeq.sorted)
+      val cs = graft.sources.WriterStats.assemble(spec,
+        staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
       val newStats = cs.key
       val newFiles = written
       // A COW rewrite does NOT commute the way an append does: losing
@@ -1881,14 +1890,18 @@ object TxnLog {
     val tipVersion = latest(table).get
     val tipM = readManifest(table, tipVersion)
     val effKey = statsKey.orElse(tipM.statsKey)
-    val staged = graft.sources.StagedWrite.parquetWithCounts(
-      readVersion(spark, table, tipVersion).coalesce(nFiles),
-      table, subdir)
+    // Write tasks fold the compacted files' stats as they write (r22,
+    // WriterStats) — zero post-write stats jobs; hoisted out of the
+    // commit closure (r21), so a retry never recomputes either.
+    val compacted = readVersion(spark, table, tipVersion).coalesce(nFiles)
+    val spec = graft.sources.WriterStats.spec(spark, compacted.schema,
+      effKey, tipM.colStats.keys.toSeq.sorted, tipM.ndv.keys.toSeq.sorted)
+    val staged3 = graft.sources.StagedWrite.parquetWithStats(
+      compacted, table, subdir, Some(spec))
+    val staged = staged3.map { case (rel, n, _) => (rel, n) }
     val newFiles = staged.map(_._1)
-    // One fused stats scan of the compacted files (r21) — hoisted out
-    // of the commit closure too, so a retry no longer re-sketched NDV.
-    val cs = commitStatsFor(spark, table, newFiles, effKey,
-      tipM.colStats.keys.toSeq.sorted, tipM.ndv.keys.toSeq.sorted)
+    val cs = graft.sources.WriterStats.assemble(spec,
+      staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
     commitRetryWith(table, t => {
       // A full rewrite does not commute (same discipline as
       // compactSmall/materializeDeletes): a concurrent append or
@@ -2155,7 +2168,8 @@ object TxnLog {
         val absU = udf((f: String) =>
           java.nio.file.Paths.get(rootStr).resolve(f).toString)
         val sub = s"clonepos${System.nanoTime()}"
-        spark.read.parquet(src.resolve(d.path).toString)
+        graft.util.ParquetSchema.read(spark,
+            Seq(src.resolve(d.path).toString))
           .select(absU(col("file_path")).as("file_path"), col("pos"))
           .coalesce(1)
           .write.parquet(dst.resolve(sub).toString)
@@ -2409,9 +2423,8 @@ object TxnLog {
                 val base = morRead(spark, table, prevPos, Some(scoped))
                 val marked = byKey.zipWithIndex
                   .foldLeft(base) { case (acc, ((k, ds), i)) =>
-                    val keys = spark.read
-                      .parquet(ds.map(d =>
-                        table.resolve(d.path).toString): _*)
+                    val keys = graft.util.ParquetSchema.read(spark,
+                        ds.map(d => table.resolve(d.path).toString))
                       .select(col(k)).distinct()
                       .withColumn(s"__graft_eq$i", lit(1))
                     acc.join(broadcast(keys), Seq(k), "left_outer")
@@ -2479,15 +2492,19 @@ object TxnLog {
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // Write tasks report (file, rows) back; empty partitions write
     // nothing (graft.sources.StagedWrite) — no zero-row outputs, no
-    // footer re-reads at commit.
-    val staged = graft.sources.StagedWrite.parquetWithCounts(
-      morRead(spark, table, t0, Some(small)).coalesce(nOut),
-      table, subdir)
+    // footer re-reads at commit — and fold the packed files' stats as
+    // they write (r22, WriterStats): zero post-write stats jobs,
+    // hoisted out of the commit closure (r21) so retries recompute
+    // nothing.
+    val packed = morRead(spark, table, t0, Some(small)).coalesce(nOut)
+    val spec = graft.sources.WriterStats.spec(spark, packed.schema,
+      t0.statsKey, t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+    val staged3 = graft.sources.StagedWrite.parquetWithStats(
+      packed, table, subdir, Some(spec))
+    val staged = staged3.map { case (rel, n, _) => (rel, n) }
     val written = staged.map(_._1)
-    // One fused stats scan of the packed files (r21) — hoisted out of
-    // the commit closure too, so a retry no longer re-sketched NDV.
-    val cs = commitStatsFor(spark, table, written, t0.statsKey,
-      t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+    val cs = graft.sources.WriterStats.assemble(spec,
+      staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
     val smallSet = small.toSet
     commitRetryWith(table, t => {
       // A pack rewrite does not commute (same discipline as

@@ -401,19 +401,31 @@ object GraftTables {
     // casting to the declared logical types.
     val physical = data.select(cols.toSeq.map(c =>
       col(c).cast(snap.schema(c).dataType).as(snap.physicalOf(c))): _*)
-    val staged = stage(snap.root, physical)
+    val spark = data.sparkSession
+    // Writer-side stats (r22): the write tasks fold the commit stats
+    // over the rows as they stage them, under the SNAPSHOT's declared
+    // column sets — zero post-write stats jobs on the common path.
+    val snapSets = (snap.manifest.statsKey,
+      snap.manifest.colStats.keys.toSeq.sorted,
+      snap.manifest.ndv.keys.toSeq.sorted)
+    val spec = WriterStats.spec(spark, physical.schema,
+      snapSets._1, snapSets._2, snapSets._3)
+    val staged3 = stage(snap.root, physical, Some(spec))
+    val staged = staged3.map { case (rel, n, _) => (rel, n) }
     val newFiles = staged.map(_._1)
     val newRows = staged.toMap
-    val spark = data.sparkSession
-    // The staged files never change across commit retries — compute
-    // their stats once, outside the rebase loop.
-    // One cache for the fused stats pass (r21: key bounds + column
-    // bounds + NDV sketches ride ONE scan of the staged files instead
-    // of three back-to-back jobs); keyed by the tip's declared column
-    // sets so a retry against an unchanged tip re-uses the scan.
+    // The staged files never change across commit retries — their
+    // stats are computed once, by the write tasks themselves. The
+    // cache is keyed by the declared column sets of the manifest the
+    // commit attempt targets, pre-seeded with the writer-side result
+    // under the snapshot's sets; a rebase onto a tip whose sets
+    // CHANGED falls back to the fused read-back scan (r21,
+    // TxnLog.commitStatsFor) under the new sets.
     val statsCache = scala.collection.mutable.Map
       .empty[(Option[String], Seq[String], Seq[String]),
         TxnLog.CommitStats]
+    statsCache.put(snapSets, WriterStats.assemble(spec,
+      staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) }))
     TxnLog.commitRetryWith(snap.root, tip => {
       // Idempotent-replay guard, INSIDE the attempt: if this writer's
       // (appId, batchId) already sits at or below a committed stamp —
@@ -485,14 +497,19 @@ object GraftTables {
     // creates is then born carrying them, so every later batch
     // validates through [[insert]]'s tip-constraint pass.
     TxnLog.checkConstraints(data, constraints)
-    val staged = stage(root, data)
-    val newFiles = staged.map(_._1)
-    val newRows = staged.toMap
     // Auto-NDV starts AT CREATE: a table born without sketches can
     // never reach full coverage through appends alone (the merged
-    // estimate requires every kept file to carry an entry).
-    val newNdv = TxnLog.ndvSketchFor(data.sparkSession, root, newFiles,
-      Seq.empty, auto = true)
+    // estimate requires every kept file to carry an entry). Sketched
+    // by the write tasks themselves (r22, WriterStats) — zero
+    // post-write stats jobs.
+    val spec = WriterStats.spec(data.sparkSession, data.schema,
+      None, Seq.empty, Seq.empty)
+    val staged3 = stage(root, data, Some(spec))
+    val staged = staged3.map { case (rel, n, _) => (rel, n) }
+    val newFiles = staged.map(_._1)
+    val newRows = staged.toMap
+    val newNdv = WriterStats.assemble(spec,
+      staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) }).ndv
     val cols = data.schema.fields.zipWithIndex.map { case (f, i) =>
       TxnLog.ColumnDef(i + 1, f.name, f.dataType.catalogString, f.name)
     }.toSeq
@@ -520,13 +537,16 @@ object GraftTables {
   }
 
   /** Stage under a fresh subdirectory via [[StagedWrite]]: the write
-    * tasks report (file, rows) back, so the commit carries exact
-    * counts with zero driver footer reads. */
-  private def stage(root: Path,
-      physical: DataFrame): Seq[(String, Long)] = {
+    * tasks report (file, rows) back — plus the writer-side commit
+    * stats when a spec is given (r22) — so the commit carries exact
+    * counts and stats with zero driver footer reads and zero
+    * post-write stats jobs. */
+  private def stage(root: Path, physical: DataFrame,
+      spec: Option[WriterStats.Spec] = None)
+      : Seq[(String, Long, Option[WriterStats.FileStats])] = {
     val subdir = s"w${System.currentTimeMillis()}-" +
       s"${stagingCounter.incrementAndGet()}"
-    StagedWrite.parquetWithCounts(physical, root, subdir)
+    StagedWrite.parquetWithStats(physical, root, subdir, spec)
   }
 
   /** `DELETE FROM graft.`path` WHERE pred` as a copy-on-write log
@@ -617,8 +637,8 @@ object GraftTables {
       // that matches the predicate just gets named again — dropping a
       // dropped row is a no-op, and it keeps this pass one scan of
       // O(affected bytes).
-      val hits = spark.read
-        .parquet(affected.map(f => root.resolve(f).toString): _*)
+      val hits = graft.util.ParquetSchema.read(spark,
+          affected.map(f => root.resolve(f).toString))
         .filter(pred.eqNullSafe(lit(true)))
         .select(col("_metadata.file_path").as("__fp"),
           col("_metadata.row_index").as("pos"))
@@ -668,12 +688,17 @@ object GraftTables {
       val attemptDir = s"del${System.currentTimeMillis()}-" +
         s"${stagingCounter.incrementAndGet()}"
       // Write tasks report (file, rows) back and skip empty
-      // partitions, so no count re-scan and no empty-file filter.
-      val staged = StagedWrite.parquetWithCounts(out, root, attemptDir)
-      val newFiles = staged.map(_._1)
-      // One fused stats scan of the rewritten files (r21).
-      val cs = TxnLog.commitStatsFor(spark, root, newFiles, tip.statsKey,
+      // partitions, so no count re-scan and no empty-file filter —
+      // and fold the rewritten files' stats as they write (r22,
+      // WriterStats): zero post-write stats jobs.
+      val spec = WriterStats.spec(spark, out.schema, tip.statsKey,
         tip.colStats.keys.toSeq.sorted, tip.ndv.keys.toSeq.sorted)
+      val staged3 = StagedWrite.parquetWithStats(
+        out, root, attemptDir, Some(spec))
+      val staged = staged3.map { case (rel, n, _) => (rel, n) }
+      val newFiles = staged.map(_._1)
+      val cs = WriterStats.assemble(spec,
+        staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
       val newStats = cs.key
       val newColStats = cs.colStats
       val newNdv = cs.ndv
@@ -769,8 +794,8 @@ object GraftTables {
     // rel name and per-file sequence joined in via a broadcast map —
     // the MoR-aware scan WITH provenance that morRead (which loses
     // metadata columns at its joins) cannot provide.
-    val raw = spark.read
-      .parquet(affected.map(f => root.resolve(f).toString): _*)
+    val raw = graft.util.ParquetSchema.read(spark,
+        affected.map(f => root.resolve(f).toString))
       .withColumn("__fp", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val relByAbs = manifestRelByReportedAbs(root, affected)
@@ -797,8 +822,8 @@ object GraftTables {
     // key value v, deleted iff fileSeq < max(seq of deletes naming v).
     t0.deletes.filter(_.kind != "pos").groupBy(_.key).toSeq.sortBy(_._1)
       .foreach { case (k, ds) =>
-        val keySeqs = ds.map(d => spark.read
-            .parquet(root.resolve(d.path).toString)
+        val keySeqs = ds.map(d => graft.util.ParquetSchema.read(
+              spark, Seq(root.resolve(d.path).toString))
             .select(col(k).cast("long").as("__k"))
             .na.drop().distinct()
             .withColumn("__mseq", lit(d.seq)))
@@ -828,16 +853,20 @@ object GraftTables {
       val posWritten = TxnLog.parquetsUnder(root, posSub)
       // The rewritten rows, assignments applied, physical shape.
       // Write tasks report (file, rows) back — no count re-scan, no
-      // empty files written.
-      val staged = StagedWrite.parquetWithCounts(
-        matched.select(logicalCols.map { c =>
-          set.get(c).map(expr).getOrElse(col(c))
-            .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
-        }: _*), root, dataSub)
-      val newFiles = staged.map(_._1)
-      // One fused stats scan of the rewritten files (r21).
-      val cs = TxnLog.commitStatsFor(spark, root, newFiles, t0.statsKey,
+      // empty files written — and fold the rewritten files' stats as
+      // they write (r22, WriterStats): zero post-write stats jobs.
+      val rewritten = matched.select(logicalCols.map { c =>
+        set.get(c).map(expr).getOrElse(col(c))
+          .cast(snap.schema(c).dataType).as(snap.physicalOf(c))
+      }: _*)
+      val spec = WriterStats.spec(spark, rewritten.schema, t0.statsKey,
         t0.colStats.keys.toSeq.sorted, t0.ndv.keys.toSeq.sorted)
+      val staged3 = StagedWrite.parquetWithStats(
+        rewritten, root, dataSub, Some(spec))
+      val staged = staged3.map { case (rel, n, _) => (rel, n) }
+      val newFiles = staged.map(_._1)
+      val cs = WriterStats.assemble(spec,
+        staged3.flatMap { case (rel, _, fs) => fs.map(rel -> _) })
       val newStats = cs.key
       val newColStats = cs.colStats
       val newNdv = cs.ndv

@@ -76,10 +76,14 @@ final class GraftDeltaOperation(
 
 /** One task's output: the staged data file (inserts + update
   * post-images) and the staged position-delete file (deletes + update
-  * pre-image row ids), either absent when the task produced none. */
+  * pre-image row ids), either absent when the task produced none —
+  * plus the writer-side commit stats the task folded over the data
+  * rows as it wrote them (r22). */
 final case class GraftDeltaFiles(
     dataRel: Option[String], dataRows: Long,
-    posRel: Option[String], posRows: Long) extends WriterCommitMessage
+    posRel: Option[String], posRows: Long,
+    stats: Option[WriterStats.FileStats] = None)
+  extends WriterCommitMessage
 
 final class GraftDeltaBatchWrite(
     snap: GraftSnapshot, cmd: RowLevelOperation.Command)
@@ -110,8 +114,18 @@ final class GraftDeltaBatchWrite(
     val (dataOwf, dataConf) = owfFor(snap.physicalSchema)
     val (posOwf, posConf) = owfFor(posSchema)
     GraftDeltaWriterFactory(dataOwf, dataConf, snap.physicalSchema,
-      posOwf, posConf, posSchema, snap.root.toUri.toString, staging)
+      posOwf, posConf, posSchema, snap.root.toUri.toString, staging,
+      Some(writerSpec))
   }
+
+  // Writer-side stats under the SNAPSHOT's declared column sets
+  // (r22): the delta write's data files get their key/column bounds +
+  // NDV sketches folded by the write tasks themselves, so the common
+  // (no-rebase) commit runs zero post-write stats jobs; a rebase onto
+  // a tip whose sets changed falls back to the fused read-back scan.
+  private val writerSpec = WriterStats.spec(spark, snap.physicalSchema,
+    snap.manifest.statsKey, snap.manifest.colStats.keys.toSeq.sorted,
+    snap.manifest.ndv.keys.toSeq.sorted)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val outs = messages.map(_.asInstanceOf[GraftDeltaFiles])
@@ -138,6 +152,17 @@ final class GraftDeltaBatchWrite(
     val statsCache = scala.collection.mutable.Map
       .empty[(Option[String], Seq[String], Seq[String]),
         TxnLog.CommitStats]
+    // Pre-seed with the WRITER-SIDE stats the tasks folded while
+    // writing (r22) under the snapshot's declared sets — the common
+    // path commits with zero post-write stats jobs; only a rebase
+    // onto changed sets re-scans.
+    statsCache.put(
+      (snap.manifest.statsKey, snap.manifest.colStats.keys.toSeq.sorted,
+        snap.manifest.ndv.keys.toSeq.sorted),
+      WriterStats.assemble(writerSpec,
+        outs.toSeq.flatMap(o => o.dataRel
+          .filter(_ => o.dataRows > 0)
+          .flatMap(rel => o.stats.map(rel -> _)))))
     // A statement that only deleted is a delete-mor commit (the CDF
     // classifies it as pure deletes); one that wrote rows is
     // update-mor (paired pre/post classification).
@@ -145,8 +170,8 @@ final class GraftDeltaBatchWrite(
     def validate(constraints: Map[String, String]): Unit = {
       if (constraints.isEmpty || newFiles.isEmpty) return
       import org.apache.spark.sql.functions.col
-      val staged = spark.read.parquet(
-        newFiles.map(f => snap.root.resolve(f).toString): _*)
+      val staged = graft.util.ParquetSchema.read(spark,
+        newFiles.map(f => snap.root.resolve(f).toString))
       TxnLog.checkConstraints(
         staged.select(staged.columns.toSeq.map(c =>
           col(c).as(snap.logicalOf(c))): _*),
@@ -229,7 +254,8 @@ final case class GraftDeltaWriterFactory(
     dataSchema: StructType,
     posOwf: OutputWriterFactory, posConf: SerializableConfiguration,
     posSchema: StructType,
-    rootUri: String, staging: String)
+    rootUri: String, staging: String,
+    spec: Option[WriterStats.Spec] = None)
   extends DeltaWriterFactory {
 
   override def createWriter(
@@ -238,6 +264,9 @@ final case class GraftDeltaWriterFactory(
       private var dataOut: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dataRel: Option[String] = None
       private var dataRows = 0L
+      // Writer-side stats over the data rows as written (r22).
+      private val collector = spec.filterNot(_.isEmpty)
+        .map(new WriterStats.Collector(_))
       // (file, ordinal) pairs this task deletes — O(task's deleted
       // rows) heap, bounded by split size (the same deal Iceberg's
       // position-delete writers make), sorted before writing.
@@ -256,6 +285,7 @@ final case class GraftDeltaWriterFactory(
       override def insert(row: InternalRow): Unit = {
         ensureDataOut()
         dataOut.write(row)
+        collector.foreach(_.update(row))
         dataRows += 1
       }
 
@@ -299,7 +329,8 @@ final case class GraftDeltaWriterFactory(
           out.close()
           posRel = Some(rel)
         }
-        GraftDeltaFiles(dataRel, dataRows, posRel, posRows)
+        GraftDeltaFiles(dataRel, dataRows, posRel, posRows,
+          collector.map(_.result()))
       }
 
       override def abort(): Unit = if (dataOut != null) dataOut.close()

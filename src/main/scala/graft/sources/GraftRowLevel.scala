@@ -171,10 +171,12 @@ final class GraftCowScanBuilder(
   }
 }
 
-/** One written file: its table-relative path and row count (rides the
-  * commit message so the driver can drop empty outputs and commit
-  * without re-reading anything but stats). */
-final case class GraftWrittenFile(relPath: String, rows: Long)
+/** One written file: its table-relative path, row count, and the
+  * writer-side commit stats the task folded while writing (r22) —
+  * rides the commit message so the driver can drop empty outputs and
+  * commit without re-reading ANYTHING. */
+final case class GraftWrittenFile(relPath: String, rows: Long,
+    stats: Option[WriterStats.FileStats] = None)
   extends WriterCommitMessage
 
 final class GraftReplaceDataWrite(
@@ -183,6 +185,15 @@ final class GraftReplaceDataWrite(
   private val spark = SparkSession.active
   private val staging = s"rl${System.currentTimeMillis()}-" +
     java.util.UUID.randomUUID().toString.take(8)
+
+  // Writer-side stats under the SNAPSHOT's declared column sets
+  // (r22): the write tasks fold key/column bounds + NDV sketches as
+  // they write, so the common (no-rebase) commit runs zero post-write
+  // stats jobs; a rebase onto a tip whose sets changed falls back to
+  // the fused read-back scan.
+  private val writerSpec = WriterStats.spec(spark, snap.physicalSchema,
+    snap.manifest.statsKey, snap.manifest.colStats.keys.toSeq.sorted,
+    snap.manifest.ndv.keys.toSeq.sorted)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -195,7 +206,8 @@ final class GraftReplaceDataWrite(
       new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
     GraftWriterFactory(owf, snap.root.toUri.toString, staging,
       snap.physicalSchema,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration),
+      Some(writerSpec))
   }
 
   // CHECK constraints guard every data-adding write (Delta enforces
@@ -208,8 +220,8 @@ final class GraftReplaceDataWrite(
       constraints: Map[String, String], newFiles: Seq[String]): Unit = {
     if (constraints.isEmpty || newFiles.isEmpty) return
     import org.apache.spark.sql.functions.col
-    val staged = spark.read.parquet(
-      newFiles.map(f => snap.root.resolve(f).toString): _*)
+    val staged = graft.util.ParquetSchema.read(spark,
+      newFiles.map(f => snap.root.resolve(f).toString))
     TxnLog.checkConstraints(
       staged.select(staged.columns.toSeq.map(c =>
         col(c).as(snap.logicalOf(c))): _*),
@@ -233,6 +245,16 @@ final class GraftReplaceDataWrite(
     val statsCache = scala.collection.mutable.Map
       .empty[(Option[String], Seq[String], Seq[String]),
         TxnLog.CommitStats]
+    // Pre-seed with the WRITER-SIDE stats the tasks folded while
+    // writing (r22) under the snapshot's declared sets — the common
+    // path commits with zero post-write stats jobs; only a rebase
+    // onto changed sets re-scans.
+    statsCache.put(
+      (snap.manifest.statsKey, snap.manifest.colStats.keys.toSeq.sorted,
+        snap.manifest.ndv.keys.toSeq.sorted),
+      WriterStats.assemble(writerSpec,
+        written.filter(_.rows > 0).toSeq
+          .flatMap(w => w.stats.map(w.relPath -> _))))
     // Row counts came from the write tasks themselves (the
     // StagedWrite discipline — zero footer reads); without them a
     // copy-on-write UPDATE/MERGE/DELETE would commit files with no
@@ -334,7 +356,8 @@ final class GraftReplaceDataWrite(
 
 final case class GraftWriterFactory(
     owf: OutputWriterFactory, rootUri: String, staging: String,
-    schema: StructType, conf: SerializableConfiguration)
+    schema: StructType, conf: SerializableConfiguration,
+    spec: Option[WriterStats.Spec] = None)
   extends DataWriterFactory {
 
   override def createWriter(
@@ -344,6 +367,10 @@ final case class GraftWriterFactory(
     val rel =
       s"$staging/part-$partitionId-$taskId${owf.getFileExtension(ctx)}"
     val out = owf.newInstance(s"$rootUri/$rel", schema, ctx)
+    // Writer-side stats folded over the rows AS WRITTEN (r22) — after
+    // any marker projection, so the stats describe the file's bytes.
+    val collector = spec.filterNot(_.isEmpty)
+      .map(new WriterStats.Collector(_))
     new DataWriter[InternalRow] {
       private var rows = 0L
       // Group-based ReplaceData with NO declared metadata attributes
@@ -358,12 +385,19 @@ final case class GraftWriterFactory(
         if (rows == 0 && record.numFields == schema.length + 1)
           proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
             schema, 1 to schema.length)
-        if (proj == null) out.write(record)
-        else { proj.project(record); out.write(proj) }
+        if (proj == null) {
+          out.write(record)
+          collector.foreach(_.update(record))
+        } else {
+          proj.project(record)
+          out.write(proj)
+          collector.foreach(_.update(proj))
+        }
         rows += 1
       }
       override def commit(): WriterCommitMessage = {
-        out.close(); GraftWrittenFile(rel, rows)
+        out.close()
+        GraftWrittenFile(rel, rows, collector.map(_.result()))
       }
       override def abort(): Unit = out.close()
       override def close(): Unit = ()

@@ -34,7 +34,20 @@ object StagedWrite {
     * partition, and return table-relative (file, rowCount) pairs as
     * reported by the write tasks themselves. */
   def parquetWithCounts(physical: DataFrame, root: Path,
-      subdir: String): Seq[(String, Long)] = {
+      subdir: String): Seq[(String, Long)] =
+    parquetWithStats(physical, root, subdir, None)
+      .map { case (rel, n, _) => (rel, n) }
+
+  /** [[parquetWithCounts]] PLUS writer-side per-file commit stats
+    * (r22): each task folds `spec`'s key bounds / column bounds / NDV
+    * sketches over the rows as it writes them ([[WriterStats
+    * .Collector]]) and ships the result back alongside its (file,
+    * rows) pair — so the commit needs ZERO post-write stats jobs over
+    * the staged bytes. `spec = None` collects nothing (the plain
+    * count contract). */
+  def parquetWithStats(physical: DataFrame, root: Path,
+      subdir: String, spec: Option[WriterStats.Spec])
+      : Seq[(String, Long, Option[WriterStats.FileStats])] = {
     val spark = physical.sparkSession
     val schema = physical.schema
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
@@ -44,6 +57,9 @@ object StagedWrite {
     val conf = new SerializableConfiguration(job.getConfiguration)
     Files.createDirectories(root.resolve(subdir))
     val rootUri = root.toUri.toString
+    // An empty spec collects nothing per row — drop it so the row
+    // loop stays the bare write.
+    val statsSpec = spec.filterNot(_.isEmpty)
     physical.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
@@ -53,10 +69,15 @@ object StagedWrite {
         val rel = s"$subdir/part-$pid-a$attempt" +
           owf.getFileExtension(ctx)
         val out = owf.newInstance(s"$rootUri/$rel", schema, ctx)
+        val collector = statsSpec.map(new WriterStats.Collector(_))
         var n = 0L
-        try rows.foreach { r => out.write(r); n += 1 }
+        try rows.foreach { r =>
+          out.write(r)
+          collector.foreach(_.update(r))
+          n += 1
+        }
         finally out.close()
-        Iterator.single((rel, n))
+        Iterator.single((rel, n, collector.map(_.result())))
       }
     }.collect().toSeq.sortBy(_._1)
   }

@@ -94,8 +94,54 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // CORE-SCALING witness (r22, verdict task 2): a fixed CPU-bound,
+    // embarrassingly parallel aggregate — 64 even tasks of pure hash
+    // arithmetic over range(), no input data, no shuffle beyond the
+    // final 1-row reduce — whose wall time scales ~1/cores. The r21
+    // driver flagged `suspect_cpus_ignored` because every 8-vs-32-core
+    // per-query ratio was ≈1 (the slowest queries are floor-dominated
+    // at sf0.1); this leg makes the honored $SPARK_GRAFT_CPUS contract
+    // REFUTABLE from the artifact: an 8-core run's parallel probe
+    // reads ~4× the 32-core run's.
+    def parallelProbe(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0L, 192000000L, 1L, 64)
+          .selectExpr(
+            "xxhash64(xxhash64(xxhash64(xxhash64(id)))) AS h")
+          .selectExpr("sum(h)").count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // IO/page-cache probe (r22, verdict task 3 / r20 task 4): a fixed
+    // ~100 MB parquet write + re-read in the scratch tree, timed at
+    // the same three points as the shuffle probe. Its reading carries
+    // the page-cache / writeback state the io-class queries run under
+    // (the state that drifted sink_zorder_3d's in-sweep number
+    // 4.5→14.7 s over four rounds with zero code change), so the
+    // suspect gate can normalize io-class readings from the artifact
+    // instead of a manual same-host A/B. Hash-valued columns keep the
+    // bytes incompressible (a compressible probe would measure codec
+    // speed, not IO). One fixed target dir: overwrite keeps scratch
+    // bounded and the per-probe delete cost constant.
+    val ioProbeDir = graft.util.Scratch.dir("graft_ioprobe")
+      .resolve("probe").toString
+    def ioProbe(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0L, 6000000L, 1L, 8)
+          .selectExpr("id", "xxhash64(id) AS a", "xxhash64(id + 1) AS b")
+          .write.mode("overwrite").parquet(ioProbeDir)
+        spark.read.parquet(ioProbeDir).selectExpr("sum(a)").count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibA = calibProbe()
     val shufA = shuffleProbe()
+    val parA = parallelProbe()
+    val ioA = ioProbe()
     val pass1 = qlist.map { case (name, fn) => name -> time(fn) }
     val calibB = calibProbe()
     val pass2 = qlist.map { case (name, fn) => name -> time(fn) }
@@ -178,6 +224,7 @@ object Bench {
     // sides). A fresh steady-state probe here (past both sweeps)
     // pairs with the early one so warm-up can't inflate the ratio.
     val shufMid = shuffleProbe()
+    val ioMid = ioProbe()
     val hostRatio = BenchCalib.hostShuffleRatio(
       math.min(shufA, shufMid),
       try BenchCalib.parseShuffleRef(refTxt, sfDir)
@@ -186,9 +233,17 @@ object Bench {
       math.min(calibB, calibC),
       try BenchCalib.parseCpuRef(refTxt, sfDir)
       catch { case NonFatal(_) => None })
+    // io-class normalization (r22): only when the reference carries an
+    // io stamp — absent one, the io class keeps the shuffle ratio (the
+    // pre-r22 gate, exactly).
+    val ioRef =
+      try BenchCalib.parseIoRef(refTxt, sfDir)
+      catch { case NonFatal(_) => None }
+    val hostIo = BenchCalib.hostIoRatio(math.min(ioA, ioMid), ioRef)
     val suspects =
       BenchCalib.suspects(twoPass, refTimes, calibRatio,
-        hostRatio = hostRatio, cpuRatio = hostCpu)
+        hostRatio = hostRatio, cpuRatio = hostCpu,
+        ioRatio = ioRef.map(_ => hostIo))
     val reruns = suspects.map { case (name, t) =>
       name -> (t, time(SparkEntry.queries(name)))
     }.toMap
@@ -198,6 +253,8 @@ object Bench {
     // reference if the start was the slow part.
     val calibD = calibProbe()
     val shufB = shuffleProbe()
+    val parB = parallelProbe()
+    val ioB = ioProbe()
     // Streaming fixed-cost floor (r19 verdict task 4): the 23
     // stream_* queries cost ~90s of the sweep, mostly checkpoint /
     // offset-log / state-store lifecycle rather than data. The same
@@ -246,6 +303,11 @@ object Bench {
           .map(f3).mkString(",") + "]",
         "\"__calib_shuffle__\":[" + Seq(shufA, shufMid, shufB)
           .map(f3).mkString(",") + "]",
+        "\"__calib_io__\":[" + Seq(ioA, ioMid, ioB)
+          .map(f3).mkString(",") + "]",
+        "\"__calib_parallel__\":[" + Seq(parA, parB)
+          .map(f3).mkString(",") + "]",
+        "\"__cpus__\":\"" + cpus + "\"",
         "\"__calib_ratio__\":" + f3(finalRatio),
         "\"__calib_abs_ratio__\":" + f3(absRatio),
         "\"__contended__\":" + finalContended,
@@ -325,7 +387,11 @@ object Bench {
     // it): fixed fields ≈300 + calib ≈60 + suspects ≤400 + queries
     // ≤1000 ≈ 1760, leaving headroom for the epilogue.
     val sorted = results.sortBy(-_._2)
-    val budget = 1000
+    // r22: the scaling-witness fields (cpus, parallelism,
+    // calib_parallel, calib_io, host_io_ratio) cost ~130 chars on the
+    // final line; the query budget gives them back so the line still
+    // fits the driver's bounded tail capture whole.
+    val budget = 870
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val keptKeys = scala.collection.mutable.Set.empty[String]
     var used = 0
@@ -337,7 +403,16 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val calib = s"[${f3(calibA)},${f3(calibB)},${f3(calibC)},${f3(calibD)}]"
     val calibShuffle = s"[${f3(shufA)},${f3(shufMid)},${f3(shufB)}]"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":$calib,"calib_shuffle":$calibShuffle,"calib_host_shuffle_ratio":${f3(hostRatio)},"calib_host_cpu_ratio":${f3(hostCpu)},"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
+    val calibParallel = s"[${f3(parA)},${f3(parB)}]"
+    val calibIo = s"[${f3(ioA)},${f3(ioMid)},${f3(ioB)}]"
+    // The honored core count, self-evidencing (r22 verdict task 2):
+    // the effective master width and the context's defaultParallelism
+    // ride the artifact, next to the parallel probe whose time
+    // visibly scales with them.
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus + "\""
+    val parallelism = spark.sparkContext.defaultParallelism
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpusJson,"parallelism":$parallelism,"calib":$calib,"calib_shuffle":$calibShuffle,"calib_parallel":$calibParallel,"calib_io":$calibIo,"calib_host_shuffle_ratio":${f3(hostRatio)},"calib_host_cpu_ratio":${f3(hostCpu)},"calib_host_io_ratio":${f3(hostIo)},"calib_ratio":${f3(finalRatio)},"calib_ratio_suspect_gate":${f3(calibRatio)},"calib_spread":${f3(finalSpread)},"calib_abs_ratio":${f3(absRatio)},"contended":$finalContended,"suspects":$suspectJson,"queries":$qs,"queries_total":${results.size},"other_sec":${f3(restSec)},"sf":"$sfDir"}""")
     // Stop the JVM-global state-store machinery BEFORE the session:
     // loaded providers and the maintenance thread outlive streaming
     // queries, and a maintenance tick after session stop logged
@@ -353,8 +428,9 @@ object Bench {
     // host ratios, per-class round-over-round medians, and the drift
     // verdict all parse from it alone.
     println(s"""BENCH_SUMMARY {"total":${f3(total)},"queries_total":${
-      results.size},"calib":$calib,"calib_shuffle":$calibShuffle,"host_shuffle_ratio":${
-      f3(hostRatio)},"host_cpu_ratio":${f3(hostCpu)},"calib_ratio":${
+      results.size},"cpus":$cpusJson,"parallelism":$parallelism,"calib":$calib,"calib_shuffle":$calibShuffle,"calib_parallel":$calibParallel,"calib_io":$calibIo,"host_shuffle_ratio":${
+      f3(hostRatio)},"host_cpu_ratio":${f3(hostCpu)},"host_io_ratio":${
+      f3(hostIo)},"calib_ratio":${
       f3(finalRatio)},"contended":$finalContended,"suspect_count":${
       reruns.size},"stream_floor":${f3(streamFloor)},"class_ratios":$classJson,"drift_verdict":"$driftVerdict","sf":"$sfDir"}""")
   }

@@ -122,10 +122,20 @@ object BenchCalib {
       drift: Double,
       maxSuspects: Int = 12,
       hostRatio: Double = 1.0,
-      cpuRatio: Double = 1.0): Seq[(String, Double)] = {
+      cpuRatio: Double = 1.0,
+      ioRatio: Option[Double] = None): Seq[(String, Double)] = {
     val factor = suspectFactor(drift)
     twoPass.filter { case (name, t) =>
-      val classRatio = if (isCpuClass(name)) cpuRatio else hostRatio
+      // Class-scoped normalization: cpu → CPU-probe ratio (capped
+      // 1.5), io → io-probe ratio when stamped (r22 — the page-cache/
+      // writeback signature the io class actually rides), everything
+      // else → the shuffle-probe ratio. Absent an io stamp the io
+      // class keeps riding the shuffle ratio, the pre-r22 behavior.
+      val classRatio = queryClass(name) match {
+        case "cpu" => cpuRatio
+        case "io" => ioRatio.getOrElse(hostRatio)
+        case _ => hostRatio
+      }
       refTimes.get(name).exists(prev => t > factor * classRatio * prev)
     }.sortBy(-_._2).take(maxSuspects)
   }
@@ -169,6 +179,17 @@ object BenchCalib {
   def parseCpuRef(txt: String, sfDir: String): Option[Double] =
     parseProbeRef(txt, sfDir, "__calib__", Seq(1, 2))
 
+  /** Reference host's IO signature: min over the COLD + MID stamped
+    * probes (positions 0, 1 of `__calib_io__` = [ioA, ioMid, ioB]) —
+    * the r22 io-cache probe stamp (r20 verdict task 4 / r21 task 3):
+    * a fixed write+fsync+re-read whose reading carries the page-cache
+    * and writeback state the io-class queries run under, so a
+    * cache-state drift in an io-class reading (sink_zorder_3d's
+    * 4.5→14.7 s across four rounds) is normalized from the artifact
+    * instead of adjudicated by a manual same-host A/B. */
+  def parseIoRef(txt: String, sfDir: String): Option[Double] =
+    parseProbeRef(txt, sfDir, "__calib_io__", Seq(0, 1))
+
   /** Host-class shuffle ratio for the suspect gate (r18, the formal
     * re-baseline the r17 attribution called for): this host's best
     * shuffle probe over the reference host's stamped best, clamped to
@@ -194,6 +215,15 @@ object BenchCalib {
     refBest.fold(1.0) { r =>
       math.min(math.max(thisBest / math.max(r, SanityFloorSec), 1.0), 1.5)
     }
+
+  /** Host/cache IO ratio for io-class queries (r22): this run's best
+    * io probe over the reference's stamped best, clamped to [1, 3]
+    * like the shuffle ratio (floored at 1 — a cache-warm run must not
+    * tighten the gate; capped at 3 — grossly dirty cache state still
+    * flags genuine victims). With no usable reference the ratio is 1
+    * and the gate behaves exactly as before. */
+  def hostIoRatio(thisBest: Double, refBest: Option[Double]): Double =
+    hostShuffleRatio(thisBest, refBest)
 
   /** Three-way query class for round-over-round drift reads (r19
     * verdict task 8): "cpu" (scan/expression cost — host-invariant

@@ -102,7 +102,13 @@ object Relational {
     // TIMESTAMP(MICROS, NTZ). normalizeTs maps every observed form to one
     // canonical TimestampType column.
     ensureNanosAsLong(spark)
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    // No-inference-job read (r22): the schema comes off the first
+    // footer driver-side via Spark's own converter under the session
+    // conf — this is THE table entry point (~170 call sites), so the
+    // per-read inference job it replaces was the single most repeated
+    // fixed cost in the engine.
+    normalizeTs(graft.util.ParquetSchema.read(
+      spark, Seq(s"$dir/$name.parquet")))
   }
 
   /** filter_predicate — "filter out cancelled flights" (CS1), ns==0 (CS3).

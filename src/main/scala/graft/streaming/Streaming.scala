@@ -80,7 +80,11 @@ object Streaming {
       spark: SparkSession, srcDir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     graft.operators.Relational.ensureNanosAsLong(spark)
-    val observed = spark.read.parquet(srcDir).schema
+    // Schema off the first footer driver-side (r22): the old batch
+    // read's schema-inference Spark job was pure fixed cost on every
+    // stream BUILD — and stream fixtures build 2+ streams per query.
+    val observed = graft.util.ParquetSchema.footerSchema(spark, srcDir)
+      .getOrElse(spark.read.parquet(srcDir).schema)
     val reader = options.foldLeft(spark.readStream.schema(observed)) {
       case (r, (k, v)) => r.option(k, v)
     }
@@ -125,9 +129,14 @@ object Streaming {
       "spark.graft.stream.stateBytesPerPartition")
       .map(_.trim.toLong).getOrElse(16L << 20)
     val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Unknown size: return the cap DIRECTLY (ADVICE r21 — the old
+    // Long.MaxValue sentinel overflowed `bytes + target - 1` to a
+    // negative value, so the clamp yielded 1 state partition, the
+    // opposite of the documented intent, and the wrong value got
+    // pinned into the checkpoint).
     val bytes =
       try graft.util.FsWalk.files(srcDir).map(_.length()).sum
-      catch { case _: Exception => Long.MaxValue } // unknown: keep cap
+      catch { case _: Exception => return cap }
     math.max(1, math.min(cap.toLong,
       (bytes + target - 1) / math.max(target, 1L)).toInt)
   }
@@ -712,28 +721,72 @@ object Streaming {
       .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
 
+  /** BOTH [[eventsHalf]] parity slices staged in ONE job (r22, the
+    * writeSlices discipline — the restart fixtures used to run one
+    * filtered full scan + write per half): tag the parity, one
+    * partitionBy write, and hand back a MOVER. A half "arrives" in
+    * the source dir when the caller invokes the mover — exactly the
+    * rename [[landSingleFile]] always ended with, so arrival-time
+    * semantics (file B lands only after run 1's checkpoint commits)
+    * are untouched; only the up-front staging collapsed to one pass.
+    * Moved files get strictly increasing mtimes so the file source's
+    * arrival order stays the caller's move order even when two moves
+    * share a clock tick. An empty slice (no dir written) falls back
+    * to the old filtered single-file write, preserving the
+    * zero-row-file layout. */
+  private def stageEventHalves(
+      spark: SparkSession, dir: String, tmpBase: java.nio.file.Path)
+      : (Int, java.nio.file.Path, String) => Unit = {
+    import scala.jdk.CollectionConverters._
+    val stage = tmpBase.resolve("halves_stage")
+    graft.operators.Relational.table(spark, dir, "events")
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"),
+        (col("event_id") % 2).cast("int").as("__p"))
+      .repartition(2, col("__p"))
+      .write.partitionBy("__p").parquet(stage.toString)
+    var lastStamp = 0L
+    (parity: Int, srcDir: java.nio.file.Path, name: String) => {
+      val d = stage.resolve(s"__p=$parity")
+      if (!Files.isDirectory(d))
+        landSingleFile(eventsHalf(spark, dir, parity), tmpBase,
+          srcDir, name)
+      else {
+        val listing = Files.list(d)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file under $d"))
+          finally listing.close()
+        val dst = srcDir.resolve(name)
+        Files.move(part, dst)
+        lastStamp = math.max(System.currentTimeMillis(), lastStamp + 1)
+        dst.toFile.setLastModified(lastStamp)
+      }
+    }
+  }
+
   def streamResumeQuery(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.util.Scratch.dir("graft_sresume")
     val srcDir = base.resolve("in")
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
-    def land(df: DataFrame, name: String): Unit =
-      landSingleFile(df, base, srcDir, name)
     def agg(df: DataFrame): DataFrame =
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           // Exact integer cents (r17 exact-cents discipline): the
           // resumed stream folds batches in arrival order.
           sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
+    // Both halves staged in ONE job (r22); each "arrives" at its move.
+    val land = stageEventHalves(spark, dir, base)
     // Run 1: only the first half of events (split by event_id parity)
     // is present.
-    def half(parity: Int): DataFrame = eventsHalf(spark, dir, parity)
-    land(half(0), "a.parquet")
+    land(0, srcDir, "a.parquet")
     runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
       statePartitions = Some(8))
     // Run 2: second half lands; same checkpoint resumes from the
     // committed offset and folds the new file into the state.
-    land(half(1), "b.parquet")
+    land(1, srcDir, "b.parquet")
     runAvailableNow(agg(eventsStream(spark, srcDir.toString)), ckpt,
       statePartitions = Some(8))
       .orderBy("event_type")
@@ -791,9 +844,11 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    landSingleFile(eventsHalf(spark, dir, 0), base, srcDir, "a.parquet")
+    // Both halves staged in ONE job (r22); each "arrives" at its move.
+    val land = stageEventHalves(spark, dir, base)
+    land(0, srcDir, "a.parquet")
     run()
-    landSingleFile(eventsHalf(spark, dir, 1), base, srcDir, "b.parquet")
+    land(1, srcDir, "b.parquet")
     run()
     spark.read.parquet(gold)
       .select(col("user_id"), col("event_id").as("last_event_id"),
@@ -939,7 +994,9 @@ object Streaming {
     var rewritten = true
     var nBatches = 0L
     def run(): Unit = {
-      val schema = spark.read.parquet(srcDir.toString).schema
+      val schema = graft.util.ParquetSchema
+        .footerSchema(spark, srcDir.toString)
+        .getOrElse(spark.read.parquet(srcDir.toString).schema)
       val q = spark.readStream.schema(schema).parquet(srcDir.toString)
         .writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1021,7 +1078,9 @@ object Streaming {
     var allMor = true
     var nBatches = 0L
     def run(): Unit = {
-      val schema = spark.read.parquet(srcDir.toString).schema
+      val schema = graft.util.ParquetSchema
+        .footerSchema(spark, srcDir.toString)
+        .getOrElse(spark.read.parquet(srcDir.toString).schema)
       val q = spark.readStream.schema(schema).parquet(srcDir.toString)
         .writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1227,10 +1286,9 @@ object Streaming {
     val outApp = base.resolve("app").toString
     val ckpt = base.resolve("ckpt").toString
     Files.createDirectories(srcDir)
-    (0 until 2).foreach { i =>
-      landSingleFile(eventsHalf(spark, dir, i), base, srcDir,
-        s"part$i.parquet")
-    }
+    // Both halves staged in ONE job (r22); moves order their arrival.
+    val land = stageEventHalves(spark, dir, base)
+    (0 until 2).foreach(i => land(i, srcDir, s"part$i.parquet"))
     val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
     val batchRows = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
     val failInjected = new java.util.concurrent.atomic.AtomicBoolean(false)

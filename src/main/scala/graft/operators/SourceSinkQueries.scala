@@ -3322,11 +3322,15 @@ object SourceSinkQueries {
       b.getAs[Seq[Double]]("qc").toArray,
       b.getAs[Seq[Double]]("qd").toArray,
       b.getAs[Seq[Double]]("qp").toArray)
+    // ONE codegen'd binary-search expression per dimension (r22):
+    // the former 63-term indicator-sum chain (`acc + when(c > cut,
+    // 1)`) measured ~15 µs/row — past codegen comfort — and
+    // repartitionByRange evaluates the projection twice (sampling +
+    // shuffle). BucketIndex is output-identical for every input
+    // (ties, NULL→0, NaN→0; ZOrderSpec pins it against the chain).
     def bucketCol(c: org.apache.spark.sql.Column,
         cuts: Array[Double]): org.apache.spark.sql.Column =
-      cuts.distinct.foldLeft(lit(0)) { (acc, cut) =>
-        acc + when(c > cut, 1).otherwise(0)
-      }
+      graft.functions.ZOrder.bucketIndexCol(c, cuts)
     val cCol = bucketCol(col("o_custkey").cast("double"), qs(0))
     val dCol = bucketCol(col("d").cast("double"), qs(1))
     val pScaled = bucketCol(col("o_totalprice"), qs(2))

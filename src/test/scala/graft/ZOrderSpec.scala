@@ -141,6 +141,34 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       "2-D runs must span the full third axis")
   }
 
+  test("BucketIndex equals the indicator-sum when-chain it replaced " +
+      "(ties, NULLs, NaN, unsorted/duplicate cuts)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cuts = (Array.fill(63)(rnd.nextDouble() * 100) ++
+      Array(25.0, 25.0, 50.0)) // duplicates + a tie target
+    val vals: Seq[java.lang.Double] =
+      Seq.fill(500)(java.lang.Double.valueOf(rnd.nextDouble() * 120)) ++
+        Seq(java.lang.Double.valueOf(25.0), // exact tie with a cut
+          java.lang.Double.valueOf(0.0),
+          java.lang.Double.valueOf(Double.NaN),
+          null)
+    val df = vals.toDF("v")
+    val chain = cuts.distinct.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(col("v") > cut, 1).otherwise(0)
+    }
+    val got = df.select(
+      graft.functions.ZOrder.bucketIndexCol(col("v"), cuts).as("b"),
+      chain.as("c")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"bucket_index ${r.getInt(0)} != chain ${r.getInt(1)}"))
+    // And the scalar helper agrees on a direct probe.
+    val sorted = cuts.distinct.sorted
+    assert(graft.functions.ZOrder.bucketOf(25.0, sorted) ==
+      sorted.count(25.0 > _))
+  }
+
   test("sink_zorder_3d: conserved, prunes, and beats the 2-D layout") {
     val row = SourceSinkQueries.sinkZorder3d(spark, sfDir).collect()(0)
     val want = Relational.table(spark, sfDir, "orders").count()

@@ -107,10 +107,15 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
+        // noop sink, NOT count() (guide §1.4): count lets the
+        // optimizer prune the hash chain entirely — the first form of
+        // this probe read ~0.3 s at EVERY core count because no
+        // hashing survived optimization. The noop write computes
+        // every column of every row.
         spark.range(0L, 192000000L, 1L, 64)
           .selectExpr(
             "xxhash64(xxhash64(xxhash64(xxhash64(id)))) AS h")
-          .selectExpr("sum(h)").count()
+          .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
@@ -134,7 +139,10 @@ object Bench {
         spark.range(0L, 6000000L, 1L, 8)
           .selectExpr("id", "xxhash64(id) AS a", "xxhash64(id + 1) AS b")
           .write.mode("overwrite").parquet(ioProbeDir)
-        spark.read.parquet(ioProbeDir).selectExpr("sum(a)").count()
+        // noop re-read (guide §1.4): a count() here is answered from
+        // parquet footers without touching the data pages.
+        spark.read.parquet(ioProbeDir)
+          .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
